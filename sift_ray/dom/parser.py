@@ -1,0 +1,322 @@
+"""Tolerant HTML parser producing a lightweight DOM.
+
+Stands in for Go's net/html (used by goquery and go-readability in the
+reference: internal/extract/extract.go:59-91, 42-56). Built on the stdlib
+``html.parser.HTMLParser`` with HTML5-style implied end tags so malformed
+HTML (unclosed <h1>/<p>, extract_test.go:86-95) parses sensibly.
+
+All tree construction and traversal is ITERATIVE — deeply nested pathological
+DOMs (hundreds of levels) must not hit Python recursion limits.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Dict, Iterator, List, Optional
+
+VOID_ELEMENTS = frozenset((
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+))
+
+# starting any of these closes an open <p> (HTML5 tree construction)
+_P_CLOSERS = frozenset((
+    "address", "article", "aside", "blockquote", "details", "div", "dl",
+    "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "menu", "nav", "ol", "p",
+    "pre", "section", "table", "ul",
+))
+
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+# tags that implicitly close same/sibling tags: start tag -> closeable set
+_SIBLING_CLOSERS: Dict[str, frozenset] = {
+    "li": frozenset(("li",)),
+    "dt": frozenset(("dt", "dd")),
+    "dd": frozenset(("dt", "dd")),
+    "tr": frozenset(("tr", "td", "th")),
+    "td": frozenset(("td", "th")),
+    "th": frozenset(("td", "th")),
+    "option": frozenset(("option",)),
+    "thead": frozenset(("thead", "tbody", "tfoot")),
+    "tbody": frozenset(("thead", "tbody", "tfoot")),
+    "tfoot": frozenset(("thead", "tbody", "tfoot")),
+}
+
+_HEAD_TAGS = frozenset(("title", "meta", "link", "base", "style"))
+
+ELEMENT = 0
+TEXT = 1
+COMMENT = 2
+
+
+class Node:
+    """One DOM node. type is ELEMENT / TEXT / COMMENT."""
+
+    __slots__ = ("type", "tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, type_: int, tag: str = "", text: str = "",
+                 attrs: Optional[Dict[str, str]] = None):
+        self.type = type_
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: List["Node"] = []
+        self.parent: Optional["Node"] = None
+        self.text = text
+
+    # --- tree ops ----------------------------------------------------------
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def remove(self) -> None:
+        """Detach this node from its parent."""
+        if self.parent is not None:
+            try:
+                self.parent.children.remove(self)
+            except ValueError:
+                pass
+            self.parent = None
+
+    def replace_with(self, other: "Node") -> None:
+        if self.parent is None:
+            return
+        idx = self.parent.children.index(self)
+        other.parent = self.parent
+        self.parent.children[idx] = other
+        self.parent = None
+
+    # --- accessors ---------------------------------------------------------
+
+    @property
+    def is_element(self) -> bool:
+        return self.type == ELEMENT
+
+    def get(self, name: str, default: str = "") -> str:
+        return self.attrs.get(name, default)
+
+    @property
+    def class_id(self) -> str:
+        """class + ' ' + id, the string readability weighs."""
+        return (self.attrs.get("class", "") + " " + self.attrs.get("id", "")).strip()
+
+    def iter(self) -> Iterator["Node"]:
+        """Document-order traversal including self (iterative)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def iter_elements(self, tag: Optional[str] = None) -> Iterator["Node"]:
+        for n in self.iter():
+            if n.type == ELEMENT and (tag is None or n.tag == tag):
+                yield n
+
+    def text_content(self) -> str:
+        """Concatenated text of all descendant text nodes (iterative)."""
+        parts: List[str] = []
+        for n in self.iter():
+            if n.type == TEXT:
+                parts.append(n.text)
+        return "".join(parts)
+
+    def find_first(self, tag: str) -> Optional["Node"]:
+        for n in self.iter_elements(tag):
+            return n
+        return None
+
+    def depth_below(self) -> int:
+        """Max depth of the subtree (iterative)."""
+        best = 0
+        stack = [(self, 0)]
+        while stack:
+            node, d = stack.pop()
+            if d > best:
+                best = d
+            for c in node.children:
+                stack.append((c, d + 1))
+        return best
+
+    def clone(self) -> "Node":
+        """Deep copy (iterative)."""
+        root = Node(self.type, self.tag, self.text, dict(self.attrs))
+        stack = [(self, root)]
+        while stack:
+            src, dst = stack.pop()
+            for c in src.children:
+                cc = Node(c.type, c.tag, c.text, dict(c.attrs))
+                dst.append(cc)
+                stack.append((c, cc))
+        return root
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.type == TEXT:
+            return f"Text({self.text[:30]!r})"
+        return f"<{self.tag} {self.attrs}>({len(self.children)} children)"
+
+
+class _TreeBuilder(HTMLParser):
+    """HTMLParser -> Node tree with implied end tags and html/head/body
+    synthesis (net/html does the same per the WHATWG algorithm)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node(ELEMENT, "#document")
+        self.html: Optional[Node] = None
+        self.head: Optional[Node] = None
+        self.body: Optional[Node] = None
+        self.stack: List[Node] = [self.root]
+
+    # --- structure synthesis ------------------------------------------------
+
+    def _ensure_html(self) -> Node:
+        if self.html is None:
+            self.html = Node(ELEMENT, "html")
+            self.root.append(self.html)
+            if self.stack == [self.root]:
+                self.stack.append(self.html)
+        return self.html
+
+    def _ensure_head(self) -> Node:
+        if self.head is None:
+            html = self._ensure_html()
+            self.head = Node(ELEMENT, "head")
+            html.append(self.head)
+        return self.head
+
+    def _ensure_body(self) -> Node:
+        if self.body is None:
+            html = self._ensure_html()
+            self.body = Node(ELEMENT, "body")
+            html.append(self.body)
+            if self.stack and self.stack[-1] in (self.root, self.html):
+                self.stack.append(self.body)
+        return self.body
+
+    def _current(self) -> Node:
+        return self.stack[-1]
+
+    def _in_flow(self) -> bool:
+        """True once we're inside body content."""
+        cur = self._current()
+        return cur is not self.root and cur is not self.html and cur is not self.head
+
+    # --- handler plumbing ---------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attrs_d: Dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attrs_d:
+                attrs_d[k] = v if v is not None else ""
+
+        if tag == "html":
+            html = self._ensure_html()
+            html.attrs.update(attrs_d)
+            if self._current() is self.root:
+                self.stack.append(html)
+            return
+        if tag == "head":
+            head = self._ensure_head()
+            head.attrs.update(attrs_d)
+            if self._current() in (self.root, self.html):
+                self.stack.append(head)
+            return
+        if tag == "body":
+            body = self._ensure_body()
+            body.attrs.update(attrs_d)
+            if self.stack[-1] in (self.root, self.html, self.head):
+                while self.stack[-1] is not self.root and self.stack[-1] is not self.html:
+                    self.stack.pop()
+                self.stack.append(body)
+            return
+
+        # head-only tags before body content go into head
+        if tag in _HEAD_TAGS and self.body is None:
+            parent = self._ensure_head()
+            node = Node(ELEMENT, tag, attrs=attrs_d)
+            parent.append(node)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(node)
+            return
+
+        if not self._in_flow():
+            self._ensure_body()
+
+        # implied end tags
+        if tag in _P_CLOSERS:
+            self._close_if_open("p", scope=("body", "html", "#document",
+                                            "td", "th", "li", "blockquote",
+                                            "div", "section", "article"))
+        if tag in _HEADINGS and self._current().tag in _HEADINGS:
+            self.stack.pop()
+        closers = _SIBLING_CLOSERS.get(tag)
+        if closers:
+            if self._current().tag in closers:
+                self.stack.pop()
+
+        node = Node(ELEMENT, tag, attrs=attrs_d)
+        self._current().append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def _close_if_open(self, tag: str, scope) -> None:
+        """Pop an open <tag> if it is the current element or just below
+        (simplified 'has element in button scope')."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                del self.stack[i:]
+                return
+            if t in scope or t in _P_CLOSERS:
+                return
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            self.handle_starttag(tag, attrs)
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            node = self.stack[i]
+            if node.tag == tag:
+                if node is self.html or node is self.body or node is self.head:
+                    del self.stack[i:]
+                    return
+                del self.stack[i:]
+                return
+        # no matching open tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        cur = self._current()
+        if cur is self.root or cur is self.html or cur is self.head:
+            if data.strip() == "":
+                return
+            self._ensure_body()
+            cur = self._current()
+        cur.append(Node(TEXT, text=data))
+
+    def handle_comment(self, data: str) -> None:
+        if self._in_flow():
+            self._current().append(Node(COMMENT, text=data))
+
+
+def parse_html(html: str) -> Node:
+    """Parse HTML into a document Node. Never raises on malformed input."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        # html.parser is robust, but guard anyway: return what was built
+        pass
+    if builder.body is None:
+        builder._ensure_body()
+    return builder.root

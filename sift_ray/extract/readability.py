@@ -1,0 +1,410 @@
+"""Main-content extraction: a from-scratch implementation of the published
+Mozilla Readability algorithm (arc90 heritage; the algorithm is documented in
+mozilla/readability's Readability.js, which go-shiori/go-readability — the
+library sift calls at extract.go:42-56 — ports).
+
+Core steps:
+1. strip script/style/noscript/comments;
+2. optionally remove "unlikely candidate" nodes by class/id regex;
+3. score <p>/<td>/<pre>/phrasing-only <div> elements by text length + comma
+   count, propagating to ancestors (parent 1x, grandparent 1/2, level n 1/3n)
+   with tag-based priors and +-25 class/id weights;
+4. scale candidate scores by (1 - link density); pick the top candidate with
+   Mozilla's parent-climbing rules;
+5. append qualifying siblings (score threshold or "good paragraph" test);
+6. conditional cleanup (forms/embeds/low-content lists/tables/divs).
+
+If the resulting article text is shorter than CHAR_THRESHOLD, retry with
+fewer flags and keep the attempt with the most text — this matters for small
+pages and mirrors Mozilla's behavior.
+
+Stateful pieces (compiled regexes) are module-level, compiled once per worker
+process; the extract stage runs this inside an actor pool.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+from urllib.parse import urljoin
+
+from ..dom.parser import COMMENT, ELEMENT, TEXT, Node
+
+UNLIKELY_RE = re.compile(
+    r"-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|"
+    r"disqus|extra|footer|gdpr|header|legends|menu|related|remark|replies|"
+    r"rss|shoutbox|sidebar|skyscraper|social|sponsor|supplemental|ad-break|"
+    r"agegate|pagination|pager|popup|yom-remote", re.I)
+MAYBE_RE = re.compile(r"and|article|body|column|content|main|shadow", re.I)
+POSITIVE_RE = re.compile(
+    r"article|body|content|entry|hentry|h-entry|main|page|pagination|post|"
+    r"text|blog|story", re.I)
+NEGATIVE_RE = re.compile(
+    r"-ad-|hidden|^hid$| hid$| hid |^hid |banner|combx|comment|com-|contact|"
+    r"foot|footer|footnote|gdpr|masthead|media|meta|outbrain|promo|related|"
+    r"scroll|share|shoutbox|sidebar|skyscraper|sponsor|shopping|tags|tool|"
+    r"widget", re.I)
+
+_PHRASING_TAGS = frozenset((
+    "a", "abbr", "audio", "b", "bdo", "br", "button", "cite", "code", "data",
+    "datalist", "dfn", "em", "embed", "i", "img", "input", "kbd", "label",
+    "mark", "math", "meter", "noscript", "object", "output", "progress", "q",
+    "ruby", "samp", "script", "select", "small", "span", "strong", "sub",
+    "sup", "textarea", "time", "var", "wbr",
+))
+
+_DEFAULT_TAGS_TO_SCORE = frozenset(("p", "td", "pre"))
+
+_ALTER_TO_DIV = frozenset(("article", "section", "main"))
+
+CHAR_THRESHOLD = 500
+
+FLAG_STRIP_UNLIKELYS = 1
+FLAG_WEIGHT_CLASSES = 2
+FLAG_CLEAN_CONDITIONALLY = 4
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _inner_text(node: Node) -> str:
+    return _WS_RE.sub(" ", node.text_content()).strip()
+
+
+def _link_density(node: Node) -> float:
+    text_len = len(_inner_text(node))
+    if text_len == 0:
+        return 0.0
+    link_len = 0
+    for a in node.iter_elements("a"):
+        coeff = 0.3 if a.get("href", "").startswith("#") else 1.0
+        link_len += int(len(_inner_text(a)) * coeff)
+    return link_len / text_len
+
+
+def _class_weight(node: Node, flags: int) -> int:
+    if not (flags & FLAG_WEIGHT_CLASSES):
+        return 0
+    weight = 0
+    cls = node.get("class")
+    if cls:
+        if NEGATIVE_RE.search(cls):
+            weight -= 25
+        if POSITIVE_RE.search(cls):
+            weight += 25
+    nid = node.get("id")
+    if nid:
+        if NEGATIVE_RE.search(nid):
+            weight -= 25
+        if POSITIVE_RE.search(nid):
+            weight += 25
+    return weight
+
+
+def _initial_score(node: Node, flags: int) -> float:
+    tag = node.tag
+    if tag == "div":
+        score = 5
+    elif tag in ("pre", "td", "blockquote"):
+        score = 3
+    elif tag in ("address", "ol", "ul", "dl", "dd", "dt", "li", "form"):
+        score = -3
+    elif tag in ("h1", "h2", "h3", "h4", "h5", "h6", "th"):
+        score = -5
+    else:
+        score = 0
+    return score + _class_weight(node, flags)
+
+
+def _has_block_child(node: Node) -> bool:
+    for c in node.children:
+        if c.type == ELEMENT and c.tag not in _PHRASING_TAGS:
+            return True
+    return False
+
+
+def _remove_nodes(root: Node, tags: Tuple[str, ...]) -> None:
+    doomed = [n for t in tags for n in root.iter_elements(t)]
+    for n in doomed:
+        n.remove()
+
+
+def _strip_scripts_and_comments(root: Node) -> None:
+    doomed: List[Node] = []
+    for n in root.iter():
+        if n.type == COMMENT:
+            doomed.append(n)
+        elif n.type == ELEMENT and n.tag in ("script", "style", "noscript"):
+            doomed.append(n)
+    for n in doomed:
+        n.remove()
+
+
+class _Scored:
+    __slots__ = ("node", "score")
+
+    def __init__(self, node: Node, score: float):
+        self.node = node
+        self.score = score
+
+
+class Readability:
+    """One extraction run over a parsed document."""
+
+    def __init__(self, doc: Node, base_url: str = ""):
+        self.doc = doc
+        self.base_url = base_url
+
+    def parse(self) -> str:
+        """Return the article's HTML content ('' if nothing found)."""
+        from ..dom.serialize import inner_html
+
+        body = self.doc.find_first("body")
+        if body is None or not body.children:
+            return ""
+        _strip_scripts_and_comments(self.doc)
+
+        attempts: List[Tuple[Node, int]] = []  # (article, text length)
+        for flags in (FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY,
+                      FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY,
+                      FLAG_CLEAN_CONDITIONALLY,
+                      0):
+            page = body.clone()
+            article = self._grab_article(page, flags)
+            if article is None:
+                continue
+            text_len = len(_inner_text(article))
+            if text_len >= CHAR_THRESHOLD:
+                self._fix_relative_uris(article)
+                return inner_html(article)
+            attempts.append((article, text_len))
+        if not attempts:
+            return ""
+        best = max(attempts, key=lambda at: at[1])
+        if best[1] == 0:
+            return ""
+        self._fix_relative_uris(best[0])
+        return inner_html(best[0])
+
+    # --- scoring ------------------------------------------------------------
+
+    def _grab_article(self, page: Node, flags: int) -> Optional[Node]:
+        self._strip_unlikely(page, flags)
+
+        elements_to_score: List[Node] = []
+        for node in page.iter():
+            if node.type != ELEMENT:
+                continue
+            if node.tag in _DEFAULT_TAGS_TO_SCORE:
+                elements_to_score.append(node)
+            elif node.tag == "div" and not _has_block_child(node):
+                # phrasing-only div behaves like a paragraph
+                elements_to_score.append(node)
+
+        scores: dict = {}
+
+        def ensure(node: Node) -> None:
+            if id(node) not in scores:
+                scores[id(node)] = _Scored(node, _initial_score(node, flags))
+
+        for elem in elements_to_score:
+            text = _inner_text(elem)
+            if len(text) < 25:
+                continue
+            content_score = 1.0 + text.count(",") + min(len(text) // 100, 3)
+            # propagate up to 5 ancestor levels (Mozilla's getNodeAncestors)
+            ancestor = elem.parent
+            level = 0
+            while ancestor is not None and level < 5:
+                if ancestor.tag in ("body", "html", "#document"):
+                    break
+                ensure(ancestor)
+                if level == 0:
+                    divider = 1.0
+                elif level == 1:
+                    divider = 2.0
+                else:
+                    divider = level * 3.0
+                scores[id(ancestor)].score += content_score / divider
+                ancestor = ancestor.parent
+                level += 1
+
+        if not scores:
+            return None
+
+        # scale by link density and pick top candidate
+        top: Optional[_Scored] = None
+        for sc in scores.values():
+            sc.score *= (1.0 - _link_density(sc.node))
+            if top is None or sc.score > top.score:
+                top = sc
+        if top is None or top.score <= 0:
+            return None
+
+        top_candidate = top.node
+        top_score = top.score
+
+        # Mozilla parent-climbing: prefer an ancestor that accumulates more
+        # score than the candidate itself (recipe/blog wrapper promotion)
+        parent = top_candidate.parent
+        last_score = top_score
+        threshold = top_score / 3.0
+        while parent is not None and parent.tag not in ("body", "html", "#document"):
+            psc = scores.get(id(parent))
+            if psc is None:
+                parent = parent.parent
+                continue
+            if psc.score < threshold:
+                break
+            if psc.score > last_score:
+                top_candidate = parent
+                top_score = psc.score
+                break
+            last_score = psc.score
+            parent = parent.parent
+
+        # climb while the candidate is an only child
+        parent = top_candidate.parent
+        while (parent is not None and parent.tag not in ("body", "html", "#document")
+               and len([c for c in parent.children if c.type == ELEMENT
+                        or (c.type == TEXT and c.text.strip())]) == 1):
+            top_candidate = parent
+            parent = parent.parent
+
+        # sibling appending
+        article = Node(ELEMENT, "div", attrs={"id": "readability-page-1"})
+        sibling_threshold = max(10.0, top_score * 0.2)
+        container = top_candidate.parent if top_candidate.parent is not None else page
+        top_class = top_candidate.get("class")
+        for sibling in list(container.children):
+            if sibling.type != ELEMENT:
+                continue
+            append = False
+            if sibling is top_candidate:
+                append = True
+            else:
+                bonus = 0.0
+                if top_class and sibling.get("class") == top_class:
+                    bonus = top_score * 0.2
+                ssc = scores.get(id(sibling))
+                if ssc is not None and ssc.score + bonus >= sibling_threshold:
+                    append = True
+                elif sibling.tag == "p":
+                    ld = _link_density(sibling)
+                    text = _inner_text(sibling)
+                    if len(text) > 80 and ld < 0.25:
+                        append = True
+                    elif len(text) <= 80 and ld == 0 and re.search(r"\.( |$)", text):
+                        append = True
+            if append:
+                node = sibling.clone()
+                if node.tag not in ("div", "p", *_ALTER_TO_DIV):
+                    pass  # keep original tag; markdown handles containers
+                article.append(node)
+
+        if flags & FLAG_CLEAN_CONDITIONALLY:
+            self._prep_article(article, flags)
+        return article
+
+    def _strip_unlikely(self, page: Node, flags: int) -> None:
+        if not (flags & FLAG_STRIP_UNLIKELYS):
+            return
+        doomed: List[Node] = []
+        for node in page.iter():
+            if node.type != ELEMENT or node.tag in ("body", "a", "html"):
+                continue
+            match_str = node.class_id
+            if not match_str:
+                continue
+            if UNLIKELY_RE.search(match_str) and not MAYBE_RE.search(match_str):
+                doomed.append(node)
+        for node in doomed:
+            node.remove()
+
+    # --- cleanup ------------------------------------------------------------
+
+    def _prep_article(self, article: Node, flags: int) -> None:
+        _remove_nodes(article, ("form", "fieldset", "object", "embed",
+                                "footer", "link", "aside", "iframe", "input",
+                                "textarea", "select", "button"))
+        self._clean_headers(article, flags)
+        self._clean_conditionally(article, "table", flags)
+        self._clean_conditionally(article, "ul", flags)
+        self._clean_conditionally(article, "div", flags)
+        # remove empty paragraphs
+        doomed = [p for p in article.iter_elements("p")
+                  if _inner_text(p) == ""
+                  and not any(c.type == ELEMENT and c.tag in ("img", "embed",
+                                                              "object", "iframe")
+                              for c in p.iter())]
+        for p in doomed:
+            p.remove()
+
+    def _clean_headers(self, article: Node, flags: int) -> None:
+        doomed = []
+        for tag in ("h1", "h2"):
+            for h in article.iter_elements(tag):
+                if _class_weight(h, flags) < 0:
+                    doomed.append(h)
+        for h in doomed:
+            h.remove()
+
+    def _clean_conditionally(self, article: Node, tag: str, flags: int) -> None:
+        if not (flags & FLAG_CLEAN_CONDITIONALLY):
+            return
+        doomed = []
+        for node in article.iter_elements(tag):
+            if node is article:
+                continue
+            weight = _class_weight(node, flags)
+            if weight < 0:
+                doomed.append(node)
+                continue
+            text = _inner_text(node)
+            if text.count(",") >= 10:
+                continue
+            is_list = tag in ("ul", "ol")
+            if not is_list:
+                list_text = sum(len(_inner_text(lst))
+                                for t in ("ul", "ol")
+                                for lst in node.iter_elements(t))
+                total = len(text) or 1
+                is_list = list_text / total > 0.9
+            p = sum(1 for _ in node.iter_elements("p"))
+            img = sum(1 for _ in node.iter_elements("img"))
+            li = sum(1 for _ in node.iter_elements("li")) - 100
+            inputs = sum(1 for _ in node.iter_elements("input"))
+            embeds = sum(1 for t in ("object", "embed", "iframe")
+                         for _ in node.iter_elements(t))
+            link_density = _link_density(node)
+            content_length = len(text)
+            remove = (
+                (img > 1 and p / max(img, 1) < 0.5)
+                or (not is_list and li > p)
+                or (inputs > p / 3 if p else inputs > 0)
+                or (not is_list and content_length < 25 and (img == 0 or img > 2))
+                or (not is_list and weight < 25 and link_density > 0.2)
+                or (weight >= 25 and link_density > 0.5)
+                or ((embeds == 1 and content_length < 75) or embeds > 1)
+            )
+            if remove:
+                doomed.append(node)
+        for node in doomed:
+            node.remove()
+
+    def _fix_relative_uris(self, article: Node) -> None:
+        if not self.base_url:
+            return
+        for a in article.iter_elements("a"):
+            href = a.get("href")
+            if href and not href.startswith(("#", "http://", "https://",
+                                             "mailto:", "data:")):
+                a.attrs["href"] = urljoin(self.base_url, href)
+        for img in article.iter_elements("img"):
+            src = img.get("src")
+            if src and not src.startswith(("http://", "https://", "data:")):
+                img.attrs["src"] = urljoin(self.base_url, src)
+
+
+def extract_article_html(doc: Node, base_url: str = "") -> str:
+    """Run readability on a parsed document; returns article HTML or ''."""
+    return Readability(doc, base_url).parse()

@@ -1,0 +1,157 @@
+"""Extraction tests ported from internal/extract/extract_test.go."""
+
+import pytest
+
+from sift_ray.extract import ExtractError, to_markdown
+from tests.fixtures_html import BLOG_POST_HTML, MALFORMED_HTML, SIMPLE_HTML
+
+
+# extract_test.go:98-249
+@pytest.mark.parametrize("name,html,selector,contains,not_contains", [
+    ("simple readability", SIMPLE_HTML, "",
+     ["Main Article Title", "main content", "bold text", "italic text",
+      "First list item"],
+     ["Site Header", "Navigation", "sidebar content", "Footer content"]),
+    ("blog readability", BLOG_POST_HTML, "",
+     ["How to Bake", "carrot cake", "sifting flour", "Ingredients",
+      "Instructions"],
+     ["My Blog", "Related Posts"]),
+    ("article selector", SIMPLE_HTML, "article",
+     ["Main Article Title", "main content", "bold text", "First list item"],
+     ["Site Header", "Navigation", "sidebar content", "Footer"]),
+    ("class selector", BLOG_POST_HTML, ".post-content",
+     ["sifting flour", "Ingredients", "Instructions", "2 cups flour",
+      "The secret is in the sifting"],
+     ["How to Bake", "Published on", "My Blog", "Related Posts"]),
+    ("h3 selector multi", BLOG_POST_HTML, "h3",
+     ["Ingredients", "Instructions"],
+     ["How to Bake", "carrot cake", "sifting flour"]),
+    ("ol selector", BLOG_POST_HTML, "ol",
+     ["Sift the flour", "Mix wet ingredients", "Combine and bake"],
+     ["Ingredients", "2 cups flour"]),
+    ("blockquote selector", BLOG_POST_HTML, "blockquote",
+     ["The secret is in the sifting"],
+     ["Ingredients", "Instructions"]),
+    ("malformed with selector", MALFORMED_HTML, ".content",
+     ["Unclosed Header", "Paragraph without closing", "Some text"], []),
+])
+def test_to_markdown(name, html, selector, contains, not_contains):
+    result = to_markdown(html, selector=selector)
+    for expected in contains:
+        assert expected in result, f"{name}: missing {expected!r}\n{result}"
+    for unexpected in not_contains:
+        assert unexpected not in result, f"{name}: has {unexpected!r}\n{result}"
+    # no raw HTML tags in output (extract_test.go:236-247)
+    if result.strip():
+        for tag in ("<div>", "<span>", "<article>", "</div>", "</span>",
+                    "</article>"):
+            assert tag not in result
+
+
+def test_selector_errors():
+    # extract_test.go:164-175
+    with pytest.raises(ExtractError):
+        to_markdown(SIMPLE_HTML, selector=".non-existent")
+    with pytest.raises(ExtractError):
+        to_markdown(SIMPLE_HTML, selector=">>invalid<<")
+
+
+def test_empty_html():
+    # extract_test.go:184-196
+    assert to_markdown("", selector="").strip() == ""
+    assert to_markdown("   \n\t   ", selector="").strip() == ""
+
+
+# extract_test.go:251-323 — markdown format shapes
+def test_headers_format():
+    result = to_markdown(
+        "<html><body><h1>Header 1</h1><h2>Header 2</h2><h3>Header 3</h3>"
+        "</body></html>", selector="body")
+    assert "# Header 1" in result
+    assert "## Header 2" in result
+    assert "### Header 3" in result
+
+
+def test_lists_format():
+    result = to_markdown(
+        "<html><body><ul><li>Item 1</li><li>Item 2</li></ul>"
+        "<ol><li>First</li><li>Second</li></ol></body></html>",
+        selector="body")
+    assert "- Item 1" in result
+    assert "1. First" in result
+    assert "2. Second" in result
+
+
+def test_emphasis_format():
+    result = to_markdown(
+        "<html><body><p>This is <strong>bold</strong> and <em>italic</em> "
+        "text.</p></body></html>", selector="body")
+    assert "**bold**" in result
+    assert "*italic*" in result
+
+
+def test_blockquote_format():
+    result = to_markdown(
+        "<html><body><blockquote><p>This is a quote about sifting "
+        "confectioner sugar for icing.</p></blockquote></body></html>",
+        selector="body")
+    assert "> This is a quote" in result
+
+
+# extract_test.go:325-382 — edge cases run without error
+@pytest.mark.parametrize("html,selector", [
+    (r"<html><body><div>   \n\t   </div></body></html>", "div"),
+    ('<html><body><div class="outer"><div class="inner">Content</div></div>'
+     "</body></html>", ".outer .inner"),
+    ("<html><body><p>Para 1</p><p>Para 2</p><p>Para 3</p></body></html>", "p"),
+    ("<html><body><div><article><header><h1>Title</h1></header><section>"
+     "<p>Content</p></section></article></div></body></html>", "article"),
+])
+def test_edge_cases_no_error(html, selector):
+    to_markdown(html, selector=selector)
+
+
+def test_nested_selector_content():
+    result = to_markdown(
+        '<html><body><div class="outer"><div class="inner">Content</div>'
+        "</div></body></html>", selector=".outer .inner")
+    assert "Content" in result
+
+
+def test_multiple_matches_joined():
+    result = to_markdown(
+        "<html><body><p>Para 1</p><p>Para 2</p><p>Para 3</p></body></html>",
+        selector="p")
+    assert "Para 1" in result and "Para 2" in result and "Para 3" in result
+
+
+# extract_test.go:384-433 — <br> handling
+@pytest.mark.parametrize("html,contains", [
+    ("<html><body><p>Line one<br>Line two<br>Line three</p></body></html>",
+     ["Line one", "Line two", "Line three"]),
+    ("<html><body><p>First line<br/>Second line</p></body></html>",
+     ["First line", "Second line"]),
+    ("<html><body><p>Line one<br><br>Line two</p></body></html>",
+     ["Line one", "Line two"]),
+])
+def test_br_line_breaks(html, contains):
+    result = to_markdown(html, selector="p")
+    for expected in contains:
+        assert expected in result
+    assert "oneLine two" not in result
+    assert "lineSecond" not in result
+
+
+def test_include_all():
+    # convertAllHTML keeps everything (extract.go:95-104)
+    result = to_markdown(SIMPLE_HTML, include_all=True)
+    assert "Site Header" in result
+    assert "Main Article Title" in result
+    assert "Footer content" in result
+
+
+def test_selector_overrides_include_all():
+    # extract.go:28 — selector wins over include_all
+    result = to_markdown(SIMPLE_HTML, selector="article", include_all=True)
+    assert "Site Header" not in result
+    assert "Main Article Title" in result
