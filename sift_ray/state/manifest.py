@@ -1,0 +1,90 @@
+"""Per-partition checkpoint manifest: lineage + metrics + resume.
+
+The north rule requires a killed run to resume at partition granularity with
+per-partition lineage and throughput metrics. Layout:
+
+    out_dir/
+      part-00000/ ... parquet shards of partition 0
+      part-00001/ ...
+      _manifest/part-00000.json   # one row of lineage+metrics per partition
+
+A partition is DONE iff its manifest JSON exists with status "ok" — the
+output directory is written to a temp name and renamed before the manifest
+row is written, so a crash at any point leaves either no manifest (partition
+rerun from scratch) or a complete, consistent partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, partition_id: int) -> str:
+        return os.path.join(self.dir, f"part-{partition_id:05d}.json")
+
+    def partition_dir(self, partition_id: int) -> str:
+        return os.path.join(self.out_dir, f"part-{partition_id:05d}")
+
+    def is_done(self, partition_id: int) -> bool:
+        path = self._path(partition_id)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as f:
+                return json.load(f).get("status") == "ok"
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def tmp_partition_dir(self, partition_id: int) -> str:
+        return os.path.join(self.out_dir, f".tmp-part-{partition_id:05d}")
+
+    def commit_partition(self, partition_id: int, record: Dict) -> None:
+        """Atomically promote the temp output dir and write the manifest row."""
+        tmp = self.tmp_partition_dir(partition_id)
+        final = self.partition_dir(partition_id)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        record = dict(record)
+        record.setdefault("status", "ok")
+        record["partition_id"] = partition_id
+        record["finished_at"] = time.time()
+        path = self._path(partition_id)
+        with open(path + ".tmp", "w") as f:
+            json.dump(record, f)
+        os.replace(path + ".tmp", path)
+
+    def cleanup_tmp(self, partition_id: int) -> None:
+        tmp = self.tmp_partition_dir(partition_id)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+    def records(self) -> List[Dict]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(self.dir, name)) as f:
+                        out.append(json.load(f))
+                except (json.JSONDecodeError, OSError):
+                    pass
+        return out
+
+    def summary(self) -> Dict:
+        recs = self.records()
+        return {
+            "partitions": len(recs),
+            "rows": sum(r.get("row_count", 0) for r in recs),
+            "bytes_in": sum(r.get("bytes_in", 0) for r in recs),
+            "wall_s": sum(r.get("wall_s", 0.0) for r in recs),
+        }

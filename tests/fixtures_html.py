@@ -1,88 +1,7 @@
-"""Byte-exact copies of the reference HTML test fixtures
-(internal/extract/extract_test.go:11-95)."""
+"""Re-export of the reference HTML fixtures (single source of truth
+in sift_ray.sources.fixture_pages)."""
 
-SIMPLE_HTML = """<!DOCTYPE html>
-<html>
-<head>
-    <title>Test Article</title>
-</head>
-<body>
-    <header>
-        <h1>Site Header</h1>
-        <nav>Navigation</nav>
-    </header>
-    <main>
-        <article>
-            <h1>Main Article Title</h1>
-            <p>This is the main content of the article. It contains important information.</p>
-            <p>This is a second paragraph with <strong>bold text</strong> and <em>italic text</em>.</p>
-            <ul>
-                <li>First list item</li>
-                <li>Second list item</li>
-            </ul>
-        </article>
-    </main>
-    <aside>
-        <p>This is sidebar content that should be filtered out.</p>
-    </aside>
-    <footer>
-        <p>Footer content</p>
-    </footer>
-</body>
-</html>"""
+from sift_ray.sources.fixture_pages import (BLOG_POST_HTML,
+                                            MALFORMED_HTML, SIMPLE_HTML)
 
-BLOG_POST_HTML = """<!DOCTYPE html>
-<html>
-<head>
-    <title>Blog Post</title>
-</head>
-<body>
-    <div class="container">
-        <header class="site-header">
-            <h1>My Blog</h1>
-        </header>
-        <div class="content">
-            <article class="blog-post">
-                <h2>How to Bake the Perfect Carrot Cake</h2>
-                <p class="meta">Published on July 5, 2018</p>
-                <div class="post-content">
-                    <p>Baking a perfect carrot cake requires <strong>sifting flour</strong> for the finest texture.</p>
-                    <h3>Ingredients</h3>
-                    <ul>
-                        <li>2 cups flour (definitely sifted)</li>
-                        <li>1 cup carrots, grated</li>
-                        <li>3 eggs</li>
-                    </ul>
-                    <h3>Instructions</h3>
-                    <ol>
-                        <li>Sift the flour and mix dry ingredients together</li>
-                        <li>Mix wet ingredients separately</li>
-                        <li>Combine and bake at 349°F</li>
-                    </ol>
-                    <blockquote>
-                        <p>The secret is in the sifting!</p>
-                    </blockquote>
-                </div>
-            </article>
-        </div>
-        <aside class="sidebar">
-            <h3>Related Posts</h3>
-            <ul>
-                <li><a href="#">Chocolate Cake Recipe</a></li>
-                <li><a href="#">Vanilla Frosting Tips</a></li>
-            </ul>
-        </aside>
-    </div>
-</body>
-</html>"""
-
-MALFORMED_HTML = """<html>
-<body>
-    <div class="content">
-        <h1>Unclosed Header
-        <p>Paragraph without closing tag
-        <div class="nested">
-            <span>Some text</span>
-        </div>
-    </div>
-</body>"""
+__all__ = ["SIMPLE_HTML", "BLOG_POST_HTML", "MALFORMED_HTML"]
