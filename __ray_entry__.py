@@ -1,44 +1,294 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries fall into two families:
+* extraction family (the sift parity surface, SURVEY.md §2.1-2.7) — runs over
+  the deterministic synthetic pages corpus (BASELINE.json input_hint shape;
+  generated on demand under /tmp, seed-fixed). Not SQL-expressible
+  (readability/markdown/BM25), so these are rows-only checks; byte-level
+  correctness is enforced by the frozen goldens in tests/test_goldens.py.
+* table ops family (dedup / similarity / text analysis / windows /
+  multimodal) — runs over the driver's testdata tables with DuckDB oracle
+  SQL computing identical values (ASCII-explicit regexes, order-independent
+  exact aggregates, integer ranks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_PAGES_BY_SF = {"sf0.001": 150, "sf0.01": 400, "sf0.1": 1500}
+
+
+def _pages_corpus_for(sf_dir: str) -> str:
+    """Deterministic pages corpus sized by scale factor, cached in /tmp."""
+    from sift_ray.sources.pages import write_pages_corpus
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = _PAGES_BY_SF.get(sf, 400)
+    out = f"/tmp/sift_ray_pages/{sf}_{n}"
+    return write_pages_corpus(out, n)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _extract_query(cfg_kwargs: dict):
+    def run(sf_dir: str):
+        import ray.data as rd
+        from sift_ray.config import SiftConfig, default_config
+        from sift_ray.pipelines.extract_job import build_extract_pipeline
+        corpus = _pages_corpus_for(sf_dir)
+        ds = rd.read_parquet(corpus, columns=["url", "html"])
+        if cfg_kwargs.get("_default"):
+            cfg = default_config(search=cfg_kwargs.get("search", ""))
+        else:
+            cfg = SiftConfig(**{k: v for k, v in cfg_kwargs.items()
+                                if not k.startswith("_")})
+        out = build_extract_pipeline(ds, cfg)  # concurrency auto: cpus-2
+        return out.select_columns(["url", "status", "extracted_md"])
+    return run
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-sized corpus: read pages ->
+    readability extract -> default 2500-token sizing -> (url, status,
+    extracted_md)."""
+    return _extract_query({"_default": True})("/root/testdata/sf0.001")
+
+
+# --- table-ops queries ------------------------------------------------------
+
+def _q_doc_stats(sf_dir: str):
+    from sift_ray.functions.textstats import doc_stats
+    return doc_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_doc_digest(sf_dir: str):
+    from sift_ray.functions.textstats import digest_batch
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: digest_batch(t).select(["doc_id", "digest"]),
+        batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from sift_ray.functions.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_size_limit_words(sf_dir: str):
+    from sift_ray.textproc.selection import apply_simple_size_limit
+    import pyarrow as pa
+
+    def limit(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = [apply_simple_size_limit(t or "", 20, "words") for t in texts]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "limited": pa.array(out, pa.string())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        limit, batch_format="pyarrow")
+
+
+def _q_token_counts(sf_dir: str):
+    from sift_ray.functions.textstats import token_counts
+    return token_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from sift_ray.functions.textstats import lang_id
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    from sift_ray.functions.textstats import fingerprints
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from sift_ray.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                             jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from sift_ray.functions.dedup import simhash_pairs
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_chunk_stats(sf_dir: str):
+    """Reference chunker (C1-C5) applied per document."""
+    import pyarrow as pa
+    from sift_ray.textproc.selection import ChunkSelector
+
+    class ChunkStats:
+        def __init__(self):
+            self.selector = ChunkSelector("words", 0, "beginning")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            n_chunks, max_bytes = [], []
+            for t in texts:
+                chunks = self.selector.prepare_chunks(t or "")
+                n_chunks.append(len(chunks))
+                max_bytes.append(max((len(c.encode()) for c in chunks),
+                                     default=0))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "max_chunk_bytes": pa.array(max_bytes, pa.int64()),
+            })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ChunkStats, batch_format="pyarrow", concurrency=2)
+
+
+def _q_cosine_topk(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.similarity import cosine_topk
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.similarity import embedding_near_dup_exact
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_exact(ds, threshold=0.8)
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.similarity import embedding_near_dup
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup(ds, threshold=0.8)
+
+
+def _q_multimodal(sf_dir: str):
+    from sift_ray.functions.multimodal import multimodal_features
+    return multimodal_features(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_events_window(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.windows import tumbling_window
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return tumbling_window(ds, window_s=300)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction family (sift parity; rows-only — see module docstring)
+        "extract_readability": _extract_query({"max_units": 0}),
+        "extract_include_all": _extract_query({"max_units": 0,
+                                               "include_all": True}),
+        "extract_selector_p": _extract_query({"max_units": 0,
+                                              "selector": "p"}),
+        "extract_default_budget": _extract_query({"_default": True}),
+        "extract_search": _extract_query({"_default": True,
+                                          "search": "sifting flour texture"}),
+        "extract_search_smart": _extract_query({
+            "search_query": "carrot cake recipe", "max_units": 0,
+            "context_units": 200, "use_smart_context": True}),
+        "extract_word_limit_middle": _extract_query({
+            "max_units": 100, "counting_method": "words",
+            "sizing_strategy": "middle"}),
+        # table ops (DuckDB oracles)
+        "doc_stats": _q_doc_stats,
+        "doc_digest": _q_doc_digest,
+        "exact_dedup": _q_exact_dedup,
+        "simple_size_limit_words20": _q_size_limit_words,
+        "multimodal_features": _q_multimodal,
+        "events_tumbling_window": _q_events_window,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # table ops (rows-only: heuristic / sketch / not SQL-expressible)
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "chunk_stats": _q_chunk_stats,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    word_pat = r"'[^ \t\n\r\f\v]+'"
+    punct_pat = r"'[!-/:-@\[-`{-~]'"
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   length(text) AS char_count,
+                   len(regexp_extract_all(text, {word_pat})) AS word_count,
+                   len(regexp_extract_all(text, {punct_pat})) AS punct_count,
+                   CAST(len(regexp_extract_all(text, {word_pat})) AS DOUBLE)
+                     / (CAST(len(regexp_extract_all(text, {word_pat})) AS DOUBLE)
+                        + CAST(len(regexp_extract_all(text, {punct_pat})) AS DOUBLE)
+                        + 10.0) AS quality_score
+            FROM documents
+        """,
+        "doc_digest": "SELECT doc_id, md5(text) AS digest FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS digest,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "simple_size_limit_words20": r"""
+            SELECT doc_id,
+                   rtrim(regexp_extract(text,
+                         '^(?:[ \t\n\r]*[^ \t\n\r]+){0,20}'),
+                         ' ' || chr(9) || chr(10) || chr(13)) AS limited
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) % 640 + 1 AS width,
+                   (octet_length(encode(text)) // 640) % 480 + 1 AS height,
+                   octet_length(encode(text)) % 7 + 1 AS n_frames
+            FROM documents
+        """,
+        "events_tumbling_window": """
+            SELECT user_id,
+                   epoch_us(ts) // 300000000 AS win,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2, 3, 4)),
+            sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM sims) WHERE rank <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+        """,
+    }

@@ -1,0 +1,153 @@
+"""Headline benchmark: extraction throughput over the synthetic pages corpus
+plus the table-ops pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_s": ..., "gb_per_s": ...}
+
+--scaling: runs the headline pipeline in fresh processes at num_cpus=8 and
+num_cpus=32 over the SAME corpus (warmed page cache) and reports both
+throughputs plus scaling efficiency (sandbox stand-in for N vs 4N nodes,
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# pages corpus size for the headline extraction benchmark; ~8k pages ≈ 160 MB
+BENCH_PAGES = int(os.environ.get("SIFT_BENCH_PAGES", "8000"))
+BENCH_SEED = 42
+
+
+def _sf_label() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _corpus_dir() -> str:
+    return f"/tmp/sift_ray_bench/pages_{BENCH_PAGES}_{BENCH_SEED}"
+
+
+def ensure_corpus() -> str:
+    from sift_ray.sources.pages import write_pages_corpus
+    return write_pages_corpus(_corpus_dir(), BENCH_PAGES, BENCH_SEED,
+                              num_blocks=64)
+
+
+def corpus_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def warm_cache(path: str) -> None:
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from sift_ray.config import default_config
+    from sift_ray.pipelines.extract_job import build_extract_pipeline
+
+    corpus = ensure_corpus()
+    warm_cache(corpus)
+    html_bytes = None
+
+    queries: dict = {}
+
+    # headline: full extraction pipeline (readability + default token budget)
+    t0 = time.time()
+    ds = rd.read_parquet(corpus, columns=["url", "html"])
+    out = build_extract_pipeline(ds, default_config(),
+                                 concurrency=max(2, NUM_CPUS - 2))
+    n_rows = 0
+    total_in = 0
+    for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        n_rows += batch.num_rows
+        import pyarrow.compute as pc
+        total_in += pc.sum(batch.column("bytes_in")).as_py() or 0
+    extract_s = time.time() - t0
+    queries["extract_pipeline"] = round(extract_s, 3)
+    html_bytes = total_in
+
+    # table ops over $GRAFT_SF_DIR
+    import __ray_entry__ as entrymod
+    for name in ("doc_stats", "exact_dedup", "minhash_lsh_pairs",
+                 "simhash_pairs", "cosine_topk", "events_tumbling_window",
+                 "token_counts"):
+        q = entrymod.queries()[name]
+        t0 = time.time()
+        result = q(SF_DIR)
+        if hasattr(result, "to_pandas"):
+            result.to_pandas()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "sift_ray extraction + table ops wall time",
+        "value": queries["extract_pipeline"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(),
+        "num_cpus": NUM_CPUS,
+        "pages": n_rows,
+        "pages_per_s": round(n_rows / extract_s, 1),
+        "html_gb": round((html_bytes or 0) / 1e9, 3),
+        "gb_per_s": round((html_bytes or 0) / 1e9 / extract_s, 4),
+    }
+
+
+def run_scaling() -> None:
+    # warm the corpus + page cache once, untimed
+    sys.stderr.write("scaling: preparing corpus...\n")
+    env = dict(os.environ, RAY_GRAFT_CPUS="8",
+               SIFT_BENCH_PAGES=str(BENCH_PAGES))
+    results = {}
+    for ncpu in (8, 32):
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results[8]["queries"]["extract_pipeline"]
+    t32 = results[32]["queries"]["extract_pipeline"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "sec_8": t8, "sec_32": t32,
+        "pages_per_s_8": results[8]["pages_per_s"],
+        "pages_per_s_32": results[32]["pages_per_s"],
+        "gb_per_s_8": results[8]["gb_per_s"],
+        "gb_per_s_32": results[32]["gb_per_s"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

