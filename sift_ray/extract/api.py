@@ -16,8 +16,8 @@ from typing import Optional
 from ..dom.parser import Node, parse_html
 from ..dom.selector import SelectorError, select
 from ..dom.serialize import inner_html
-from .markdown import convert_to_markdown, render_markdown
-from .readability import extract_article_html
+from .markdown import convert_to_markdown, markdown_from_node, render_markdown
+from .readability import extract_article_html, extract_article_node
 
 
 class ExtractError(ValueError):
@@ -44,12 +44,13 @@ def extract_with_selector(html: str, selector: str) -> str:
 
 
 def extract_main_content(html: str, base_url: str = "") -> str:
-    """Readability main-content extraction -> markdown (extract.go:42-56)."""
+    """Readability main-content extraction -> markdown (extract.go:42-56).
+    Renders straight from the article DOM node — no serialize+reparse."""
     doc = parse_html(html)
-    article_html = extract_article_html(doc, base_url)
-    if article_html == "":
+    article = extract_article_node(doc, base_url)
+    if article is None:
         return ""
-    return convert_to_markdown(article_html)
+    return markdown_from_node(article)
 
 
 def convert_all_html(html: str) -> str:

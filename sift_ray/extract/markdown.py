@@ -235,11 +235,7 @@ def render_markdown(root: Node) -> str:
     return "\n\n".join(b for b in blocks if b.strip() != "")
 
 
-def convert_to_markdown(html_string: str) -> str:
-    """HTML string -> clean markdown (convertToMarkdown, extract.go:107-147)."""
-    root = parse_html(html_string)
-    markdown = render_markdown(root)
-
+def _finalize_markdown(markdown: str) -> str:
     # normalize 3+ consecutive newlines to 2 (extract.go:131-134)
     while "\n\n\n" in markdown:
         markdown = markdown.replace("\n\n\n", "\n\n")
@@ -249,3 +245,16 @@ def convert_to_markdown(html_string: str) -> str:
     else:
         markdown = markdown.strip(" \t")
     return markdown
+
+
+def convert_to_markdown(html_string: str) -> str:
+    """HTML string -> clean markdown (convertToMarkdown, extract.go:107-147)."""
+    root = parse_html(html_string)
+    return _finalize_markdown(render_markdown(root))
+
+
+def markdown_from_node(root: Node) -> str:
+    """DOM node -> clean markdown directly (skips the serialize->reparse
+    round trip of ``convert_to_markdown``; byte-identical because serialize
+    escapes and parse unescapes symmetrically)."""
+    return _finalize_markdown(render_markdown(root))

@@ -81,6 +81,82 @@ def _link_density(node: Node) -> float:
     return link_len / text_len
 
 
+class _TextIndex:
+    """One bottom-up pass computing, per node, the normalized inner text and
+    the accumulated link-text length (the quantities ``_inner_text`` /
+    ``_link_density`` recompute via full subtree walks). Valid only for the
+    tree state at build time — rebuild after any mutation phase.
+
+    Semantics are byte-identical to the walk-based helpers:
+    * text(node)  == _WS_RE.sub(" ", node.text_content()).strip()
+    * link(node)  == Σ over <a> in subtree incl. self of
+                     int(len(text(a)) * (0.3 if href.startswith("#") else 1.0))
+    """
+
+    __slots__ = ("_raw", "_norm", "_link")
+
+    def __init__(self, root: Node):
+        sub = _WS_RE.sub
+        raw: dict = {}
+        norm: dict = {}
+        link: dict = {}
+        stack = [(root, False)]
+        while stack:
+            node, done = stack.pop()
+            if not done:
+                if node.children:
+                    stack.append((node, True))
+                    for c in reversed(node.children):
+                        stack.append((c, False))
+                else:
+                    nid = id(node)
+                    r = node.text if node.type == TEXT else ""
+                    raw[nid] = r
+                    if node.type == ELEMENT and node.tag == "a":
+                        n = sub(" ", r).strip()
+                        norm[nid] = n
+                        coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
+                        link[nid] = int(len(n) * coeff)
+                    else:
+                        link[nid] = 0
+            else:
+                nid = id(node)
+                r = "".join(raw[id(c)] for c in node.children)
+                if node.type == TEXT:
+                    r = node.text + r  # text nodes have no children in practice
+                raw[nid] = r
+                lk = sum(link[id(c)] for c in node.children)
+                if node.type == ELEMENT and node.tag == "a":
+                    n = sub(" ", r).strip()
+                    norm[nid] = n
+                    coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
+                    lk += int(len(n) * coeff)
+                link[nid] = lk
+        self._raw = raw
+        self._norm = norm
+        self._link = link
+
+    def text(self, node: Node) -> str:
+        nid = id(node)
+        n = self._norm.get(nid)
+        if n is None:
+            r = self._raw.get(nid)
+            if r is None:  # node not in indexed tree: fall back to a walk
+                return _inner_text(node)
+            n = _WS_RE.sub(" ", r).strip()
+            self._norm[nid] = n
+        return n
+
+    def link_density(self, node: Node) -> float:
+        text_len = len(self.text(node))
+        if text_len == 0:
+            return 0.0
+        lk = self._link.get(id(node))
+        if lk is None:
+            return _link_density(node)
+        return lk / text_len
+
+
 def _class_weight(node: Node, flags: int) -> int:
     if not (flags & FLAG_WEIGHT_CLASSES):
         return 0
@@ -158,9 +234,17 @@ class Readability:
         """Return the article's HTML content ('' if nothing found)."""
         from ..dom.serialize import inner_html
 
+        article = self.parse_node()
+        return inner_html(article) if article is not None else ""
+
+    def parse_node(self) -> Optional[Node]:
+        """Return the article container Node (None if nothing found).
+        The serialize->reparse round trip is an identity (text/attrs are
+        entity-escaped on write and unescaped on parse), so rendering this
+        node directly is byte-identical to rendering ``parse()`` output."""
         body = self.doc.find_first("body")
         if body is None or not body.children:
-            return ""
+            return None
         _strip_scripts_and_comments(self.doc)
 
         attempts: List[Tuple[Node, int]] = []  # (article, text length)
@@ -175,20 +259,21 @@ class Readability:
             text_len = len(_inner_text(article))
             if text_len >= CHAR_THRESHOLD:
                 self._fix_relative_uris(article)
-                return inner_html(article)
+                return article
             attempts.append((article, text_len))
         if not attempts:
-            return ""
+            return None
         best = max(attempts, key=lambda at: at[1])
         if best[1] == 0:
-            return ""
+            return None
         self._fix_relative_uris(best[0])
-        return inner_html(best[0])
+        return best[0]
 
     # --- scoring ------------------------------------------------------------
 
     def _grab_article(self, page: Node, flags: int) -> Optional[Node]:
         self._strip_unlikely(page, flags)
+        idx = _TextIndex(page)  # tree is stable from here until cleanup
 
         elements_to_score: List[Node] = []
         for node in page.iter():
@@ -207,7 +292,7 @@ class Readability:
                 scores[id(node)] = _Scored(node, _initial_score(node, flags))
 
         for elem in elements_to_score:
-            text = _inner_text(elem)
+            text = idx.text(elem)
             if len(text) < 25:
                 continue
             content_score = 1.0 + text.count(",") + min(len(text) // 100, 3)
@@ -234,7 +319,7 @@ class Readability:
         # scale by link density and pick top candidate
         top: Optional[_Scored] = None
         for sc in scores.values():
-            sc.score *= (1.0 - _link_density(sc.node))
+            sc.score *= (1.0 - idx.link_density(sc.node))
             if top is None or sc.score > top.score:
                 top = sc
         if top is None or top.score <= 0:
@@ -289,8 +374,8 @@ class Readability:
                 if ssc is not None and ssc.score + bonus >= sibling_threshold:
                     append = True
                 elif sibling.tag == "p":
-                    ld = _link_density(sibling)
-                    text = _inner_text(sibling)
+                    ld = idx.link_density(sibling)
+                    text = idx.text(sibling)
                     if len(text) > 80 and ld < 0.25:
                         append = True
                     elif len(text) <= 80 and ld == 0 and re.search(r"\.( |$)", text):
@@ -331,8 +416,9 @@ class Readability:
         self._clean_conditionally(article, "ul", flags)
         self._clean_conditionally(article, "div", flags)
         # remove empty paragraphs
+        idx = _TextIndex(article)
         doomed = [p for p in article.iter_elements("p")
-                  if _inner_text(p) == ""
+                  if idx.text(p) == ""
                   and not any(c.type == ELEMENT and c.tag in ("img", "embed",
                                                               "object", "iframe")
                               for c in p.iter())]
@@ -352,6 +438,7 @@ class Readability:
         if not (flags & FLAG_CLEAN_CONDITIONALLY):
             return
         doomed = []
+        idx = _TextIndex(article)  # removals are deferred, so one index serves
         for node in article.iter_elements(tag):
             if node is article:
                 continue
@@ -359,23 +446,33 @@ class Readability:
             if weight < 0:
                 doomed.append(node)
                 continue
-            text = _inner_text(node)
+            text = idx.text(node)
             if text.count(",") >= 10:
                 continue
             is_list = tag in ("ul", "ol")
             if not is_list:
-                list_text = sum(len(_inner_text(lst))
+                list_text = sum(len(idx.text(lst))
                                 for t in ("ul", "ol")
                                 for lst in node.iter_elements(t))
                 total = len(text) or 1
                 is_list = list_text / total > 0.9
-            p = sum(1 for _ in node.iter_elements("p"))
-            img = sum(1 for _ in node.iter_elements("img"))
-            li = sum(1 for _ in node.iter_elements("li")) - 100
-            inputs = sum(1 for _ in node.iter_elements("input"))
-            embeds = sum(1 for t in ("object", "embed", "iframe")
-                         for _ in node.iter_elements(t))
-            link_density = _link_density(node)
+            p = img = li = inputs = embeds = 0
+            for d in node.iter():
+                if d.type != ELEMENT:
+                    continue
+                t = d.tag
+                if t == "p":
+                    p += 1
+                elif t == "img":
+                    img += 1
+                elif t == "li":
+                    li += 1
+                elif t == "input":
+                    inputs += 1
+                elif t in ("object", "embed", "iframe"):
+                    embeds += 1
+            li -= 100
+            link_density = idx.link_density(node)
             content_length = len(text)
             remove = (
                 (img > 1 and p / max(img, 1) < 0.5)
@@ -408,3 +505,8 @@ class Readability:
 def extract_article_html(doc: Node, base_url: str = "") -> str:
     """Run readability on a parsed document; returns article HTML or ''."""
     return Readability(doc, base_url).parse()
+
+
+def extract_article_node(doc: Node, base_url: str = "") -> Optional[Node]:
+    """Run readability; returns the article container Node (or None)."""
+    return Readability(doc, base_url).parse_node()

@@ -19,9 +19,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import re
+
 from ..config import BEGINNING, END, MIDDLE
 from .chunker import split_text
 from .counters import TokenCounter, new_counter
+
+_SIMPLE_TOKEN_RE = re.compile(r"[ \t\n\r]*[^ \t\n\r]+")
 
 # chunk sizing configuration (chunk_selection.go:31-41)
 BASE_TOKEN_SIZE = 200
@@ -103,21 +107,16 @@ def apply_simple_size_limit(content: str, max_units: int, counting_method: str) 
         return content
     counter = new_counter(counting_method)
 
+    # tokens are [whitespace-run][word-run] units; a trailing whitespace-only
+    # run is its own token (same partition the reference's char loop builds,
+    # sift.go:318-340)
     tokens: List[str] = []
-    cur: List[str] = []
-    in_word = False
-    for ch in content:
-        is_space = ch in " \t\n\r"
-        if is_space and in_word:
-            if cur:
-                tokens.append("".join(cur))
-                cur = []
-            in_word = False
-        if not is_space and not in_word:
-            in_word = True
-        cur.append(ch)
-    if cur:
-        tokens.append("".join(cur))
+    end = 0
+    for m in _SIMPLE_TOKEN_RE.finditer(content):
+        tokens.append(m.group())
+        end = m.end()
+    if end < len(content):
+        tokens.append(content[end:])
 
     out: List[str] = []
     current = 0
