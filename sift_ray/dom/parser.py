@@ -110,16 +110,28 @@ class Node:
             stack.extend(reversed(node.children))
 
     def iter_elements(self, tag: Optional[str] = None) -> Iterator["Node"]:
-        for n in self.iter():
+        stack = [self]
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
             if n.type == ELEMENT and (tag is None or n.tag == tag):
                 yield n
+            if n.children:
+                extend(reversed(n.children))
 
     def text_content(self) -> str:
         """Concatenated text of all descendant text nodes (iterative)."""
         parts: List[str] = []
-        for n in self.iter():
+        stack = [self]
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
             if n.type == TEXT:
                 parts.append(n.text)
+            elif n.children:
+                extend(reversed(n.children))
         return "".join(parts)
 
     def find_first(self, tag: str) -> Optional["Node"]:

@@ -47,7 +47,7 @@ def extract_main_content(html: str, base_url: str = "") -> str:
     """Readability main-content extraction -> markdown (extract.go:42-56).
     Renders straight from the article DOM node — no serialize+reparse."""
     doc = parse_html(html)
-    article = extract_article_node(doc, base_url)
+    article = extract_article_node(doc, base_url, html=html)
     if article is None:
         return ""
     return markdown_from_node(article)

@@ -93,46 +93,53 @@ class _TextIndex:
                      int(len(text(a)) * (0.3 if href.startswith("#") else 1.0))
     """
 
-    __slots__ = ("_raw", "_norm", "_link")
+    __slots__ = ("_buf", "_span", "_norm", "_link")
 
     def __init__(self, root: Node):
         sub = _WS_RE.sub
-        raw: dict = {}
-        norm: dict = {}
+        # Pass 1: document-order walk assigning each node a [start, end) span
+        # into one global text buffer (a subtree's raw text is always a
+        # contiguous slice of it) — O(1) memory per node, no string joins.
+        buf_parts: List[str] = []
+        pos = 0
+        span: dict = {}
         link: dict = {}
         stack = [(root, False)]
+        order: List[Node] = []  # post-order element list for the link pass
         while stack:
             node, done = stack.pop()
-            if not done:
-                if node.children:
-                    stack.append((node, True))
-                    for c in reversed(node.children):
-                        stack.append((c, False))
-                else:
-                    nid = id(node)
-                    r = node.text if node.type == TEXT else ""
-                    raw[nid] = r
-                    if node.type == ELEMENT and node.tag == "a":
-                        n = sub(" ", r).strip()
-                        norm[nid] = n
-                        coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
-                        link[nid] = int(len(n) * coeff)
-                    else:
-                        link[nid] = 0
+            if done:
+                span[id(node)] = (span[id(node)][0], pos)
+                order.append(node)
+                continue
+            nid = id(node)
+            if node.type == TEXT:
+                t = node.text
+                span[nid] = (pos, pos + len(t))
+                buf_parts.append(t)
+                pos += len(t)
             else:
-                nid = id(node)
-                r = "".join(raw[id(c)] for c in node.children)
-                if node.type == TEXT:
-                    r = node.text + r  # text nodes have no children in practice
-                raw[nid] = r
-                lk = sum(link[id(c)] for c in node.children)
-                if node.type == ELEMENT and node.tag == "a":
-                    n = sub(" ", r).strip()
-                    norm[nid] = n
-                    coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
-                    lk += int(len(n) * coeff)
-                link[nid] = lk
-        self._raw = raw
+                span[nid] = (pos, pos)
+                stack.append((node, True))
+                for c in reversed(node.children):
+                    stack.append((c, False))
+        buf = "".join(buf_parts)
+        self._buf = buf
+        self._span = span
+        norm: dict = {}
+        # Pass 2 (post-order): integer link-length roll-up; <a> norms on the fly
+        for node in order:
+            nid = id(node)
+            lk = 0
+            for c in node.children:
+                lk += link.get(id(c), 0)
+            if node.type == ELEMENT and node.tag == "a":
+                s, e = span[nid]
+                n = sub(" ", buf[s:e]).strip()
+                norm[nid] = n
+                coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
+                lk += int(len(n) * coeff)
+            link[nid] = lk
         self._norm = norm
         self._link = link
 
@@ -140,10 +147,10 @@ class _TextIndex:
         nid = id(node)
         n = self._norm.get(nid)
         if n is None:
-            r = self._raw.get(nid)
-            if r is None:  # node not in indexed tree: fall back to a walk
+            sp = self._span.get(nid)
+            if sp is None:  # node not in indexed tree: fall back to a walk
                 return _inner_text(node)
-            n = _WS_RE.sub(" ", r).strip()
+            n = _WS_RE.sub(" ", self._buf[sp[0]:sp[1]]).strip()
             self._norm[nid] = n
         return n
 
@@ -199,7 +206,9 @@ def _has_block_child(node: Node) -> bool:
 
 
 def _remove_nodes(root: Node, tags: Tuple[str, ...]) -> None:
-    doomed = [n for t in tags for n in root.iter_elements(t)]
+    tagset = frozenset(tags)
+    doomed = [n for n in root.iter()
+              if n.type == ELEMENT and n.tag in tagset]
     for n in doomed:
         n.remove()
 
@@ -224,11 +233,18 @@ class _Scored:
 
 
 class Readability:
-    """One extraction run over a parsed document."""
+    """One extraction run over a parsed document.
 
-    def __init__(self, doc: Node, base_url: str = ""):
+    ``html`` (the original source string) is optional: when provided, the
+    first scoring attempt runs directly on the parsed body (no deep clone)
+    and later attempts re-parse from source — most pages succeed on attempt
+    one, so the per-page clone is skipped entirely on the hot path.
+    """
+
+    def __init__(self, doc: Node, base_url: str = "", html: Optional[str] = None):
         self.doc = doc
         self.base_url = base_url
+        self.html = html
 
     def parse(self) -> str:
         """Return the article's HTML content ('' if nothing found)."""
@@ -242,17 +258,32 @@ class Readability:
         The serialize->reparse round trip is an identity (text/attrs are
         entity-escaped on write and unescaped on parse), so rendering this
         node directly is byte-identical to rendering ``parse()`` output."""
+        from ..dom.parser import parse_html
+
         body = self.doc.find_first("body")
         if body is None or not body.children:
             return None
         _strip_scripts_and_comments(self.doc)
 
         attempts: List[Tuple[Node, int]] = []  # (article, text length)
+        first = True
         for flags in (FLAG_STRIP_UNLIKELYS | FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY,
                       FLAG_WEIGHT_CLASSES | FLAG_CLEAN_CONDITIONALLY,
                       FLAG_CLEAN_CONDITIONALLY,
                       0):
-            page = body.clone()
+            if first and self.html is not None:
+                # hot path: mutate the parsed body directly; a retry (rare)
+                # re-parses from source below
+                page = body
+            elif self.html is not None:
+                doc = parse_html(self.html)
+                page = doc.find_first("body")
+                if page is None:
+                    continue
+                _strip_scripts_and_comments(doc)
+            else:
+                page = body.clone()
+            first = False
             article = self._grab_article(page, flags)
             if article is None:
                 continue
@@ -507,6 +538,7 @@ def extract_article_html(doc: Node, base_url: str = "") -> str:
     return Readability(doc, base_url).parse()
 
 
-def extract_article_node(doc: Node, base_url: str = "") -> Optional[Node]:
+def extract_article_node(doc: Node, base_url: str = "",
+                         html: Optional[str] = None) -> Optional[Node]:
     """Run readability; returns the article container Node (or None)."""
-    return Readability(doc, base_url).parse_node()
+    return Readability(doc, base_url, html).parse_node()

@@ -42,7 +42,15 @@ def _default_concurrency() -> int:
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
     # leave headroom for read/write tasks so the pool doesn't starve them
-    return max(2, cpus - 2)
+    return max(2, cpus - _default_read_concurrency())
+
+
+def _default_read_concurrency() -> int:
+    """Cap concurrent read tasks: uncapped reads occupy every logical CPU
+    and block actor-pool placement until the whole read stage drains."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus // 8)
 
 
 def build_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
@@ -100,7 +108,8 @@ def run_extract_job(input_path: str, out_dir: str,
             continue
         manifest.cleanup_tmp(pid)
         t0 = time.time()
-        ds = rd.read_parquet(part_files, columns=list(columns))
+        ds = rd.read_parquet(part_files, columns=list(columns),
+                             concurrency=_default_read_concurrency())
         out = build_extract_pipeline(ds, cfg, concurrency, batch_size,
                                      max_html_bytes)
         tmp_dir = manifest.tmp_partition_dir(pid)
