@@ -114,6 +114,20 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               k=3, threshold=0.5)
+
+
+def _q_cosine_topk_ivf(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.similarity import cosine_topk_ivf
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+                           n_clusters=16, n_probe=6)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from sift_ray.functions.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
@@ -202,10 +216,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_word_limit_middle": _extract_query({
             "max_units": 100, "counting_method": "words",
             "sizing_strategy": "middle"}),
+        "extract_output_text": _extract_query({
+            "max_units": 0, "output_format": "text"}),
+        "extract_output_json": _extract_query({
+            "max_units": 0, "output_format": "json"}),
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
         "doc_digest": _q_doc_digest,
         "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "events_tumbling_window": _q_events_window,
@@ -219,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "chunk_stats": _q_chunk_stats,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
     }
 
 
@@ -250,6 +270,36 @@ def oracle_sql() -> dict[str, str]:
                          '^(?:[ \t\n\r]*[^ \t\n\r]+){0,20}'),
                          ' ' || chr(9) || chr(10) || chr(13)) AS limited
             FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM pos
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS isect
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) AS jaccard
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.doc_a
+            JOIN counts cb ON cb.doc_id = i.doc_b
+            WHERE CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) >= 0.5
         """,
         "multimodal_features": """
             SELECT doc_id,

@@ -166,6 +166,119 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
     return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
 
 
+_GRAM_WORD_RE = None
+
+
+def _gram_words(text: str) -> List[str]:
+    """ASCII [a-z0-9]+ tokens of lower(text) — matches the DuckDB oracle's
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')`` exactly."""
+    global _GRAM_WORD_RE
+    if _GRAM_WORD_RE is None:
+        import re
+        _GRAM_WORD_RE = re.compile(r"[a-z0-9]+")
+    return _GRAM_WORD_RE.findall(text.lower())
+
+
+def _distinct_gram_hashes(text: str, k: int) -> set:
+    """Distinct word k-gram hashes; docs with < k words emit none (same rule
+    as the SQL oracle)."""
+    words = _gram_words(text)
+    if len(words) < k:
+        return set()
+    return {int.from_bytes(
+        hashlib.blake2b(" ".join(words[i:i + k]).encode(),
+                        digest_size=8).digest(), "big") >> 1
+        for i in range(len(words) - k + 1)}
+
+
+class NgramStage:
+    """Per-batch exploded (gram, doc_id) distinct pairs — the inverted-index
+    build. Only int64 rows leave this stage, never the text."""
+
+    def __init__(self, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_gram, out_doc = [], []
+        for doc_id, text in zip(ids, texts):
+            for g in _distinct_gram_hashes(text or "", self.k):
+                out_gram.append(g)
+                out_doc.append(doc_id)
+        return pa.table({
+            "gram": pa.array(out_gram, pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        })
+
+
+def _gram_bucket_pairs(group):
+    """Emit one (doc_a, doc_b) row per co-occurring pair in a gram bucket."""
+    import pandas as pd
+    ids = sorted(group["doc_id"].tolist())
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    return pd.DataFrame({"doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+                         "doc_b": pd.Series([p[1] for p in pairs], dtype="int64")})
+
+
+def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
+                        concurrency: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= t).
+
+    Shape: inverted index (gram -> docs) via ONE groupby over int64 rows,
+    pair counts via a second small groupby (Sum combiner pattern), then
+    jaccard from per-doc distinct-gram counts broadcast with ``ray.put``
+    (at 10^12-doc scale that broadcast becomes a hash-bucket join of the
+    pair list against the counts table; hot grams would additionally be
+    dropped as stop-grams or salted — they only produce pairs the
+    threshold filter kills anyway).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    grams = ds.map_batches(
+        NgramStage,
+        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    # per-doc distinct gram counts (small: one int per doc)
+    def count_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_grams": pa.array(
+                [len(_distinct_gram_hashes(t or "", k)) for t in texts],
+                pa.int64()),
+        })
+    counts_df = ds.map_batches(count_batch, batch_format="pyarrow").to_pandas()
+    counts_ref = ray.put(dict(zip(counts_df[id_col], counts_df["n_grams"])))
+
+    inter = (grams.groupby("gram")
+             .map_groups(_gram_bucket_pairs, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Count(alias_name="isect")))
+
+    def add_jaccard(pdf: pd.DataFrame) -> pd.DataFrame:
+        nmap = ray.get(counts_ref)
+        na = pdf["doc_a"].map(nmap)
+        nb = pdf["doc_b"].map(nmap)
+        pdf = pdf.copy()
+        pdf["jaccard"] = pdf["isect"] / (na + nb - pdf["isect"])
+        out = pdf.loc[pdf["jaccard"] >= threshold,
+                      ["doc_a", "doc_b", "jaccard"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "jaccard": "float64"})
+
+    return inter.map_batches(add_jaccard, batch_format="pandas")
+
+
 def ngram_jaccard_matrix(texts: List[str], k: int = 5) -> np.ndarray:
     """Exact pairwise n-gram Jaccard for a SMALL list (test/oracle helper)."""
     sets = [_word_shingles(t, k) for t in texts]

@@ -164,6 +164,116 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
             .map_groups(_near_dup_group(threshold), batch_format="pandas"))
 
 
+def _kmeans(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Small deterministic k-means (cosine space: inputs pre-normalized)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfScanStage:
+    """Per-batch IVF probe: score queries only against vectors whose coarse
+    cluster is in that query's probe list. Centroids + queries broadcast via
+    ``ray.put``, fetched once per actor."""
+
+    def __init__(self, state_ref, k: int, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        import ray
+        st = ray.get(state_ref)
+        self.centroids = st["centroids"]            # (C, d) normalized
+        self.q_ids = st["q_ids"]
+        self.q_mat = st["q_mat"]                    # (Q, d) normalized
+        self.probe = st["probe"]                    # (Q, n_probe) cluster ids
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        mat = _normalize(_to_matrix(batch.column(self.vec_col)))
+        assign = np.argmax(mat @ self.centroids.T, axis=1)  # coarse cluster
+        out_q, out_n, out_c = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            mask = np.isin(assign, self.probe[qi])
+            mask &= ids != q_id
+            if not mask.any():
+                continue
+            sims = mat[mask] @ self.q_mat[qi]
+            cand_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = (np.argpartition(-sims, k - 1)[:k]
+                   if k < len(sims) else np.arange(len(sims)))
+            for t in top:
+                out_q.append(q_id)
+                out_n.append(int(cand_ids[t]))
+                out_c.append(float(sims[t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+
+def cosine_topk_ivf(ds, query_ids: List[int], k: int = 10,
+                    n_clusters: int = 16, n_probe: int = 4,
+                    train_sample: int = 4096, seed: int = 42,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    concurrency: int = 2):
+    """Approximate top-k via an IVF coarse quantizer — the scale path.
+
+    Train k-means on a bounded sample (driver-side; at 10^12 rows the sample
+    still fits — IVF training cost is O(sample), not O(n)), broadcast
+    centroids + per-query probe lists once, then one map_batches pass scans
+    only probed clusters. Recall depends on n_probe/n_clusters; with
+    n_probe == n_clusters it degenerates to exact brute force.
+    """
+    import pandas as pd
+    import ray
+
+    sample_rows: List[list] = []
+    q_rows = {}
+    qset = set(query_ids)
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        vids = batch.column(id_col).to_pylist()
+        embs = batch.column(vec_col).to_pylist()
+        for vid, emb in zip(vids, embs):
+            if len(sample_rows) < train_sample:
+                sample_rows.append(emb)
+            if vid in qset:
+                q_rows[vid] = emb
+        if len(sample_rows) >= train_sample and len(q_rows) == len(qset):
+            break
+    sample = _normalize(np.asarray(sample_rows, dtype=np.float64))
+    centroids = _kmeans(sample, n_clusters, seed=seed)
+    q_ids = sorted(q_rows)
+    q_mat = _normalize(np.asarray([q_rows[i] for i in q_ids],
+                                  dtype=np.float64))
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put({"centroids": centroids, "q_ids": q_ids, "q_mat": q_mat,
+                   "probe": probe})
+
+    candidates = ds.map_batches(
+        IvfScanStage,
+        fn_constructor_kwargs={"state_ref": ref, "k": k, "vec_col": vec_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency).to_pandas()
+    candidates = candidates.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+    top = candidates.groupby("query_id").head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def embedding_near_dup_exact(ds, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id"):
