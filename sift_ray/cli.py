@@ -1,0 +1,107 @@
+"""Command-line entry point — the ``ray job submit`` surface.
+
+Mirrors the reference CLI's flag surface (cmd/sift/main.go:17-127) mapped
+onto the batch engine: instead of URL/file/stdin sources the input is a
+Parquet pages table, and stdout becomes a partitioned Parquet sink with a
+checkpoint manifest (resume = rerun the same command).
+
+Usage (local or via `ray job submit -- python -m sift_ray ...`):
+
+    python -m sift_ray extract --input /data/pages --output /data/out \
+        [--selector .post] [--include-all] [--search "query"] \
+        [--tokens N | --words N | --chars N] [--beginning|--middle|--end] \
+        [--context-tokens N] [--format markdown|text|json] \
+        [--group-size 64] [--concurrency N] [--batch-size N]
+
+    python -m sift_ray gen-corpus --output /tmp/pages --pages 10000 [--seed 42]
+
+Owns its Ray session (guarded init), unlike the driver-facing
+``__ray_entry__`` module which must never call ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sift_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="run (or resume) the extraction job")
+    ex.add_argument("--input", required=True,
+                    help="parquet file or directory of the pages table")
+    ex.add_argument("--output", required=True,
+                    help="output directory (partitioned parquet + manifest)")
+    ex.add_argument("--selector", default="",
+                    help="CSS selector (overrides --include-all; sift -s)")
+    ex.add_argument("--include-all", action="store_true",
+                    help="convert whole document, skip readability (sift -i)")
+    ex.add_argument("--search", default="", help="BM25 chunk search query")
+    lim = ex.add_mutually_exclusive_group()
+    lim.add_argument("--tokens", type=int, default=0, help="token budget (sift -t)")
+    lim.add_argument("--words", type=int, default=0, help="word budget (sift -w)")
+    lim.add_argument("--chars", type=int, default=0, help="char budget (sift -c)")
+    strat = ex.add_mutually_exclusive_group()
+    strat.add_argument("--beginning", action="store_true")
+    strat.add_argument("--middle", action="store_true")
+    strat.add_argument("--end", action="store_true")
+    ex.add_argument("--context-tokens", type=int, default=0,
+                    help="smart-context unit budget (sift --context-tokens)")
+    ex.add_argument("--format", default="markdown",
+                    choices=("markdown", "text", "json"))
+    ex.add_argument("--group-size", type=int, default=64,
+                    help="input files per checkpoint partition")
+    ex.add_argument("--concurrency", type=int, default=None,
+                    help="extract actor pool size (default: cpus - cpus//8)")
+    ex.add_argument("--batch-size", type=int, default=None)
+
+    gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
+                                            "pages corpus")
+    gen.add_argument("--output", required=True)
+    gen.add_argument("--pages", type=int, default=10000)
+    gen.add_argument("--seed", type=int, default=42)
+    gen.add_argument("--shards", type=int, default=64)
+    return p
+
+
+def _config_from_args(args) -> "object":
+    from .config import (BEGINNING, END, MIDDLE, SiftConfig, TOKENS, WORDS,
+                         CHARACTERS, default_config)
+    strategy = MIDDLE if args.middle else END if args.end else BEGINNING
+    kw = dict(selector=args.selector, include_all=args.include_all,
+              sizing_strategy=strategy, output_format=args.format,
+              context_units=args.context_tokens,
+              use_smart_context=args.context_tokens > 0)
+    return default_config(search=args.search, token_limit=args.tokens,
+                          word_limit=args.words, char_limit=args.chars, **kw)
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    try:
+        if args.cmd == "extract":
+            from .pipelines.extract_job import run_extract_job
+            summary = run_extract_job(
+                args.input, args.output, _config_from_args(args),
+                group_size=args.group_size, concurrency=args.concurrency,
+                batch_size=args.batch_size)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "gen-corpus":
+            from .sources.pages import write_pages_corpus
+            out = write_pages_corpus(args.output, args.pages, args.seed,
+                                     num_blocks=args.shards)
+            print(json.dumps({"corpus": out, "pages": args.pages}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
