@@ -139,6 +139,59 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_extract_bucketed(sf_dir: str):
+    """Size-bucketed extraction — byte-identical to extract_default_budget
+    (asserted in tests/test_ray_pipeline.py); evidences the heavy-tail
+    routing path."""
+    import ray.data as rd
+    from sift_ray.config import default_config
+    from sift_ray.pipelines.extract_job import build_bucketed_extract_pipeline
+    corpus = _pages_corpus_for(sf_dir)
+    ds = rd.read_parquet(corpus, columns=["url", "html"])
+    out = build_bucketed_extract_pipeline(ds, default_config())
+    return out.select_columns(["url", "status", "extracted_md"])
+
+
+def _q_tfidf_best_chunk(sf_dir: str):
+    """Optional TF-IDF scorer (reference tfidf.go — dead code there,
+    implemented here as a working operator): per document, the best-scoring
+    chunk index for a fixed query, over the reference chunker's output."""
+    import pyarrow as pa
+    from sift_ray.textproc.selection import ChunkSelector
+    from sift_ray.textproc.tfidf import Corpus
+
+    query = "carrot cake recipe"
+
+    class TfidfStage:
+        def __init__(self):
+            self.selector = ChunkSelector("words", 0, "beginning")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            best_idx, best_score = [], []
+            for t in texts:
+                chunks = self.selector.prepare_chunks(t or "")
+                if not chunks:
+                    best_idx.append(-1)
+                    best_score.append(0.0)
+                    continue
+                corpus = Corpus(chunks)
+                scores = [corpus.score(query, i) for i in range(len(chunks))]
+                bi = max(range(len(scores)),
+                         key=lambda i: (scores[i], -i))  # stable tiebreak
+                best_idx.append(bi)
+                best_score.append(float(scores[bi]))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "best_chunk_index": pa.array(best_idx, pa.int32()),
+                "best_score": pa.array(best_score, pa.float64()),
+            })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TfidfStage, batch_format="pyarrow", concurrency=2)
+
+
 def _q_chunk_stats(sf_dir: str):
     """Reference chunker (C1-C5) applied per document."""
     import pyarrow as pa
@@ -220,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_units": 0, "output_format": "text"}),
         "extract_output_json": _extract_query({
             "max_units": 0, "output_format": "json"}),
+        "extract_bucketed": _q_extract_bucketed,
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
         "doc_digest": _q_doc_digest,
@@ -239,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": _q_chunk_stats,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
+        "tfidf_best_chunk": _q_tfidf_best_chunk,
     }
 
 

@@ -52,6 +52,8 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="smart-context unit budget (sift --context-tokens)")
     ex.add_argument("--format", default="markdown",
                     choices=("markdown", "text", "json"))
+    ex.add_argument("--bucketed", action="store_true",
+                    help="size-bucketed routing for heavy-tail corpora")
     ex.add_argument("--group-size", type=int, default=64,
                     help="input files per checkpoint partition")
     ex.add_argument("--concurrency", type=int, default=None,
@@ -91,7 +93,7 @@ def main(argv=None) -> int:
             summary = run_extract_job(
                 args.input, args.output, _config_from_args(args),
                 group_size=args.group_size, concurrency=args.concurrency,
-                batch_size=args.batch_size)
+                batch_size=args.batch_size, bucketed=args.bucketed)
             print(json.dumps(summary, default=str))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus

@@ -71,6 +71,42 @@ def build_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
     )
 
 
+def build_bucketed_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
+                                    concurrency: Optional[int] = None,
+                                    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
+    """Size-bucketed variant for heavy-tail corpora: rows are routed by
+    ``len(html)`` into per-bucket streams, each extracted with a
+    bucket-appropriate ``batch_size`` (256 rows for <64 KB pages down to 4
+    rows for multi-MB pages), then unioned. Bounds the BYTE footprint a
+    worker holds at once regardless of the page-size distribution.
+
+    Tradeoff: each bucket stream re-executes the (column-pruned, cheap)
+    read — 3x read I/O buys even pipeline flow under skew. Use the plain
+    ``build_extract_pipeline`` when the corpus is known to be well-behaved.
+    """
+    from ..stages.bucket import DEFAULT_BUCKETS, split_by_bucket
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    parts = []
+    for _bucket_id, batch_size, sub in split_by_bucket(ds, DEFAULT_BUCKETS):
+        parts.append(sub.map_batches(
+            SiftPipelineStage,
+            fn_constructor_kwargs={"cfg": cfg,
+                                   "max_html_bytes": max_html_bytes},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            # autoscaling (1, N) pools: the three bucket streams share the
+            # CPUs on demand instead of each reserving a full fixed pool
+            concurrency=(1, concurrency),
+            num_cpus=1,
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def _partition_stats(part_dir: str) -> dict:
     """Cheap columnar stats over a written partition (footer + one int64
     column; does not re-read markdown/html)."""
@@ -92,7 +128,8 @@ def run_extract_job(input_path: str, out_dir: str,
                     concurrency: Optional[int] = None,
                     batch_size: Optional[int] = None,
                     max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
-                    columns: Sequence[str] = ("url", "html")) -> dict:
+                    columns: Sequence[str] = ("url", "html"),
+                    bucketed: bool = False) -> dict:
     """Run (or resume) the extraction job. Returns the manifest summary."""
     import ray.data as rd
 
@@ -110,8 +147,12 @@ def run_extract_job(input_path: str, out_dir: str,
         t0 = time.time()
         ds = rd.read_parquet(part_files, columns=list(columns),
                              concurrency=_default_read_concurrency())
-        out = build_extract_pipeline(ds, cfg, concurrency, batch_size,
-                                     max_html_bytes)
+        if bucketed:
+            out = build_bucketed_extract_pipeline(ds, cfg, concurrency,
+                                                  max_html_bytes)
+        else:
+            out = build_extract_pipeline(ds, cfg, concurrency, batch_size,
+                                         max_html_bytes)
         tmp_dir = manifest.tmp_partition_dir(pid)
         out.write_parquet(tmp_dir)
         wall = time.time() - t0

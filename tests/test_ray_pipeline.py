@@ -122,3 +122,22 @@ def test_deep_dom_does_not_crash(ray_session):
     rows = out.take_all()
     assert len(rows) == 1
     assert rows[0]["status"] in ("ok", "error", "empty")
+
+
+def test_bucketed_pipeline_matches_plain(corpus_dir, ray_session):
+    """Size-bucketed routing must not change any output byte — only batch
+    shapes differ."""
+    import ray.data as rd
+    from sift_ray.config import default_config
+    from sift_ray.pipelines.extract_job import (build_bucketed_extract_pipeline,
+                                                build_extract_pipeline)
+    ds1 = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    plain = (build_extract_pipeline(ds1, default_config(), concurrency=2)
+             .to_pandas().sort_values("url").reset_index(drop=True))
+    ds2 = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    bucketed = (build_bucketed_extract_pipeline(ds2, default_config(),
+                                                concurrency=2)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+    assert list(plain.columns) == list(bucketed.columns)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(plain, bucketed)
