@@ -139,6 +139,33 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_extract_pdf(sf_dir: str):
+    """PDF text extraction (north-rule 'PDF/layout parse' axis) over a
+    deterministic synthetic PDF corpus, incl. quarantine rows."""
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.extract.pdf import extract_pdfs, make_simple_pdf
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"sift-ray-pdf-{i}".encode()).hexdigest()
+        if i % 17 == 5:
+            payload = b"%PDF-1.4\ngarbage without streams\n%%EOF"  # unsupported
+        elif i % 23 == 7:
+            payload = b"not a pdf at all"
+        else:
+            lines = [f"Document {i} page text {h[:12]}",
+                     f"Second line {h[12:24]}",
+                     f"Third line with numbers {i * 7}"]
+            payload = make_simple_pdf(lines, compress=(i % 2 == 0))
+        rows.append({"url": f"pdf://corpus/{i:06d}", "payload": payload})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    return extract_pdfs(ds, concurrency=2)
+
+
 def _q_extract_bucketed(sf_dir: str):
     """Size-bucketed extraction — byte-identical to extract_default_budget
     (asserted in tests/test_ray_pipeline.py); evidences the heavy-tail
@@ -274,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_output_json": _extract_query({
             "max_units": 0, "output_format": "json"}),
         "extract_bucketed": _q_extract_bucketed,
+        "extract_pdf": _q_extract_pdf,
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
         "doc_digest": _q_doc_digest,

@@ -1,0 +1,223 @@
+"""Minimal PDF text extraction (the north-rule's "PDF/layout parse" axis).
+
+A from-scratch, stdlib-only extractor for the common case: PDF 1.x files
+whose page content streams are uncompressed or FlateDecode-compressed and
+draw text with the Tj / TJ / ' / " operators using standard (ASCII/WinAnsi)
+encodings. That covers machine-generated report/article PDFs — the bulk of a
+web crawl's PDF payload. Anything else (CID fonts, encryption, object
+streams, LZW/DCT) is out of scope and yields ``status="unsupported"``
+rather than wrong text.
+
+Layout handling: text runs are emitted in content-stream order; the Td/TD/T*
+line operators and TJ kerning gaps (< -180 units) insert spaces/newlines, so
+simple single-column layouts read naturally.
+
+Runs inside the same actor-pool ``map_batches`` shape as HTML extraction;
+see ``PdfExtractStage``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+# text-showing operators inside BT..ET blocks
+_BT_RE = re.compile(rb"BT(.*?)ET", re.S)
+_OP_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"      # (string) Tj / ' / "
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"              # [ ... ] TJ
+    rb"|T\*|TD|Td|TL", re.S)
+_STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|(-?\d+(?:\.\d+)?)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+class PdfError(ValueError):
+    pass
+
+
+def _unescape(s: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i:i + 1]
+        if c == b"\\" and i + 1 < len(s):
+            nxt = s[i + 1:i + 2]
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(s) and j < i + 4 and s[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(s[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+            out += _ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_stream(params: bytes, raw: bytes) -> Optional[bytes]:
+    if b"FlateDecode" in params:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"Filter" in params:
+        return None  # unsupported filter (DCT, LZW, ...)
+    return raw
+
+
+def _block_text(block: bytes) -> str:
+    """Text of one BT..ET block, inserting line breaks for Td/TD/T*."""
+    parts: List[str] = []
+    for m in _OP_RE.finditer(block):
+        op = m.group()
+        if op in (b"T*",) or op.endswith(b"TD") or op.endswith(b"Td") \
+                or op.endswith(b"TL"):
+            if op != b"TL" and parts and parts[-1] != "\n":
+                parts.append("\n")
+            continue
+        if op.endswith(b"TJ"):
+            inner = op[op.index(b"["):op.rindex(b"]") + 1]
+            for sm in _STR_RE.finditer(inner):
+                if sm.group(1) is not None:  # kerning number
+                    if float(sm.group(1)) < -180:
+                        parts.append(" ")
+                else:
+                    parts.append(_unescape(sm.group()[1:-1])
+                                 .decode("latin-1"))
+        else:  # (string) Tj / ' / "
+            lit = op[op.index(b"("):op.rindex(b")") + 1]
+            if op.rstrip().endswith((b"'", b'"')) and parts and parts[-1] != "\n":
+                parts.append("\n")  # ' and " move to next line first
+            parts.append(_unescape(lit[1:-1]).decode("latin-1"))
+    return "".join(parts)
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """Extract text from a PDF byte string. Raises PdfError when the file is
+    not a PDF or uses unsupported features (so callers can quarantine)."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfError("not a PDF (missing %PDF- header)")
+    texts: List[str] = []
+    saw_stream = False
+    for m in _STREAM_RE.finditer(data):
+        params, raw = m.group(1), m.group(2)
+        decoded = _decode_stream(params, raw)
+        if decoded is None:
+            continue
+        saw_stream = True
+        for bm in _BT_RE.finditer(decoded):
+            t = _block_text(bm.group(1))
+            if t.strip():
+                texts.append(t)
+    if not texts:
+        if saw_stream:
+            return ""
+        raise PdfError("no decodable content streams "
+                       "(unsupported filters or encrypted)")
+    out = "\n".join(texts)
+    out = re.sub(r"[ \t]+", " ", out)
+    return re.sub(r" ?\n ?", "\n", out).strip()
+
+
+# --- deterministic tiny PDF writer (for tests / synthetic corpora) ----------
+
+def make_simple_pdf(lines: List[str], compress: bool = True) -> bytes:
+    """Write a minimal one-page PDF drawing ``lines`` with Tj — a valid file
+    per the PDF 1.4 spec, used to synthesize test corpora offline."""
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    content = b"BT /F1 12 Tf 72 720 Td 14 TL " + b" ".join(
+        f"({esc(line)}) Tj T*".encode("latin-1") for line in lines) + b" ET"
+    if compress:
+        stream = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        stream = content
+        filt = b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< " + filt + b"/Length " + str(len(stream)).encode() + b" >>\n"
+        b"stream\n" + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+class PdfExtractStage:
+    """Actor-pool stage: (url, payload) -> (url, text, status, error).
+
+    Same quarantine discipline as HTML extraction: unsupported/broken PDFs
+    become status rows, never task failures.
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 max_bytes: int = 100 * 1024 * 1024):
+        self.payload_col = payload_col
+        self.max_bytes = max_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column(self.payload_col).to_pylist()
+        texts, statuses, errors = [], [], []
+        for data in payloads:
+            if data is None or len(data) == 0:
+                texts.append(""); statuses.append("empty"); errors.append("")
+                continue
+            if len(data) > self.max_bytes:
+                texts.append(""); statuses.append("oversize")
+                errors.append(f"content too large: {len(data)} bytes")
+                continue
+            try:
+                t = extract_pdf_text(data)
+                texts.append(t)
+                statuses.append("ok" if t else "empty")
+                errors.append("")
+            except PdfError as exc:
+                texts.append(""); statuses.append("unsupported")
+                errors.append(str(exc))
+            except Exception as exc:  # defensive: no row kills the task
+                texts.append(""); statuses.append("error")
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "status": pa.array(statuses, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+def extract_pdfs(ds, payload_col: str = "payload", concurrency: int = 2,
+                 batch_size: Optional[int] = 64):
+    """Dataset of (url, payload[binary]) -> (url, text, status, error)."""
+    return ds.map_batches(
+        PdfExtractStage, fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

@@ -1,0 +1,70 @@
+"""PDF text extraction (sift_ray/extract/pdf.py): round-trip against the
+deterministic PDF writer, escaping, compression, quarantine statuses, and
+the Ray stage."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sift_ray.extract.pdf import (PdfError, extract_pdf_text, extract_pdfs,
+                                  make_simple_pdf)
+
+
+def test_roundtrip_compressed():
+    pdf = make_simple_pdf(["Hello World", "Second line"], compress=True)
+    assert extract_pdf_text(pdf) == "Hello World\nSecond line"
+
+
+def test_roundtrip_uncompressed():
+    pdf = make_simple_pdf(["plain stream text"], compress=False)
+    assert extract_pdf_text(pdf) == "plain stream text"
+
+
+def test_escapes_and_parens():
+    pdf = make_simple_pdf(["a (nested) \\ backslash", "tab\there"])
+    out = extract_pdf_text(pdf)
+    assert "a (nested) \\ backslash" in out
+    # whitespace runs are normalized to single spaces
+    assert "tab here" in out
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"<html>not a pdf</html>")
+
+
+def test_unsupported_filter_raises():
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode /Length 4 >>\n"
+           b"stream\n\xff\xd8\xff\xe0\nendstream\nendobj\n%%EOF\n")
+    with pytest.raises(PdfError):
+        extract_pdf_text(pdf)
+
+
+def test_tj_array_kerning_spaces():
+    import zlib
+    content = b"BT [(Hel) -10 (lo) -500 (world)] TJ ET"
+    stream = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(stream)).encode() + b" >>\nstream\n" + stream
+           + b"\nendstream\nendobj\n%%EOF\n")
+    # small kerning joins, large kerning becomes a space
+    assert extract_pdf_text(pdf) == "Hello world"
+
+
+def test_pdf_stage_quarantines(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    rows = pd.DataFrame({
+        "url": ["u://ok", "u://broken", "u://empty"],
+        "payload": [make_simple_pdf(["doc body"]), b"not a pdf", b""],
+    })
+    out = (extract_pdfs(rd.from_pandas(rows))
+           .to_pandas().set_index("url"))
+    assert out.loc["u://ok", "status"] == "ok"
+    assert out.loc["u://ok", "text"] == "doc body"
+    assert out.loc["u://broken", "status"] == "unsupported"
+    assert out.loc["u://empty", "status"] == "empty"
