@@ -271,6 +271,24 @@ def _q_multimodal(sf_dir: str):
     return multimodal_features(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_pricing_summary(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.relational import pricing_summary
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    return pricing_summary(ds)
+
+
+def _q_customers_per_nation(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.relational import customers_per_nation
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_nationkey", "c_acctbal"])
+    return customers_per_nation(ds, os.path.join(sf_dir, "nation.parquet"))
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -310,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "events_tumbling_window": _q_events_window,
+        "pricing_summary": _q_pricing_summary,
+        "customers_per_nation": _q_customers_per_nation,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -391,6 +411,22 @@ def oracle_sql() -> dict[str, str]:
                    (octet_length(encode(text)) // 640) % 480 + 1 AS height,
                    octet_length(encode(text)) % 7 + 1 AS n_frames
             FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customers_per_nation": """
+            SELECT n.n_name,
+                   count(*) AS n_customers,
+                   min(c.c_acctbal) AS min_acctbal,
+                   max(c.c_acctbal) AS max_acctbal
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name
         """,
         "events_tumbling_window": """
             SELECT user_id,

@@ -1,0 +1,88 @@
+"""Relational patterns the 100 TB pipeline needs around the extraction core:
+pre-aggregated wide groupbys (combiner pattern) and broadcast small-side
+joins. The reference has neither (SURVEY.md §2.8) — these are engine
+extensions, oracle-checked exactly.
+
+Determinism discipline: distributed float sums are order-dependent, so the
+exact-checked aggregates stick to count / min / max / integer sums — the
+same rule the windows module follows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pricing_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per (l_returnflag, l_linestatus)."""
+    qty_int = pc.cast(batch.column("l_quantity"), pa.int64())
+    t = pa.table({
+        "l_returnflag": batch.column("l_returnflag"),
+        "l_linestatus": batch.column("l_linestatus"),
+        "qty": qty_int,
+        "price": batch.column("l_extendedprice"),
+    })
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+        ("qty", "sum"), ("price", "min"), ("price", "max"), ("qty", "count"),
+    ])
+    return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                             "min_price", "max_price", "n_rows"])
+
+
+def pricing_summary(ds):
+    """TPC-H-Q1-shaped exact aggregate over lineitem: per-batch pyarrow
+    combiner first, then ONE tiny global groupby over ~6 partial rows per
+    batch — the shuffle moves kilobytes regardless of input size."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial = ds.map_batches(_pricing_partial, batch_format="pyarrow")
+    return (partial.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Min("min_price", alias_name="min_price"),
+                       Max("max_price", alias_name="max_price"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
+class BroadcastLookupStage:
+    """Map-side join against a broadcast small table (ray.put once, fetched
+    once per actor) — the shuffle-free alternative to a distributed join for
+    dimension tables."""
+
+    def __init__(self, lookup_ref, key_col: str, value_name: str):
+        import ray
+        self.lookup: Dict = ray.get(lookup_ref)
+        self.key_col = key_col
+        self.value_name = value_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_pylist()
+        vals = [self.lookup.get(k) for k in keys]
+        return batch.append_column(self.value_name,
+                                   pa.array(vals, pa.string()))
+
+
+def customers_per_nation(customer_ds, nation_path: str):
+    """(n_name, n_customers, min_acctbal, max_acctbal) via broadcast join:
+    nation (25 rows) is read once on the driver, shipped via ray.put, and
+    looked up map-side; the only shuffle is the final tiny groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    ref = ray.put(lookup)
+
+    joined = customer_ds.map_batches(
+        BroadcastLookupStage,
+        fn_constructor_kwargs={"lookup_ref": ref, "key_col": "c_nationkey",
+                               "value_name": "n_name"},
+        batch_format="pyarrow", concurrency=2)
+    return (joined.groupby("n_name")
+            .aggregate(Count(alias_name="n_customers"),
+                       Min("c_acctbal", alias_name="min_acctbal"),
+                       Max("c_acctbal", alias_name="max_acctbal")))
