@@ -297,6 +297,14 @@ def _q_events_window(sf_dir: str):
     return tumbling_window(ds, window_s=300)
 
 
+def _q_session_windows(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.windows import session_windows
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return session_windows(ds, gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction family (sift parity; rows-only — see module docstring)
@@ -328,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "events_tumbling_window": _q_events_window,
+        "events_session_windows": _q_session_windows,
         "pricing_summary": _q_pricing_summary,
         "customers_per_nation": _q_customers_per_nation,
         "cosine_topk": _q_cosine_topk,
@@ -435,6 +444,28 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_session_windows": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS t FROM events
+            ), m AS (
+                SELECT user_id, t,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+                SELECT user_id, t,
+                       sum(boundary) OVER (PARTITION BY user_id ORDER BY t
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM m
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(t) AS start_us,
+                   max(t) AS end_us
+            FROM s GROUP BY user_id, session_id
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings
