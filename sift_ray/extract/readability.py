@@ -66,8 +66,14 @@ FLAG_CLEAN_CONDITIONALLY = 4
 _WS_RE = re.compile(r"\s+")
 
 
+def _norm_ws(s: str) -> str:
+    """== _WS_RE.sub(" ", s).strip(); join/split is ~5x faster (same
+    Unicode-whitespace class)."""
+    return " ".join(s.split())
+
+
 def _inner_text(node: Node) -> str:
-    return _WS_RE.sub(" ", node.text_content()).strip()
+    return _norm_ws(node.text_content())
 
 
 def _link_density(node: Node) -> float:
@@ -96,7 +102,6 @@ class _TextIndex:
     __slots__ = ("_buf", "_span", "_norm", "_link")
 
     def __init__(self, root: Node):
-        sub = _WS_RE.sub
         # Pass 1: document-order walk assigning each node a [start, end) span
         # into one global text buffer (a subtree's raw text is always a
         # contiguous slice of it) — O(1) memory per node, no string joins.
@@ -135,7 +140,7 @@ class _TextIndex:
                 lk += link.get(id(c), 0)
             if node.type == ELEMENT and node.tag == "a":
                 s, e = span[nid]
-                n = sub(" ", buf[s:e]).strip()
+                n = " ".join(buf[s:e].split())
                 norm[nid] = n
                 coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
                 lk += int(len(n) * coeff)
@@ -150,7 +155,7 @@ class _TextIndex:
             sp = self._span.get(nid)
             if sp is None:  # node not in indexed tree: fall back to a walk
                 return _inner_text(node)
-            n = _WS_RE.sub(" ", self._buf[sp[0]:sp[1]]).strip()
+            n = " ".join(self._buf[sp[0]:sp[1]].split())
             self._norm[nid] = n
         return n
 
