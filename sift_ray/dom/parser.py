@@ -181,6 +181,11 @@ class _TreeBuilder(HTMLParser):
         self.body: Optional[Node] = None
         self.stack: List[Node] = [self.root]
 
+    def updatepos(self, i: int, j: int) -> int:
+        """No-op the base class's line/column tracking — it exists only for
+        error positions, which this tolerant builder never reports."""
+        return j
+
     # --- structure synthesis ------------------------------------------------
 
     def _ensure_html(self) -> Node:

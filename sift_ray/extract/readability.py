@@ -473,6 +473,8 @@ class Readability:
     def _clean_conditionally(self, article: Node, tag: str, flags: int) -> None:
         if not (flags & FLAG_CLEAN_CONDITIONALLY):
             return
+        if article.find_first(tag) is None:  # skip the index build entirely
+            return
         doomed = []
         idx = _TextIndex(article)  # removals are deferred, so one index serves
         for node in article.iter_elements(tag):
