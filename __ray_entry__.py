@@ -266,6 +266,26 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.8)
 
 
+def _q_decode_bmp(sf_dir: str):
+    """Real BMP decode (stdlib struct + numpy) over a deterministic
+    synthetic image corpus with quarantine rows mixed in."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_bmps, make_bmp
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        if i % 19 == 4:
+            payload = b"\x89PNG not a bmp"
+        else:
+            payload = make_bmp(4 + i % 32, 3 + i % 21,
+                               rgb=(i % 256, (i * 7) % 256, (i * 13) % 256))
+        rows.append({"doc_id": i, "payload": payload})
+    return decode_bmps(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_multimodal(sf_dir: str):
     from sift_ray.functions.multimodal import multimodal_features
     return multimodal_features(_docs(sf_dir, ["doc_id", "text"]))
@@ -328,6 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_units": 0, "output_format": "json"}),
         "extract_bucketed": _q_extract_bucketed,
         "extract_pdf": _q_extract_pdf,
+        "extract_selector_search": _extract_query({
+            "selector": "article", "search_query": "carrot cake",
+            "max_units": 0, "counting_method": "words"}),
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
         "doc_digest": _q_doc_digest,
@@ -335,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
+        "decode_bmp": _q_decode_bmp,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
         "pricing_summary": _q_pricing_summary,

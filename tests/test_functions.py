@@ -87,3 +87,32 @@ def test_cosine_topk_ivf_partial_probe_recall(ray_session):
         a = set(approx.loc[approx.query_id == q, "neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_bmp_decode_roundtrip():
+    from sift_ray.functions.multimodal import BmpDecodeStage, make_bmp
+    m = BmpDecodeStage.decode(make_bmp(10, 7, rgb=(200, 100, 50)))
+    assert m["status"] == "ok"
+    assert (m["width"], m["height"], m["bit_depth"]) == (10, 7, 24)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+def test_bmp_decode_quarantines():
+    from sift_ray.functions.multimodal import BmpDecodeStage, make_bmp
+    assert BmpDecodeStage.decode(b"GIF89a...")["status"] == "not_bmp"
+    assert BmpDecodeStage.decode(make_bmp(4, 4)[:30])["status"] == "not_bmp"
+    truncated = make_bmp(100, 100)[:200]
+    assert BmpDecodeStage.decode(truncated)["status"] == "truncated"
+
+
+def test_bmp_decode_stage_over_dataset(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_bmps, make_bmp
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [make_bmp(8, 8, (10, 20, 30)), b"junk", make_bmp(3, 2)],
+    })
+    out = decode_bmps(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "status"] == "ok" and out.loc[1, "width"] == 8
+    assert out.loc[2, "status"] == "not_bmp"
+    assert out.loc[3, "status"] == "ok" and out.loc[3, "mean_r"] == 255.0

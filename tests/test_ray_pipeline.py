@@ -141,3 +141,27 @@ def test_bucketed_pipeline_matches_plain(corpus_dir, ray_session):
     assert list(plain.columns) == list(bucketed.columns)
     import pandas.testing as pdt
     pdt.assert_frame_equal(plain, bucketed)
+
+
+def test_resume_cleans_partial_tmp_partition(corpus_dir, ray_session, tmp_path):
+    """A killed run leaves a partial tmp partition; resume must discard it
+    and rerun that partition from scratch (no duplicate/partial rows)."""
+    import os
+    import json
+    from sift_ray.config import default_config
+    from sift_ray.pipelines.extract_job import run_extract_job
+    from sift_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "job")
+    manifest = Manifest(out)
+    # simulate a crash: a half-written tmp partition for pid 0
+    tmp0 = manifest.tmp_partition_dir(0)
+    os.makedirs(tmp0, exist_ok=True)
+    with open(os.path.join(tmp0, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    summary = run_extract_job(corpus_dir, out, default_config(), group_size=3)
+    assert summary["rows"] == 300
+    # every committed partition readable end-to-end, garbage gone
+    import pyarrow.dataset as pads
+    total = pads.dataset(out, format="parquet").count_rows()
+    assert total == 300
