@@ -81,6 +81,11 @@ def _q_doc_digest(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_quality_filter(sf_dir: str):
+    from sift_ray.functions.textstats import quality_filter
+    return quality_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_exact_dedup(sf_dir: str):
     from sift_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
@@ -353,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_units": 0, "counting_method": "words"}),
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
+        "quality_filter": _q_quality_filter,
         "doc_digest": _q_doc_digest,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -392,6 +398,39 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(len(regexp_extract_all(text, {punct_pat})) AS DOUBLE)
                         + 10.0) AS quality_score
             FROM documents
+        """,
+        "quality_filter": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS char_count,
+                       len(regexp_extract_all(text,
+                           '[^ \t\n\r\f\v]+')) AS word_count,
+                       length(regexp_replace(text,
+                           '[ \t\n\r\f\v]', '', 'g')) AS word_chars,
+                       (length(text) - length(replace(text, '#', '')))
+                           AS hash_count,
+                       (length(text) - length(replace(text, '...', ''))) // 3
+                           AS dots_count,
+                       (contains(text, ' the ') OR contains(text, ' and ')
+                        OR contains(text, ' to ')) AS has_stopword
+                FROM documents)
+            SELECT doc_id, word_count,
+                   CASE WHEN word_count = 0 THEN 0.0
+                        ELSE CAST(word_chars AS DOUBLE) / word_count
+                   END AS mean_word_len,
+                   CAST(hash_count + 3 * dots_count AS DOUBLE)
+                       / (CASE WHEN char_count = 0 THEN 1 ELSE char_count END)
+                       AS symbol_ratio,
+                   has_stopword,
+                   (word_count BETWEEN 50 AND 100000
+                    AND (CASE WHEN word_count = 0 THEN 0.0
+                              ELSE CAST(word_chars AS DOUBLE) / word_count
+                         END) BETWEEN 3.0 AND 10.0
+                    AND CAST(hash_count + 3 * dots_count AS DOUBLE)
+                        / (CASE WHEN char_count = 0 THEN 1
+                                ELSE char_count END) < 0.1
+                    AND has_stopword) AS keep
+            FROM m
         """,
         "doc_digest": "SELECT doc_id, md5(text) AS digest FROM documents",
         "exact_dedup": """

@@ -179,3 +179,61 @@ def lang_id(ds, concurrency: int = 2) -> "object":
 def fingerprints(ds, concurrency: int = 2) -> "object":
     return ds.map_batches(FingerprintStage, batch_format="pyarrow",
                           concurrency=concurrency)
+
+
+def quality_filter_batch(batch: pa.Table, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mwl: float = 3.0, max_mwl: float = 10.0,
+                         max_symbol_ratio: float = 0.1) -> pa.Table:
+    """Gopher-style quality keep/drop rules, fully vectorized and expressed
+    with the exact arithmetic the DuckDB oracle uses:
+
+    keep = min_words <= word_count <= max_words
+           AND min_mwl <= mean_word_len <= max_mwl
+           AND symbol_ratio < max_symbol_ratio       (# and ellipsis chars)
+           AND has a common English stopword (' the ' / ' and ' / ' to ')
+    """
+    text = batch.column(text_col)
+    char_count = pc.cast(pc.utf8_length(text), pa.int64())
+    word_count = pc.cast(pc.count_substring_regex(text, _WORD_PATTERN),
+                         pa.int64())
+    # total word chars = chars minus whitespace chars
+    ws_count = pc.cast(pc.count_substring_regex(text, r"[ \t\n\r\f\v]"),
+                       pa.int64())
+    word_chars = pc.subtract(char_count, ws_count)
+    wc_f = pc.cast(word_count, pa.float64())
+    mean_word_len = pc.if_else(
+        pc.equal(word_count, 0), pa.scalar(0.0),
+        pc.divide(pc.cast(word_chars, pa.float64()),
+                  pc.if_else(pc.equal(wc_f, 0.0), pa.scalar(1.0), wc_f)))
+    hash_count = pc.cast(pc.count_substring(text, "#"), pa.int64())
+    dots_count = pc.cast(pc.count_substring(text, "..."), pa.int64())
+    denom = pc.cast(pc.if_else(pc.equal(char_count, 0), pa.scalar(1, pa.int64()),
+                               char_count), pa.float64())
+    symbol_ratio = pc.divide(
+        pc.cast(pc.add(hash_count, pc.multiply(dots_count,
+                                               pa.scalar(3, pa.int64()))),
+                pa.float64()), denom)
+    has_stopword = pc.or_(
+        pc.or_(pc.match_substring(text, " the "),
+               pc.match_substring(text, " and ")),
+        pc.match_substring(text, " to "))
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(pc.greater_equal(word_count, min_words),
+                    pc.less_equal(word_count, max_words)),
+            pc.and_(pc.greater_equal(mean_word_len, min_mwl),
+                    pc.less_equal(mean_word_len, max_mwl))),
+        pc.and_(pc.less(symbol_ratio, max_symbol_ratio), has_stopword))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "word_count": word_count,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "has_stopword": has_stopword,
+        "keep": keep,
+    })
+
+
+def quality_filter(ds) -> "object":
+    return ds.map_batches(quality_filter_batch, batch_format="pyarrow")
