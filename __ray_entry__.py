@@ -314,6 +314,28 @@ def _q_customers_per_nation(sf_dir: str):
     return customers_per_nation(ds, os.path.join(sf_dir, "nation.parquet"))
 
 
+def _q_topk_customers(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.relational import topk_per_group
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_mktsegment", "c_acctbal", "c_custkey"])
+    return topk_per_group(ds, "c_mktsegment", "c_acctbal", "c_custkey", k=3)
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 1/16 content-hash sample (md5 hex starts with '0') —
+    the reproducible sampling primitive for eval-split carving."""
+    import pyarrow.compute as pc
+    from sift_ray.functions.textstats import digest_batch
+
+    def sample(batch):
+        t = digest_batch(batch)
+        keep = pc.starts_with(t.column("digest"), "0")
+        return t.filter(keep).select(["doc_id", "digest"])
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sample, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -369,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_windows": _q_session_windows,
         "pricing_summary": _q_pricing_summary,
         "customers_per_nation": _q_customers_per_nation,
+        "topk_customers_per_segment": _q_topk_customers,
+        "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -499,6 +523,18 @@ def oracle_sql() -> dict[str, str]:
                    max(c.c_acctbal) AS max_acctbal
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name
+        """,
+        "topk_customers_per_segment": """
+            SELECT c_mktsegment, c_acctbal, c_custkey, rank FROM (
+                SELECT c_mktsegment, c_acctbal, c_custkey,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC,
+                                                   c_custkey) AS rank
+                FROM customer) WHERE rank <= 3
+        """,
+        "hash_sample": """
+            SELECT doc_id, md5(text) AS digest FROM documents
+            WHERE md5(text) LIKE '0%'
         """,
         "events_tumbling_window": """
             SELECT user_id,

@@ -64,6 +64,31 @@ class BroadcastLookupStage:
                                    pa.array(vals, pa.string()))
 
 
+def topk_per_group(ds, group_col: str, order_col: str, tiebreak_col: str,
+                   k: int = 3):
+    """Distributed top-k per group: every batch emits only its local top-k
+    per group (combiner), the driver merges the tiny candidate set. Order:
+    order_col DESC, tiebreak_col ASC — fully deterministic.
+
+    At 10^12 rows the candidate set is n_batches x groups x k smalls rows;
+    the final merge stays driver-sized as long as group cardinality is
+    bounded (true for segment/category keys)."""
+    import pandas as pd
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values([group_col, order_col, tiebreak_col],
+                            ascending=[True, False, True])
+        return s.groupby(group_col, sort=False).head(k)
+
+    cands = (ds.map_batches(local_topk, batch_format="pandas")
+             .to_pandas())
+    s = cands.sort_values([group_col, order_col, tiebreak_col],
+                          ascending=[True, False, True])
+    top = s.groupby(group_col, sort=False).head(k).copy()
+    top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
+    return top.reset_index(drop=True)
+
+
 def customers_per_nation(customer_ds, nation_path: str):
     """(n_name, n_customers, min_acctbal, max_acctbal) via broadcast join:
     nation (25 rows) is read once on the driver, shipped via ray.put, and
