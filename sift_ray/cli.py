@@ -70,8 +70,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _config_from_args(args) -> "object":
-    from .config import (BEGINNING, END, MIDDLE, SiftConfig, TOKENS, WORDS,
-                         CHARACTERS, default_config)
+    from .config import BEGINNING, END, MIDDLE, default_config
     strategy = MIDDLE if args.middle else END if args.end else BEGINNING
     kw = dict(selector=args.selector, include_all=args.include_all,
               sizing_strategy=strategy, output_format=args.format,
@@ -84,7 +83,8 @@ def _config_from_args(args) -> "object":
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     import ray
-    if not ray.is_initialized():
+    started_here = not ray.is_initialized()
+    if started_here:
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
     try:
@@ -101,7 +101,8 @@ def main(argv=None) -> int:
                                      num_blocks=args.shards)
             print(json.dumps({"corpus": out, "pages": args.pages}))
     finally:
-        ray.shutdown()
+        if started_here:  # never tear down a caller's Ray session
+            ray.shutdown()
     return 0
 
 

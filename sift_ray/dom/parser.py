@@ -358,10 +358,14 @@ _FAST_UNSAFE_RE = re.compile(
 _ATTR_RE = re.compile(
     r"""([^\s/>=]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?""")
 
-# html.parser raw-text (CDATA-content) elements are script/style ONLY
+# html.parser raw-text (CDATA-content) elements are script/style ONLY.
+# A close requires a tag-name boundary (</scriptx> does NOT close), and the
+# full end tag must be the plain `</ tag >` form — anything else falls back.
 _RAWTEXT_END = {
-    "script": re.compile(r"</script", re.I),
-    "style": re.compile(r"</style", re.I),
+    "script": (re.compile(r"</\s*script(?=[>\s/])", re.I),
+               re.compile(r"</\s*script\s*>", re.I)),
+    "style": (re.compile(r"</\s*style(?=[>\s/])", re.I),
+              re.compile(r"</\s*style\s*>", re.I)),
 }
 
 _SIMPLE_START_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9:_-]*)\s*(/?)\s*$")
@@ -454,16 +458,19 @@ def _fast_feed(builder: "_TreeBuilder", html: str) -> None:
                 builder.handle_starttag(tag, attrs)
                 rawtext = _RAWTEXT_END.get(tag)
                 if rawtext is not None:
-                    em = rawtext.search(html, pos)
-                    end = em.start() if em else n
-                    if end > pos:
-                        builder.handle_data(html[pos:end])  # no unescaping
+                    boundary_re, full_re = rawtext
+                    em = boundary_re.search(html, pos)
                     if em is None:
+                        # html.parser discards unterminated raw text entirely
                         pos = n
                     else:
-                        gt = html.find(">", em.end())
+                        fm = full_re.match(html, em.start())
+                        if fm is None:  # e.g. `</script/>` — stdlib quirks
+                            raise _FastUnsupported(tag)
+                        if em.start() > pos:
+                            builder.handle_data(html[pos:em.start()])
                         builder.handle_endtag(tag)
-                        pos = n if gt == -1 else gt + 1
+                        pos = fm.end()
         elif m.group("end") is not None:
             name = m.group("end")[1:-1].strip().lower()
             if not re.fullmatch(r"[a-zA-Z][a-zA-Z0-9:_-]*", name):

@@ -184,12 +184,28 @@ def _filter_hot_buckets(ds, key_cols: List[str]):
     hot = counts[counts["n"] >= 2]
     if len(hot) == 0:
         return pd.DataFrame(columns=[*key_cols, "doc_id"])
-    hot_keys = set(zip(*(hot[c] for c in key_cols)))
+
+    # vectorized membership: pack multi-column keys into one int64 with a
+    # shift-xor mix (pc.is_in needs a single array). A mix collision only
+    # OVER-approximates — downstream pair generation groups by the true key
+    # columns, so spurious singleton rows produce no pairs.
+    def mix_np(df_or_batch, get):
+        key = np.asarray(get(key_cols[0]), dtype=np.int64)
+        for i, c in enumerate(key_cols[1:], start=1):
+            nxt = np.asarray(get(c), dtype=np.int64)
+            key = np.bitwise_xor(np.left_shift(key, np.int64(57 - 7 * i)),
+                                 nxt)
+        return key
+
+    hot_keys = mix_np(hot, lambda c: hot[c].to_numpy())
+    hot_arr = pa.array(np.unique(hot_keys), pa.int64())
 
     def keep(batch: pa.Table) -> pa.Table:
-        cols = [batch.column(c).to_pylist() for c in key_cols]
-        mask = [tuple(vals) in hot_keys for vals in zip(*cols)]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+        key = mix_np(batch,
+                     lambda c: batch.column(c).to_numpy(zero_copy_only=False))
+        mask = pc.is_in(pa.array(key, pa.int64()), value_set=hot_arr)
+        return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
 
@@ -319,7 +335,7 @@ class NgramStage:
                          [len(g) for g in per_doc])
         return pa.table({
             "gram": pa.array(grams.astype(np.int64), pa.int64()),
-            "doc_id": pa.array(docs, pa.int64()),
+            self.id_col: pa.array(docs, pa.int64()),
         })
 
 
@@ -338,9 +354,7 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
     threshold filter kills anyway).
     """
     import pandas as pd
-    import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     grams = ds.map_batches(
         NgramStage,
@@ -351,10 +365,10 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
     # grams are distinct per doc, so count == rows per doc; no second pass
     # over the text)
     def partial_doc_counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["doc_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["doc_id", "n_grams"])
+        g = batch.group_by([id_col]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "n_grams"])
     counts_df = (grams.map_batches(partial_doc_counts, batch_format="pyarrow")
-                 .to_pandas().groupby("doc_id")["n_grams"].sum())
+                 .to_pandas().groupby(id_col)["n_grams"].sum())
     nmap = counts_df.to_dict()
 
     # one fast aggregate finds shared grams; only their (gram, doc_id) rows

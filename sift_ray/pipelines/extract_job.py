@@ -133,6 +133,10 @@ def run_extract_job(input_path: str, out_dir: str,
     """Run (or resume) the extraction job. Returns the manifest summary."""
     import ray.data as rd
 
+    if bucketed and batch_size is not None:
+        raise ValueError(
+            "batch_size and bucketed are mutually exclusive: bucket routing "
+            "assigns per-bucket batch sizes (stages/bucket.py DEFAULT_BUCKETS)")
     files = _list_parquet_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")

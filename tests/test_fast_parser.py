@@ -97,3 +97,21 @@ def test_unsafe_constructs_fall_back():
                 or _fast_tree_or_none(h) is None
                 or outer_html(_fast_tree_or_none(h))
                 == outer_html(parse_html(h, fast=False)))
+
+
+def test_rawtext_close_variants_match_stdlib():
+    cases = [
+        '<script>var a=1;</scriptx>b</script><p>hi</p>',
+        '<script>x</script/>tail',
+        '<script>x</script >tail',
+        '<script>x</script\n>tail',
+        '<script>x</scripty>y</script><p>z</p>',
+        '<style>.a{}</styleX>b</style><p>c</p>',
+        '<script>never closed',
+        '<script>a</scr</script><p>q</p>',
+    ]
+    for h in cases:
+        ft = _fast_tree_or_none(h)
+        if ft is None:
+            continue  # fallback is always correct
+        assert outer_html(ft) == outer_html(parse_html(h, fast=False)), h

@@ -116,3 +116,13 @@ def test_bmp_decode_stage_over_dataset(ray_session):
     assert out.loc[1, "status"] == "ok" and out.loc[1, "width"] == 8
     assert out.loc[2, "status"] == "not_bmp"
     assert out.loc[3, "status"] == "ok" and out.loc[3, "mean_r"] == 255.0
+
+
+def test_ngram_jaccard_custom_id_col(ray_session):
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({"page_id": [7, 9],
+                         "text": [base, base + " tail"]})
+    out = ngram_jaccard_pairs(rd.from_pandas(docs), k=3, threshold=0.5,
+                              id_col="page_id").to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(7, 9)}
