@@ -17,3 +17,28 @@ inside Arrow batches — sift's "corpus" is always the chunks of one document
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "SiftConfig", "default_config",
+    "to_markdown",
+    "build_extract_pipeline", "build_bucketed_extract_pipeline",
+    "run_extract_job",
+    "read_pages", "write_pages_corpus",
+]
+
+
+def __getattr__(name):  # lazy: keep `import sift_ray` light for actors
+    if name in ("SiftConfig", "default_config"):
+        from . import config
+        return getattr(config, name)
+    if name == "to_markdown":
+        from .extract.api import to_markdown
+        return to_markdown
+    if name in ("build_extract_pipeline", "build_bucketed_extract_pipeline",
+                "run_extract_job"):
+        from .pipelines import extract_job
+        return getattr(extract_job, name)
+    if name in ("read_pages", "write_pages_corpus"):
+        from .sources import pages
+        return getattr(pages, name)
+    raise AttributeError(name)
