@@ -99,23 +99,25 @@ class _TextIndex:
                      int(len(text(a)) * (0.3 if href.startswith("#") else 1.0))
     """
 
-    __slots__ = ("_buf", "_span", "_norm", "_link")
+    __slots__ = ("_buf", "_span", "_norm", "_a_starts", "_a_psum",
+                 "_a_ends", "_a_nodes")
 
     def __init__(self, root: Node):
-        # Pass 1: document-order walk assigning each node a [start, end) span
+        # ONE document-order walk assigning each node a [start, end) span
         # into one global text buffer (a subtree's raw text is always a
         # contiguous slice of it) — O(1) memory per node, no string joins.
+        # <a> elements are collected in start order; their link contributions
+        # become a prefix-sum array, so link(node) = range sum over the a's
+        # whose span lies inside the node's span (bisect, no second pass).
         buf_parts: List[str] = []
         pos = 0
         span: dict = {}
-        link: dict = {}
+        a_nodes: List[Node] = []  # document order == start order
         stack = [(root, False)]
-        order: List[Node] = []  # post-order element list for the link pass
         while stack:
             node, done = stack.pop()
             if done:
                 span[id(node)] = (span[id(node)][0], pos)
-                order.append(node)
                 continue
             nid = id(node)
             if node.type == TEXT:
@@ -125,28 +127,35 @@ class _TextIndex:
                 pos += len(t)
             else:
                 span[nid] = (pos, pos)
-                stack.append((node, True))
-                for c in reversed(node.children):
-                    stack.append((c, False))
+                if node.type == ELEMENT and node.tag == "a":
+                    a_nodes.append(node)
+                if node.children:
+                    stack.append((node, True))
+                    for c in reversed(node.children):
+                        stack.append((c, False))
+                else:
+                    span[nid] = (pos, pos)
         buf = "".join(buf_parts)
         self._buf = buf
         self._span = span
         norm: dict = {}
-        # Pass 2 (post-order): integer link-length roll-up; <a> norms on the fly
-        for node in order:
-            nid = id(node)
-            lk = 0
-            for c in node.children:
-                lk += link.get(id(c), 0)
-            if node.type == ELEMENT and node.tag == "a":
-                s, e = span[nid]
-                n = " ".join(buf[s:e].split())
-                norm[nid] = n
-                coeff = 0.3 if node.get("href", "").startswith("#") else 1.0
-                lk += int(len(n) * coeff)
-            link[nid] = lk
+        # link contribution per <a>, prefix-summed by start position
+        starts: List[int] = []
+        psum: List[int] = [0]
+        total = 0
+        for a in a_nodes:
+            s, e = span[id(a)]
+            n = " ".join(buf[s:e].split())
+            norm[id(a)] = n
+            coeff = 0.3 if a.get("href", "").startswith("#") else 1.0
+            total += int(len(n) * coeff)
+            starts.append(s)
+            psum.append(total)
         self._norm = norm
-        self._link = link
+        self._a_starts = starts
+        self._a_psum = psum
+        self._a_ends = [span[id(a)][1] for a in a_nodes]
+        self._a_nodes = a_nodes
 
     def text(self, node: Node) -> str:
         nid = id(node)
@@ -159,14 +168,42 @@ class _TextIndex:
             self._norm[nid] = n
         return n
 
+    def _link_len(self, node: Node) -> int:
+        """Sum of contributions of <a> descendants (incl. self of an <a>).
+
+        <a> spans nest, so every <a> with start in [s, e) is inside the
+        subtree EXCEPT an ancestor <a> whose start coincides with s (no text
+        between its open tag and this node). Boundary ties with zero-length
+        spans contribute int(0 * coeff) == 0 and cannot change the sum; the
+        only correction needed is subtracting those equal-start ancestors.
+        """
+        from bisect import bisect_left
+        s, e = self._span[id(node)]
+        starts = self._a_starts
+        lo = bisect_left(starts, s)
+        hi = bisect_left(starts, e)
+        total = self._a_psum[hi] - self._a_psum[lo]
+        i = lo
+        while i < hi and starts[i] == s:
+            an = self._a_nodes[i]
+            if an is not node and self._a_ends[i] >= e:
+                # proper ancestor check: climb parents
+                p = node.parent
+                while p is not None:
+                    if p is an:
+                        total -= (self._a_psum[i + 1] - self._a_psum[i])
+                        break
+                    p = p.parent
+            i += 1
+        return total
+
     def link_density(self, node: Node) -> float:
         text_len = len(self.text(node))
         if text_len == 0:
             return 0.0
-        lk = self._link.get(id(node))
-        if lk is None:
+        if id(node) not in self._span:
             return _link_density(node)
-        return lk / text_len
+        return self._link_len(node) / text_len
 
 
 def _class_weight(node: Node, flags: int) -> int:

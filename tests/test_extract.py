@@ -155,3 +155,33 @@ def test_selector_overrides_include_all():
     result = to_markdown(SIMPLE_HTML, selector="article", include_all=True)
     assert "Site Header" not in result
     assert "Main Article Title" in result
+
+
+def test_text_index_matches_walk_based_helpers():
+    """_TextIndex.text/link_density must equal the subtree-walk helpers on
+    random trees, including <a>-wrapper edge cases (ancestor <a> sharing a
+    start offset, nested <a>, empty <a>)."""
+    import random
+    from sift_ray.dom.parser import parse_html
+    from sift_ray.extract.readability import (_TextIndex, _inner_text,
+                                              _link_density)
+
+    rng = random.Random(11)
+    frags = ['<a href="x">link text</a>', '<a href="#">anchor</a>',
+             '<a href="y"><div>wrapped block {i}</div></a>',
+             '<a></a>', '<p>plain paragraph {i} with words</p>',
+             '<div><a href="z">inner {i}</a> tail</div>',
+             '<span>span {i}</span>', 'loose text {i} ',
+             '<a href="q"><a href="r">nested {i}</a></a>',
+             '<ul><li><a href="l">item link</a></li><li>item {i}</li></ul>']
+    for trial in range(60):
+        body = "".join(rng.choice(frags).replace("{i}", str(j))
+                       for j in range(rng.randint(2, 12)))
+        doc = parse_html(f"<html><body>{body}</body></html>")
+        idx = _TextIndex(doc)
+        for node in doc.iter():
+            if node.type != 0:  # ELEMENT
+                continue
+            assert idx.text(node) == _inner_text(node), (trial, node.tag)
+            assert idx.link_density(node) == _link_density(node), \
+                (trial, node.tag, idx.text(node))
