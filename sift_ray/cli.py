@@ -66,6 +66,25 @@ def _build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--pages", type=int, default=10000)
     gen.add_argument("--seed", type=int, default=42)
     gen.add_argument("--shards", type=int, default=64)
+
+    # single-document mode: the reference CLI's exact UX (sift FILE -> stdout)
+    sd = sub.add_parser("sift", help="sift one HTML file (or '-' for stdin) "
+                                     "to stdout — the reference CLI surface")
+    sd.add_argument("source", help="HTML file path or '-' for stdin")
+    sd.add_argument("--selector", default="")
+    sd.add_argument("--include-all", action="store_true")
+    sd.add_argument("--search", default="")
+    lim2 = sd.add_mutually_exclusive_group()
+    lim2.add_argument("--tokens", type=int, default=0)
+    lim2.add_argument("--words", type=int, default=0)
+    lim2.add_argument("--chars", type=int, default=0)
+    strat2 = sd.add_mutually_exclusive_group()
+    strat2.add_argument("--beginning", action="store_true")
+    strat2.add_argument("--middle", action="store_true")
+    strat2.add_argument("--end", action="store_true")
+    sd.add_argument("--context-tokens", type=int, default=0)
+    sd.add_argument("--format", default="markdown",
+                    choices=("markdown", "text", "json"))
     return p
 
 
@@ -80,8 +99,32 @@ def _config_from_args(args) -> "object":
                           word_limit=args.words, char_limit=args.chars, **kw)
 
 
+def _run_sift_one(args) -> int:
+    """Single-document path (reference: sift URL/file/- -> stdout). Pure
+    function, no Ray session."""
+    from .extract.api import ExtractError, to_markdown
+    from .stages.extract import SiftStage
+
+    if args.source == "-":
+        html = sys.stdin.read()
+    else:
+        with open(args.source, "r", encoding="utf-8", errors="replace") as f:
+            html = f.read()
+    cfg = _config_from_args(args)
+    try:
+        md = to_markdown(html, selector=cfg.selector,
+                         include_all=cfg.include_all)
+    except ExtractError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    print(SiftStage(cfg).sift_row(md), end="")
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "sift":
+        return _run_sift_one(args)
     import ray
     started_here = not ray.is_initialized()
     if started_here:

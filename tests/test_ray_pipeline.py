@@ -165,3 +165,26 @@ def test_resume_cleans_partial_tmp_partition(corpus_dir, ray_session, tmp_path):
     import pyarrow.dataset as pads
     total = pads.dataset(out, format="parquet").count_rows()
     assert total == 300
+
+
+def test_cli_sift_single_document(tmp_path):
+    """The reference CLI surface: sift FILE -> stdout (no Ray session)."""
+    import subprocess
+    import sys as _sys
+    from sift_ray.sources.pages import gen_page
+    p = tmp_path / "page.html"
+    p.write_bytes(gen_page(1)["html"])
+    out = subprocess.run(
+        [_sys.executable, "-m", "sift_ray", "sift", str(p), "--words", "10"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0
+    assert "Carrot Cake" in out.stdout
+    assert len(out.stdout.split()) <= 11  # word budget respected
+    bad = subprocess.run(
+        [_sys.executable, "-m", "sift_ray", "sift", str(p),
+         "--selector", ">>bad<<"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert bad.returncode == 1
+    assert "selector" in bad.stderr
