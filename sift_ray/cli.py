@@ -30,28 +30,32 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sift_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    ex = sub.add_parser("extract", help="run (or resume) the extraction job")
+    # the sift flag surface, shared by `extract` (batch) and `sift` (one doc)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--selector", default="",
+                        help="CSS selector (overrides --include-all; sift -s)")
+    common.add_argument("--include-all", action="store_true",
+                        help="convert whole document, skip readability (sift -i)")
+    common.add_argument("--search", default="", help="BM25 chunk search query")
+    lim = common.add_mutually_exclusive_group()
+    lim.add_argument("--tokens", type=int, default=0, help="token budget (sift -t)")
+    lim.add_argument("--words", type=int, default=0, help="word budget (sift -w)")
+    lim.add_argument("--chars", type=int, default=0, help="char budget (sift -c)")
+    strat = common.add_mutually_exclusive_group()
+    strat.add_argument("--beginning", action="store_true")
+    strat.add_argument("--middle", action="store_true")
+    strat.add_argument("--end", action="store_true")
+    common.add_argument("--context-tokens", type=int, default=0,
+                        help="smart-context unit budget (sift --context-tokens)")
+    common.add_argument("--format", default="markdown",
+                        choices=("markdown", "text", "json"))
+
+    ex = sub.add_parser("extract", parents=[common],
+                        help="run (or resume) the extraction job")
     ex.add_argument("--input", required=True,
                     help="parquet file or directory of the pages table")
     ex.add_argument("--output", required=True,
                     help="output directory (partitioned parquet + manifest)")
-    ex.add_argument("--selector", default="",
-                    help="CSS selector (overrides --include-all; sift -s)")
-    ex.add_argument("--include-all", action="store_true",
-                    help="convert whole document, skip readability (sift -i)")
-    ex.add_argument("--search", default="", help="BM25 chunk search query")
-    lim = ex.add_mutually_exclusive_group()
-    lim.add_argument("--tokens", type=int, default=0, help="token budget (sift -t)")
-    lim.add_argument("--words", type=int, default=0, help="word budget (sift -w)")
-    lim.add_argument("--chars", type=int, default=0, help="char budget (sift -c)")
-    strat = ex.add_mutually_exclusive_group()
-    strat.add_argument("--beginning", action="store_true")
-    strat.add_argument("--middle", action="store_true")
-    strat.add_argument("--end", action="store_true")
-    ex.add_argument("--context-tokens", type=int, default=0,
-                    help="smart-context unit budget (sift --context-tokens)")
-    ex.add_argument("--format", default="markdown",
-                    choices=("markdown", "text", "json"))
     ex.add_argument("--bucketed", action="store_true",
                     help="size-bucketed routing for heavy-tail corpora")
     ex.add_argument("--group-size", type=int, default=64,
@@ -68,23 +72,10 @@ def _build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--shards", type=int, default=64)
 
     # single-document mode: the reference CLI's exact UX (sift FILE -> stdout)
-    sd = sub.add_parser("sift", help="sift one HTML file (or '-' for stdin) "
-                                     "to stdout — the reference CLI surface")
+    sd = sub.add_parser("sift", parents=[common],
+                        help="sift one HTML file (or '-' for stdin) to "
+                             "stdout — the reference CLI surface")
     sd.add_argument("source", help="HTML file path or '-' for stdin")
-    sd.add_argument("--selector", default="")
-    sd.add_argument("--include-all", action="store_true")
-    sd.add_argument("--search", default="")
-    lim2 = sd.add_mutually_exclusive_group()
-    lim2.add_argument("--tokens", type=int, default=0)
-    lim2.add_argument("--words", type=int, default=0)
-    lim2.add_argument("--chars", type=int, default=0)
-    strat2 = sd.add_mutually_exclusive_group()
-    strat2.add_argument("--beginning", action="store_true")
-    strat2.add_argument("--middle", action="store_true")
-    strat2.add_argument("--end", action="store_true")
-    sd.add_argument("--context-tokens", type=int, default=0)
-    sd.add_argument("--format", default="markdown",
-                    choices=("markdown", "text", "json"))
     return p
 
 
@@ -101,9 +92,9 @@ def _config_from_args(args) -> "object":
 
 def _run_sift_one(args) -> int:
     """Single-document path (reference: sift URL/file/- -> stdout). Pure
-    function, no Ray session."""
-    from .extract.api import ExtractError, to_markdown
-    from .stages.extract import SiftStage
+    function, no Ray session. Same failure discipline as the batch stage:
+    any per-document error becomes a clean stderr line + exit 1."""
+    from .stages.extract import SiftPipelineStage
 
     if args.source == "-":
         html = sys.stdin.read()
@@ -111,13 +102,17 @@ def _run_sift_one(args) -> int:
         with open(args.source, "r", encoding="utf-8", errors="replace") as f:
             html = f.read()
     cfg = _config_from_args(args)
-    try:
-        md = to_markdown(html, selector=cfg.selector,
-                         include_all=cfg.include_all)
-    except ExtractError as exc:
-        print(f"error: {exc}", file=sys.stderr)
+    stage = SiftPipelineStage(cfg)  # sets recursion limit, quarantines errors
+    md, status, err = stage.extract.extract_row("", html.encode("utf-8"))
+    if status not in ("ok", "empty"):
+        print(f"error: {err}", file=sys.stderr)
         return 1
-    print(SiftStage(cfg).sift_row(md), end="")
+    try:
+        out = stage.sift.sift_row(md) if md else ""
+    except Exception as exc:
+        print(f"error: {type(exc).__name__}: {exc}", file=sys.stderr)
+        return 1
+    print(out, end="")
     return 0
 
 

@@ -368,7 +368,9 @@ _RAWTEXT_END = {
               re.compile(r"</\s*style\s*>", re.I)),
 }
 
-_SIMPLE_START_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9:_-]*)\s*(/?)\s*$")
+# self-closing only when '/' is the LAST char before '>' (html.parser treats
+# '/ >' as a regular start tag with junk, not startend)
+_SIMPLE_START_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9:_-]*)\s*(/?)$")
 
 
 class _FastUnsupported(Exception):
@@ -426,19 +428,23 @@ def _fast_feed(builder: "_TreeBuilder", html: str) -> None:
                 # match: bail on unbalanced quotes
                 if rest.count('"') % 2 or rest.count("'") % 2:
                     raise _FastUnsupported(raw)
-                # html.parser treats `href=foo/` as value "foo/", NOT a
-                # self-closing tag; only a '/' preceded by whitespace or a
-                # closing quote ends the tag
-                stripped = rest.rstrip()
-                selfclose = (stripped.endswith("/")
-                             and (len(stripped) == 1
-                                  or stripped[-2] in " \t\n\r\f\"'"))
+                # html.parser is startend ONLY for a literal '/>' ending:
+                # `href=foo/` keeps the slash in the value, and `/ >` is a
+                # regular start tag (the stray '/' is junk the attr check
+                # below routes to the stdlib fallback)
+                selfclose = (rest.endswith("/")
+                             and (len(rest) == 1
+                                  or rest[-2] in " \t\n\r\f\"'"))
                 if selfclose:
-                    rest = stripped[:-1]
+                    rest = rest[:-1]
                 attrs = []
-                consumed = 0
+                last = 0
                 for am in _ATTR_RE.finditer(rest):
-                    consumed += am.end() - am.start()
+                    # any non-whitespace BETWEEN attr matches means
+                    # html.parser would tokenize differently (stray '=', '/')
+                    if rest[last:am.start()].strip():
+                        raise _FastUnsupported(raw)
+                    last = am.end()
                     name = am.group(1).lower()
                     val = am.group(2)
                     if val is None:
@@ -448,9 +454,7 @@ def _fast_feed(builder: "_TreeBuilder", html: str) -> None:
                             val = val[1:-1]
                         attrs.append((name,
                                       unescape(val) if "&" in val else val))
-                # anything the attr regex did not consume (beyond whitespace)
-                # means html.parser would tokenize differently
-                if consumed + sum(c.isspace() for c in rest) < len(rest):
+                if rest[last:].strip():
                     raise _FastUnsupported(raw)
             if selfclose:
                 builder.handle_startendtag(tag, attrs)

@@ -52,6 +52,11 @@ ADVERSARIAL = [
     '<div  multiple   spaces = "v" >sp</div>',
     '</span>\n\t<<a href=y>&amp;',
     'x<<p>bare lt</p>',
+    '<span/ >x</span>',
+    '<a href="x" / >y</a>',
+    '<div foo="a b" =>x</div>',
+    '<div/ >q</div>',
+    '<a href=foo/ >v</a>',
 ]
 
 
@@ -81,7 +86,8 @@ def test_fuzz_tag_soup_matches_stdlib():
              '<script>a<b</script>', '<style>.x{}</style>', '=', '/',
              '<em >', '</ em>', '<x-y z>', '<div class=>', '<div =bad>',
              '<p junk"quote>', '\n', '\t', '<!DOCTYPE html>', '<h1>',
-             '</h3>', '<td>', '<tr>', '<input type=text />']
+             '</h3>', '<td>', '<tr>', '<input type=text />',
+             '<div foo="a b">', '<span/ >', '<a title=\'c d\' =>']
     for _ in range(1500):
         h = "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
         ft = _fast_tree_or_none(h)
