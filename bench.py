@@ -147,31 +147,48 @@ def run_scaling() -> None:
                SIFT_BENCH_PAGES=str(BENCH_PAGES),
                SIFT_BENCH_EXTRACT_ONLY="1")
     repeats = int(os.environ.get("SIFT_SCALING_REPEATS", "2"))
-    results = {}
-    for ncpu in (8, 32):
+
+    import shutil as _shutil
+    have_taskset = _shutil.which("taskset") is not None
+
+    def one_leg(ncpu: int) -> dict:
         env["RAY_GRAFT_CPUS"] = str(ncpu)
-        best = None
-        for _ in range(repeats):  # best-of-N: single-box runs are ±10% noisy
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True, cwd=os.path.dirname(
-                                     os.path.abspath(__file__)))
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or (r["queries"]["extract_pipeline"]
-                                < best["queries"]["extract_pipeline"]):
-                best = r
-        results[ncpu] = best
-    t8 = results[8]["queries"]["extract_pipeline"]
-    t32 = results[32]["queries"]["extract_pipeline"]
-    eff = (t8 / t32) / (32 / 8)
-    print(json.dumps({
-        "sec_8": t8, "sec_32": t32,
-        "pages_per_s_8": results[8]["pages_per_s"],
-        "pages_per_s_32": results[32]["pages_per_s"],
-        "gb_per_s_8": results[8]["gb_per_s"],
-        "gb_per_s_32": results[32]["gb_per_s"],
-        "scaling_efficiency": round(eff, 3),
-    }))
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # ray.init(num_cpus=N) caps logical slots but NOT cpu affinity: an
+        # "8-cpu" run otherwise spreads its workers across every physical
+        # core with uncontended cache/bandwidth, overstating small-cluster
+        # throughput. Pin each leg to exactly its cores so the N-vs-4N
+        # stand-in is faithful to real fixed-size nodes.
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # The host VM's per-core throughput swings ±25% between time windows, so
+    # the two legs are run BACK-TO-BACK inside each round (both sample the
+    # same window) and efficiency is computed per round; report the median
+    # round (and all rounds, for transparency).
+    rounds = []
+    for _ in range(repeats):
+        r8 = one_leg(8)
+        r32 = one_leg(32)
+        t8 = r8["queries"]["extract_pipeline"]
+        t32 = r32["queries"]["extract_pipeline"]
+        rounds.append({
+            "sec_8": t8, "sec_32": t32,
+            "pages_per_s_8": r8["pages_per_s"],
+            "pages_per_s_32": r32["pages_per_s"],
+            "gb_per_s_8": r8["gb_per_s"],
+            "gb_per_s_32": r32["gb_per_s"],
+            "scaling_efficiency": round((t8 / t32) / (32 / 8), 3),
+        })
+    rounds.sort(key=lambda r: r["scaling_efficiency"])
+    median = rounds[len(rounds) // 2]
+    print(json.dumps({**median,
+                      "all_round_efficiencies":
+                          [r["scaling_efficiency"] for r in rounds]}))
 
 
 if __name__ == "__main__":

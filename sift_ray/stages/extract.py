@@ -58,6 +58,13 @@ class ExtractStage:
         self.use_url_as_base = use_url_as_base
         if sys.getrecursionlimit() < 10000:
             sys.setrecursionlimit(10000)
+        # DOM builds churn ~10^5 objects per page; default gen-0 threshold
+        # (700) triggers constant collections whose pointer-chasing scans are
+        # expensive under many-actor memory contention. Trees are dropped
+        # wholesale per row, so a high threshold trades brief peak RSS for
+        # fewer, larger collections.
+        import gc
+        gc.set_threshold(100_000, 50, 50)
 
     def extract_row(self, url: str, html: bytes) -> tuple:
         """Returns (markdown, status, error)."""
