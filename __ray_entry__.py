@@ -258,17 +258,21 @@ def _q_cosine_topk(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    # threshold 0.4 (not 0.8): the synthetic embeddings are near-uniform
+    # (max pairwise cosine ~0.5 at sf0.01), so 0.4 yields a NON-EMPTY pair
+    # set at every sf — the oracle check has teeth instead of matching 0=0
     import ray.data as rd
     from sift_ray.functions.similarity import embedding_near_dup_exact
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_exact(ds, threshold=0.8)
+    return embedding_near_dup_exact(ds, threshold=0.4)
 
 
 def _q_embedding_near_dup_lsh(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.similarity import embedding_near_dup
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup(ds, threshold=0.8)
+    # 16 tables x 4 planes: per-pair recall 1-(1-p^4)^16 ~ 0.94 at cos 0.4
+    return embedding_near_dup(ds, threshold=0.4, n_planes=4, n_tables=16)
 
 
 def _q_decode_bmp(sf_dir: str):
@@ -510,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                    min(l_extendedprice) AS min_price,
                    max(l_extendedprice) AS max_price,
                    count(*) AS n_rows
@@ -555,9 +559,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)
             ), s AS (
                 SELECT user_id, t,
-                       sum(boundary) OVER (PARTITION BY user_id ORDER BY t
-                                           ROWS UNBOUNDED PRECEDING)
-                           AS session_id
+                       CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY t
+                                                ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
                 FROM m
             )
             SELECT user_id, session_id,
@@ -588,6 +592,6 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a CROSS JOIN embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.8
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }

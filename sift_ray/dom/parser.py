@@ -349,6 +349,8 @@ _FAST_TAG_RE = re.compile(
 _FAST_UNSAFE_RE = re.compile(
     r"<\?"                       # processing instructions
     r"|<!(?!--|doctype[\s>])"    # markup decls except comments/plain doctype
+    r"|<!-{1,3}>"                # abrupt comment close (<!-->, <!--->):
+                                 # html.parser emits these as literal text
     r"|<!doctype[^>]*\["         # doctype with internal subset
     r"|--!>"                     # nonstandard comment close
     r"|</[^a-zA-Z]"              # end tags with whitespace/garbage after </

@@ -25,8 +25,12 @@ from typing import List, Optional, Tuple
 import pyarrow as pa
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
-# text-showing operators inside BT..ET blocks
-_BT_RE = re.compile(rb"BT(.*?)ET", re.S)
+# BT/ET located by a string-literal-aware token scan (never inside (...)
+# literals, so shown text containing 'ET'/'BT' cannot truncate a block);
+# the literal pattern matches _OP_RE's supported (non-nested) string form
+_BT_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"                      # string literal: skip
+    rb"|(?<![A-Za-z0-9/])(?:BT|ET)(?![A-Za-z0-9])", re.S)
 _OP_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"      # (string) Tj / ' / "
     rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"              # [ ... ] TJ
@@ -50,19 +54,41 @@ def _unescape(s: bytes) -> bytes:
         c = s[i:i + 1]
         if c == b"\\" and i + 1 < len(s):
             nxt = s[i + 1:i + 2]
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if b"0" <= nxt <= b"7":  # octal escape, up to 3 digits 0-7
                 j = i + 1
-                while j < len(s) and j < i + 4 and s[j:j + 1].isdigit():
+                while j < len(s) and j < i + 4 and b"0" <= s[j:j + 1] <= b"7":
                     j += 1
                 out.append(int(s[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            # unrecognized escape (incl. \8 \9): drop the backslash (PDF
+            # spec 7.3.4.2) — _ESCAPES maps the recognized ones
             out += _ESCAPES.get(nxt, nxt)
             i += 2
             continue
         out += c
         i += 1
     return bytes(out)
+
+
+def _bt_blocks(data: bytes) -> List[bytes]:
+    """BT..ET block bodies of a content stream, found by tokenizing with
+    string-literal skipping (a blind non-greedy regex would terminate at the
+    first 'ET' bytes even inside a (...) literal — e.g. shown text like
+    'NET' or 'ETF' — silently truncating extraction)."""
+    blocks: List[bytes] = []
+    start: Optional[int] = None
+    for m in _BT_TOKEN_RE.finditer(data):
+        tok = m.group()
+        if tok.startswith(b"("):
+            continue
+        if tok == b"BT":
+            if start is None:
+                start = m.end()
+        elif start is not None:  # ET closing an open block
+            blocks.append(data[start:m.start()])
+            start = None
+    return blocks  # an unclosed BT at EOF is dropped (conservative)
 
 
 def _decode_stream(params: bytes, raw: bytes) -> Optional[bytes]:
@@ -116,8 +142,8 @@ def extract_pdf_text(data: bytes) -> str:
         if decoded is None:
             continue
         saw_stream = True
-        for bm in _BT_RE.finditer(decoded):
-            t = _block_text(bm.group(1))
+        for block in _bt_blocks(decoded):
+            t = _block_text(block)
             if t.strip():
                 texts.append(t)
     if not texts:

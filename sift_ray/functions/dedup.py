@@ -1,17 +1,29 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine near-dup.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Scale notes (100 TB shape):
+Scale shape (100 TB):
 * exact dedup = vectorized digest -> ONE hash-partitioned groupby (the only
   shuffle), with Min/Count aggregates — never ships document text twice.
-* MinHash: signatures are computed per batch (numpy-vectorized), then only
-  (band_id, band_hash, doc_id) triples — a few dozen bytes per doc — are
-  exploded and shuffled, not the text. Candidate verification re-reads only
-  candidate docs' shingle sets.
-* Verification at this round uses a broadcast shingle-set lookup via
-  ``ray.put`` (read once per actor); the documented scale path replaces it
-  with a hash-bucket join of the (small) candidate-pair list against the
-  docs table.
+* MinHash / SimHash / n-gram share one candidate-generation machinery:
+  an explode stage emits only small int rows (band/gram keys + doc_id —
+  never the text), those rows are hash-partitioned by bucket key
+  (``part = mix(key) % P`` -> ``groupby("part").map_groups``), and each
+  partition generates its bucket-local pairs with a vectorized kernel.
+  Singleton buckets die inside the kernel, so no separate hot-bucket count
+  pass (and no driver-side count table) is needed.
+* Cross-band/cross-partition pair duplicates and partial intersection
+  counts are reduced by a second DISTRIBUTED groupby over the (doc_a,
+  doc_b) pair rows — candidate-proportional, not corpus-proportional.
+* Verification (MinHash) and per-doc gram counts (n-gram Jaccard) use a
+  map-side semi-join: the small candidate doc-id set is broadcast, the
+  docs table is filtered map-side, and shingles/counts are computed inside
+  those map tasks. The driver only ever holds candidate-proportional data
+  (pair lists, candidate shingle-hash arrays) — never a corpus-wide scan
+  or dict.
+
+Partitioning assumption: one bucket's rows land in one partition (the part
+key is a pure function of the bucket key), and one partition fits a worker
+heap — pick ``num_parts`` proportional to cluster cores (default) or data
+size. Results are invariant to ``num_parts``.
 """
 
 from __future__ import annotations
@@ -58,6 +70,110 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return out
 
 
+def _shingle_hash_set(text: str, k: int) -> np.ndarray:
+    """Sorted distinct 64-bit shingle hashes (empty text -> empty array).
+    Hash-set Jaccard equals string-set Jaccard modulo ~n^2/2^64 collisions."""
+    sh = _word_shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big") for s in sh),
+        dtype=np.uint64, count=len(sh)))
+
+
+def _default_num_parts() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
+def _mix64(cols: List[np.ndarray]) -> np.ndarray:
+    """Pack multi-column int keys into one int64 with a shift-xor mix.
+    A mix collision only merges two buckets into one partition-local group
+    candidate set; every downstream kernel re-groups by the TRUE key
+    columns, so collisions never fabricate pairs."""
+    key = np.asarray(cols[0], dtype=np.int64)
+    for i, c in enumerate(cols[1:], start=1):
+        nxt = np.asarray(c, dtype=np.int64)
+        key = np.bitwise_xor(np.left_shift(key, np.int64(57 - 7 * i)), nxt)
+    return key
+
+
+def _with_partition(ds, key_cols: List[str], num_parts: int):
+    """Append ``part = mix(key_cols) % num_parts`` — the hash-partitioning
+    key for the one bucket-colocating exchange."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        arrs = [batch.column(c).to_numpy(zero_copy_only=False)
+                for c in key_cols]
+        part = _mix64(arrs) % np.int64(num_parts)
+        return batch.append_column("part",
+                                   pa.array(part.astype(np.int64), pa.int64()))
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _sorted_runs(pdf, key_cols: List[str]):
+    """Yield (start, end) row ranges of equal-key runs after a lexsort, plus
+    the sorted row order. Vectorized run detection; buckets with < 2 rows
+    are skipped by callers."""
+    arrs = [pdf[c].to_numpy() for c in key_cols]
+    order = np.lexsort(arrs[::-1])
+    n = len(order)
+    is_start = np.ones(n, dtype=bool)
+    if n > 1:
+        is_start[1:] = False
+        for a in arrs:
+            s = a[order]
+            is_start[1:] |= s[1:] != s[:-1]
+    starts = np.flatnonzero(is_start).tolist()
+    starts.append(n)
+    return order, starts
+
+
+def _empty_pairs_df(extra: Optional[Dict[str, str]] = None):
+    import pandas as pd
+    cols = {"doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64")}
+    for name, dtype in (extra or {}).items():
+        cols[name] = pd.Series([], dtype=dtype)
+    return pd.DataFrame(cols)
+
+
+def _bucket_pair_counts(grams: np.ndarray, docs: np.ndarray):
+    """Count co-occurring (doc_a < doc_b) pairs over gram buckets.
+    Returns DataFrame (doc_a, doc_b, isect)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+
+    order = np.lexsort((docs, grams))
+    g = grams[order]
+    d = docs[order]
+    n = len(g)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).tolist()
+    starts.append(n)
+    d_list = d.tolist()  # python-loop counting: pair-instance volume is
+    # Sum C(bucket,2); tuple-key Counter updates run at ~1M/s and avoid
+    # large gather/scatter arrays (pathologically slow on some hosts)
+    counter: Counter = Counter()
+    for bi in range(len(starts) - 1):
+        s, e = starts[bi], starts[bi + 1]
+        if e - s >= 2:
+            counter.update(combinations(d_list[s:e], 2))
+    if not counter:
+        return _empty_pairs_df({"isect": "int64"})
+    pairs = list(counter.keys())
+    return pd.DataFrame({
+        "doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
+        "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
+        "isect": pd.Series(list(counter.values()), dtype="int64"),
+    })
+
+
 class MinHashStage:
     """Per-batch MinHash signatures -> exploded (band_id, band_hash, doc_id)
     rows. Permutation coefficients are seed-derived in __init__ (once per
@@ -101,166 +217,149 @@ class MinHashStage:
         })
 
 
-
-def _hot_bucket_pairs(keyed_df, key_cols: List[str], id_col: str = "doc_id",
-                      max_bucket: int = 200):
-    """Vectorized candidate-pair generation from collected hot-bucket rows
-    (driver-side pandas; the input is only rows whose bucket has >= 2 docs,
-    i.e. proportional to near-duplicate candidates, not the corpus)."""
-    import pandas as pd
-    if len(keyed_df) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    out_a: List[int] = []
-    out_b: List[int] = []
-    for _, grp in keyed_df.groupby(key_cols, sort=False):
-        ids = sorted(set(grp[id_col].tolist()))
-        if len(ids) < 2 or len(ids) > max_bucket:  # skew cap (as before)
-            continue
-        for i, a in enumerate(ids):
-            for b in ids[i + 1:]:
-                out_a.append(a)
-                out_b.append(b)
-    return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                         "doc_b": pd.Series(out_b, dtype="int64")})
-
-
-def _bucket_pair_counts(grams: np.ndarray, docs: np.ndarray):
-    """Count co-occurring (doc_a < doc_b) pairs over gram buckets.
-    Returns DataFrame (doc_a, doc_b, isect)."""
-    from collections import Counter
-    from itertools import combinations
-
+def _minhash_partition_pairs(max_bucket: int):
+    """Partition kernel: bucket-local candidate pairs (locally deduped).
+    Buckets > max_bucket docs are skipped (skew cap): a hot band bucket is a
+    degenerate hash and only produces pairs verification rejects anyway."""
     import pandas as pd
 
-    order = np.lexsort((docs, grams))
-    g = grams[order]
-    d = docs[order]
-    n = len(g)
-    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).tolist()
-    starts.append(n)
-    d_list = d.tolist()  # python-loop counting: pair-instance volume is
-    # Sum C(bucket,2); tuple-key Counter updates run at ~1M/s and avoid
-    # large gather/scatter arrays (pathologically slow on some hosts)
-    counter: Counter = Counter()
-    for bi in range(len(starts) - 1):
-        s, e = starts[bi], starts[bi + 1]
-        if e - s >= 2:
-            counter.update(combinations(d_list[s:e], 2))
-    if not counter:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "isect": pd.Series([], dtype="int64")})
-    pairs = list(counter.keys())
-    return pd.DataFrame({
-        "doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
-        "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
-        "isect": pd.Series(list(counter.values()), dtype="int64"),
-    })
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order, starts = _sorted_runs(pdf, ["band_id", "band_hash"])
+        docs = pdf["doc_id"].to_numpy()[order]
+        seen = set()
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            if e - s < 2:
+                continue
+            ids = sorted(set(docs[s:e].tolist()))
+            if len(ids) < 2 or len(ids) > max_bucket:
+                continue
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    seen.add((a, b))
+        if not seen:
+            return _empty_pairs_df()
+        arr = np.array(sorted(seen), dtype=np.int64)
+        return pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1]})
+    return fn
 
 
-def _filter_hot_buckets(ds, key_cols: List[str]):
-    """aggregate-count -> broadcast hot-key set -> map-side filter.
+def _distinct_pairs(pairs_ds, extra_agg=None):
+    """Distributed pair dedupe: groupby the TRUE (doc_a, doc_b) columns.
+    ``extra_agg`` optionally carries one aggregate (e.g. Min hamming)."""
+    aggs = [extra_agg] if extra_agg is not None else []
+    if not aggs:
+        from ray.data.aggregate import Count
+        aggs = [Count(alias_name="_n")]
+    out = pairs_ds.groupby(["doc_a", "doc_b"]).aggregate(*aggs)
+    if extra_agg is None:
+        out = out.map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                              batch_format="pyarrow")
+    return out
 
-    Replaces ``groupby().map_groups()`` (which pays per-group pandas
-    overhead across millions of size-1 buckets) with ONE fast aggregate and
-    a vectorized filter; only buckets with >= 2 members survive. Returns the
-    filtered rows as a pandas DataFrame (small: candidates only).
-    """
-    import pandas as pd
 
-    # distributed per-batch combiner (pyarrow group_by inside map_batches),
-    # then a tiny driver-side sum — avoids a full sort-based Ray groupby
-    # whose fixed cost dwarfs these int-row tables. (At 10^12 docs the
-    # partial-count table itself gets large; the scale path keeps this
-    # reduction as a second combiner round or a hash-partitioned groupby.)
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(key_cols).aggregate([([], "count_all")])
-        return g.rename_columns([*key_cols, "n"])
+class _JaccardVerifyStage:
+    """Verify candidate pairs with exact shingle-hash Jaccard. The broadcast
+    object holds ONLY candidate docs' shingle-hash arrays (fetched once per
+    actor) — candidate-proportional, never the corpus."""
 
-    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
-              .to_pandas())
-    counts = counts.groupby(key_cols, sort=False)["n"].sum().reset_index()
-    hot = counts[counts["n"] >= 2]
-    if len(hot) == 0:
-        return pd.DataFrame(columns=[*key_cols, "doc_id"])
+    def __init__(self, smap_ref, threshold: float):
+        import ray
+        self.smap: Dict[int, np.ndarray] = ray.get(smap_ref)
+        self.threshold = threshold
 
-    # vectorized membership: pack multi-column keys into one int64 with a
-    # shift-xor mix (pc.is_in needs a single array). A mix collision only
-    # OVER-approximates — downstream pair generation groups by the true key
-    # columns, so spurious singleton rows produce no pairs.
-    def mix_np(df_or_batch, get):
-        key = np.asarray(get(key_cols[0]), dtype=np.int64)
-        for i, c in enumerate(key_cols[1:], start=1):
-            nxt = np.asarray(get(c), dtype=np.int64)
-            key = np.bitwise_xor(np.left_shift(key, np.int64(57 - 7 * i)),
-                                 nxt)
-        return key
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, keep_j = [], [], []
+        empty = np.empty(0, dtype=np.uint64)
+        for a, b in zip(a_ids, b_ids):
+            sa = self.smap.get(a, empty)
+            sb = self.smap.get(b, empty)
+            isect = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - isect
+            j = isect / union if union else 0.0
+            if j >= self.threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                keep_j.append(j)
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(keep_j, pa.float64()),
+        })
 
-    hot_keys = mix_np(hot, lambda c: hot[c].to_numpy())
-    hot_arr = pa.array(np.unique(hot_keys), pa.int64())
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        key = mix_np(batch,
-                     lambda c: batch.column(c).to_numpy(zero_copy_only=False))
-        mask = pc.is_in(pa.array(key, pa.int64()), value_set=hot_arr)
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+def _collect_pair_ids(pairs_ds) -> set:
+    """Distinct doc ids of a (small, materialized) candidate-pair Dataset."""
+    ids: set = set()
+    for batch in pairs_ds.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+        ids.update(batch.column("doc_a").to_pylist())
+        ids.update(batch.column("doc_b").to_pylist())
+    return ids
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
                       concurrency: int = 2, text_col: str = "text",
-                      id_col: str = "doc_id"):
+                      id_col: str = "doc_id", num_parts: Optional[int] = None,
+                      max_bucket: int = 200):
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
-    Returns a Dataset of (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    Fully distributed: band triples are hash-partitioned by bucket key and
+    pairs generated per partition; cross-band duplicates are removed by a
+    distributed (doc_a, doc_b) groupby; verification computes shingle hashes
+    map-side on only the candidate docs (broadcast id-set semi-join against
+    the docs table). Returns a Dataset of (doc_a, doc_b, jaccard >= t).
     """
+    import pandas as pd
+    import pyarrow.compute as pc
     import ray
     import ray.data as rd
-    import pandas as pd
 
+    P = num_parts or _default_num_parts()
     triples = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k, "text_col": text_col,
                                "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency).materialize()
-    hot_rows = _filter_hot_buckets(triples, ["band_id", "band_hash"])
-    cand_df = _hot_bucket_pairs(hot_rows, ["band_id", "band_hash"])
-    # dedupe candidate pairs (same pair can match in several bands)
-    if len(cand_df) == 0:
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}))
-    cand_df = cand_df.drop_duplicates().reset_index(drop=True)
+        batch_format="pyarrow", concurrency=concurrency)
+    partials = (_with_partition(triples, ["band_id", "band_hash"], P)
+                .groupby("part")
+                .map_groups(_minhash_partition_pairs(max_bucket),
+                            batch_format="pandas"))
+    pairs = _distinct_pairs(partials).materialize()
+    if pairs.count() == 0:
+        return rd.from_pandas(_empty_pairs_df({"jaccard": "float64"}))
 
-    # verification: broadcast shingle sets of candidate docs only
-    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    shingle_map: Dict[int, frozenset] = {}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for doc_id, text in zip(batch.column(id_col).to_pylist(),
-                                batch.column(text_col).to_pylist()):
-            if doc_id in needed:
-                shingle_map[doc_id] = frozenset(
-                    _word_shingles(text or "", shingle_k))
-    ref = ray.put(shingle_map)
+    # semi-join: broadcast the candidate id set, filter the docs table
+    # map-side, compute shingle hashes inside those tasks
+    needed = pa.array(sorted(_collect_pair_ids(pairs)), pa.int64())
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        smap = ray.get(ref)
-        jac = []
-        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-            sa, sb = smap.get(a, frozenset()), smap.get(b, frozenset())
-            union = len(sa | sb)
-            jac.append(len(sa & sb) / union if union else 0.0)
-        pdf = pdf.copy()
-        pdf["jaccard"] = jac
-        return pdf[pdf["jaccard"] >= jaccard_threshold]
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
+        hashes = [_shingle_hash_set(t or "", shingle_k)
+                  for t in sub.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: sub.column(id_col),
+            "shingles": pa.array([h.tolist() for h in hashes],
+                                 pa.list_(pa.uint64())),
+        })
 
-    return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+    smap: Dict[int, np.ndarray] = {}
+    for batch in (ds.map_batches(cand_shingles, batch_format="pyarrow")
+                  .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        for did, sh in zip(batch.column(id_col).to_pylist(),
+                           batch.column("shingles").to_pylist()):
+            smap[did] = np.asarray(sh, dtype=np.uint64)
+    ref = ray.put(smap)
+
+    return pairs.map_batches(
+        _JaccardVerifyStage,
+        fn_constructor_kwargs={"smap_ref": ref,
+                               "threshold": jaccard_threshold},
+        batch_format="pyarrow", concurrency=concurrency)
 
 
 _GRAM_WORD_RE = None
@@ -339,60 +438,86 @@ class NgramStage:
         })
 
 
+def _ngram_partition_counts(id_col: str):
+    """Partition kernel: exact bucket-local pair intersection counts.
+    No bucket cap — exact Jaccard must count every shared gram (that is the
+    oracle's own inverted-index CROSS JOIN shape; a production 100 TB run
+    would add stop-gram dropping, which only removes pairs the threshold
+    filter kills)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_pair_counts(pdf["gram"].to_numpy(),
+                                   pdf[id_col].to_numpy())
+    return fn
+
 
 def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
                         concurrency: int = 2, text_col: str = "text",
-                        id_col: str = "doc_id"):
+                        id_col: str = "doc_id",
+                        num_parts: Optional[int] = None):
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= t).
 
-    Shape: inverted index (gram -> docs) via ONE groupby over int64 rows,
-    pair counts via a second small groupby (Sum combiner pattern), then
-    jaccard from per-doc distinct-gram counts broadcast with ``ray.put``
-    (at 10^12-doc scale that broadcast becomes a hash-bucket join of the
-    pair list against the counts table; hot grams would additionally be
-    dropped as stop-grams or salted — they only produce pairs the
-    threshold filter kills anyway).
+    Fully distributed: the inverted index (gram, doc_id) is hash-partitioned
+    by gram and partial pair-intersection counts are computed per partition;
+    a distributed (doc_a, doc_b) groupby sums partials into exact
+    intersection sizes. Per-doc distinct-gram counts are then computed
+    map-side for CANDIDATE docs only (broadcast id-set semi-join against the
+    docs table) — the driver never holds corpus-wide state.
     """
     import pandas as pd
+    import pyarrow.compute as pc
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
+    P = num_parts or _default_num_parts()
     grams = ds.map_batches(
         NgramStage,
         fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency).materialize()
+        batch_format="pyarrow", concurrency=concurrency)
+    partials = (_with_partition(grams, ["gram"], P)
+                .groupby("part")
+                .map_groups(_ngram_partition_counts(id_col),
+                            batch_format="pandas"))
+    inter = (partials.groupby(["doc_a", "doc_b"])
+             .aggregate(Sum("isect", alias_name="isect"))).materialize()
+    if inter.count() == 0:
+        return rd.from_pandas(_empty_pairs_df({"jaccard": "float64"}))
 
-    # per-doc distinct gram counts from the exploded table itself (combiner:
-    # grams are distinct per doc, so count == rows per doc; no second pass
-    # over the text)
-    def partial_doc_counts(batch: pa.Table) -> pa.Table:
-        g = batch.group_by([id_col]).aggregate([([], "count_all")])
-        return g.rename_columns([id_col, "n_grams"])
-    counts_df = (grams.map_batches(partial_doc_counts, batch_format="pyarrow")
-                 .to_pandas().groupby(id_col)["n_grams"].sum())
-    nmap = counts_df.to_dict()
+    # semi-join: per-doc distinct-gram counts for candidate docs only
+    needed = pa.array(sorted(_collect_pair_ids(inter)), pa.int64())
 
-    # one fast aggregate finds shared grams; only their (gram, doc_id) rows
-    # are collected (proportional to overlap, not the corpus). Pair counting
-    # is a chunked numpy upper-triangle kernel — exact, no bucket caps,
-    # matching the SQL oracle. At 10^12 docs this moves back into a
-    # partitioned gram-keyed groupby and hot grams get stop-gram/salting
-    # treatment.
-    hot = _filter_hot_buckets(grams, ["gram"])
-    if len(hot) == 0:
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}))
-    inter = _bucket_pair_counts(hot["gram"].to_numpy(),
-                                hot[id_col].to_numpy())
-    na = inter["doc_a"].map(nmap)
-    nb = inter["doc_b"].map(nmap)
-    inter["jaccard"] = inter["isect"] / (na + nb - inter["isect"])
-    out = inter.loc[inter["jaccard"] >= threshold,
-                    ["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
-    out = out.astype({"doc_a": "int64", "doc_b": "int64",
-                      "jaccard": "float64"})
-    return rd.from_pandas(out)
+    def cand_counts(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
+        n = [len(_distinct_gram_hashes(t or "", k))
+             for t in sub.column(text_col).to_pylist()]
+        return pa.table({id_col: sub.column(id_col),
+                         "n_grams": pa.array(n, pa.int64())})
+
+    counts: Dict[int, int] = {}
+    for batch in (ds.map_batches(cand_counts, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        counts.update(zip(batch.column(id_col).to_pylist(),
+                          batch.column("n_grams").to_pylist()))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        isect = batch.column("isect").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na = np.array([counts.get(x, 0) for x in a], dtype=np.float64)
+        nb = np.array([counts.get(x, 0) for x in b], dtype=np.float64)
+        union = na + nb - isect
+        union[union == 0] = 1.0
+        jac = isect / union
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a, dtype=np.int64)[keep], pa.int64()),
+            "doc_b": pa.array(np.asarray(b, dtype=np.int64)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return inter.map_batches(finish, batch_format="pyarrow")
 
 
 def ngram_jaccard_matrix(texts: List[str], k: int = 5) -> np.ndarray:
@@ -454,39 +579,62 @@ class SimHashStage:
         })
 
 
+def _simhash_partition_pairs(max_hamming: int, max_bucket: int):
+    """Partition kernel: bucket-local pairs whose full-hash hamming distance
+    is <= max_hamming. The hamming check runs here, so a mix collision or a
+    skew-capped bucket can only DROP candidates, never fabricate pairs.
+    Hamming is a property of the pair (not the band), so cross-band
+    duplicates carry identical distances and the global Min-dedupe is
+    value-preserving."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order, starts = _sorted_runs(pdf, ["band_id", "band_val"])
+        docs = pdf["doc_id"].to_numpy()[order]
+        hashes = pdf["simhash"].to_numpy()[order]
+        out = set()
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            if e - s < 2 or e - s > max_bucket:  # skew cap (as before)
+                continue
+            sub = sorted(zip(docs[s:e].tolist(), hashes[s:e].tolist()))
+            for i in range(len(sub)):
+                for j in range(i + 1, len(sub)):
+                    if sub[i][0] == sub[j][0]:
+                        continue
+                    dist = bin(sub[i][1] ^ sub[j][1]).count("1")
+                    if dist <= max_hamming:
+                        out.add((sub[i][0], sub[j][0], dist))
+        if not out:
+            return _empty_pairs_df({"hamming": "int64"})
+        arr = np.array(sorted(out), dtype=np.int64)
+        return pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1],
+                             "hamming": arr[:, 2]})
+    return fn
 
 
 def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_parts: Optional[int] = None, max_bucket: int = 200):
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    A pair within distance 3 of a 64-bit hash must collide on at least one of
-    four 16-bit bands (pigeonhole), so candidates come from band-collision
-    groupbys; only (band, doc_id, simhash) int rows shuffle. Pair dedupe is a
-    second (small) groupby, not a driver-side pass."""
-    import pandas as pd
-    import ray.data as rd
+    A pair within distance 3 of a 64-bit hash must collide on at least one
+    of four 16-bit bands (pigeonhole), so candidates come from band-bucket
+    groups. Fully distributed: (band, doc_id, simhash) int rows are
+    hash-partitioned by bucket key, pairs generated per partition, and
+    cross-band duplicates removed by a distributed (doc_a, doc_b) groupby —
+    no driver-side pass at any point. Returns a Dataset
+    (doc_a, doc_b, hamming)."""
+    from ray.data.aggregate import Min
 
+    P = num_parts or _default_num_parts()
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col,
                                              "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency).materialize()
-    hot_rows = _filter_hot_buckets(sims, ["band_id", "band_val"])
-    out = []
-    for _, grp in (hot_rows.groupby(["band_id", "band_val"], sort=False)
-                   if len(hot_rows) else ()):
-        rows = (grp.drop_duplicates("doc_id").sort_values("doc_id")
-                .to_dict("records"))
-        if 2 <= len(rows) <= 200:  # skew cap (as before)
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    dist = bin(rows[i]["simhash"]
-                               ^ rows[j]["simhash"]).count("1")
-                    if dist <= max_hamming:
-                        out.append((rows[i]["doc_id"], rows[j]["doc_id"],
-                                    dist))
-    pairs = pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
-    pairs = (pairs.drop_duplicates(["doc_a", "doc_b"])
-             .reset_index(drop=True))
-    return rd.from_pandas(pairs)
+        batch_format="pyarrow", concurrency=concurrency)
+    partials = (_with_partition(sims, ["band_id", "band_val"], P)
+                .groupby("part")
+                .map_groups(_simhash_partition_pairs(max_hamming, max_bucket),
+                            batch_format="pandas"))
+    return _distinct_pairs(partials,
+                           extra_agg=Min("hamming", alias_name="hamming"))

@@ -72,8 +72,10 @@ def topk_per_group(ds, group_col: str, order_col: str, tiebreak_col: str,
 
     At 10^12 rows the candidate set is n_batches x groups x k smalls rows;
     the final merge stays driver-sized as long as group cardinality is
-    bounded (true for segment/category keys)."""
+    bounded (true for segment/category keys). Returns a Dataset so the
+    relational surface composes."""
     import pandas as pd
+    import ray.data as rd
 
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf.sort_values([group_col, order_col, tiebreak_col],
@@ -86,7 +88,7 @@ def topk_per_group(ds, group_col: str, order_col: str, tiebreak_col: str,
                           ascending=[True, False, True])
     top = s.groupby(group_col, sort=False).head(k).copy()
     top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
-    return top.reset_index(drop=True)
+    return rd.from_pandas(top.reset_index(drop=True))
 
 
 def customers_per_nation(customer_ds, nation_path: str):

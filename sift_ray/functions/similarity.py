@@ -4,11 +4,15 @@
   broadcast once with ``ray.put``; every batch computes a float64 matmul
   against it and emits only its per-batch top-k candidates, which the driver
   merges (bounded: n_batches x k x n_queries rows). No shuffle.
-* ``lsh_topk`` — the scale path: random-hyperplane LSH bucketing; queries
-  probe matching buckets only. Approximate; documented partitioning
-  assumption: vectors co-located by bucket id via groupby.
-* ``embedding_near_dup`` — pairs with cosine >= threshold, via the same LSH
-  buckets (or exact for small n).
+* ``cosine_topk_ivf`` — the scale path: IVF coarse quantizer trained on a
+  bounded sample; queries probe matching clusters only.
+* ``embedding_near_dup`` — pairs with cosine >= threshold via multi-table
+  random-hyperplane LSH (bucket groupby + bucket-local exact check +
+  distributed pair dedupe); ``embedding_near_dup_exact`` is the O(n^2)
+  small-table baseline.
+
+Query-vector / sample lookups are pushed down (map-side ``pc.is_in`` filter
++ take, ``limit()`` for samples) — the driver never scans the dataset.
 """
 
 from __future__ import annotations
@@ -68,6 +72,23 @@ class BruteForceTopK:
         })
 
 
+def _fetch_vectors(ds, ids: List[int], vec_col: str, id_col: str):
+    """Pull the (tiny) query-vector rows via a DISTRIBUTED map-side
+    ``pc.is_in`` filter + take — never a full driver-side dataset scan.
+    Returns (sorted ids, row-aligned list-of-vectors)."""
+    import pyarrow.compute as pc
+
+    want = pa.array(sorted(set(ids)), pa.int64())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=want))
+
+    rows = ds.map_batches(filt, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return ([r[id_col] for r in rows],
+            [list(r[vec_col]) for r in rows])
+
+
 def cosine_topk(ds, query_ids: List[int], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 concurrency: int = 2):
@@ -78,18 +99,8 @@ def cosine_topk(ds, query_ids: List[int], k: int = 10,
     import pandas as pd
     import ray
 
-    qset = set(query_ids)
-    q_rows = {"ids": [], "matrix": []}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for vid, emb in zip(batch.column(id_col).to_pylist(),
-                            batch.column(vec_col).to_pylist()):
-            if vid in qset:
-                q_rows["ids"].append(vid)
-                q_rows["matrix"].append(emb)
-    order = np.argsort(q_rows["ids"])
-    q_rows = {"ids": [q_rows["ids"][i] for i in order],
-              "matrix": [q_rows["matrix"][i] for i in order]}
-    ref = ray.put(q_rows)
+    q_ids, q_mat = _fetch_vectors(ds, query_ids, vec_col, id_col)
+    ref = ray.put({"ids": q_ids, "matrix": q_mat})
 
     candidates = ds.map_batches(
         BruteForceTopK,
@@ -106,26 +117,47 @@ def cosine_topk(ds, query_ids: List[int], k: int = 10,
 
 
 class LshBucketStage:
-    """Random-hyperplane LSH: bucket id per vector (once-per-actor planes)."""
+    """Multi-table random-hyperplane LSH: each vector is bucketed in
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each (planes
+    drawn once per actor in __init__). A near-dup pair is a candidate if it
+    collides in ANY table — recall 1-(1-p^b)^L vs a single table's p^b
+    (p = 1 - angle/pi), the standard amplification construction.
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    Scale sizing: bucket count per table is 2^n_planes, so pick
+    ``n_planes ~ log2(n_vectors / target_bucket_size)``; the exploded
+    output is n_tables rows per vector (id + bucket + the vector)."""
+
+    def __init__(self, dim: int, n_planes: int = 6, n_tables: int = 8,
+                 seed: int = 42, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(n_planes, dim)
+        self.planes = rng.randn(n_tables, n_planes, dim)
+        self.n_tables = n_tables
         self.vec_col = vec_col
         self.id_col = id_col
 
-    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
-        signs = (mat @ self.planes.T) > 0
+    def bucket_of(self, mat: np.ndarray, table: int) -> np.ndarray:
+        signs = (mat @ self.planes[table].T) > 0
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _to_matrix(batch.column(self.vec_col))
-        buckets = self.bucket_of(mat)
+        ids, vecs, tables, buckets = [], [], [], []
+        for t in range(self.n_tables):
+            b = self.bucket_of(mat, t)
+            ids.append(batch.column(self.id_col))
+            vecs.append(batch.column(self.vec_col))
+            tables.append(np.full(len(mat), t, dtype=np.int64))
+            buckets.append(b.astype(np.int64))
         return pa.table({
-            "vec_id": batch.column(self.id_col),
-            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
-            "embedding": batch.column(self.vec_col),
+            "vec_id": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in ids]),
+            "table_id": pa.array(np.concatenate(tables), pa.int64()),
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+            "embedding": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in vecs]),
         })
 
 
@@ -151,17 +183,28 @@ def _near_dup_group(threshold: float):
     return fn
 
 
-def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8,
-                       dim: int = 64, concurrency: int = 2):
-    """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets.
-    Approximate at scale (bucket-local comparisons); with few planes and
-    small n it approaches exact."""
+def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 6,
+                       n_tables: int = 8, dim: int = 64,
+                       concurrency: int = 2):
+    """Near-duplicate vector pairs (cosine >= threshold) via multi-table LSH.
+
+    Bucket-local exact cosine check (so false candidates are always
+    rejected); cross-table duplicate pairs are removed by a distributed
+    (vec_a, vec_b) groupby — no driver-side pass. Approximate recall
+    1-(1-p^n_planes)^n_tables per pair."""
+    from ray.data.aggregate import Count
+
     bucketed = ds.map_batches(
         LshBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "n_tables": n_tables},
         batch_format="pyarrow", concurrency=concurrency)
-    return (bucketed.groupby("bucket")
-            .map_groups(_near_dup_group(threshold), batch_format="pandas"))
+    pairs = (bucketed.groupby(["table_id", "bucket"])
+             .map_groups(_near_dup_group(threshold), batch_format="pandas"))
+    deduped = pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Count(alias_name="_n"))
+    return deduped.map_batches(lambda t: t.select(["vec_a", "vec_b"]),
+                               batch_format="pyarrow")
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, n_iter: int = 10,
@@ -240,24 +283,14 @@ def cosine_topk_ivf(ds, query_ids: List[int], k: int = 10,
     import pandas as pd
     import ray
 
-    sample_rows: List[list] = []
-    q_rows = {}
-    qset = set(query_ids)
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        vids = batch.column(id_col).to_pylist()
-        embs = batch.column(vec_col).to_pylist()
-        for vid, emb in zip(vids, embs):
-            if len(sample_rows) < train_sample:
-                sample_rows.append(emb)
-            if vid in qset:
-                q_rows[vid] = emb
-        if len(sample_rows) >= train_sample and len(q_rows) == len(qset):
-            break
+    # bounded training sample: limit() streams only the blocks it needs —
+    # never a full driver-side scan (IVF training is O(sample), not O(n))
+    sample_rows = [list(r[vec_col])
+                   for r in ds.limit(train_sample).take_all()]
+    q_ids, q_vecs = _fetch_vectors(ds, query_ids, vec_col, id_col)
     sample = _normalize(np.asarray(sample_rows, dtype=np.float64))
     centroids = _kmeans(sample, n_clusters, seed=seed)
-    q_ids = sorted(q_rows)
-    q_mat = _normalize(np.asarray([q_rows[i] for i in q_ids],
-                                  dtype=np.float64))
+    q_mat = _normalize(np.asarray(q_vecs, dtype=np.float64))
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
     ref = ray.put({"centroids": centroids, "q_ids": q_ids, "q_mat": q_mat,
                    "probe": probe})

@@ -112,16 +112,20 @@ def build_bucketed_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
 
 def _partition_stats(part_dir: str) -> dict:
     """Cheap columnar stats over a written partition (footer + one int64
-    column; does not re-read markdown/html)."""
+    column; does not re-read markdown/html). ``bytes_out`` is the on-disk
+    size of the partition's parquet files."""
     import pyarrow.dataset as pads
     dataset = pads.dataset(part_dir, format="parquet")
     rows = dataset.count_rows()
     bytes_in = 0
-    bytes_out = 0
     for batch in dataset.to_batches(columns=["bytes_in"]):
         import pyarrow.compute as pc
         s = pc.sum(batch.column("bytes_in")).as_py()
         bytes_in += s or 0
+    bytes_out = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(part_dir, "**", "*.parquet"),
+                           recursive=True))
     return {"row_count": rows, "bytes_in": bytes_in, "bytes_out": bytes_out}
 
 

@@ -62,9 +62,23 @@ class ExtractStage:
         # (700) triggers constant collections whose pointer-chasing scans are
         # expensive under many-actor memory contention. Trees are dropped
         # wholesale per row, so a high threshold trades brief peak RSS for
-        # fewer, larger collections.
-        import gc
-        gc.set_threshold(100_000, 50, 50)
+        # fewer, larger collections. Process-global, so only applied inside
+        # Ray WORKER processes — a driver or library host constructing this
+        # stage in-process keeps its default GC behavior.
+        if self._in_ray_worker():
+            import gc
+            gc.set_threshold(100_000, 50, 50)
+
+    @staticmethod
+    def _in_ray_worker() -> bool:
+        try:
+            import ray
+            if not ray.is_initialized():
+                return False
+            ctx = ray.get_runtime_context()
+            return ctx.worker.mode == ray.WORKER_MODE
+        except Exception:
+            return False
 
     def extract_row(self, url: str, html: bytes) -> tuple:
         """Returns (markdown, status, error)."""

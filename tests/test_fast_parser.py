@@ -57,7 +57,19 @@ ADVERSARIAL = [
     '<div foo="a b" =>x</div>',
     '<div/ >q</div>',
     '<a href=foo/ >v</a>',
+    '<!-->x<p>after</p>',
+    '<!--->y<p>after</p>',
+    '<!---->z<p>after</p>',
+    '<!----->w<p>after</p>',
 ]
+
+
+def test_abrupt_comment_close_falls_back():
+    # html.parser emits '<!-->' / '<!--->' as literal TEXT, which the fast
+    # scanner's decl branch would silently drop — they must hit the unsafe
+    # regex and take the stdlib path
+    for h in ('<!-->', '<!--->', 'a<!-->b', 'a<!--->b'):
+        assert _FAST_UNSAFE_RE.search(h) is not None, h
 
 
 def test_adversarial_cases_match_stdlib():
@@ -87,7 +99,8 @@ def test_fuzz_tag_soup_matches_stdlib():
              '<em >', '</ em>', '<x-y z>', '<div class=>', '<div =bad>',
              '<p junk"quote>', '\n', '\t', '<!DOCTYPE html>', '<h1>',
              '</h3>', '<td>', '<tr>', '<input type=text />',
-             '<div foo="a b">', '<span/ >', '<a title=\'c d\' =>']
+             '<div foo="a b">', '<span/ >', '<a title=\'c d\' =>',
+             '<!-->', '<!--->', '<!---->']
     for _ in range(1500):
         h = "".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
         ft = _fast_tree_or_none(h)

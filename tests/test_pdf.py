@@ -68,3 +68,30 @@ def test_pdf_stage_quarantines(ray_session):
     assert out.loc["u://ok", "text"] == "doc body"
     assert out.loc["u://broken", "status"] == "unsupported"
     assert out.loc["u://empty", "status"] == "empty"
+
+
+def test_et_bt_inside_shown_text_not_truncated():
+    # 'ET'/'BT' byte pairs inside (...) string literals must not terminate
+    # the BT..ET block (regression: blind non-greedy BT(.*?)ET regex)
+    lines = ["NET gain was (huge) in ETF markets",
+             "BT and ET appear INTERNET BTW"]
+    out = extract_pdf_text(make_simple_pdf(lines))
+    assert "NET gain was (huge) in ETF markets" in out
+    assert "BT and ET appear INTERNET BTW" in out
+
+
+def test_et_bt_uncompressed_variant():
+    out = extract_pdf_text(make_simple_pdf(
+        ["the NETWORK sent ET home"], compress=False))
+    assert out == "the NETWORK sent ET home"
+
+
+def test_backslash_8_9_escapes_drop_backslash():
+    # \8 and \9 are not octal: PDF spec drops the backslash, keeps the char
+    import zlib
+    content = rb"BT (a\8b\9c \101 ok) Tj ET"
+    stream = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(stream)).encode() + b" >>\nstream\n" + stream
+           + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "a8b9c A ok"

@@ -78,6 +78,8 @@ def test_run_extract_job_and_resume(corpus_dir, ray_session, tmp_path):
     assert rec["row_count"] > 0
     assert rec["pages_per_s"] > 0
     assert rec["input_files"]
+    assert rec["bytes_in"] > 0
+    assert rec["bytes_out"] > 0  # real on-disk partition size, not a stub
     # resume: delete one manifest row -> only that partition reruns
     os.remove(os.path.join(out_dir, "_manifest", manifest_files[0]))
     summary2 = run_extract_job(corpus_dir, out_dir, cfg, group_size=2,
