@@ -34,6 +34,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pyarrow as pa
 
+from .shuffle import (add_hash_partition, auto_pool, default_num_parts,
+                      mix64, partitioned_group_agg)
 from .textstats import digest_batch
 
 _MERSENNE = (1 << 61) - 1
@@ -41,15 +43,22 @@ _MERSENNE = (1 << 61) - 1
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """One row per distinct content digest: (digest, keep_doc_id, n_copies).
-    Keeps the minimum doc_id per group (hash-partition + per-group first)."""
-    from ray.data.aggregate import Count, Min
-
+    Keeps the minimum doc_id per group. Digest cardinality ~= corpus size,
+    so the reduction is the hash-partitioned VECTORIZED groupby (pyarrow
+    hash-agg per partition), not Ray's per-group aggregate."""
     with_digest = ds.map_batches(
         lambda t: digest_batch(t, text_col).select([id_col, "digest"]),
         batch_format="pyarrow")
-    return (with_digest.groupby("digest")
-            .aggregate(Min(id_col, alias_name="keep_doc_id"),
-                       Count(alias_name="n_copies")))
+
+    def digest_key(batch: pa.Table):
+        return [np.array([int(d[:15], 16)
+                          for d in batch.column("digest").to_pylist()],
+                         dtype=np.int64)]
+
+    return partitioned_group_agg(
+        with_digest, ["digest"],
+        [(id_col, "min", "keep_doc_id"), (None, "count", "n_copies")],
+        key_arrays_fn=digest_key)
 
 
 def _word_shingles(text: str, k: int) -> set:
@@ -80,39 +89,6 @@ def _shingle_hash_set(text: str, k: int) -> np.ndarray:
         (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
                         "big") for s in sh),
         dtype=np.uint64, count=len(sh)))
-
-
-def _default_num_parts() -> int:
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(16, 2 * cpus)
-
-
-def _mix64(cols: List[np.ndarray]) -> np.ndarray:
-    """Pack multi-column int keys into one int64 with a shift-xor mix.
-    A mix collision only merges two buckets into one partition-local group
-    candidate set; every downstream kernel re-groups by the TRUE key
-    columns, so collisions never fabricate pairs."""
-    key = np.asarray(cols[0], dtype=np.int64)
-    for i, c in enumerate(cols[1:], start=1):
-        nxt = np.asarray(c, dtype=np.int64)
-        key = np.bitwise_xor(np.left_shift(key, np.int64(57 - 7 * i)), nxt)
-    return key
-
-
-def _with_partition(ds, key_cols: List[str], num_parts: int):
-    """Append ``part = mix(key_cols) % num_parts`` — the hash-partitioning
-    key for the one bucket-colocating exchange."""
-    def add_part(batch: pa.Table) -> pa.Table:
-        arrs = [batch.column(c).to_numpy(zero_copy_only=False)
-                for c in key_cols]
-        part = _mix64(arrs) % np.int64(num_parts)
-        return batch.append_column("part",
-                                   pa.array(part.astype(np.int64), pa.int64()))
-    return ds.map_batches(add_part, batch_format="pyarrow")
 
 
 def _sorted_runs(pdf, key_cols: List[str]):
@@ -245,13 +221,12 @@ def _minhash_partition_pairs(max_bucket: int):
 
 
 def _distinct_pairs(pairs_ds, extra_agg=None):
-    """Distributed pair dedupe: groupby the TRUE (doc_a, doc_b) columns.
-    ``extra_agg`` optionally carries one aggregate (e.g. Min hamming)."""
-    aggs = [extra_agg] if extra_agg is not None else []
-    if not aggs:
-        from ray.data.aggregate import Count
-        aggs = [Count(alias_name="_n")]
-    out = pairs_ds.groupby(["doc_a", "doc_b"]).aggregate(*aggs)
+    """Distributed pair dedupe over the TRUE (doc_a, doc_b) columns via the
+    hash-partitioned vectorized groupby (pair cardinality scales with
+    candidate volume — Ray's per-group aggregate would pay ~0.2 ms/group).
+    ``extra_agg`` optionally carries one (col, fn, name) AggSpec."""
+    aggs = [extra_agg] if extra_agg is not None else [(None, "count", "_n")]
+    out = partitioned_group_agg(pairs_ds, ["doc_a", "doc_b"], aggs)
     if extra_agg is None:
         out = out.map_batches(lambda t: t.select(["doc_a", "doc_b"]),
                               batch_format="pyarrow")
@@ -302,7 +277,7 @@ def _collect_pair_ids(pairs_ds) -> set:
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
-                      concurrency: int = 2, text_col: str = "text",
+                      concurrency=None, text_col: str = "text",
                       id_col: str = "doc_id", num_parts: Optional[int] = None,
                       max_bucket: int = 200):
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
@@ -318,14 +293,14 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
     import ray
     import ray.data as rd
 
-    P = num_parts or _default_num_parts()
+    P = num_parts or default_num_parts()
     triples = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
                                "shingle_k": shingle_k, "text_col": text_col,
                                "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    partials = (_with_partition(triples, ["band_id", "band_hash"], P)
+        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    partials = (add_hash_partition(triples, ["band_id", "band_hash"], P)
                 .groupby("part")
                 .map_groups(_minhash_partition_pairs(max_bucket),
                             batch_format="pandas"))
@@ -359,7 +334,7 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
         _JaccardVerifyStage,
         fn_constructor_kwargs={"smap_ref": ref,
                                "threshold": jaccard_threshold},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=2)
 
 
 _GRAM_WORD_RE = None
@@ -453,7 +428,7 @@ def _ngram_partition_counts(id_col: str):
 
 
 def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
-                        concurrency: int = 2, text_col: str = "text",
+                        concurrency=None, text_col: str = "text",
                         id_col: str = "doc_id",
                         num_parts: Optional[int] = None):
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= t).
@@ -468,19 +443,21 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    P = num_parts or _default_num_parts()
+    P = num_parts or default_num_parts()
     grams = ds.map_batches(
         NgramStage,
         fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    partials = (_with_partition(grams, ["gram"], P)
+        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    partials = (add_hash_partition(grams, ["gram"], P)
                 .groupby("part")
                 .map_groups(_ngram_partition_counts(id_col),
                             batch_format="pandas"))
-    inter = (partials.groupby(["doc_a", "doc_b"])
-             .aggregate(Sum("isect", alias_name="isect"))).materialize()
+    # candidate-pair cardinality can reach millions (every pair sharing one
+    # hot gram) — reduce with the partitioned vectorized groupby
+    inter = partitioned_group_agg(
+        partials, ["doc_a", "doc_b"],
+        [("isect", "sum", "isect")]).materialize()
     if inter.count() == 0:
         return rd.from_pandas(_empty_pairs_df({"jaccard": "float64"}))
 
@@ -542,21 +519,21 @@ class SimHashStage:
 
     @staticmethod
     def simhash(text: str) -> int:
+        """Vectorized: one cached blake2b per distinct word, then a single
+        unpackbits + column sum over the (n_words, 64) bit matrix. Bit
+        order is MSB-first (big-endian bytes), duplicate words counted per
+        occurrence — byte-identical to the per-word reference loop."""
         words = text.split()
         if not words:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for w in words:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
-        out = 0
-        for i, v in enumerate(acc):
-            if v > 0:
-                out |= (1 << (63 - i))
-        return out
+        n = len(words)
+        wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                         count=n)
+        be = wh.astype(">u8").view(np.uint8).reshape(n, 8)  # big-endian bytes
+        bits = np.unpackbits(be, axis=1)                 # (n, 64) MSB-first
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - n
+        out_bits = (votes > 0).astype(np.uint8)
+        return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit exploded (band_id, band_val, doc_id, simhash) rows — only a
@@ -613,7 +590,7 @@ def _simhash_partition_pairs(max_hamming: int, max_bucket: int):
     return fn
 
 
-def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2,
+def simhash_pairs(ds, max_hamming: int = 3, concurrency=None,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_parts: Optional[int] = None, max_bucket: int = 200):
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
@@ -625,16 +602,14 @@ def simhash_pairs(ds, max_hamming: int = 3, concurrency: int = 2,
     cross-band duplicates removed by a distributed (doc_a, doc_b) groupby —
     no driver-side pass at any point. Returns a Dataset
     (doc_a, doc_b, hamming)."""
-    from ray.data.aggregate import Min
-
-    P = num_parts or _default_num_parts()
+    P = num_parts or default_num_parts()
     sims = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col,
                                              "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency)
-    partials = (_with_partition(sims, ["band_id", "band_val"], P)
+        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    partials = (add_hash_partition(sims, ["band_id", "band_val"], P)
                 .groupby("part")
                 .map_groups(_simhash_partition_pairs(max_hamming, max_bucket),
                             batch_format="pandas"))
     return _distinct_pairs(partials,
-                           extra_agg=Min("hamming", alias_name="hamming"))
+                           extra_agg=("hamming", "min", "hamming"))

@@ -161,48 +161,74 @@ class LshBucketStage:
         })
 
 
-def _near_dup_group(threshold: float):
-    import pandas as pd
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        if 2 <= len(group) <= 2000:
-            ids = group["vec_id"].to_numpy()
-            mat = _normalize(np.asarray(list(group["embedding"]),
-                                        dtype=np.float64))
-            sims = mat @ mat.T
-            n = len(ids)
-            order = np.argsort(ids)
-            for ii in range(n):
-                for jj in range(ii + 1, n):
-                    a, b = order[ii], order[jj]
-                    if sims[a, b] >= threshold:
-                        out.append((int(ids[a]), int(ids[b])))
-        return pd.DataFrame(out, columns=["vec_a", "vec_b"]).astype(
-            {"vec_a": "int64", "vec_b": "int64"})
+def _near_dup_partition_kernel(threshold: float, max_bucket: int = 2000):
+    """Partition kernel: exact bucket-local cosine pairs over every
+    (table_id, bucket) run in the partition — one lexsort + one matrix
+    slice per bucket, no per-group scheduling overhead."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tid = tbl.column("table_id").to_numpy(zero_copy_only=False)
+        bkt = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bkt, tid))
+        tid = tid[order]
+        bkt = bkt[order]
+        ids = ids[order]
+        mat = _normalize(np.asarray(
+            tbl.column("embedding").to_pylist(), dtype=np.float64)[order]
+            if len(order) else np.zeros((0, 1)))
+        n = len(ids)
+        is_start = np.ones(n, dtype=bool)
+        if n > 1:
+            is_start[1:] = (tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])
+        starts = np.flatnonzero(is_start).tolist()
+        starts.append(n)
+        out = set()
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            if e - s < 2 or e - s > max_bucket:  # skew cap
+                continue
+            sub_ids = ids[s:e]
+            sims = mat[s:e] @ mat[s:e].T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ai.tolist(), bj.tolist()):
+                a, b = int(sub_ids[i]), int(sub_ids[j])
+                if a != b:
+                    out.add((min(a, b), max(a, b)))
+        if not out:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
+        arr = np.array(sorted(out), dtype=np.int64)
+        return pa.table({"vec_a": pa.array(arr[:, 0], pa.int64()),
+                         "vec_b": pa.array(arr[:, 1], pa.int64())})
     return fn
 
 
 def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 6,
                        n_tables: int = 8, dim: int = 64,
-                       concurrency: int = 2):
+                       concurrency=None):
     """Near-duplicate vector pairs (cosine >= threshold) via multi-table LSH.
 
-    Bucket-local exact cosine check (so false candidates are always
-    rejected); cross-table duplicate pairs are removed by a distributed
-    (vec_a, vec_b) groupby — no driver-side pass. Approximate recall
-    1-(1-p^n_planes)^n_tables per pair."""
-    from ray.data.aggregate import Count
+    Fully distributed: (table, bucket, id, vector) rows are hash-partitioned
+    by bucket key and compared bucket-locally with an exact cosine check (so
+    false candidates are always rejected); cross-table duplicate pairs are
+    removed by the partitioned vectorized (vec_a, vec_b) groupby — no
+    driver-side pass. Approximate recall 1-(1-p^n_planes)^n_tables per
+    pair."""
+    from .shuffle import (add_hash_partition, auto_pool, default_num_parts,
+                          partitioned_group_agg)
 
     bucketed = ds.map_batches(
         LshBucketStage,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
                                "n_tables": n_tables},
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = (bucketed.groupby(["table_id", "bucket"])
-             .map_groups(_near_dup_group(threshold), batch_format="pandas"))
-    deduped = pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Count(alias_name="_n"))
+        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    parted = add_hash_partition(bucketed, ["table_id", "bucket"],
+                                default_num_parts())
+    pairs = (parted.groupby("part")
+             .map_groups(_near_dup_partition_kernel(threshold),
+                         batch_format="pyarrow"))
+    deduped = partitioned_group_agg(pairs, ["vec_a", "vec_b"],
+                                    [(None, "count", "_n")])
     return deduped.map_batches(lambda t: t.select(["vec_a", "vec_b"]),
                                batch_format="pyarrow")
 

@@ -2,17 +2,27 @@
 reference has no streaming/window operators — SURVEY.md §2.8).
 
 Tumbling windows: window id = epoch_us(ts) // window_us, computed with a
-vectorized Arrow kernel, then pre-aggregated per batch (combiner) before the
-one hash-partitioned groupby — the partial-aggregate pattern that keeps the
-shuffle small at scale. Aggregates are restricted to order-independent exact
-values (count / min / max / integer sums) so results are bit-reproducible
-and oracle-comparable.
+vectorized Arrow kernel, then pre-aggregated per batch (combiner) before
+ONE hash-partitioned exchange. Window-group cardinality scales with the
+data ((user, window) pairs — billions at 100 TB), so the reduction is the
+partitioned VECTORIZED groupby (pyarrow hash-agg per partition, see
+``shuffle.partitioned_group_agg``), never Ray's per-group aggregate.
+
+Session windows: the one shuffle co-locates users by hash partition; the
+per-partition kernel is fully vectorized (lexsort by (user, t), boundary
+mask, cumsum session ids, arrow hash-agg) — no per-user Python function.
+
+Aggregates are restricted to order-independent exact values (count / min /
+max / integer sums) so results are bit-reproducible and oracle-comparable.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .shuffle import partitioned_group_agg
 
 
 def add_window(batch: pa.Table, window_us: int) -> pa.Table:
@@ -32,58 +42,71 @@ def _partial_agg(batch: pa.Table) -> pa.Table:
 
 def tumbling_window(ds, window_s: int = 300):
     """(user_id, win, n_events, min_value, max_value) per tumbling window."""
-    from ray.data.aggregate import Max, Min, Sum
-
     window_us = window_s * 1_000_000
     prepared = (ds.map_batches(lambda t: add_window(t, window_us),
                                batch_format="pyarrow")
                 .map_batches(_partial_agg, batch_format="pyarrow"))
-    out = (prepared.groupby(["user_id", "win"])
-           .aggregate(Sum("n_events", alias_name="n_events"),
-                      Min("min_value", alias_name="min_value"),
-                      Max("max_value", alias_name="max_value")))
-    return out
+    return partitioned_group_agg(
+        prepared, ["user_id", "win"],
+        [("n_events", "sum", "n_events"),
+         ("min_value", "min", "min_value"),
+         ("max_value", "max", "max_value")])
 
 
-def _sessionize(gap_us: int):
-    """Per-user sessionization callback: events sorted by time; a gap
-    > gap_us opens a new session. Session assignment is invariant to the
-    order of equal timestamps (gap 0 never opens a session), so results are
-    deterministic and oracle-comparable."""
-    import numpy as np
-    import pandas as pd
-
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("t", kind="mergesort")
-        t = g["t"].to_numpy()
-        boundary = np.r_[True, (t[1:] - t[:-1]) > gap_us]
-        session_id = np.cumsum(boundary)
-        g = g.assign(session_id=session_id)
-        out = (g.groupby("session_id")
-               .agg(n_events=("t", "size"), start_us=("t", "min"),
-                    end_us=("t", "max")).reset_index())
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out.astype({"user_id": "int64", "session_id": "int64",
-                           "n_events": "int64", "start_us": "int64",
-                           "end_us": "int64"})
+def _session_kernel(gap_us: int):
+    """Partition kernel: vectorized sessionization over ALL users in the
+    partition. Session assignment is invariant to the order of equal
+    timestamps (gap 0 never opens a session), so results are deterministic
+    and oracle-comparable."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        t = tbl.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u = u[order]
+        t = t[order]
+        n = len(u)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "start_us": pa.array([], pa.int64()),
+                             "end_us": pa.array([], pa.int64())})
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        boundary = new_user | np.r_[True, (t[1:] - t[:-1]) > gap_us]
+        gsid = np.cumsum(boundary)              # global session index
+        # per-user session_id = gsid - gsid at the user's first row + 1
+        user_start = np.where(new_user, gsid, 0)
+        session_id = gsid - np.maximum.accumulate(user_start) + 1
+        g = (pa.table({"user_id": pa.array(u, pa.int64()),
+                       "session_id": pa.array(session_id.astype(np.int64),
+                                              pa.int64()),
+                       "t": pa.array(t, pa.int64())})
+             .group_by(["user_id", "session_id"])
+             .aggregate([([], "count_all"), ("t", "min"), ("t", "max")]))
+        return g.rename_columns(["user_id", "session_id", "n_events",
+                                 "start_us", "end_us"])
     return fn
 
 
 def session_windows(ds, gap_s: int = 1800):
     """Gap-based session windows per user: (user_id, session_id, n_events,
-    start_us, end_us). The ONE shuffle co-locates each user's events
-    (groupby user_id); per-user work is a sorted linear scan. Sessions are
-    numbered 1..n per user in time order.
+    start_us, end_us). The ONE shuffle co-locates each user's events (hash
+    partition on user_id); the per-partition kernel is a vectorized sorted
+    scan over all its users at once. Sessions are numbered 1..n per user in
+    time order.
 
-    Partitioning assumption at scale: a single user's events fit in one
-    group (true for user-keyed web/event data; a pathological hot user would
-    need time-range pre-splitting)."""
+    Partitioning assumption at scale: a single partition's events fit in a
+    worker heap (users are hash-spread across partitions; a pathological
+    hot user would need time-range pre-splitting)."""
+    from .shuffle import add_hash_partition, default_num_parts
+
     def to_us(batch: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": batch.column("user_id"),
             "t": pc.cast(batch.column("ts"), pa.int64()),
         })
     prepared = ds.map_batches(to_us, batch_format="pyarrow")
-    return (prepared.groupby("user_id")
-            .map_groups(_sessionize(gap_s * 1_000_000),
-                        batch_format="pandas"))
+    parted = add_hash_partition(prepared, ["user_id"], default_num_parts())
+    return (parted.groupby("part")
+            .map_groups(_session_kernel(gap_s * 1_000_000),
+                        batch_format="pyarrow"))
