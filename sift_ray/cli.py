@@ -73,9 +73,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
     # single-document mode: the reference CLI's exact UX (sift FILE -> stdout)
     sd = sub.add_parser("sift", parents=[common],
-                        help="sift one HTML file (or '-' for stdin) to "
-                             "stdout — the reference CLI surface")
-    sd.add_argument("source", help="HTML file path or '-' for stdin")
+                        help="sift one source (URL, HTML file, or '-' for "
+                             "stdin) to stdout — the reference CLI surface")
+    sd.add_argument("source", help="http(s) URL, HTML file path, or '-' "
+                                   "for stdin")
     return p
 
 
@@ -92,12 +93,21 @@ def _config_from_args(args) -> "object":
 
 def _run_sift_one(args) -> int:
     """Single-document path (reference: sift URL/file/- -> stdout). Pure
-    function, no Ray session. Same failure discipline as the batch stage:
-    any per-document error becomes a clean stderr line + exit 1."""
+    function, no Ray session. Source dispatch mirrors fetch.go:76-91:
+    '-' -> stdin, http(s):// -> live fetch, else file. Same failure
+    discipline as the batch stage: any per-document error becomes a clean
+    stderr line + exit 1."""
     from .stages.extract import SiftPipelineStage
 
     if args.source == "-":
         html = sys.stdin.read()
+    elif args.source.startswith(("http://", "https://")):
+        from .sources.fetch import fetch_url
+        body, status, err, _code = fetch_url(args.source)
+        if status != "ok":
+            print(f"error: {err or status}", file=sys.stderr)
+            return 1
+        html = body.decode("utf-8", errors="replace")
     else:
         with open(args.source, "r", encoding="utf-8", errors="replace") as f:
             html = f.read()

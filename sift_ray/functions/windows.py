@@ -25,9 +25,17 @@ import pyarrow.compute as pc
 from .shuffle import partitioned_group_agg
 
 
+def _ts_us(col) -> pa.ChunkedArray:
+    """Epoch microseconds from a timestamp column of ANY unit (a bare int64
+    cast of timestamp[ns] would silently be nanoseconds)."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64())
+
+
 def add_window(batch: pa.Table, window_us: int) -> pa.Table:
-    ts_us = pc.cast(batch.column("ts"), pa.int64())
-    win = pc.divide(ts_us, pa.scalar(window_us, pa.int64()))
+    win = pc.divide(_ts_us(batch.column("ts")),
+                    pa.scalar(window_us, pa.int64()))
     return batch.append_column("win", win)
 
 
@@ -103,7 +111,7 @@ def session_windows(ds, gap_s: int = 1800):
     def to_us(batch: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": batch.column("user_id"),
-            "t": pc.cast(batch.column("ts"), pa.int64()),
+            "t": _ts_us(batch.column("ts")),
         })
     prepared = ds.map_batches(to_us, batch_format="pyarrow")
     parted = add_hash_partition(prepared, ["user_id"], default_num_parts())

@@ -1,0 +1,119 @@
+"""Property tests for the hash-partitioned vectorized groupby primitive
+(sift_ray/functions/shuffle.py) — results must equal a pandas groupby and be
+invariant to the partition count."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sift_ray.functions.shuffle import mix64, partitioned_group_agg
+
+
+def _rand_df(n=5000, seed=11):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "a": rng.randint(0, 500, n).astype(np.int64),
+        "b": rng.randint(-3, 4, n).astype(np.int64),
+        "v": rng.randint(-1000, 1000, n).astype(np.int64),
+    })
+
+
+def _expected(df):
+    g = df.groupby(["a", "b"], sort=False).agg(
+        v_sum=("v", "sum"), v_min=("v", "min"), n=("v", "size"))
+    return g.reset_index().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_parts", [1, 7, 64])
+def test_partitioned_group_agg_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    df = _rand_df()
+    out = partitioned_group_agg(
+        rd.from_pandas(df), ["a", "b"],
+        [("v", "sum", "v_sum"), ("v", "min", "v_min"), (None, "count", "n")],
+        num_parts=num_parts).to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    exp = _expected(df)
+    pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
+
+
+def test_partitioned_group_agg_string_key_via_key_fn(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    df = pd.DataFrame({"k": [f"key{i % 37:04x}" for i in range(2000)],
+                       "v": np.arange(2000, dtype=np.int64)})
+
+    def key_fn(batch: pa.Table):
+        return [np.array([hash(s) & 0x7FFFFFFF
+                          for s in batch.column("k").to_pylist()],
+                         dtype=np.int64)]
+
+    out = partitioned_group_agg(
+        rd.from_pandas(df), ["k"], [("v", "sum", "v_sum")],
+        num_parts=8, key_arrays_fn=key_fn).to_pandas()
+    exp = (df.groupby("k")["v"].sum().reset_index()
+           .rename(columns={"v": "v_sum"}))
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        exp.sort_values("k").reset_index(drop=True))
+
+
+def test_mix64_negative_keys_partition_in_range():
+    arr = np.array([-5, -1, 0, 3, 2**40, -(2**40)], dtype=np.int64)
+    part = mix64([arr]) % np.int64(16)
+    assert ((part >= 0) & (part < 16)).all()
+
+
+def test_session_windows_vectorized_matches_reference(ray_session):
+    """The partition-vectorized sessionizer must match a per-user python
+    reference on random event streams."""
+    import ray.data as rd
+    from sift_ray.functions.windows import session_windows
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    gap_s = 100
+    users = rng.randint(0, 40, n).astype(np.int64)
+    ts = rng.randint(0, 50_000, n).astype(np.int64) * 1_000_000  # us
+    df = pd.DataFrame({"user_id": users,
+                       "ts": pd.to_datetime(ts, unit="us")})
+
+    out = (session_windows(rd.from_pandas(df), gap_s=gap_s).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+
+    rows = []
+    for uid, grp in df.assign(t=ts).groupby("user_id"):
+        t = np.sort(grp["t"].to_numpy(np.int64))
+        sid, start = 1, t[0]
+        prev = t[0]
+        count = 0
+        for x in t:
+            if x - prev > gap_s * 1_000_000:
+                rows.append((uid, sid, count, start, prev))
+                sid += 1
+                start = x
+                count = 0
+            count += 1
+            prev = x
+        rows.append((uid, sid, count, start, prev))
+    exp = (pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                       "start_us", "end_us"])
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import exact_dedup
+    df = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7],
+        "text": ["same", "same", "other", "same", "other"],
+    })
+    out = exact_dedup(rd.from_pandas(df)).to_pandas()
+    got = {r.keep_doc_id: r.n_copies for r in out.itertuples()}
+    assert got == {1: 3, 7: 2}
