@@ -56,14 +56,16 @@ def _default_read_concurrency() -> int:
 def build_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
                            concurrency: Optional[int] = None,
                            batch_size: Optional[int] = None,
-                           max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
-    """pages Dataset -> extracted Dataset (url, markdown, status, error,
-    bytes_in, extracted_md). Lazy; caller consumes."""
+                           max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+                           keep_markdown: bool = False):
+    """pages Dataset -> extracted Dataset (url, status, error, bytes_in,
+    extracted_md [, markdown if keep_markdown]). Lazy; caller consumes."""
     if concurrency is None:
         concurrency = _default_concurrency()
     return ds.map_batches(
         SiftPipelineStage,
-        fn_constructor_kwargs={"cfg": cfg, "max_html_bytes": max_html_bytes},
+        fn_constructor_kwargs={"cfg": cfg, "max_html_bytes": max_html_bytes,
+                               "keep_markdown": keep_markdown},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -73,7 +75,8 @@ def build_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
 
 def build_bucketed_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
                                     concurrency: Optional[int] = None,
-                                    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
+                                    max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+                                    keep_markdown: bool = False):
     """Size-bucketed variant for heavy-tail corpora: rows are routed by
     ``len(html)`` into per-bucket streams, each extracted with a
     bucket-appropriate ``batch_size`` (256 rows for <64 KB pages down to 4
@@ -96,7 +99,8 @@ def build_bucketed_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
         parts.append(sub.map_batches(
             SiftPipelineStage,
             fn_constructor_kwargs={"cfg": cfg,
-                                   "max_html_bytes": max_html_bytes},
+                                   "max_html_bytes": max_html_bytes,
+                                   "keep_markdown": keep_markdown},
             batch_format="pyarrow",
             batch_size=batch_size,
             # autoscaling (1, N) pools: the three bucket streams share the

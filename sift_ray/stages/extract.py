@@ -156,12 +156,20 @@ class SiftStage:
 
 class SiftPipelineStage:
     """Fused extract+sift stage: one actor pass per batch, halving
-    object-store traffic for the common full pipeline."""
+    object-store traffic for the common full pipeline.
+
+    ``keep_markdown=False`` (default) drops the intermediate pre-sift
+    ``markdown`` column from the output — for the default token-budget
+    path it is nearly the size of ``extracted_md``, so carrying it doubles
+    the bytes every downstream stage, the object store, and the sink must
+    move. Set True when the un-sifted markdown itself is the product."""
 
     def __init__(self, cfg: Optional[SiftConfig] = None,
-                 max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
+                 max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+                 keep_markdown: bool = False):
         self.extract = ExtractStage(cfg, max_html_bytes)
         self.sift = SiftStage(cfg)
+        self.keep_markdown = keep_markdown
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         extracted = self.extract(batch)
@@ -172,5 +180,7 @@ class SiftPipelineStage:
                 outs.append(self.sift.sift_row(md) if md else "")
             except Exception:
                 outs.append("")
+        if not self.keep_markdown:
+            extracted = extracted.drop_columns(["markdown"])
         return extracted.append_column("extracted_md",
                                        pa.array(outs, pa.string()))

@@ -56,7 +56,7 @@ def test_extract_pipeline(corpus_dir, ray_session):
     assert len(ok) >= 290  # fixtures + synthetic pages extract fine
     # readability keeps article body, drops boilerplate, on synthetic pages
     sample = next(r for r in ok if "/normal/" in r["url"])
-    assert "Related Posts" not in sample["markdown"]
+    assert "Related Posts" not in sample["extracted_md"]
     assert sample["extracted_md"] != ""
     # extraction is keyed per url and deterministic
     urls = {r["url"] for r in table}
@@ -109,7 +109,7 @@ def test_oversize_quarantine(ray_session, tmp_path):
                                  concurrency=1, max_html_bytes=1000)
     rows_out = {r["url"]: r for r in out.take_all()}
     assert rows_out["u://big"]["status"] == "oversize"
-    assert rows_out["u://big"]["markdown"] == ""
+    assert rows_out["u://big"]["extracted_md"] == ""
     assert "content too large" in rows_out["u://big"]["error"]
     assert rows_out["u://small"]["status"] == "ok"
 
