@@ -119,6 +119,19 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dedup_docs(sf_dir: str):
+    from sift_ray.functions.dedup import dedup_docs
+    out = dedup_docs(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "digest"])
+
+
+def _q_near_dedup_docs(sf_dir: str):
+    from sift_ray.functions.dedup import near_dedup_docs
+    out = near_dedup_docs(_docs(sf_dir, ["doc_id", "text"]),
+                          k=3, threshold=0.5)
+    return out.select_columns(["doc_id"])
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from sift_ray.functions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
@@ -387,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "doc_digest": _q_doc_digest,
         "exact_dedup": _q_exact_dedup,
+        "dedup_docs": _q_dedup_docs,
+        "near_dedup_docs": _q_near_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
@@ -410,6 +425,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "tfidf_best_chunk": _q_tfidf_best_chunk,
     }
+
+
+_NGRAM_CTE = """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM pos
+            ),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS isect
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -474,35 +515,28 @@ def oracle_sql() -> dict[str, str]:
                          ' ' || chr(9) || chr(10) || chr(13)) AS limited
             FROM documents
         """,
-        "ngram_jaccard_pairs": """
-            WITH words AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-                FROM documents
-            ),
-            pos AS (
-                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-                FROM words WHERE len(w) >= 3
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id,
-                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-                FROM pos
-            ),
-            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       count(*) AS isect
-                FROM grams a JOIN grams b
-                  ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+        "ngram_jaccard_pairs": _NGRAM_CTE + """
             SELECT i.doc_a, i.doc_b,
                    CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) AS jaccard
             FROM inter i
             JOIN counts ca ON ca.doc_id = i.doc_a
             JOIN counts cb ON cb.doc_id = i.doc_b
             WHERE CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) >= 0.5
+        """,
+        "dedup_docs": """
+            SELECT doc_id, md5(text) AS digest FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY md5(text))
+        """,
+        "near_dedup_docs": _NGRAM_CTE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+                SELECT i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE CAST(i.isect AS DOUBLE)
+                      / (ca.n + cb.n - i.isect) >= 0.5)
         """,
         "multimodal_features": """
             SELECT doc_id,

@@ -41,6 +41,13 @@ from .textstats import digest_batch
 _MERSENNE = (1 << 61) - 1
 
 
+def _digest_key_arrays(batch: pa.Table):
+    """int64 partition key from the md5 hex digest (first 60 bits)."""
+    return [np.array([int(d[:15], 16)
+                      for d in batch.column("digest").to_pylist()],
+                     dtype=np.int64)]
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """One row per distinct content digest: (digest, keep_doc_id, n_copies).
     Keeps the minimum doc_id per group. Digest cardinality ~= corpus size,
@@ -49,16 +56,70 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     with_digest = ds.map_batches(
         lambda t: digest_batch(t, text_col).select([id_col, "digest"]),
         batch_format="pyarrow")
-
-    def digest_key(batch: pa.Table):
-        return [np.array([int(d[:15], 16)
-                          for d in batch.column("digest").to_pylist()],
-                         dtype=np.int64)]
-
     return partitioned_group_agg(
         with_digest, ["digest"],
         [(id_col, "min", "keep_doc_id"), (None, "count", "n_copies")],
-        key_arrays_fn=digest_key)
+        key_arrays_fn=_digest_key_arrays)
+
+
+def dedup_docs(ds, text_col: str = "text", id_col: str = "doc_id",
+               num_parts: Optional[int] = None):
+    """Materialize the DEDUPLICATED docs table: the full min-id row of every
+    distinct content digest — what a training pipeline actually consumes.
+
+    Scale shape: full rows (including text) move through exactly ONE
+    digest-keyed hash-partition exchange; the per-partition kernel is a
+    vectorized arrow group-by + is_in filter. The keep-id set is never
+    broadcast (it is corpus-sized — a broadcast would be the anti-pattern);
+    each partition resolves its own keepers locally because a digest's rows
+    are all co-located. Size ``num_parts`` so corpus/num_parts fits a
+    worker heap."""
+    import pyarrow.compute as pc
+
+    P = num_parts or default_num_parts()
+    with_digest = ds.map_batches(lambda t: digest_batch(t, text_col),
+                                 batch_format="pyarrow")
+    parted = add_hash_partition(with_digest, ["digest"], P,
+                                key_arrays_fn=_digest_key_arrays)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        keep = tbl.group_by(["digest"]).aggregate([(id_col, "min")])
+        mask = pc.is_in(tbl.column(id_col),
+                        value_set=keep.column(f"{id_col}_min").combine_chunks()
+                        if isinstance(keep.column(f"{id_col}_min"),
+                                      pa.ChunkedArray)
+                        else keep.column(f"{id_col}_min"))
+        return tbl.filter(mask).drop_columns(["part"])
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_parts: Optional[int] = None):
+    """Materialize the NEAR-deduplicated docs table: drop the higher-id side
+    of every n-gram-Jaccard pair >= threshold (greedy keep-lowest rule, the
+    standard web-corpus policy).
+
+    The drop-id set is pair-proportional (bounded by the duplicate rate),
+    so broadcasting it for a map-side anti-join is the scale-correct move —
+    unlike the keep-set of exact dedup, which is corpus-sized."""
+    import pyarrow.compute as pc
+
+    pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                num_parts=num_parts).materialize()
+    drop: set = set()
+    for batch in pairs.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+        drop.update(batch.column("doc_b").to_pylist())
+    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=drop_arr))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def _word_shingles(text: str, k: int) -> set:

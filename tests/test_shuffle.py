@@ -117,3 +117,29 @@ def test_exact_dedup_keeps_min_id(ray_session):
     out = exact_dedup(rd.from_pandas(df)).to_pandas()
     got = {r.keep_doc_id: r.n_copies for r in out.itertuples()}
     assert got == {1: 3, 7: 2}
+
+
+def test_dedup_docs_materializes_min_rows(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import dedup_docs
+    df = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7, 2],
+        "text": ["same", "same", "other", "same", "other", "unique"],
+    })
+    out = (dedup_docs(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 7]
+    assert list(out["text"]) == ["same", "unique", "other"]
+
+
+def test_near_dedup_docs_drops_higher_id_side(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import near_dedup_docs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base + " tail",
+                 "completely different words entirely distinct tokens here"],
+    })
+    out = near_dedup_docs(rd.from_pandas(df), k=3, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]  # 2 is the doc_b of the (1,2) pair
