@@ -339,6 +339,27 @@ def _q_topk_customers(sf_dir: str):
     return topk_per_group(ds, "c_mktsegment", "c_acctbal", "c_custkey", k=3)
 
 
+def _q_orders_customer_join(sf_dir: str):
+    """Distributed hash join (general two-big-sides join; Ray Data has no
+    join API — see shuffle.hash_join): every order row joined with its
+    customer's market segment, checked value-exact against SQL."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    return hash_join(orders, cust, on="custkey", how="inner")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 1/16 content-hash sample (md5 hex starts with '0') —
     the reproducible sampling primitive for eval-split carving."""
@@ -411,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "customers_per_nation": _q_customers_per_nation,
         "topk_customers_per_segment": _q_topk_customers,
+        "orders_customer_join": _q_orders_customer_join,
         "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -569,6 +591,11 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY c_acctbal DESC,
                                                    c_custkey) AS rank
                 FROM customer) WHERE rank <= 3
+        """,
+        "orders_customer_join": """
+            SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         """,
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents

@@ -103,3 +103,88 @@ def partitioned_group_agg(ds, key_cols: List[str], aggs: List[AggSpec],
 
     parted = add_hash_partition(ds, key_cols, P, key_arrays_fn)
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def hash_join(left, right, on: str, how: str = "inner",
+              num_parts: Optional[int] = None,
+              left_cols: Optional[List[str]] = None,
+              right_cols: Optional[List[str]] = None):
+    """Distributed hash join on an int-like key — the general two-big-sides
+    join Ray Data does not provide (its idiom, and this repo's
+    ``relational.BroadcastLookupStage``, covers only small-side broadcast).
+
+    Shape: both sides are tagged, schema-aligned (missing columns padded
+    with nulls), unioned, hash-partitioned by the key — ONE exchange moving
+    each row once — and each partition performs a local pandas merge of its
+    two sides. Equal keys land in the same partition, so the join is exact;
+    results are partition-count invariant. Skewed hot keys concentrate in
+    one partition (document: salt hot keys upstream if a single key's rows
+    exceed a worker heap).
+
+    ``how``: "inner" or "left". Non-key column names must be disjoint
+    (restrict with left_cols/right_cols).
+    """
+    import pandas as pd
+
+    P = num_parts or default_num_parts()
+    lc = [c for c in (left_cols or left.schema().names) if c != on]
+    rc = [c for c in (right_cols or right.schema().names) if c != on]
+    overlap = set(lc) & set(rc)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {overlap}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+
+    left_t = left.map_batches(
+        lambda t: t.select([on] + lc).append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    right_t = right.map_batches(
+        lambda t: t.select([on] + rc).append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+
+    def pad(missing_names, missing_types):
+        def fn(t: pa.Table) -> pa.Table:
+            for name, typ in zip(missing_names, missing_types):
+                t = t.append_column(name, pa.nulls(t.num_rows, typ))
+            return t
+        return fn
+
+    def _pa_type(t):
+        """Dataset.schema() yields numpy dtypes for pandas-born blocks."""
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()  # object dtype: strings in practice
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    order = [on] + lc + rc + ["_side"]
+    left_t = left_t.map_batches(pad(rc, [r_types[c] for c in rc]),
+                                batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(order), batch_format="pyarrow")
+    right_t = right_t.map_batches(pad(lc, [l_types[c] for c in lc]),
+                                  batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(order), batch_format="pyarrow")
+
+    both = left_t.union(right_t)
+    parted = add_hash_partition(both, [on], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = tbl.column("_side")
+        # split sides in Arrow BEFORE pandas: the padded null columns are
+        # dropped here, so dtypes survive (a combined to_pandas would turn
+        # every padded int column into float64)
+        ldf = tbl.filter(pc.equal(side, 0)).select([on] + lc).to_pandas()
+        rdf = tbl.filter(pc.equal(side, 1)).select([on] + rc).to_pandas()
+        out = ldf.merge(rdf, on=on, how=how)
+        return pa.Table.from_pandas(out[[on] + lc + rc],
+                                    preserve_index=False)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

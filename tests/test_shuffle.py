@@ -143,3 +143,44 @@ def test_near_dedup_docs_drops_higher_id_side(ray_session):
     })
     out = near_dedup_docs(rd.from_pandas(df), k=3, threshold=0.5).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]  # 2 is the doc_b of the (1,2) pair
+
+
+def _join_frames():
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": [10, 20, 21, 30, 50]})
+    right = pd.DataFrame({"k": [1, 2, 4], "rv": ["a", "b", "d"]})
+    return left, right
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_hash_join_inner_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _join_frames()
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     num_parts=num_parts).to_pandas()
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    exp = (left.merge(right, on="k", how="inner")
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp[["k", "lv", "rv"]])
+    assert out["lv"].dtype == np.int64  # padded nulls must not leak float64
+
+
+def test_hash_join_left(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _join_frames()
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="left").to_pandas()
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    exp = (left.merge(right, on="k", how="left")
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    assert len(out) == len(exp) == 5
+    assert out.loc[out.k == 5, "rv"].isna().all()
+
+
+def test_hash_join_rejects_overlapping_columns(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(rd.from_pandas(df), rd.from_pandas(df.copy()), on="k")
