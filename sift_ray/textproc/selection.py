@@ -109,31 +109,37 @@ def apply_simple_size_limit(content: str, max_units: int, counting_method: str) 
 
     # tokens are [whitespace-run][word-run] units; a trailing whitespace-only
     # run is its own token (same partition the reference's char loop builds,
-    # sift.go:318-340)
-    tokens: List[str] = []
-    end = 0
-    for m in _SIMPLE_TOKEN_RE.finditer(content):
-        tokens.append(m.group())
-        end = m.end()
-    if end < len(content):
-        tokens.append(content[end:])
-
+    # sift.go:318-340). Tokenization is fused with accumulation so a long
+    # document stops scanning the moment the budget is hit — the default
+    # 2500-token path never walks the tail of a 50k-token page.
     out: List[str] = []
     current = 0
     cache: dict = {}  # token text repeats heavily; count() is pure
     cget = cache.get
     count = counter.count
-    for token in tokens:
+    end = 0
+    hit_budget = False
+    for m in _SIMPLE_TOKEN_RE.finditer(content):
+        token = m.group()
         units = cget(token)
         if units is None:
             units = count(token)
             cache[token] = units
         if current + units > max_units:
+            hit_budget = True
             break
         out.append(token)
         current += units
+        end = m.end()
         if current >= max_units:
+            hit_budget = True
             break
+    if not hit_budget and end < len(content):
+        # trailing remainder (whitespace-only run): same budget rule
+        token = content[end:]
+        units = count(token)
+        if current + units <= max_units:
+            out.append(token)
     return "".join(out).rstrip(" \t\n\r")
 
 
