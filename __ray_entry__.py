@@ -339,6 +339,36 @@ def _q_topk_customers(sf_dir: str):
     return topk_per_group(ds, "c_mktsegment", "c_acctbal", "c_custkey", k=3)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct (functions/sketch.py) vs the exact
+    distinct computed distributed — one row with both and the rel error
+    (rows-only check; the estimate is approximate by construction)."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.shuffle import partitioned_group_agg
+    from sift_ray.functions.sketch import approx_distinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    est = approx_distinct(ds, "user_id", precision=12)
+    ds2 = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"])
+    exact = partitioned_group_agg(
+        ds2, ["user_id"], [(None, "count", "_n")]).count()
+    return pd.DataFrame({
+        "approx_distinct": [float(round(est, 1))],
+        "exact_distinct": [int(exact)],
+        "rel_err": [round(abs(est - exact) / max(exact, 1), 4)],
+    })
+
+
+def _q_token_shards(sf_dir: str):
+    """Distributed ordered prefix sum: pack documents into ~5k-token
+    training shards in doc_id order (functions/sharding.py)."""
+    from sift_ray.functions.sharding import token_shards
+    return token_shards(_docs(sf_dir, ["doc_id", "text"]), shard_tokens=5000)
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Distributed hash join (general two-big-sides join; Ray Data has no
     join API — see shuffle.hash_join): every order row joined with its
@@ -433,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_nation": _q_customers_per_nation,
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
+        "token_shards": _q_token_shards,
+        "approx_distinct_users": _q_approx_distinct_users,
         "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -591,6 +623,22 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY c_acctbal DESC,
                                                    c_custkey) AS rank
                 FROM customer) WHERE rank <= 3
+        """,
+        "token_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ ' || chr(9) || chr(10) || chr(13) || chr(12)
+                           || chr(11) || ']+')) AS n_tokens
+                FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000
+                        AS BIGINT) AS shard_id
+            FROM t
         """,
         "orders_customer_join": """
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,

@@ -1,0 +1,97 @@
+"""Token-budget shard assignment — the distributed ordered PREFIX SUM.
+
+A training pipeline packs documents into shards of ~N tokens each, in a
+deterministic document order. That is a cumulative sum over a distributed
+dataset, which Ray Data has no primitive for; this implements the classic
+two-pass scan:
+
+1. range-partition rows by the order key (``part = doc_id // range_size``
+   — partition index increases with the key, so partitions are ordered);
+2. pass 1: per-partition token sums (tiny: one int per partition) are
+   collected and exclusive-prefix-summed on the driver — P values, not
+   corpus data;
+3. pass 2: each partition sorts its own rows by the key, cumsums locally,
+   and adds its global offset. shard_id = starting_offset // shard_tokens.
+
+Everything heavy stays distributed and vectorized; the driver handles only
+P integers. Assumes the order key is integer-valued (dense or sparse both
+work — range partitioning only needs monotonicity of part in key).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .shuffle import default_num_parts
+
+# whitespace-delimited token counting, identical to the SQL oracle's
+# len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) and to textstats
+_WORD_PATTERN = r"[^ \t\n\r\f\v]+"
+
+
+def token_shards(ds, shard_tokens: int = 100_000, text_col: str = "text",
+                 id_col: str = "doc_id", num_parts: Optional[int] = None):
+    """(doc_id, n_tokens, start_offset, shard_id) per document: documents
+    are packed into shards of ``shard_tokens`` whitespace tokens in
+    ``id_col`` order. shard_id = (exclusive prefix sum of n_tokens) //
+    shard_tokens — a document starting inside shard k belongs to shard k.
+    """
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch.column(text_col),
+                                             _WORD_PATTERN), pa.int64())
+        return pa.table({id_col: batch.column(id_col), "n_tokens": n})
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+
+    # ordered range partitioning: part increases with the key
+    max_id = counted.max(id_col)
+    P = num_parts or default_num_parts()
+    range_size = max(1, (int(max_id) + P) // P)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids // range_size).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    parted = counted.map_batches(add_part, batch_format="pyarrow")
+    parted = parted.materialize()  # consumed twice: partial sums + scan
+
+    # pass 1: per-partition sums -> driver exclusive prefix (P integers)
+    sums = {}
+    for batch in (parted.map_batches(
+            lambda t: t.select(["part", "n_tokens"])
+                       .group_by(["part"]).aggregate([("n_tokens", "sum")]),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        for p, s in zip(batch.column("part").to_pylist(),
+                        batch.column("n_tokens_sum").to_pylist()):
+            sums[p] = sums.get(p, 0) + s
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    # offsets is P integers — closure capture IS the broadcast
+
+    # pass 2: partition-local ordered cumsum + global offset
+    def scan(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        toks = tbl.column("n_tokens").to_numpy(zero_copy_only=False)
+        part = int(tbl.column("part")[0].as_py())
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        toks = toks[order]
+        start = np.cumsum(toks) - toks + np.int64(offsets.get(part, 0))
+        shard = start // np.int64(shard_tokens)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "start_offset": pa.array(start.astype(np.int64), pa.int64()),
+            "shard_id": pa.array(shard.astype(np.int64), pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(scan, batch_format="pyarrow")

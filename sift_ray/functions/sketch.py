@@ -1,0 +1,110 @@
+"""HyperLogLog approximate distinct count — the sketch operator family.
+
+Standard HLL (Flajolet et al. 2007, with the bias corrections popularized
+by the HyperLogLog-in-practice line of work): p-bit register index, rank =
+leading-zero count of the remaining 64-p bits + 1, harmonic-mean estimate
+with small-range linear counting.
+
+Distributed shape: every batch folds its rows into ONE 2^p-byte register
+row (vectorized numpy scatter-max); a second map_batches folds each BLOCK
+of register rows into one (tree combine), so the driver merges at most
+n_blocks rows of 2^p bytes — kilobytes, never corpus data. Registers are
+mergeable by elementwise max, so the result is exact over any partitioning
+of the input (the estimate itself is approximate: ~1.04/sqrt(2^p) relative
+error, ~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash64_ints(vals: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64-style avalanche of int64/uint64 values
+    (public-domain finalizer constants)."""
+    h = vals.astype(np.uint64, copy=True)
+    h += np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _hash64_any(col) -> np.ndarray:
+    """uint64 hashes for an Arrow column: ints vectorized, other types via
+    blake2b per value (strings etc.)."""
+    import hashlib
+    if pa.types.is_integer(col.type):
+        return _hash64_ints(col.to_numpy(zero_copy_only=False))
+    vals = col.to_pylist()
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
+         for v in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+def _ranks(w: np.ndarray, width: int) -> np.ndarray:
+    """rank = leading zeros of the width-bit value + 1, vectorized.
+    Highest-set-bit position via frexp: float64 keeps the top 53 bits
+    exact, which is all a highest-bit query needs."""
+    out = np.full(len(w), width + 1, dtype=np.uint8)  # w == 0 case
+    nz = w != 0
+    if nz.any():
+        _, e = np.frexp(w[nz].astype(np.float64))
+        # highest set bit index (0-based from LSB) = e - 1
+        out[nz] = (width - (e - 1)).astype(np.uint8)
+    return out
+
+
+def _fold_batch(col, p: int) -> np.ndarray:
+    """One batch -> one 2^p register array (uint8)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    h = _hash64_any(col)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits
+    rank = _ranks(w, 64 - p)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))  # linear counting
+    return float(est)
+
+
+def approx_distinct(ds, col: str, precision: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) over a Dataset via distributed HLL.
+    Relative error ~1.04/sqrt(2^precision)."""
+    p = precision
+    m = 1 << p
+
+    def fold(batch: pa.Table) -> pa.Table:
+        regs = _fold_batch(batch.column(col), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(m, dtype=np.uint8)
+        for b in batch.column("regs").to_pylist():
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.binary())})
+
+    reg_rows = (ds.map_batches(fold, batch_format="pyarrow")
+                .map_batches(combine, batch_format="pyarrow"))
+    final = np.zeros(m, dtype=np.uint8)
+    for batch in reg_rows.iter_batches(batch_size=1024,
+                                       batch_format="pyarrow"):
+        for b in batch.column("regs").to_pylist():
+            np.maximum(final, np.frombuffer(b, dtype=np.uint8), out=final)
+    return _estimate(final)

@@ -184,3 +184,47 @@ def test_hash_join_rejects_overlapping_columns(ray_session):
     df = pd.DataFrame({"k": [1], "v": [2]})
     with pytest.raises(ValueError, match="disjoint"):
         hash_join(rd.from_pandas(df), rd.from_pandas(df.copy()), on="k")
+
+
+@pytest.mark.parametrize("num_parts", [1, 5, 32])
+def test_token_shards_prefix_sum_matches_reference(ray_session, num_parts):
+    """Distributed ordered prefix sum == a sequential scan, for any
+    partition count, including sparse non-contiguous ids."""
+    import ray.data as rd
+    from sift_ray.functions.sharding import token_shards
+    rng = np.random.RandomState(3)
+    ids = np.sort(rng.choice(10_000, size=400, replace=False)).astype(np.int64)
+    texts = [" ".join(["w"] * int(k)) for k in rng.randint(0, 50, 400)]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    out = (token_shards(rd.from_pandas(df), shard_tokens=100,
+                        num_parts=num_parts).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    toks = np.array([len(t.split()) for t in texts])
+    start = np.cumsum(toks) - toks
+    assert list(out["doc_id"]) == list(ids)
+    assert list(out["n_tokens"]) == list(toks)
+    assert list(out["start_offset"]) == list(start)
+    assert list(out["shard_id"]) == list(start // 100)
+
+
+def test_hll_approx_distinct_partition_invariant(ray_session):
+    """HLL registers merge by max, so the estimate is identical no matter
+    how the input is partitioned — and within the theoretical error."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import approx_distinct
+    n = 50_000
+    vals = np.concatenate([np.arange(n), np.arange(n // 2)])  # dups
+    one = rd.from_pandas(pd.DataFrame({"v": vals}))
+    many = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(37)
+    e1 = approx_distinct(one, "v", precision=12)
+    e2 = approx_distinct(many, "v", precision=12)
+    assert e1 == e2  # merge-exactness
+    assert abs(e1 - n) / n < 0.05
+
+
+def test_hll_string_column(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sketch import approx_distinct
+    df = pd.DataFrame({"s": [f"user-{i % 300}" for i in range(5000)]})
+    est = approx_distinct(rd.from_pandas(df), "s", precision=12)
+    assert abs(est - 300) / 300 < 0.05
