@@ -412,6 +412,14 @@ def _q_events_window(sf_dir: str):
     return tumbling_window(ds, window_s=300)
 
 
+def _q_hopping_windows(sf_dir: str):
+    import ray.data as rd
+    from sift_ray.functions.windows import hopping_window
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return hopping_window(ds, window_s=300, hop_s=60)
+
+
 def _q_session_windows(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import session_windows
@@ -459,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_bmp": _q_decode_bmp,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
+        "events_hopping_window": _q_hopping_windows,
         "pricing_summary": _q_pricing_summary,
         "customers_per_nation": _q_customers_per_nation,
         "topk_customers_per_segment": _q_topk_customers,
@@ -656,6 +665,22 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_window": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, value FROM events
+            ), w AS (
+                SELECT user_id, value,
+                       unnest(generate_series(
+                           CAST(floor((t - 300000000.0) / 60000000.0)
+                                AS BIGINT) + 1,
+                           CAST(floor(t / 60000000.0) AS BIGINT))) AS win
+                FROM e)
+            SELECT user_id, win,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM w GROUP BY user_id, win
         """,
         "events_session_windows": """
             WITH o AS (

@@ -61,6 +61,43 @@ def tumbling_window(ds, window_s: int = 300):
          ("max_value", "max", "max_value")])
 
 
+def hopping_window(ds, window_s: int = 300, hop_s: int = 60):
+    """(user_id, win, n_events, min_value, max_value) per HOPPING window:
+    window ``win`` covers [win*hop, win*hop + size). Each event explodes
+    into its size/hop covering windows (vectorized repeat of int rows —
+    values only, never wide columns), then the same combiner +
+    hash-partitioned vectorized reduction as tumbling windows."""
+    size_us = window_s * 1_000_000
+    hop_us = hop_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = _ts_us(batch.column("ts")).to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        # floor division (rounds to -inf) matches SQL floor() for t < size
+        first = (t - size_us) // hop_us + 1
+        last = t // hop_us
+        counts = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), counts)
+        # win = first[row] + position-within-row
+        offs = np.arange(len(idx)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        win = first[idx] + offs
+        return pa.table({
+            "user_id": pa.array(uid[idx], pa.int64()),
+            "win": pa.array(win.astype(np.int64), pa.int64()),
+            "value": pa.array(val[idx]),
+        })
+
+    prepared = (ds.map_batches(explode, batch_format="pyarrow")
+                .map_batches(_partial_agg, batch_format="pyarrow"))
+    return partitioned_group_agg(
+        prepared, ["user_id", "win"],
+        [("n_events", "sum", "n_events"),
+         ("min_value", "min", "min_value"),
+         ("max_value", "max", "max_value")])
+
+
 def _session_kernel(gap_us: int):
     """Partition kernel: vectorized sessionization over ALL users in the
     partition. Session assignment is invariant to the order of equal

@@ -74,9 +74,10 @@ def test_rows_only_queries_run(name, ray_session):
     q = entrymod.queries()[name]
     df = _to_df(q(SF_DIR))
     assert df is not None
-    # pair queries may legitimately be empty; others must produce rows
-    if name.startswith(("extract_", "token_", "lang_", "doc_", "chunk_")):
-        assert len(df) > 0, name
+    # every rows-only query must produce rows at sf0.01 — the testdata has
+    # planted near-duplicates, so even the sketch pair queries are
+    # non-vacuous (r1 verdict: a 0==0 check proves nothing)
+    assert len(df) > 0, name
 
 
 def test_entry_smoke(ray_session):
