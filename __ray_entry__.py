@@ -339,6 +339,15 @@ def _q_topk_customers(sf_dir: str):
     return topk_per_group(ds, "c_mktsegment", "c_acctbal", "c_custkey", k=3)
 
 
+def _q_corpus_prep(sf_dir: str):
+    """Flagship end-to-end training-corpus prep: quality filter ->
+    near-dedup -> token-budget shard packing (pipelines/corpus_prep.py),
+    value-exact against the fully composed SQL."""
+    from sift_ray.pipelines.corpus_prep import prepare_corpus
+    return prepare_corpus(_docs(sf_dir, ["doc_id", "text"]),
+                          shard_tokens=5000, k=3, threshold=0.5)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (functions/sketch.py) vs the exact
     distinct computed distributed — one row with both and the rel error
@@ -474,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
+        "corpus_prep_shards": _q_corpus_prep,
         "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -632,6 +642,75 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY c_acctbal DESC,
                                                    c_custkey) AS rank
                 FROM customer) WHERE rank <= 3
+        """,
+        "corpus_prep_shards": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS char_count,
+                       len(regexp_extract_all(text,
+                           '[^ \t\n\r\f\v]+')) AS word_count,
+                       length(regexp_replace(text,
+                           '[ \t\n\r\f\v]', '', 'g')) AS word_chars,
+                       (length(text) - length(replace(text, '#', '')))
+                           AS hash_count,
+                       (length(text) - length(replace(text, '...', ''))) // 3
+                           AS dots_count,
+                       (contains(text, ' the ') OR contains(text, ' and ')
+                        OR contains(text, ' to ')) AS has_stopword
+                FROM documents),
+            kept AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN m ON m.doc_id = d.doc_id
+                WHERE m.word_count BETWEEN 50 AND 100000
+                  AND (CASE WHEN m.word_count = 0 THEN 0.0
+                            ELSE CAST(m.word_chars AS DOUBLE) / m.word_count
+                       END) BETWEEN 3.0 AND 10.0
+                  AND CAST(m.hash_count + 3 * m.dots_count AS DOUBLE)
+                      / (CASE WHEN m.char_count = 0 THEN 1
+                              ELSE m.char_count END) < 0.1
+                  AND m.has_stopword),
+            words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM kept),
+            pos AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM pos),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams
+                       GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS isect
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            dropped AS (
+                SELECT DISTINCT i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE CAST(i.isect AS DOUBLE)
+                      / (ca.n + cb.n - i.isect) >= 0.5),
+            ded AS (
+                SELECT doc_id, text FROM kept
+                WHERE doc_id NOT IN (SELECT doc_b FROM dropped)),
+            t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[^ \t\n\r\f\v]+')) AS n_tokens
+                FROM ded)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_offset,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000
+                        AS BIGINT) AS shard_id
+            FROM t
         """,
         "token_shards": """
             WITH t AS (
