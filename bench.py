@@ -129,8 +129,9 @@ def run_bench() -> dict:
         "doc_stats", "exact_dedup", "minhash_lsh_pairs",
         "simhash_pairs", "ngram_jaccard_pairs", "cosine_topk",
         "events_tumbling_window", "events_session_windows",
-        "embedding_near_dup_lsh", "token_counts", "pricing_summary",
-        "customers_per_nation")
+        "events_hopping_window", "embedding_near_dup_lsh",
+        "orders_customer_join", "token_shards", "corpus_prep_shards",
+        "token_counts", "pricing_summary", "customers_per_nation")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

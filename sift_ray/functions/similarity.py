@@ -348,11 +348,6 @@ def embedding_near_dup_exact(ds, threshold: float = 0.95,
     ids_arr = np.asarray(ids, dtype=np.int64)[order]
     mat = _normalize(np.asarray(vecs, dtype=np.float64)[order])
     sims = mat @ mat.T
-    out = []
-    n = len(ids_arr)
-    for i in range(n):
-        for j in range(i + 1, n):
-            if sims[i, j] >= threshold:
-                out.append((int(ids_arr[i]), int(ids_arr[j])))
-    return pd.DataFrame(out, columns=["vec_a", "vec_b"]).astype(
+    ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+    return pd.DataFrame({"vec_a": ids_arr[ai], "vec_b": ids_arr[bj]}).astype(
         {"vec_a": "int64", "vec_b": "int64"})

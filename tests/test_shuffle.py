@@ -228,3 +228,38 @@ def test_hll_string_column(ray_session):
     df = pd.DataFrame({"s": [f"user-{i % 300}" for i in range(5000)]})
     est = approx_distinct(rd.from_pandas(df), "s", precision=12)
     assert abs(est - 300) / 300 < 0.05
+
+
+def test_near_dedup_docs_no_pairs_keeps_everything(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import near_dedup_docs
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["alpha beta gamma delta words one",
+                                "totally different content here two"]})
+    out = near_dedup_docs(rd.from_pandas(df), k=3, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_token_shards_single_doc(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sharding import token_shards
+    df = pd.DataFrame({"doc_id": [0], "text": ["one two three"]})
+    out = token_shards(rd.from_pandas(df), shard_tokens=10).to_pandas()
+    assert out.iloc[0].to_dict() == {"doc_id": 0, "n_tokens": 3,
+                                     "start_offset": 0, "shard_id": 0}
+
+
+def test_corpus_prep_composition(ray_session):
+    """quality-rejected and near-dup docs are gone; survivors are packed."""
+    import ray.data as rd
+    from sift_ray.pipelines.corpus_prep import prepare_corpus
+    good = ("the quick brown fox jumps over the lazy dog and then runs to "
+            "the barn where it finds food and water to enjoy all day ") * 3
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [good, good + " extra tail words here", "too short"],
+    })
+    out = prepare_corpus(rd.from_pandas(df), shard_tokens=50).to_pandas()
+    # doc 3 fails quality (min 50 words); doc 2 is a near-dup of doc 1
+    assert list(out["doc_id"]) == [1]
+    assert out.iloc[0]["start_offset"] == 0
