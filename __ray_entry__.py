@@ -339,6 +339,47 @@ def _q_topk_customers(sf_dir: str):
     return topk_per_group(ds, "c_mktsegment", "c_acctbal", "c_custkey", k=3)
 
 
+def _q_approx_distinct_by_priority(sf_dir: str):
+    """Per-group HLL (sketch.approx_distinct_by) vs the exact per-group
+    distinct — 5 rows with rel_err columns (rows-only: estimates)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from sift_ray.functions.sketch import approx_distinct_by
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_custkey"])
+    approx = approx_distinct_by(ds, "o_orderpriority", "o_custkey",
+                                precision=12).to_pandas()
+
+    # exact: per-batch distinct-pair combiner -> distinct over (priority,
+    # custkey) via the partitioned groupby -> tiny bounded-key count
+    from sift_ray.functions.shuffle import partitioned_group_agg
+    from sift_ray.functions.sketch import _hash64_any
+
+    ds2 = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderpriority", "o_custkey"])
+
+    def keyfn(batch: pa.Table):
+        return [_hash64_any(batch.column("o_orderpriority")).astype(np.int64),
+                batch.column("o_custkey").to_numpy(zero_copy_only=False)]
+
+    pairs = partitioned_group_agg(
+        ds2, ["o_orderpriority", "o_custkey"], [(None, "count", "_n")],
+        key_arrays_fn=keyfn)
+    exact = (pairs.map_batches(
+        lambda t: t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+                   .rename_columns(["o_orderpriority", "n"]),
+        batch_format="pyarrow")
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="exact"))
+        .to_pandas())
+    out = approx.merge(exact, on="o_orderpriority")
+    out["rel_err"] = ((out["approx_distinct"] - out["exact"]).abs()
+                      / out["exact"]).round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_corpus_prep(sf_dir: str):
     """Flagship end-to-end training-corpus prep: quality filter ->
     near-dedup -> token-budget shard packing (pipelines/corpus_prep.py),
@@ -484,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
+        "approx_distinct_by_priority": _q_approx_distinct_by_priority,
         "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,

@@ -84,6 +84,59 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def approx_distinct_by(ds, key_col: str, col: str, precision: int = 10,
+                       num_parts: Optional[int] = None):
+    """Per-group approximate COUNT(DISTINCT col): Dataset of
+    (key_col, approx_distinct). Groups are co-located by ONE key-hash
+    exchange, so each partition folds its keys' registers completely —
+    no cross-partition register merge. Register memory is 2^precision
+    bytes per key; the smaller default precision (p=10, ~3.2% error)
+    keeps per-key sketches at 1 KB."""
+    from .shuffle import add_hash_partition, default_num_parts
+
+    p = precision
+    m = 1 << p
+    P = num_parts or default_num_parts()
+
+    def key_hash(batch: pa.Table):
+        return [_hash64_any(batch.column(key_col)).astype(np.int64)]
+
+    parted = add_hash_partition(ds.map_batches(
+        lambda t: t.select([key_col, col]), batch_format="pyarrow"),
+        [key_col], P, key_arrays_fn=key_hash)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy(zero_copy_only=False) \
+            if pa.types.is_integer(tbl.column(key_col).type) \
+            else np.asarray(tbl.column(key_col).to_pylist(), dtype=object)
+        h = _hash64_any(tbl.column(col))
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        h = h[order]
+        n = len(keys)
+        is_start = np.ones(n, dtype=bool)
+        if n > 1:
+            is_start[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(is_start).tolist()
+        starts.append(n)
+        out_keys, out_est = [], []
+        idx_all = (h >> np.uint64(64 - p)).astype(np.int64)
+        rank_all = _ranks((h << np.uint64(p)) >> np.uint64(p), 64 - p)
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx_all[s:e], rank_all[s:e])
+            out_keys.append(keys[s])
+            out_est.append(round(_estimate(regs), 1))
+        return pa.table({
+            key_col: pa.array([k.item() if hasattr(k, "item") else k
+                               for k in out_keys]),
+            "approx_distinct": pa.array(out_est, pa.float64()),
+        })
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
 def approx_distinct(ds, col: str, precision: int = 12) -> float:
     """Approximate COUNT(DISTINCT col) over a Dataset via distributed HLL.
     Relative error ~1.04/sqrt(2^precision)."""

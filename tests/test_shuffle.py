@@ -263,3 +263,22 @@ def test_corpus_prep_composition(ray_session):
     # doc 3 fails quality (min 50 words); doc 2 is a near-dup of doc 1
     assert list(out["doc_id"]) == [1]
     assert out.iloc[0]["start_offset"] == 0
+
+
+def test_hll_per_group_within_error(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sketch import approx_distinct_by
+    rng = np.random.RandomState(9)
+    n = 40_000
+    keys = rng.randint(0, 4, n)
+    # group g has ~1000*(g+1) distinct values
+    vals = np.array([rng.randint(0, 1000 * (k + 1)) for k in keys],
+                    dtype=np.int64)
+    df = pd.DataFrame({"grp": keys.astype(np.int64), "v": vals})
+    out = (approx_distinct_by(rd.from_pandas(df), "grp", "v", precision=12)
+           .to_pandas().set_index("grp"))
+    exact = df.groupby("grp")["v"].nunique()
+    assert len(out) == 4
+    for g in range(4):
+        err = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
+        assert err < 0.06, (g, out.loc[g, "approx_distinct"], exact[g])
