@@ -178,3 +178,34 @@ def test_cli_sift_url(server):
         capture_output=True, text=True, cwd=repo, timeout=120)
     assert r2.returncode == 1
     assert "error" in r2.stderr
+
+
+def test_fetch_rejects_untrusted_tls(tmp_path):
+    """Self-signed TLS must fail verification (the reference's TLS-verify
+    test, fetch_test.go) — stdlib HTTPSConnection verifies by default."""
+    import ssl
+    import subprocess
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    r = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1"],
+        capture_output=True)
+    if r.returncode != 0:
+        pytest.skip("openssl unavailable for cert generation")
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(str(cert), str(key))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        body, status, err, code = fetch_url(
+            f"https://127.0.0.1:{srv.server_address[1]}/ok",
+            total_timeout_s=10)
+        assert status == STATUS_FETCH_ERROR and body is None
+        assert "CERTIFICATE" in err.upper() or "SSL" in err.upper() \
+            or "certificate" in err, err
+    finally:
+        srv.shutdown()
