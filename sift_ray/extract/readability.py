@@ -100,7 +100,14 @@ class _TextIndex:
     """
 
     __slots__ = ("_buf", "_span", "_norm", "_a_starts", "_a_psum",
-                 "_a_ends", "_a_nodes")
+                 "_a_ends", "_a_nodes", "_espan", "_tag_pos",
+                 "_list_starts", "_list_psum")
+
+    # element tags _clean_conditionally counts per candidate subtree —
+    # indexed here so those counts become bisect range queries instead of
+    # per-candidate subtree walks
+    _COUNT_TAGS = ("p", "img", "li", "input", "object", "embed", "iframe",
+                   "ul", "ol")
 
     def __init__(self, root: Node):
         # ONE document-order walk assigning each node a [start, end) span
@@ -109,17 +116,27 @@ class _TextIndex:
         # <a> elements are collected in start order; their link contributions
         # become a prefix-sum array, so link(node) = range sum over the a's
         # whose span lies inside the node's span (bisect, no second pass).
+        # A parallel ELEMENT-POSITION coordinate (pre-order visit index,
+        # unique per node unlike text offsets) spans each subtree, making
+        # per-tag element counts range queries too.
         buf_parts: List[str] = []
         pos = 0
+        epos = 0
         span: dict = {}
+        espan: dict = {}
         a_nodes: List[Node] = []  # document order == start order
+        list_nodes: List[Node] = []  # ul/ol, document order
+        tag_pos: dict = {t: [] for t in self._COUNT_TAGS}
         stack = [(root, False)]
         while stack:
             node, done = stack.pop()
             if done:
                 span[id(node)] = (span[id(node)][0], pos)
+                espan[id(node)] = (espan[id(node)][0], epos)
                 continue
             nid = id(node)
+            espan[nid] = (epos, epos + 1)
+            epos += 1
             if node.type == TEXT:
                 t = node.text
                 span[nid] = (pos, pos + len(t))
@@ -127,8 +144,14 @@ class _TextIndex:
                 pos += len(t)
             else:
                 span[nid] = (pos, pos)
-                if node.type == ELEMENT and node.tag == "a":
-                    a_nodes.append(node)
+                if node.type == ELEMENT:
+                    if node.tag == "a":
+                        a_nodes.append(node)
+                    if node.tag in ("ul", "ol"):
+                        list_nodes.append(node)
+                    lst = tag_pos.get(node.tag)
+                    if lst is not None:
+                        lst.append(espan[nid][0])
                 if node.children:
                     stack.append((node, True))
                     for c in reversed(node.children):
@@ -138,6 +161,8 @@ class _TextIndex:
         buf = "".join(buf_parts)
         self._buf = buf
         self._span = span
+        self._espan = espan
+        self._tag_pos = tag_pos
         norm: dict = {}
         # link contribution per <a>, prefix-summed by start position
         starts: List[int] = []
@@ -156,6 +181,19 @@ class _TextIndex:
         self._a_psum = psum
         self._a_ends = [span[id(a)][1] for a in a_nodes]
         self._a_nodes = a_nodes
+        # ul/ol normalized-text-length prefix sums by element position:
+        # list_text_len(node) = range sum over lists inside the subtree
+        # (nested lists count per occurrence — same as the walk it replaces)
+        lstarts: List[int] = []
+        lpsum: List[int] = [0]
+        ltotal = 0
+        for ln in list_nodes:
+            s, e = span[id(ln)]
+            ltotal += len(" ".join(buf[s:e].split()))
+            lstarts.append(espan[id(ln)][0])
+            lpsum.append(ltotal)
+        self._list_starts = lstarts
+        self._list_psum = lpsum
 
     def text(self, node: Node) -> str:
         nid = id(node)
@@ -196,6 +234,34 @@ class _TextIndex:
                     p = p.parent
             i += 1
         return total
+
+    def elem_count(self, node: Node, tag: str) -> int:
+        """Number of ``tag`` elements strictly inside node's subtree
+        (excluding node itself) — bisect range query over pre-order element
+        positions. Equal to ``sum(1 for d in node.iter() if d.tag == tag)``
+        whenever node's own tag differs from ``tag``."""
+        from bisect import bisect_left, bisect_right
+        es, ee = self._espan[id(node)]
+        pos = self._tag_pos[tag]
+        return bisect_left(pos, ee) - bisect_right(pos, es)
+
+    def embed_count(self, node: Node) -> int:
+        return (self.elem_count(node, "object")
+                + self.elem_count(node, "embed")
+                + self.elem_count(node, "iframe"))
+
+    def list_text_len(self, node: Node) -> int:
+        """Sum of normalized text lengths of ul/ol elements strictly inside
+        the subtree (nested lists counted per occurrence — identical to the
+        walk-based double counting it replaces)."""
+        from bisect import bisect_left, bisect_right
+        es, ee = self._espan[id(node)]
+        lo = bisect_right(self._list_starts, es)
+        hi = bisect_left(self._list_starts, ee)
+        return self._list_psum[hi] - self._list_psum[lo]
+
+    def has_espan(self, node: Node) -> bool:
+        return id(node) in self._espan
 
     def link_density(self, node: Node) -> float:
         text_len = len(self.text(node))
@@ -538,27 +604,41 @@ class Readability:
             if text.count(",") >= 10:
                 continue
             is_list = tag in ("ul", "ol")
-            if not is_list:
-                list_text = sum(len(idx.text(lst))
-                                for t in ("ul", "ol")
-                                for lst in node.iter_elements(t))
-                total = len(text) or 1
-                is_list = list_text / total > 0.9
-            p = img = li = inputs = embeds = 0
-            for d in node.iter():
-                if d.type != ELEMENT:
-                    continue
-                t = d.tag
-                if t == "p":
-                    p += 1
-                elif t == "img":
-                    img += 1
-                elif t == "li":
-                    li += 1
-                elif t == "input":
-                    inputs += 1
-                elif t in ("object", "embed", "iframe"):
-                    embeds += 1
+            if idx.has_espan(node):
+                # bisect range queries over the prebuilt element-position
+                # index: candidate tags (table/ul/div) are never in the
+                # counted set, so excluding self matches the walk exactly
+                if not is_list:
+                    list_text = idx.list_text_len(node)
+                    total = len(text) or 1
+                    is_list = list_text / total > 0.9
+                p = idx.elem_count(node, "p")
+                img = idx.elem_count(node, "img")
+                li = idx.elem_count(node, "li")
+                inputs = idx.elem_count(node, "input")
+                embeds = idx.embed_count(node)
+            else:  # node outside the indexed tree: walk (identical result)
+                if not is_list:
+                    list_text = sum(len(idx.text(lst))
+                                    for t in ("ul", "ol")
+                                    for lst in node.iter_elements(t))
+                    total = len(text) or 1
+                    is_list = list_text / total > 0.9
+                p = img = li = inputs = embeds = 0
+                for d in node.iter():
+                    if d.type != ELEMENT:
+                        continue
+                    t = d.tag
+                    if t == "p":
+                        p += 1
+                    elif t == "img":
+                        img += 1
+                    elif t == "li":
+                        li += 1
+                    elif t == "input":
+                        inputs += 1
+                    elif t in ("object", "embed", "iframe"):
+                        embeds += 1
             li -= 100
             link_density = idx.link_density(node)
             content_length = len(text)

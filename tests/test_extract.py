@@ -185,3 +185,60 @@ def test_text_index_matches_walk_based_helpers():
             assert idx.text(node) == _inner_text(node), (trial, node.tag)
             assert idx.link_density(node) == _link_density(node), \
                 (trial, node.tag, idx.text(node))
+
+
+def test_textindex_counts_match_walks():
+    """The element-position range queries must equal subtree walks for the
+    candidate tags _clean_conditionally evaluates (index excludes self;
+    candidate tags are never in the counted set)."""
+    import random
+    from sift_ray.dom.parser import ELEMENT, parse_html
+    from sift_ray.extract.readability import _TextIndex
+
+    rng = random.Random(12)
+    tags = ["div", "p", "ul", "ol", "li", "table", "tr", "td", "img",
+            "input", "object", "embed", "iframe", "span", "a"]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return "text %d " % rng.randint(0, 9)
+        t = rng.choice(tags)
+        inner = "".join(gen(depth - 1) for _ in range(rng.randint(0, 4)))
+        return f"<{t}>{inner}</{t}>"
+
+    def walk_counts(node):
+        p = img = li = inputs = embeds = 0
+        for d in node.iter():
+            if d.type != ELEMENT:
+                continue
+            t = d.tag
+            if t == "p":
+                p += 1
+            elif t == "img":
+                img += 1
+            elif t == "li":
+                li += 1
+            elif t == "input":
+                inputs += 1
+            elif t in ("object", "embed", "iframe"):
+                embeds += 1
+        return p, img, li, inputs, embeds
+
+    checked = 0
+    for _ in range(120):
+        doc = parse_html("<html><body>" + gen(5) + "</body></html>")
+        idx = _TextIndex(doc)
+        for node in doc.iter_elements():
+            if node.tag in ("table", "ul", "div", "ol"):
+                got = (idx.elem_count(node, "p"), idx.elem_count(node, "img"),
+                       idx.elem_count(node, "li"),
+                       idx.elem_count(node, "input"), idx.embed_count(node))
+                assert got == walk_counts(node)
+                lt = idx.list_text_len(node)
+                ref = sum(len(idx.text(lst)) for t in ("ul", "ol")
+                          for lst in node.iter_elements(t))
+                if node.tag in ("ul", "ol"):
+                    ref -= len(idx.text(node))  # index excludes self
+                assert lt == ref
+                checked += 1
+    assert checked > 100
