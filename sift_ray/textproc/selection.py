@@ -99,6 +99,9 @@ def create_partial_chunk(chunk_text: str, remaining_units: int, counter,
     return ""
 
 
+_SIZE_LIMIT_COUNT_CACHE: dict = {}  # {counting_method: {token: units}}
+
+
 def apply_simple_size_limit(content: str, max_units: int, counting_method: str) -> str:
     """Truncate content to a unit budget, preserving formatting
     (applySimpleSizeLimit, sift.go:305-372). Tokenizes into units of
@@ -114,7 +117,12 @@ def apply_simple_size_limit(content: str, max_units: int, counting_method: str) 
     # 2500-token path never walks the tail of a 50k-token page.
     out: List[str] = []
     current = 0
-    cache: dict = {}  # token text repeats heavily; count() is pure
+    # token text repeats heavily ACROSS documents (corpus vocabulary), and
+    # count() is pure — cache per method at module scope (per actor),
+    # bounded like the dedup word-hash cache
+    cache = _SIZE_LIMIT_COUNT_CACHE.setdefault(counting_method, {})
+    if len(cache) > 1_000_000:
+        cache.clear()
     cget = cache.get
     count = counter.count
     end = 0
