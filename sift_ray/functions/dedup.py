@@ -604,11 +604,14 @@ class SimHashStage:
         out_doc, out_band, out_val, out_hash = [], [], [], []
         for doc_id, text in zip(ids, texts):
             h = self.simhash(text or "")
+            # two's-complement int64 keeps ALL 64 bits (a >>1 truncation
+            # would lose bit 0 and understate hamming distances by one)
+            h64 = h - (1 << 64) if h >= (1 << 63) else h
             for b in range(4):
                 out_doc.append(doc_id)
                 out_band.append(b)
                 out_val.append((h >> (16 * b)) & 0xFFFF)
-                out_hash.append(h >> 1)  # fit int64
+                out_hash.append(h64)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
             "band_id": pa.array(out_band, pa.int32()),
@@ -640,7 +643,10 @@ def _simhash_partition_pairs(max_hamming: int, max_bucket: int):
                 for j in range(i + 1, len(sub)):
                     if sub[i][0] == sub[j][0]:
                         continue
-                    dist = bin(sub[i][1] ^ sub[j][1]).count("1")
+                    # mask to 64 bits: XOR of negative (two's-complement)
+                    # python ints sign-extends infinitely
+                    dist = bin((sub[i][1] ^ sub[j][1])
+                               & 0xFFFFFFFFFFFFFFFF).count("1")
                     if dist <= max_hamming:
                         out.add((sub[i][0], sub[j][0], dist))
         if not out:

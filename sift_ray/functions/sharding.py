@@ -45,10 +45,21 @@ def token_shards(ds, shard_tokens: int = 100_000, text_col: str = "text",
                                              _WORD_PATTERN), pa.int64())
         return pa.table({id_col: batch.column(id_col), "n_tokens": n})
 
-    counted = ds.map_batches(count_tokens, batch_format="pyarrow")
+    # materialize the (id, count) int rows ONCE: they feed the max, the
+    # partial-sum pass, and the scan — a lazy dataset would re-execute the
+    # whole upstream lineage (read + count) for each
+    counted = ds.map_batches(count_tokens,
+                             batch_format="pyarrow").materialize()
 
     # ordered range partitioning: part increases with the key
     max_id = counted.max(id_col)
+    if max_id is None:  # empty input: no rows to shard (typed empty result)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "start_offset": pa.array([], pa.int64()),
+            "shard_id": pa.array([], pa.int64())}))
     P = num_parts or default_num_parts()
     range_size = max(1, (int(max_id) + P) // P)
 
@@ -58,7 +69,6 @@ def token_shards(ds, shard_tokens: int = 100_000, text_col: str = "text",
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     parted = counted.map_batches(add_part, batch_format="pyarrow")
-    parted = parted.materialize()  # consumed twice: partial sums + scan
 
     # pass 1: per-partition sums -> driver exclusive prefix (P integers)
     sums = {}

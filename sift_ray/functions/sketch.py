@@ -48,12 +48,19 @@ def _hash64_any(col) -> np.ndarray:
 
 def _ranks(w: np.ndarray, width: int) -> np.ndarray:
     """rank = leading zeros of the width-bit value + 1, vectorized.
-    Highest-set-bit position via frexp: float64 keeps the top 53 bits
-    exact, which is all a highest-bit query needs."""
+    Highest-set-bit position via frexp, with a correction for the one
+    float64-rounding hazard: a value just below a power of two (> 53
+    significant bits) can round UP across the boundary, overstating the
+    exponent by one — detected exactly with an integer shift check."""
     out = np.full(len(w), width + 1, dtype=np.uint8)  # w == 0 case
     nz = w != 0
     if nz.any():
-        _, e = np.frexp(w[nz].astype(np.float64))
+        wn = w[nz]
+        _, e = np.frexp(wn.astype(np.float64))
+        e = e.astype(np.int64)
+        # exact check: the claimed highest bit must actually be set
+        over = (wn >> (e - 1).astype(np.uint64)) == 0
+        e = np.where(over, e - 1, e)
         # highest set bit index (0-based from LSB) = e - 1
         out[nz] = (width - (e - 1)).astype(np.uint8)
     return out

@@ -34,7 +34,12 @@ def prepare_corpus(ds, shard_tokens: int = 5000, k: int = 3,
         metrics = quality_filter_batch(batch, text_col=text_col)
         return batch.filter(metrics.column("keep"))
 
-    kept = ds.map_batches(keep_rows, batch_format="pyarrow")
+    # materialize the filtered corpus ONCE: near-dedup consumes it three
+    # times (gram explode, candidate-count semi-join, final anti-join) and
+    # sharding once more — lazily each pass would re-run the read + filter.
+    # The object store spills as needed; a petabyte run would checkpoint
+    # this stage to parquet instead (run_extract_job's manifest pattern).
+    kept = ds.map_batches(keep_rows, batch_format="pyarrow").materialize()
     deduped = near_dedup_docs(kept, k=k, threshold=threshold,
                               text_col=text_col, id_col=id_col,
                               num_parts=num_parts)

@@ -87,8 +87,11 @@ def fetch_url(url: str, max_bytes: int = MAX_HTTP_BYTES,
                 resp = conn.getresponse()  # response-header phase
                 if resp.status in _REDIRECT_CODES:
                     loc = resp.getheader("Location")
+                    if not loc:
+                        return None, STATUS_HTTP_ERROR, \
+                            "redirect without Location header", resp.status
                     seen += 1
-                    if not loc or seen > MAX_REDIRECTS:
+                    if seen > MAX_REDIRECTS:
                         return None, STATUS_HTTP_ERROR, \
                             "too many redirects", resp.status
                     current = urljoin(current, loc)

@@ -47,6 +47,17 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/chunked-big":
+            # no Content-Length: the read-loop byte cap is the only guard
+            self.protocol_version = "HTTP/1.0"
+            self.send_response(200)
+            self.end_headers()
+            chunk = b"y" * (1 << 16)
+            for _ in range(40):  # 2.5 MB streamed
+                try:
+                    self.wfile.write(chunk)
+                except BrokenPipeError:
+                    return
         elif self.path == "/slow":
             time.sleep(3)
             self.send_response(200)
@@ -60,6 +71,9 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/loop":
             self.send_response(302)
             self.send_header("Location", "/loop")
+            self.end_headers()
+        elif self.path == "/redirect-nolocation":
+            self.send_response(302)
             self.end_headers()
 
 
@@ -93,6 +107,21 @@ def test_fetch_body_cap_enforced_during_read(server):
     body, status, err, code = fetch_url(server + "/big-body",
                                         max_bytes=1024 * 1024)
     assert status == STATUS_OVERSIZE and body is None
+
+
+def test_fetch_read_loop_cap_without_content_length(server):
+    # streamed body with NO Content-Length header: only the during-read
+    # cap (fetch.go:42-52 mirror) can stop it
+    body, status, err, code = fetch_url(server + "/chunked-big",
+                                        max_bytes=1024 * 1024)
+    assert status == STATUS_OVERSIZE and body is None
+    assert "exceeds" in err
+
+
+def test_fetch_redirect_missing_location(server):
+    body, status, err, code = fetch_url(server + "/redirect-nolocation")
+    assert status == STATUS_HTTP_ERROR
+    assert "Location" in err
 
 
 def test_fetch_total_timeout(server):

@@ -282,3 +282,50 @@ def test_hll_per_group_within_error(ray_session):
     for g in range(4):
         err = abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g]
         assert err < 0.06, (g, out.loc[g, "approx_distinct"], exact[g])
+
+
+def test_token_shards_empty_input(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sharding import token_shards
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                       "text": pd.Series([], dtype="object")})
+    out = token_shards(rd.from_pandas(df), shard_tokens=100)
+    # (Ray's to_pandas drops columns for any empty dataset; the schema is
+    # the API contract here)
+    assert out.schema().names == ["doc_id", "n_tokens", "start_offset",
+                                  "shard_id"]
+    assert out.count() == 0
+
+
+def test_simhash_hamming_uses_all_64_bits(ray_session):
+    """A pair differing ONLY in low bits (incl. bit 0) must carry the full
+    hamming distance (regression: h >> 1 truncation lost bit 0)."""
+    import pyarrow as pa
+    from sift_ray.functions.dedup import SimHashStage, _simhash_partition_pairs
+    import pandas as pd
+    h_a = SimHashStage.simhash("alpha beta gamma")
+    # craft rows directly: same bands 1-3, differ in bits 0 and 5 of band 0
+    h_b = h_a ^ 0b100001
+    def rows(doc, h):
+        h64 = h - (1 << 64) if h >= (1 << 63) else h
+        return [{"doc_id": doc, "band_id": b,
+                 "band_val": (h >> (16 * b)) & 0xFFFF, "simhash": h64,
+                 "part": 0} for b in range(4)]
+    pdf = pd.DataFrame(rows(1, h_a) + rows(2, h_b))
+    out = _simhash_partition_pairs(max_hamming=3, max_bucket=200)(pdf)
+    # distance is exactly 2 (bits 0 and 5) — kept, with the true distance
+    assert list(out.itertuples(index=False)) == [(1, 2, 2)]
+    out2 = _simhash_partition_pairs(max_hamming=1, max_bucket=200)(pdf)
+    assert len(out2) == 0  # true distance 2 > 1: bit 0 must count
+
+
+def test_hll_ranks_power_of_two_rounding():
+    import numpy as np
+    from sift_ray.functions.sketch import _ranks
+    # values just below a power of two with >53 significant bits round UP
+    # in float64; the exact shift check must correct the exponent
+    for width in (54, 60, 64):
+        w = np.array([(1 << width) - 1, 1 << (width - 1), 1, 0],
+                     dtype=np.uint64)
+        got = _ranks(w, width)
+        assert list(got) == [1, 1, width, width + 1], (width, list(got))
