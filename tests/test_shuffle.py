@@ -329,3 +329,18 @@ def test_hll_ranks_power_of_two_rounding():
                      dtype=np.uint64)
         got = _ranks(w, width)
         assert list(got) == [1, 1, width, width + 1], (width, list(got))
+
+
+@pytest.mark.parametrize("opname", ["exact_dedup", "dedup_docs",
+                                    "near_dedup_docs", "minhash_lsh_pairs",
+                                    "simhash_pairs", "ngram_jaccard_pairs"])
+def test_dedup_family_empty_input(ray_session, opname):
+    """A junk shard where everything was filtered out upstream must flow
+    through every dedup operator as an empty result, never a crash."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions import dedup
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    out = getattr(dedup, opname)(ds)
+    assert out.count() == 0
