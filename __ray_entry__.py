@@ -440,6 +440,38 @@ def _q_orders_customer_join(sf_dir: str):
     return hash_join(orders, cust, on="custkey", how="inner")
 
 
+def _q_events_asof_join(sf_dir: str):
+    """Distributed backward AS-OF join (shuffle.asof_join): every event is
+    enriched with the value of the user's most recent HIGH event (value >=
+    0.9) at or before it — checked value-exact against DuckDB's native
+    ASOF JOIN."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t": pc.cast(ts, pa.int64()),
+                         "value": batch.column("value")})
+
+    left = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "value"]).map_batches(
+        to_us, batch_format="pyarrow")
+    right = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+             .map_batches(to_us, batch_format="pyarrow")
+             .map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"), 0.9))
+                   .rename_columns(["user_id", "t", "last_high_value"]),
+        batch_format="pyarrow"))
+    return asof_join(left, right, key="user_id", ts="t",
+                     value_col="last_high_value")
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 1/16 content-hash sample (md5 hex starts with '0') —
     the reproducible sampling primitive for eval-split carving."""
@@ -522,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_nation": _q_customers_per_nation,
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
+        "events_asof_join": _q_events_asof_join,
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
@@ -769,6 +802,14 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000
                         AS BIGINT) AS shard_id
             FROM t
+        """,
+        "events_asof_join": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+            hi AS (SELECT user_id, t, value AS last_high_value
+                   FROM e WHERE value >= 0.9)
+            SELECT e.user_id, e.t, e.value, hi.last_high_value
+            FROM e ASOF LEFT JOIN hi
+              ON e.user_id = hi.user_id AND e.t >= hi.t
         """,
         "orders_customer_join": """
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,

@@ -105,6 +105,16 @@ def partitioned_group_agg(ds, key_cols: List[str], aggs: List[AggSpec],
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
+def _as_pa_type(t):
+    """Dataset.schema() yields numpy dtypes for pandas-born blocks."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()  # object dtype: strings in practice
+
+
 def hash_join(left, right, on: str, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
@@ -151,19 +161,12 @@ def hash_join(left, right, on: str, how: str = "inner",
             return t
         return fn
 
-    def _pa_type(t):
-        """Dataset.schema() yields numpy dtypes for pandas-born blocks."""
-        if isinstance(t, pa.DataType):
-            return t
-        try:
-            return pa.from_numpy_dtype(np.dtype(t))
-        except (TypeError, pa.ArrowNotImplementedError):
-            return pa.string()  # object dtype: strings in practice
-
     l_schema = left.schema()
     r_schema = right.schema()
-    l_types = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: _as_pa_type(t)
+               for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: _as_pa_type(t)
+               for n, t in zip(r_schema.names, r_schema.types)}
     order = [on] + lc + rc + ["_side"]
     left_t = left_t.map_batches(pad(rc, [r_types[c] for c in rc]),
                                 batch_format="pyarrow") \
@@ -186,5 +189,88 @@ def hash_join(left, right, on: str, how: str = "inner",
         out = ldf.merge(rdf, on=on, how=how)
         return pa.Table.from_pandas(out[[on] + lc + rc],
                                     preserve_index=False)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def asof_join(left, right, key: str, ts: str, value_col: str,
+              num_parts: Optional[int] = None):
+    """Distributed backward AS-OF join: for each left row, the ``value_col``
+    of the LATEST right row of the same ``key`` with right.ts <= left.ts
+    (null if none) — the time-series enrichment join Ray Data lacks.
+
+    Shape: tag + union + ONE key-hash exchange (each row moves once); the
+    per-partition kernel lexsorts by (key, ts, side) with right rows
+    ordered before left rows at equal timestamps (ties match, per ASOF
+    semantics) and resolves every left row with one vectorized
+    forward-fill (maximum.accumulate) — no per-key Python loop.
+    Output: all left columns + ``value_col``. Both ts columns must be
+    int-comparable (cast timestamps to epoch int64 upstream)."""
+    import pandas as pd
+
+    P = num_parts or default_num_parts()
+    lcols = [c for c in left.schema().names]
+    if value_col in lcols:
+        raise ValueError(f"value_col {value_col!r} collides with a left "
+                         f"column")
+
+    left_t = left.map_batches(
+        lambda t: t.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    right_t = right.map_batches(
+        lambda t: t.select([key, ts, value_col]).append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+
+    # schema-align: left gains a null value_col; right gains left's extras
+    r_schema = right.schema()
+    vtype = _as_pa_type(dict(zip(r_schema.names, r_schema.types))[value_col])
+    l_schema = left.schema()
+    extra = [c for c in lcols if c not in (key, ts)]
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    order_cols = [key, ts, *extra, value_col, "_side"]
+    left_t = left_t.map_batches(
+        lambda t: t.append_column(value_col, pa.nulls(t.num_rows, vtype))
+                   .select(order_cols), batch_format="pyarrow")
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        for c in extra:
+            t = t.append_column(c, pa.nulls(t.num_rows, _as_pa_type(l_types[c])))
+        return t.select(order_cols)
+    right_t = right_t.map_batches(pad_right, batch_format="pyarrow")
+
+    parted = add_hash_partition(left_t.union(right_t), [key], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        t = tbl.column(ts).to_numpy(zero_copy_only=False)
+        side = tbl.column("_side").to_numpy(zero_copy_only=False)
+        n = len(k)
+        order = np.lexsort((side, t, k))  # right (0) before left at tie
+        ks = k[order]
+        sides = side[order]
+        # forward-fill index of the last right row within each key run
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = ks[1:] != ks[:-1]
+        ridx = np.where(sides == 0, np.arange(n), -1)
+        last_r = np.maximum.accumulate(ridx)
+        # last_r may point into a previous key: invalidate those
+        seg_start = np.maximum.accumulate(np.where(new_key, np.arange(n),
+                                                   -1))
+        valid = last_r >= seg_start
+        lmask = sides == 1
+        lrows = order[lmask]
+        match = np.where(valid[lmask], last_r[lmask], -1)
+        vals = tbl.column(value_col).take(
+            pa.array(np.where(match >= 0, order[np.maximum(match, 0)], 0),
+                     pa.int64()))
+        keep_null = pa.array(match < 0)
+        import pyarrow.compute as pc
+        vals = pc.if_else(keep_null, pa.nulls(len(lrows), vtype), vals)
+        out = tbl.take(pa.array(lrows, pa.int64()))
+        out = out.drop_columns([value_col, "_side", "part"])
+        return out.append_column(value_col, vals)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

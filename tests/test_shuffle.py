@@ -344,3 +344,39 @@ def test_dedup_family_empty_input(ray_session, opname):
                                  "text": pa.array([], pa.string())}))
     out = getattr(dedup, opname)(ds)
     assert out.count() == 0
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_asof_join_backward_semantics(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "t": [5, 10, 20, 7, 8, 1],
+        "x": [50, 51, 52, 53, 54, 55],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2, 9],
+        "t": [5, 15, 9, 1],          # k=1 t=5 ties a left row (must match)
+        "v": [100, 200, 300, 999],
+    })
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key="k", ts="t", value_col="v",
+                     num_parts=num_parts).to_pandas()
+           .sort_values(["k", "t"]).reset_index(drop=True))
+    assert list(out["x"]) == [50, 51, 52, 53, 54, 55]  # all left rows kept
+    got = list(out["v"])
+    # k=1: t=5 ties right t=5 -> 100; t=10 -> 100; t=20 -> 200
+    # k=2: t=7,8 both before right t=9 -> null; k=3: no right -> null
+    assert got[0] == 100 and got[1] == 100 and got[2] == 200
+    assert pd.isna(got[3]) and pd.isna(got[4]) and pd.isna(got[5])
+
+
+def test_asof_join_latest_of_equal_ts_rights(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+    left = pd.DataFrame({"k": [1], "t": [10], "x": [0]})
+    right = pd.DataFrame({"k": [1, 1], "t": [10, 3], "v": [7, 5]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", ts="t", value_col="v").to_pandas()
+    assert list(out["v"]) == [7]  # the t=10 tie wins over t=3
