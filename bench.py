@@ -152,7 +152,8 @@ def run_bench() -> dict:
         "simhash_pairs", "ngram_jaccard_pairs", "cosine_topk",
         "events_tumbling_window", "events_session_windows",
         "events_hopping_window", "embedding_near_dup_lsh",
-        "orders_customer_join", "token_shards", "corpus_prep_shards",
+        "orders_customer_join", "events_asof_join", "token_shards",
+        "corpus_prep_shards",
         "token_counts", "pricing_summary", "customers_per_nation")
     for name in table_ops:
         q = entrymod.queries()[name]
