@@ -96,19 +96,40 @@ def dedup_docs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
                     text_col: str = "text", id_col: str = "doc_id",
-                    num_parts: Optional[int] = None):
+                    num_parts: Optional[int] = None,
+                    max_df: Optional[int] = None,
+                    broadcast_limit: int = 2_000_000):
     """Materialize the NEAR-deduplicated docs table: drop the higher-id side
     of every n-gram-Jaccard pair >= threshold (greedy keep-lowest rule, the
     standard web-corpus policy).
 
-    The drop-id set is pair-proportional (bounded by the duplicate rate),
-    so broadcasting it for a map-side anti-join is the scale-correct move —
-    unlike the keep-set of exact dedup, which is corpus-sized."""
+    Two anti-join strategies, switched on the measured pair count:
+    * pairs <= broadcast_limit: collect the drop-id set (ints only) and
+      broadcast it for a map-side filter — zero shuffle of doc rows, the
+      right call when duplicates are rare.
+    * pairs > broadcast_limit (a web corpus at 30-50% dup rate has O(corpus)
+      drop ids — a driver set would be the anti-pattern): distributed
+      anti-join (shuffle.hash_join how="anti"): docs and drop-ids co-locate
+      by one id-hash exchange, each partition filters locally in Arrow.
+    """
     import pyarrow.compute as pc
+
+    from .shuffle import hash_join
 
     pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
                                 text_col=text_col, id_col=id_col,
-                                num_parts=num_parts).materialize()
+                                num_parts=num_parts,
+                                max_df=max_df).materialize()
+    n_pairs = pairs.count()
+    if n_pairs > broadcast_limit:
+        drop_ids = partitioned_group_agg(
+            pairs, ["doc_b"], [(None, "count", "_n")],
+            num_parts=num_parts).map_batches(
+            lambda t: t.select(["doc_b"]).rename_columns([id_col]),
+            batch_format="pyarrow").materialize()
+        return hash_join(ds, drop_ids, on=id_col, how="anti",
+                         num_parts=num_parts)
+
     drop: set = set()
     for batch in pairs.iter_batches(batch_size=65536,
                                     batch_format="pyarrow"):
@@ -179,36 +200,74 @@ def _empty_pairs_df(extra: Optional[Dict[str, str]] = None):
     return pd.DataFrame(cols)
 
 
-def _bucket_pair_counts(grams: np.ndarray, docs: np.ndarray):
-    """Count co-occurring (doc_a < doc_b) pairs over gram buckets.
-    Returns DataFrame (doc_a, doc_b, isect)."""
+_NGRAM_ROWS_SCHEMA = pa.schema([
+    ("kind", pa.int8()),      # 0 = pair partial, 1 = per-doc capped count
+    ("doc_a", pa.int64()),    # kind 1: the doc id
+    ("doc_b", pa.int64()),    # kind 1: unused (0)
+    ("isect", pa.int64()),    # kind 1: n grams of doc_a in capped buckets
+    ("n_a", pa.int64()),      # doc_a's TOTAL distinct gram count (kind 0)
+    ("n_b", pa.int64()),      # doc_b's TOTAL distinct gram count (kind 0)
+])
+
+
+def _bucket_pair_counts(grams: np.ndarray, docs: np.ndarray,
+                        ndoc: np.ndarray, max_df: Optional[int]) -> pa.Table:
+    """Count co-occurring (doc_a < doc_b) pairs over gram buckets; each pair
+    row carries the docs' total distinct-gram counts (a per-doc constant
+    shipped on the exploded rows, so no later join/broadcast is needed).
+    With ``max_df`` set, buckets larger than max_df emit no pairs (the
+    hot-gram cap); instead each member doc gets a kind-1 row counting its
+    capped grams in this partition, so denominators can be adjusted to the
+    df-filtered vocabulary downstream. Returns _NGRAM_ROWS_SCHEMA rows."""
     from collections import Counter
     from itertools import combinations
-
-    import pandas as pd
 
     order = np.lexsort((docs, grams))
     g = grams[order]
     d = docs[order]
+    nd = ndoc[order]
     n = len(g)
     starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]).tolist()
     starts.append(n)
     d_list = d.tolist()  # python-loop counting: pair-instance volume is
     # Sum C(bucket,2); tuple-key Counter updates run at ~1M/s and avoid
     # large gather/scatter arrays (pathologically slow on some hosts)
+    nmap = dict(zip(d_list, nd.tolist()))
     counter: Counter = Counter()
+    capped: Counter = Counter()
     for bi in range(len(starts) - 1):
         s, e = starts[bi], starts[bi + 1]
-        if e - s >= 2:
-            counter.update(combinations(d_list[s:e], 2))
-    if not counter:
-        return _empty_pairs_df({"isect": "int64"})
+        sz = e - s
+        if sz < 2:
+            continue
+        if max_df is not None and sz > max_df:
+            # hot gram: C(sz,2) pair instances would be quadratic — count
+            # one int per member doc instead (linear)
+            for doc in d_list[s:e]:
+                capped[doc] += 1
+            continue
+        counter.update(combinations(d_list[s:e], 2))
+    n_p = len(counter)
+    n_c = len(capped)
+    kind = np.concatenate([np.zeros(n_p, np.int8), np.ones(n_c, np.int8)])
     pairs = list(counter.keys())
-    return pd.DataFrame({
-        "doc_a": pd.Series([p[0] for p in pairs], dtype="int64"),
-        "doc_b": pd.Series([p[1] for p in pairs], dtype="int64"),
-        "isect": pd.Series(list(counter.values()), dtype="int64"),
-    })
+    pa_ = np.fromiter((p[0] for p in pairs), np.int64, n_p)
+    pb_ = np.fromiter((p[1] for p in pairs), np.int64, n_p)
+    cd_ = np.fromiter(capped.keys(), np.int64, n_c)
+    return pa.Table.from_arrays([
+        pa.array(kind, pa.int8()),
+        pa.array(np.concatenate([pa_, cd_]), pa.int64()),
+        pa.array(np.concatenate([pb_, np.zeros(n_c, np.int64)]), pa.int64()),
+        pa.array(np.concatenate([
+            np.fromiter(counter.values(), np.int64, n_p),
+            np.fromiter(capped.values(), np.int64, n_c)]), pa.int64()),
+        pa.array(np.concatenate([
+            np.fromiter((nmap[a] for a in pa_), np.int64, n_p),
+            np.zeros(n_c, np.int64)]), pa.int64()),
+        pa.array(np.concatenate([
+            np.fromiter((nmap[b] for b in pb_), np.int64, n_p),
+            np.zeros(n_c, np.int64)]), pa.int64()),
+    ], schema=_NGRAM_ROWS_SCHEMA)
 
 
 class MinHashStage:
@@ -294,36 +353,19 @@ def _distinct_pairs(pairs_ds, extra_agg=None):
     return out
 
 
-class _JaccardVerifyStage:
-    """Verify candidate pairs with exact shingle-hash Jaccard. The broadcast
-    object holds ONLY candidate docs' shingle-hash arrays (fetched once per
-    actor) — candidate-proportional, never the corpus."""
-
-    def __init__(self, smap_ref, threshold: float):
-        import ray
-        self.smap: Dict[int, np.ndarray] = ray.get(smap_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, keep_j = [], [], []
-        empty = np.empty(0, dtype=np.uint64)
-        for a, b in zip(a_ids, b_ids):
-            sa = self.smap.get(a, empty)
-            sb = self.smap.get(b, empty)
-            isect = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - isect
-            j = isect / union if union else 0.0
-            if j >= self.threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                keep_j.append(j)
-        return pa.table({
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(keep_j, pa.float64()),
-        })
+def _dedupe_pair_rows(tbl: pa.Table) -> Tuple[np.ndarray, np.ndarray, list]:
+    """Vectorized (doc_a, doc_b) dedupe via lexsort + run boundaries.
+    Returns (a, b, keep_row_indices_list)."""
+    a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    n = len(order)
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    keep = order[first]
+    return a[keep], b[keep], keep
 
 
 def _collect_pair_ids(pairs_ds) -> set:
@@ -336,6 +378,10 @@ def _collect_pair_ids(pairs_ds) -> set:
     return ids
 
 
+_EMPTY_JACCARD = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
                       concurrency=None, text_col: str = "text",
@@ -343,15 +389,19 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       max_bucket: int = 200):
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
-    Fully distributed: band triples are hash-partitioned by bucket key and
-    pairs generated per partition; cross-band duplicates are removed by a
-    distributed (doc_a, doc_b) groupby; verification computes shingle hashes
-    map-side on only the candidate docs (broadcast id-set semi-join against
-    the docs table). Returns a Dataset of (doc_a, doc_b, jaccard >= t).
+    Fully distributed, NO driver-side shingle state: band triples are
+    hash-partitioned by bucket key and candidate pairs generated per
+    partition (locally deduped); candidate docs' shingle-hash sets are
+    computed map-side (broadcast id-set semi-join — the driver holds only
+    candidate INTS) as binary blobs; then two key-hash exchanges attach the
+    blobs to the pairs — the first keyed by doc_a (which also removes
+    cross-band duplicate pairs exactly, since all copies of (a,b) share
+    doc_a), the second keyed by doc_b with the exact-Jaccard check inlined
+    in the partition kernel. Shingle data moves at most twice, pairs move
+    twice, everything is candidate-proportional and partitioned. Returns a
+    Dataset of (doc_a, doc_b, jaccard >= t).
     """
-    import pandas as pd
     import pyarrow.compute as pc
-    import ray
     import ray.data as rd
 
     P = num_parts or default_num_parts()
@@ -364,38 +414,87 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
     partials = (add_hash_partition(triples, ["band_id", "band_hash"], P)
                 .groupby("part")
                 .map_groups(_minhash_partition_pairs(max_bucket),
-                            batch_format="pandas"))
-    pairs = _distinct_pairs(partials).materialize()
-    if pairs.count() == 0:
-        return rd.from_pandas(_empty_pairs_df({"jaccard": "float64"}))
+                            batch_format="pandas")).materialize()
+    if partials.count() == 0:
+        return rd.from_arrow(_EMPTY_JACCARD.empty_table())
 
-    # semi-join: broadcast the candidate id set, filter the docs table
-    # map-side, compute shingle hashes inside those tasks
-    needed = pa.array(sorted(_collect_pair_ids(pairs)), pa.int64())
+    # semi-join: broadcast the candidate id set (ints), filter the docs
+    # table map-side, compute shingle hashes inside those tasks
+    needed = pa.array(sorted(_collect_pair_ids(partials)), pa.int64())
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
-        hashes = [_shingle_hash_set(t or "", shingle_k)
-                  for t in sub.column(text_col).to_pylist()]
+        blobs = [_shingle_hash_set(t or "", shingle_k).tobytes()
+                 for t in sub.column(text_col).to_pylist()]
         return pa.table({
-            id_col: sub.column(id_col),
-            "shingles": pa.array([h.tolist() for h in hashes],
-                                 pa.list_(pa.uint64())),
+            "jkey": pc.cast(sub.column(id_col), pa.int64()),
+            "doc_a": pa.nulls(sub.num_rows, pa.int64()),
+            "doc_b": pa.nulls(sub.num_rows, pa.int64()),
+            "sh": pa.array(blobs, pa.binary()),
+            "_side": pa.array(np.zeros(sub.num_rows, np.int8), pa.int8()),
         })
 
-    smap: Dict[int, np.ndarray] = {}
-    for batch in (ds.map_batches(cand_shingles, batch_format="pyarrow")
-                  .iter_batches(batch_size=4096, batch_format="pyarrow")):
-        for did, sh in zip(batch.column(id_col).to_pylist(),
-                           batch.column("shingles").to_pylist()):
-            smap[did] = np.asarray(sh, dtype=np.uint64)
-    ref = ray.put(smap)
+    shingles = ds.map_batches(cand_shingles,
+                              batch_format="pyarrow").materialize()
 
-    return pairs.map_batches(
-        _JaccardVerifyStage,
-        fn_constructor_kwargs={"smap_ref": ref,
-                               "threshold": jaccard_threshold},
-        batch_format="pyarrow", concurrency=2)
+    def pair_rows_a(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "jkey": t.column("doc_a"),
+            "doc_a": t.column("doc_a"),
+            "doc_b": t.column("doc_b"),
+            "sh": pa.nulls(t.num_rows, pa.binary()),
+            "_side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+        })
+
+    def kernel_a(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("_side").to_numpy(zero_copy_only=False)
+        sh_rows = tbl.filter(pa.array(side == 0))
+        smap = dict(zip(sh_rows.column("jkey").to_pylist(),
+                        sh_rows.column("sh").to_pylist()))
+        pair_t = tbl.filter(pa.array(side == 1))
+        a, b, _ = _dedupe_pair_rows(pair_t)
+        return pa.table({
+            "jkey": pa.array(b, pa.int64()),  # next exchange keys on doc_b
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "sh": pa.array([smap.get(x, b"") for x in a.tolist()],
+                           pa.binary()),
+            "_side": pa.array(np.ones(len(a), np.int8), pa.int8()),
+        })
+
+    stage_a = (add_hash_partition(
+        partials.map_batches(pair_rows_a, batch_format="pyarrow")
+        .union(shingles), ["jkey"], P)
+        .groupby("part").map_groups(kernel_a, batch_format="pyarrow"))
+
+    def kernel_b(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("_side").to_numpy(zero_copy_only=False)
+        sh_rows = tbl.filter(pa.array(side == 0))
+        smap = dict(zip(sh_rows.column("jkey").to_pylist(),
+                        sh_rows.column("sh").to_pylist()))
+        pair_t = tbl.filter(pa.array(side == 1))
+        a = pair_t.column("doc_a").to_pylist()
+        b = pair_t.column("doc_b").to_pylist()
+        sh_a = pair_t.column("sh").to_pylist()
+        keep_a, keep_b, keep_j = [], [], []
+        for x, y, blob in zip(a, b, sh_a):
+            sa = np.frombuffer(blob or b"", dtype=np.uint64)
+            sb = np.frombuffer(smap.get(y, b""), dtype=np.uint64)
+            isect = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - isect
+            j = isect / union if union else 0.0
+            if j >= jaccard_threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                keep_j.append(j)
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(keep_j, pa.float64()),
+        })
+
+    return (add_hash_partition(stage_a.union(shingles), ["jkey"], P)
+            .groupby("part").map_groups(kernel_b, batch_format="pyarrow"))
 
 
 _GRAM_WORD_RE = None
@@ -451,8 +550,11 @@ def _distinct_gram_hashes(text: str, k: int) -> np.ndarray:
 
 
 class NgramStage:
-    """Per-batch exploded (gram, doc_id) distinct pairs — the inverted-index
-    build. Only int64 rows leave this stage, never the text."""
+    """Per-batch exploded (gram, doc_id, n_doc) distinct rows — the
+    inverted-index build. ``n_doc`` is the doc's total distinct-gram count,
+    a per-doc constant replicated onto its rows so pair kernels know both
+    Jaccard denominators locally (no second corpus pass, no driver-side
+    count dict, no join). Only int64 rows leave this stage, never text."""
 
     def __init__(self, k: int = 3, text_col: str = "text",
                  id_col: str = "doc_id"):
@@ -466,96 +568,155 @@ class NgramStage:
         per_doc = [_distinct_gram_hashes(t or "", self.k) for t in texts]
         grams = (np.concatenate(per_doc) if per_doc
                  else np.empty(0, dtype=np.uint64))
-        docs = np.repeat(np.asarray(ids, dtype=np.int64),
-                         [len(g) for g in per_doc])
+        # np.full + concatenate instead of np.repeat: memset/memcpy SIMD
+        # paths, ~100x faster than repeat's per-element gather on some hosts
+        docs = (np.concatenate(
+            [np.full(len(g), i, np.int64)
+             for i, g in zip(ids, per_doc)]) if per_doc
+            else np.empty(0, dtype=np.int64))
+        ndoc = (np.concatenate(
+            [np.full(len(g), len(g), np.int64) for g in per_doc])
+            if per_doc else np.empty(0, dtype=np.int64))
         return pa.table({
             "gram": pa.array(grams.astype(np.int64), pa.int64()),
             self.id_col: pa.array(docs, pa.int64()),
+            "n_doc": pa.array(ndoc, pa.int64()),
         })
 
 
-def _ngram_partition_counts(id_col: str):
-    """Partition kernel: exact bucket-local pair intersection counts.
-    No bucket cap — exact Jaccard must count every shared gram (that is the
-    oracle's own inverted-index CROSS JOIN shape; a production 100 TB run
-    would add stop-gram dropping, which only removes pairs the threshold
-    filter kills)."""
-    import pandas as pd
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pair_counts(pdf["gram"].to_numpy(),
-                                   pdf[id_col].to_numpy())
+def _ngram_partition_counts(id_col: str, max_df: Optional[int]):
+    """Partition kernel: exact bucket-local pair intersection counts (plus
+    per-doc capped-gram counts when ``max_df`` is set — the hot-gram cap
+    that keeps one stop-gram from producing C(df,2) pair instances in a
+    single partition)."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        return _bucket_pair_counts(
+            tbl.column("gram").to_numpy(zero_copy_only=False),
+            tbl.column(id_col).to_numpy(zero_copy_only=False),
+            tbl.column("n_doc").to_numpy(zero_copy_only=False),
+            max_df)
     return fn
 
 
 def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
                         concurrency=None, text_col: str = "text",
                         id_col: str = "doc_id",
-                        num_parts: Optional[int] = None):
+                        num_parts: Optional[int] = None,
+                        max_df: Optional[int] = None):
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= t).
 
-    Fully distributed: the inverted index (gram, doc_id) is hash-partitioned
-    by gram and partial pair-intersection counts are computed per partition;
-    a distributed (doc_a, doc_b) groupby sums partials into exact
-    intersection sizes. Per-doc distinct-gram counts are then computed
-    map-side for CANDIDATE docs only (broadcast id-set semi-join against the
-    docs table) — the driver never holds corpus-wide state.
+    Fully distributed, ONE corpus pass, zero driver-side state: the
+    inverted index (gram, doc_id, n_doc) is hash-partitioned by gram and
+    partial pair-intersection counts are computed per partition; each pair
+    partial already carries both docs' distinct-gram totals (shipped on the
+    exploded rows), so one distributed (doc_a, doc_b) groupby sums partials
+    into exact intersections and a pure map computes Jaccard. No candidate
+    collection, no broadcast, no second pass over the docs table.
+
+    ``max_df`` (the hot-gram cap — REQUIRED at web scale): grams appearing
+    in more than max_df documents are excluded from the similarity, i.e.
+    Jaccard is computed over the df-filtered gram vocabulary (standard
+    stop-gram removal; one gram shared by 1M docs would otherwise create
+    C(1M,2) pair instances in a single partition). With max_df=None the
+    result is exact full-vocabulary Jaccard (the SQL-oracle semantics).
+    Denominators are adjusted by per-doc capped-gram counts aggregated from
+    the index partitions themselves, then attached with two distributed
+    left joins — exact for the filtered vocabulary, still zero driver state.
     """
-    import pandas as pd
     import pyarrow.compute as pc
-    import ray.data as rd
+
+    from .shuffle import hash_join
 
     P = num_parts or default_num_parts()
     grams = ds.map_batches(
         NgramStage,
         fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=auto_pool(concurrency))
-    partials = (add_hash_partition(grams, ["gram"], P)
-                .groupby("part")
-                .map_groups(_ngram_partition_counts(id_col),
-                            batch_format="pandas"))
-    # candidate-pair cardinality can reach millions (every pair sharing one
-    # hot gram) — reduce with the partitioned vectorized groupby
-    inter = partitioned_group_agg(
-        partials, ["doc_a", "doc_b"],
-        [("isect", "sum", "isect")]).materialize()
+    rows = (add_hash_partition(grams, ["gram"], P)
+            .groupby("part")
+            .map_groups(_ngram_partition_counts(id_col, max_df),
+                        batch_format="pyarrow"))
+
+    def agg_pairs(pair_rows):
+        # candidate-pair cardinality can reach millions — reduce with the
+        # partitioned vectorized groupby. n_a/n_b are per-doc constants, so
+        # "min" just picks the replicated value.
+        return partitioned_group_agg(
+            pair_rows, ["doc_a", "doc_b"],
+            [("isect", "sum", "isect"),
+             ("n_a", "min", "n_a"), ("n_b", "min", "n_b")])
+
+    def jaccard_map(cols_na="n_a", cols_nb="n_b"):
+        def finish(batch: pa.Table) -> pa.Table:
+            isect = batch.column("isect").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            na = batch.column(cols_na).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            nb = batch.column(cols_nb).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            union = na + nb - isect
+            union[union == 0] = 1.0
+            jac = isect / union
+            keep = jac >= threshold
+            return pa.table({
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            })
+        return finish
+
+    if max_df is None:
+        # exact mode: no kind-1 rows exist; drop the tag and finish lazily
+        pair_rows = rows.map_batches(
+            lambda t: t.drop_columns(["kind"]), batch_format="pyarrow")
+        return agg_pairs(pair_rows).map_batches(jaccard_map(),
+                                                batch_format="pyarrow")
+
+    # capped mode: rows feed two branches — materialize the int rows once
+    rows = rows.materialize()
+    pair_rows = rows.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0))
+                   .drop_columns(["kind"]), batch_format="pyarrow")
+    capped_rows = rows.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1))
+                   .select(["doc_a", "isect"])
+                   .rename_columns(["doc_id", "v"]), batch_format="pyarrow")
+    # materialize both join inputs: hash_join consults .schema(), which
+    # would otherwise execute these all-to-all pipelines a second time
+    inter = agg_pairs(pair_rows).materialize()
+    capped = partitioned_group_agg(capped_rows, ["doc_id"],
+                                   [("v", "sum", "n_capped")]).materialize()
     if inter.count() == 0:
-        return rd.from_pandas(_empty_pairs_df({"jaccard": "float64"}))
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    if capped.count() == 0:  # nothing was capped: totals need no adjustment
+        return inter.map_batches(jaccard_map(), batch_format="pyarrow")
 
-    # semi-join: per-doc distinct-gram counts for candidate docs only
-    needed = pa.array(sorted(_collect_pair_ids(inter)), pa.int64())
+    def ren(frm, to, cnt):
+        return capped.map_batches(
+            lambda t: t.rename_columns([to, cnt]), batch_format="pyarrow")
 
-    def cand_counts(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
-        n = [len(_distinct_gram_hashes(t or "", k))
-             for t in sub.column(text_col).to_pylist()]
-        return pa.table({id_col: sub.column(id_col),
-                         "n_grams": pa.array(n, pa.int64())})
+    j1 = hash_join(inter, ren("doc_id", "doc_a", "cap_a"), on="doc_a",
+                   how="left", num_parts=P)
+    j2 = hash_join(j1, ren("doc_id", "doc_b", "cap_b"), on="doc_b",
+                   how="left", num_parts=P)
 
-    counts: Dict[int, int] = {}
-    for batch in (ds.map_batches(cand_counts, batch_format="pyarrow")
-                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
-        counts.update(zip(batch.column(id_col).to_pylist(),
-                          batch.column("n_grams").to_pylist()))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_pylist()
-        b = batch.column("doc_b").to_pylist()
-        isect = batch.column("isect").to_numpy(zero_copy_only=False).astype(
-            np.float64)
-        na = np.array([counts.get(x, 0) for x in a], dtype=np.float64)
-        nb = np.array([counts.get(x, 0) for x in b], dtype=np.float64)
-        union = na + nb - isect
-        union[union == 0] = 1.0
-        jac = isect / union
-        keep = jac >= threshold
+    def adjust(batch: pa.Table) -> pa.Table:
+        cap_a = pc.fill_null(batch.column("cap_a"), 0)
+        cap_b = pc.fill_null(batch.column("cap_b"), 0)
         return pa.table({
-            "doc_a": pa.array(np.asarray(a, dtype=np.int64)[keep], pa.int64()),
-            "doc_b": pa.array(np.asarray(b, dtype=np.int64)[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "isect": batch.column("isect"),
+            "n_a": pc.subtract(batch.column("n_a"), cap_a),
+            "n_b": pc.subtract(batch.column("n_b"), cap_b),
         })
 
-    return inter.map_batches(finish, batch_format="pyarrow")
+    return (j2.map_batches(adjust, batch_format="pyarrow")
+            .map_batches(jaccard_map(), batch_format="pyarrow"))
 
 
 def ngram_jaccard_matrix(texts: List[str], k: int = 5) -> np.ndarray:

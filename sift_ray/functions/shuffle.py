@@ -59,7 +59,10 @@ def mix64(cols: Sequence[np.ndarray]) -> np.ndarray:
     key = np.asarray(cols[0], dtype=np.int64)
     for i, c in enumerate(cols[1:], start=1):
         nxt = np.asarray(c, dtype=np.int64)
-        key = np.bitwise_xor(np.left_shift(key, np.int64(57 - 7 * i)), nxt)
+        # cycle the shift through {50, 43, ..., 1} so any key-column count
+        # stays a valid (positive, < 64) shift
+        shift = np.int64(57 - 7 * (((i - 1) % 8) + 1))
+        key = np.bitwise_xor(np.left_shift(key, shift), nxt)
     return key
 
 
@@ -131,18 +134,22 @@ def hash_join(left, right, on: str, how: str = "inner",
     one partition (document: salt hot keys upstream if a single key's rows
     exceed a worker heap).
 
-    ``how``: "inner" or "left". Non-key column names must be disjoint
-    (restrict with left_cols/right_cols).
+    ``how``: "inner", "left", or "anti" (left rows whose key has NO right
+    match — the distributed anti-join; right non-key columns are ignored).
+    Non-key column names must be disjoint (restrict with
+    left_cols/right_cols).
     """
     import pandas as pd
 
     P = num_parts or default_num_parts()
     lc = [c for c in (left_cols or left.schema().names) if c != on]
     rc = [c for c in (right_cols or right.schema().names) if c != on]
+    if how == "anti":
+        rc = []  # only the right KEYS matter for an anti-join
     overlap = set(lc) & set(rc)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "anti"):
         raise ValueError(f"unsupported how: {how}")
 
     left_t = left.map_batches(
@@ -178,17 +185,43 @@ def hash_join(left, right, on: str, how: str = "inner",
     both = left_t.union(right_t)
     parted = add_hash_partition(both, [on], P)
 
+    out_fields = [(on, l_types[on])] + [(c, l_types[c]) for c in lc] \
+        + [(c, r_types[c]) for c in rc]
+    out_schema = pa.schema(out_fields)
+
     def kernel(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         side = tbl.column("_side")
+        if how == "anti":
+            # pure-Arrow anti-join: keep left rows whose key is absent from
+            # this partition's right keys (equal keys co-locate, so the
+            # partition-local check is exact)
+            rkeys = (tbl.filter(pc.equal(side, 1)).column(on)
+                     .combine_chunks())
+            lt = tbl.filter(pc.equal(side, 0)).select([on] + lc)
+            if len(rkeys) == 0:
+                return lt
+            mask = pc.invert(pc.is_in(lt.column(on), value_set=rkeys))
+            return lt.filter(mask)
         # split sides in Arrow BEFORE pandas: the padded null columns are
         # dropped here, so dtypes survive (a combined to_pandas would turn
         # every padded int column into float64)
         ldf = tbl.filter(pc.equal(side, 0)).select([on] + lc).to_pandas()
         rdf = tbl.filter(pc.equal(side, 1)).select([on] + rc).to_pandas()
+        if how == "left":
+            # unmatched left rows null the right columns; pandas would
+            # coerce int64 -> float64 (lossy past 2^53). Nullable Int64
+            # keeps exact integers through the merge.
+            for c in rc:
+                if pa.types.is_integer(r_types[c]):
+                    rdf[c] = rdf[c].astype("Int64")
         out = ldf.merge(rdf, on=on, how=how)
-        return pa.Table.from_pandas(out[[on] + lc + rc],
-                                    preserve_index=False)
+        # rebuild against the declared schema: blocks keep identical dtypes
+        # regardless of match pattern / emptiness (from_pandas maps NaN/NA
+        # to null)
+        arrays = [pa.Array.from_pandas(out[name], type=typ)
+                  for name, typ in out_fields]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 

@@ -33,8 +33,12 @@ def _hash64_ints(vals: np.ndarray) -> np.ndarray:
 
 
 def _hash64_any(col) -> np.ndarray:
-    """uint64 hashes for an Arrow column: ints vectorized, other types via
-    blake2b per value (strings etc.)."""
+    """uint64 hashes for an Arrow column, one per row (nulls included —
+    callers that need SQL COUNT(DISTINCT) semantics must mask nulls out
+    first, see ``_null_mask``): ints vectorized, other types via blake2b
+    per value. Hashing is consistent within a column type; equal values of
+    DIFFERENT Arrow types (int 1 vs float 1.0) hash differently — pick one
+    column type upstream."""
     import hashlib
     if pa.types.is_integer(col.type):
         return _hash64_ints(col.to_numpy(zero_copy_only=False))
@@ -44,6 +48,14 @@ def _hash64_any(col) -> np.ndarray:
             hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
          for v in vals),
         dtype=np.uint64, count=len(vals))
+
+
+def _null_mask(col) -> Optional[np.ndarray]:
+    """Boolean keep-mask for non-null rows, or None when nothing is null."""
+    if col.null_count == 0:
+        return None
+    import pyarrow.compute as pc
+    return pc.is_valid(col).to_numpy(zero_copy_only=False)
 
 
 def _ranks(w: np.ndarray, width: int) -> np.ndarray:
@@ -67,10 +79,14 @@ def _ranks(w: np.ndarray, width: int) -> np.ndarray:
 
 
 def _fold_batch(col, p: int) -> np.ndarray:
-    """One batch -> one 2^p register array (uint8)."""
+    """One batch -> one 2^p register array (uint8). Nulls are dropped —
+    SQL COUNT(DISTINCT) ignores NULLs."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     h = _hash64_any(col)
+    keep = _null_mask(col)
+    if keep is not None:
+        h = h[keep]
     if len(h) == 0:
         return regs
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -117,9 +133,12 @@ def approx_distinct_by(ds, key_col: str, col: str, precision: int = 10,
             if pa.types.is_integer(tbl.column(key_col).type) \
             else np.asarray(tbl.column(key_col).to_pylist(), dtype=object)
         h = _hash64_any(tbl.column(col))
+        keep = _null_mask(tbl.column(col))
+        valid = np.ones(len(h), dtype=bool) if keep is None else keep
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         h = h[order]
+        valid = valid[order]
         n = len(keys)
         is_start = np.ones(n, dtype=bool)
         if n > 1:
@@ -132,7 +151,8 @@ def approx_distinct_by(ds, key_col: str, col: str, precision: int = 10,
         for bi in range(len(starts) - 1):
             s, e = starts[bi], starts[bi + 1]
             regs = np.zeros(m, dtype=np.uint8)
-            np.maximum.at(regs, idx_all[s:e], rank_all[s:e])
+            v = valid[s:e]  # null values don't count (SQL COUNT(DISTINCT))
+            np.maximum.at(regs, idx_all[s:e][v], rank_all[s:e][v])
             out_keys.append(keys[s])
             out_est.append(round(_estimate(regs), 1))
         return pa.table({

@@ -40,9 +40,11 @@ def add_window(batch: pa.Table, window_us: int) -> pa.Table:
 
 
 def _partial_agg(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: one row per (user_id, win)."""
+    """Per-batch combiner: one row per (user_id, win). Row count uses
+    count_all (= SQL count(*)): a null value still counts as an event;
+    min/max ignore nulls, matching SQL aggregate semantics."""
     t = batch.group_by(["user_id", "win"]).aggregate([
-        ("value", "count"), ("value", "min"), ("value", "max"),
+        ([], "count_all"), ("value", "min"), ("value", "max"),
     ])
     return t.rename_columns(["user_id", "win", "n_events", "min_value",
                              "max_value"])

@@ -126,3 +126,115 @@ def test_ngram_jaccard_custom_id_col(ray_session):
     out = ngram_jaccard_pairs(rd.from_pandas(docs), k=3, threshold=0.5,
                               id_col="page_id").to_pandas()
     assert set(zip(out["doc_a"], out["doc_b"])) == {(7, 9)}
+
+
+def test_tumbling_window_counts_null_values(ray_session):
+    """ADVICE fix: n_events must be count(*) — a null value still counts."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.windows import tumbling_window
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1], dtype=np.int64),
+        "ts": pd.to_datetime([0, 1_000_000, 2_000_000], unit="us"),
+        "value": [0.5, None, 1.5],
+    })
+    out = tumbling_window(rd.from_pandas(df), window_s=300).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_events"].iloc[0]) == 3  # null row still counted
+    assert out["min_value"].iloc[0] == 0.5    # min/max ignore nulls
+    assert out["max_value"].iloc[0] == 1.5
+
+
+def test_hll_ignores_nulls(ray_session):
+    """ADVICE fix: COUNT(DISTINCT) semantics — NULLs are not a value."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import approx_distinct, approx_distinct_by
+
+    vals = pa.array([1, 2, None, 2, None, 3], pa.int64())
+    keys = pa.array([0, 0, 0, 1, 1, 1], pa.int64())
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals}))
+    est = approx_distinct(ds, "v", precision=12)
+    assert abs(est - 3) < 0.5  # {1,2,3}, not {1,2,3,"None"}
+
+    per = (approx_distinct_by(ds, "k", "v", precision=12).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(per["k"]) == [0, 1]
+    assert abs(per["approx_distinct"].iloc[0] - 2) < 0.5  # {1,2}
+    assert abs(per["approx_distinct"].iloc[1] - 2) < 0.5  # {2,3}
+
+
+def _ref_jaccard_pairs_df_capped(texts, ids, k, threshold, max_df):
+    """Python reference: Jaccard over the df-filtered gram vocabulary."""
+    import re
+    from collections import Counter
+    gram_sets = {}
+    for i, t in zip(ids, texts):
+        w = re.findall(r"[a-z0-9]+", t.lower())
+        gram_sets[i] = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)} \
+            if len(w) >= k else set()
+    if max_df is not None:
+        df = Counter(g for s in gram_sets.values() for g in s)
+        hot = {g for g, c in df.items() if c > max_df}
+        gram_sets = {i: s - hot for i, s in gram_sets.items()}
+    out = set()
+    ids_sorted = sorted(ids)
+    for x, a in enumerate(ids_sorted):
+        for b in ids_sorted[x + 1:]:
+            u = gram_sets[a] | gram_sets[b]
+            if u and len(gram_sets[a] & gram_sets[b]) / len(u) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_max_df_matches_reference(ray_session):
+    """Capped mode = exact Jaccard over the df-filtered vocabulary."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+
+    hot = "common shared boilerplate footer text "  # grams in EVERY doc
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts, ids = [], []
+    for i in range(40):
+        body = " ".join(rng.choice(words, 12))
+        if i % 2 == 1:
+            body = texts[-1].split(hot)[-1]  # near-dup of previous doc
+            body = body + " tailword"
+        texts.append(hot + body)
+        ids.append(i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+
+    for max_df in (None, 3):
+        got = ngram_jaccard_pairs(rd.from_pandas(df), k=3, threshold=0.4,
+                                  max_df=max_df).to_pandas()
+        got_pairs = set(zip(got["doc_a"].astype(int),
+                            got["doc_b"].astype(int)))
+        exp = _ref_jaccard_pairs_df_capped(texts, ids, 3, 0.4, max_df)
+        assert got_pairs == exp, (max_df, got_pairs ^ exp)
+
+
+def test_ngram_hot_gram_cap_completes(ray_session):
+    """Planted hot-gram stress: one gram shared by EVERY doc. Uncapped this
+    is C(n,2) pair instances in one partition; with max_df it must stay
+    linear and fast."""
+    import time
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+
+    n = 4000
+    hot = "the quick brown"  # one 3-gram planted in every doc
+    texts = [f"{hot} unique{i} filler{i} word{i} tail{i}" for i in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    t0 = time.time()
+    out = ngram_jaccard_pairs(rd.from_pandas(df), k=3, threshold=0.3,
+                              max_df=100).to_pandas()
+    dt = time.time() - t0
+    # no pair shares any non-hot gram -> zero pairs under capped semantics
+    assert len(out) == 0
+    assert dt < 60, f"capped run too slow: {dt}"

@@ -380,3 +380,72 @@ def test_asof_join_latest_of_equal_ts_rights(ray_session):
     out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
                     key="k", ts="t", value_col="v").to_pandas()
     assert list(out["v"]) == [7]  # the t=10 tie wins over t=3
+
+
+def test_hash_join_left_preserves_big_int64(ray_session):
+    """ADVICE fix: unmatched left rows must not coerce right int columns to
+    float64 (lossy past 2^53) — nullable Int64 path + explicit schema."""
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    big = (1 << 62) + 12345  # not representable in float64
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "lv": np.array([10, 20, 30], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1], dtype=np.int64),
+                          "rv": np.array([big], dtype=np.int64)})
+    ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   how="left")
+    import pyarrow as pa
+    tbl = pa.concat_tables(ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    assert pa.types.is_integer(sch["rv"]), sch  # block dtype stays int64
+    rows = {k: v for k, v in zip(tbl.column("k").to_pylist(),
+                                 tbl.column("rv").to_pylist())}
+    assert rows[1] == big  # exact int64, no float rounding in the block
+    assert rows[2] is None and rows[3] is None
+
+
+def test_mix64_many_key_columns_valid_shift():
+    """ADVICE fix: >9 key columns must not produce a negative shift."""
+    cols = [np.arange(100, dtype=np.int64) + i for i in range(12)]
+    part = mix64(cols) % np.int64(8)
+    assert ((part >= 0) & (part < 8)).all()
+
+
+def test_hash_join_anti(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4, 2], dtype=np.int64),
+                         "lv": np.array([10, 20, 30, 40, 21], np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 4, 9], dtype=np.int64),
+                          "rv": ["x", "y", "z"]})
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="anti").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [1, 3]
+    assert list(out["lv"]) == [10, 30]
+    assert list(out.columns) == ["k", "lv"]  # right columns never leak
+
+
+def test_near_dedup_docs_anti_join_path_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the distributed anti-join; result must be
+    identical to the broadcast path."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import near_dedup_docs
+    base = ("the quick brown fox jumps over the lazy dog near the barn "
+            "and finds water ")
+    rows = []
+    for i in range(30):
+        if i % 3 == 2:
+            rows.append((i, rows[-1][1] + " tail"))  # near-dup of previous
+        else:
+            rows.append((i, base + f"unique{i} marker{i} words{i} here{i}"))
+    df = pd.DataFrame({"doc_id": np.array([r[0] for r in rows], np.int64),
+                       "text": [r[1] for r in rows]})
+    kw = dict(k=3, threshold=0.5)
+    a = (near_dedup_docs(rd.from_pandas(df), broadcast_limit=0, **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (near_dedup_docs(rd.from_pandas(df), **kw)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0 and len(a) < 30  # something dropped, something kept
+    pd.testing.assert_frame_equal(a, b)
