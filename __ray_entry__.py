@@ -389,6 +389,21 @@ def _q_corpus_prep(sf_dir: str):
                           shard_tokens=5000, k=3, threshold=0.5)
 
 
+def _q_corpus_prep_ckpt(sf_dir: str):
+    """Checkpointed flagship pipeline: the quality-filtered corpus is pinned
+    through the resumable parquet-manifest protocol instead of the object
+    store (pipelines/corpus_prep.py prepare_corpus_from_path) — the shape a
+    run at 100 TB uses. Same oracle SQL as corpus_prep_shards: the
+    checkpoint must not change a single value."""
+    import os
+    import tempfile
+    from sift_ray.pipelines.corpus_prep import prepare_corpus_from_path
+    ckpt = tempfile.mkdtemp(prefix="sift_corpus_ckpt_q_")
+    return prepare_corpus_from_path(
+        os.path.join(sf_dir, "documents.parquet"), ckpt,
+        shard_tokens=5000, k=3, threshold=0.5)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (functions/sketch.py) vs the exact
     distinct computed distributed — one row with both and the rel error
@@ -558,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
+        "corpus_prep_shards_ckpt": _q_corpus_prep_ckpt,
         "approx_distinct_by_priority": _q_approx_distinct_by_priority,
         "hash_sample": _q_hash_sample,
         "cosine_topk": _q_cosine_topk,
@@ -604,7 +620,7 @@ _NGRAM_CTE = """
 def oracle_sql() -> dict[str, str]:
     word_pat = r"'[^ \t\n\r\f\v]+'"
     punct_pat = r"'[!-/:-@\[-`{-~]'"
-    return {
+    d = {
         "doc_stats": f"""
             SELECT doc_id,
                    length(text) AS char_count,
@@ -891,3 +907,7 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
     }
+    # the checkpointed flagship runs the SAME composition; the oracle
+    # is identical by construction
+    d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
+    return d

@@ -265,6 +265,90 @@ def test_corpus_prep_composition(ray_session):
     assert out.iloc[0]["start_offset"] == 0
 
 
+def _corpus_prep_docs(n=24):
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    base = ("the quick brown fox jumps over the lazy dog and then runs to "
+            "the barn where it finds food and water to enjoy all day ")
+    rows = []
+    for i in range(n):
+        if i % 4 == 3:
+            rows.append((i, rows[-1][1] + " tail"))  # near-dup of previous
+        elif i % 7 == 6:
+            rows.append((i, "too short"))            # quality-rejected
+        else:
+            rows.append((i, base + " ".join(rng.choice(words, 30))))
+    return pd.DataFrame({"doc_id": np.array([r[0] for r in rows], np.int64),
+                         "text": [r[1] for r in rows]})
+
+
+def test_corpus_prep_checkpoint_matches_materialize(ray_session, tmp_path):
+    """prepare_corpus with a parquet checkpoint must be value-identical to
+    the object-store materialize path."""
+    import ray.data as rd
+    from sift_ray.pipelines.corpus_prep import prepare_corpus
+    df = _corpus_prep_docs()
+    a = (prepare_corpus(rd.from_pandas(df), shard_tokens=100)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (prepare_corpus(rd.from_pandas(df), shard_tokens=100,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_prep_from_path_resumes(ray_session, tmp_path):
+    """The resumable path: partitions commit through the manifest; a rerun
+    skips committed partitions (no data files rewritten) and a partially
+    lost manifest recomputes only the missing partition."""
+    import os
+    import ray.data as rd
+    from sift_ray.pipelines.corpus_prep import (prepare_corpus,
+                                                prepare_corpus_from_path)
+    df = _corpus_prep_docs(32)
+    src = tmp_path / "docs"
+    src.mkdir()
+    # 4 input shards -> 4 partitions at group_size=1
+    for s in range(4):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        part = df.iloc[s * 8:(s + 1) * 8]
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                       src / f"shard-{s}.parquet")
+    ckpt = tmp_path / "ckpt"
+    expected = (prepare_corpus(rd.from_pandas(df), shard_tokens=100)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    out1 = (prepare_corpus_from_path(str(src), str(ckpt), shard_tokens=100,
+                                     group_size=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, expected)
+
+    manifest_dir = ckpt / "_manifest"
+    assert len(list(manifest_dir.glob("part-*.json"))) == 4
+    mtimes = {str(p): os.path.getmtime(p)
+              for p in (ckpt).rglob("*.parquet")}
+
+    # rerun: all partitions committed -> no data file rewritten
+    out2 = (prepare_corpus_from_path(str(src), str(ckpt), shard_tokens=100,
+                                     group_size=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out2, expected)
+    assert {str(p): os.path.getmtime(p)
+            for p in (ckpt).rglob("*.parquet")} == mtimes
+
+    # lose one manifest row: ONLY that partition is recomputed
+    (manifest_dir / "part-00002.json").unlink()
+    out3 = (prepare_corpus_from_path(str(src), str(ckpt), shard_tokens=100,
+                                     group_size=1)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out3, expected)
+    changed = [str(p) for p in ckpt.rglob("*.parquet")
+               if os.path.getmtime(str(p)) != mtimes.get(str(p))]
+    assert changed and all("part-00002" in c for c in changed)
+
+
 def test_hll_per_group_within_error(ray_session):
     import ray.data as rd
     from sift_ray.functions.sketch import approx_distinct_by
