@@ -121,7 +121,8 @@ def _as_pa_type(t):
 def hash_join(left, right, on: str, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
-              right_cols: Optional[List[str]] = None):
+              right_cols: Optional[List[str]] = None,
+              salt: Optional[int] = None):
     """Distributed hash join on an int-like key — the general two-big-sides
     join Ray Data does not provide (its idiom, and this repo's
     ``relational.BroadcastLookupStage``, covers only small-side broadcast).
@@ -130,9 +131,21 @@ def hash_join(left, right, on: str, how: str = "inner",
     with nulls), unioned, hash-partitioned by the key — ONE exchange moving
     each row once — and each partition performs a local pandas merge of its
     two sides. Equal keys land in the same partition, so the join is exact;
-    results are partition-count invariant. Skewed hot keys concentrate in
-    one partition (document: salt hot keys upstream if a single key's rows
-    exceed a worker heap).
+    results are partition-count invariant.
+
+    ``salt``: hot-key mitigation. Without it a skewed key's rows all land in
+    ONE partition (a bot user_id with 50% of a CC-scale table blows that
+    worker's heap). ``salt=s`` spreads each LEFT row across s sub-partitions
+    (partition key = (key, row_salt)) and replicates each RIGHT row into all
+    s of them, so every left row still meets every right row with its key —
+    results are exactly the salt-less ones, while the hot key's left rows
+    divide over s partitions. Cost: right side moves s times — use when the
+    skewed side is the big left table and the right side is the smaller one
+    (the common enrichment shape). Left/anti joins are supported (right
+    replication preserves their semantics); the left row spread uses a
+    round-robin within each batch, which is deterministic in the ROW->salt
+    mapping only per block layout — the JOIN RESULT is layout-invariant
+    because every salt sees the full right side.
 
     ``how``: "inner", "left", or "anti" (left rows whose key has NO right
     match — the distributed anti-join; right non-key columns are ignored).
@@ -142,6 +155,8 @@ def hash_join(left, right, on: str, how: str = "inner",
     import pandas as pd
 
     P = num_parts or default_num_parts()
+    if salt is not None and salt < 2:
+        salt = None
     lc = [c for c in (left_cols or left.schema().names) if c != on]
     rc = [c for c in (right_cols or right.schema().names) if c != on]
     if how == "anti":
@@ -182,8 +197,28 @@ def hash_join(left, right, on: str, how: str = "inner",
                                   batch_format="pyarrow") \
         .map_batches(lambda t: t.select(order), batch_format="pyarrow")
 
+    if salt is not None:
+        s = int(salt)
+
+        def salt_left(t: pa.Table) -> pa.Table:
+            ids = np.arange(t.num_rows, dtype=np.int64) % s
+            return t.append_column("_salt", pa.array(ids, pa.int64()))
+
+        def salt_right(t: pa.Table) -> pa.Table:
+            # replicate each right row into every salt sub-partition
+            copies = [t.append_column(
+                "_salt", pa.array(np.full(t.num_rows, i, np.int64),
+                                  pa.int64())) for i in range(s)]
+            return pa.concat_tables(copies)
+
+        left_t = left_t.map_batches(salt_left, batch_format="pyarrow")
+        right_t = right_t.map_batches(salt_right, batch_format="pyarrow")
+        part_keys = [on, "_salt"]
+    else:
+        part_keys = [on]
+
     both = left_t.union(right_t)
-    parted = add_hash_partition(both, [on], P)
+    parted = add_hash_partition(both, part_keys, P)
 
     out_fields = [(on, l_types[on])] + [(c, l_types[c]) for c in lc] \
         + [(c, r_types[c]) for c in rc]

@@ -18,6 +18,8 @@ max / integer sums) so results are bit-reproducible and oracle-comparable.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -135,17 +137,90 @@ def _session_kernel(gap_us: int):
     return fn
 
 
-def session_windows(ds, gap_s: int = 1800):
+def _session_merge_kernel(gap_us: int):
+    """Stage-2 kernel for the pre-split path: merge each user's per-bucket
+    session summaries. Two summaries merge iff the gap between them
+    (next.start - prev.end) <= gap_us — exactly the event-level rule,
+    because a bucket holds ALL its events, so summary boundaries ARE the
+    boundary events. Vectorized interval merge over all users at once."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        s = tbl.column("start_us").to_numpy(zero_copy_only=False)
+        e = tbl.column("end_us").to_numpy(zero_copy_only=False)
+        n = tbl.column("n_events").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "start_us": pa.array([], pa.int64()),
+                             "end_us": pa.array([], pa.int64())})
+        order = np.lexsort((s, u))
+        u, s, e, n = u[order], s[order], e[order], n[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # running max of end within a user: a short interval can sit inside
+        # a longer earlier one, so compare against the furthest end seen
+        run_end = _segmented_cummax(e, new_user)
+        prev_end = np.empty_like(run_end)
+        prev_end[0] = 0
+        prev_end[1:] = run_end[:-1]
+        boundary = new_user | (s - prev_end > gap_us)
+        gsid = np.cumsum(boundary)
+        g = (pa.table({"user_id": pa.array(u, pa.int64()),
+                       "gsid": pa.array(gsid.astype(np.int64), pa.int64()),
+                       "n": pa.array(n, pa.int64()),
+                       "s": pa.array(s, pa.int64()),
+                       "e": pa.array(e, pa.int64())})
+             .group_by(["user_id", "gsid"])
+             .aggregate([("n", "sum"), ("s", "min"), ("e", "max")]))
+        # renumber 1..k per user in start order
+        gu = g.column("user_id").to_numpy(zero_copy_only=False)
+        gs = g.column("s_min").to_numpy(zero_copy_only=False)
+        o2 = np.lexsort((gs, gu))
+        gu2 = gu[o2]
+        first = np.r_[True, gu2[1:] != gu2[:-1]]
+        idx = np.arange(len(gu2))
+        sid = idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1
+        out = pa.table({
+            "user_id": pa.array(gu2, pa.int64()),
+            "session_id": pa.array(sid.astype(np.int64), pa.int64()),
+            "n_events": g.column("n_sum").take(pa.array(o2, pa.int64())),
+            "start_us": pa.array(gs[o2], pa.int64()),
+            "end_us": g.column("e_max").take(pa.array(o2, pa.int64())),
+        })
+        return out
+    return fn
+
+
+def _segmented_cummax(x: np.ndarray, restart: np.ndarray) -> np.ndarray:
+    """Cumulative max that restarts wherever ``restart`` is True (pandas
+    groupby cummax: C kernel, no int64 offset-overflow risk)."""
+    import pandas as pd
+    if len(x) == 0:
+        return x
+    return (pd.Series(x).groupby(np.cumsum(restart)).cummax()
+            .to_numpy())
+
+
+def session_windows(ds, gap_s: int = 1800, split_s: Optional[int] = None):
     """Gap-based session windows per user: (user_id, session_id, n_events,
     start_us, end_us). The ONE shuffle co-locates each user's events (hash
     partition on user_id); the per-partition kernel is a vectorized sorted
     scan over all its users at once. Sessions are numbered 1..n per user in
     time order.
 
-    Partitioning assumption at scale: a single partition's events fit in a
-    worker heap (users are hash-spread across partitions; a pathological
-    hot user would need time-range pre-splitting)."""
+    ``split_s``: hot-user mitigation. The default path assumes one
+    partition's events fit a worker heap — false when a single user (a bot)
+    is a large share of a CC-scale table, since ALL its events co-locate.
+    With ``split_s`` set, events are partitioned by (user_id, ts //
+    split_s) so a hot user's history divides into time ranges; each range
+    is sessionized locally and a second, summary-sized exchange merges
+    sessions across range boundaries with the same gap rule (exact: a
+    range holds all its events, so summary boundaries are the true boundary
+    events). Choose split_s >> gap_s (e.g. a day for a 30-min gap) so the
+    merge stage sees few summaries per user per range."""
     from .shuffle import add_hash_partition, default_num_parts
+
+    gap_us = gap_s * 1_000_000
 
     def to_us(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -153,7 +228,26 @@ def session_windows(ds, gap_s: int = 1800):
             "t": _ts_us(batch.column("ts")),
         })
     prepared = ds.map_batches(to_us, batch_format="pyarrow")
-    parted = add_hash_partition(prepared, ["user_id"], default_num_parts())
-    return (parted.groupby("part")
-            .map_groups(_session_kernel(gap_s * 1_000_000),
+    P = default_num_parts()
+    if split_s is None:
+        parted = add_hash_partition(prepared, ["user_id"], P)
+        return (parted.groupby("part")
+                .map_groups(_session_kernel(gap_us),
+                            batch_format="pyarrow"))
+
+    span_us = split_s * 1_000_000
+
+    def keys(batch: pa.Table) -> list:
+        return [batch.column("user_id").to_numpy(zero_copy_only=False),
+                batch.column("t").to_numpy(zero_copy_only=False) // span_us]
+
+    stage1 = (add_hash_partition(prepared, ["user_id", "t"], P,
+                                 key_arrays_fn=keys)
+              .groupby("part")
+              .map_groups(_session_kernel(gap_us), batch_format="pyarrow")
+              .map_batches(lambda t: t.drop_columns(["session_id"]),
+                           batch_format="pyarrow"))
+    parted2 = add_hash_partition(stage1, ["user_id"], P)
+    return (parted2.groupby("part")
+            .map_groups(_session_merge_kernel(gap_us),
                         batch_format="pyarrow"))

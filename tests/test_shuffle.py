@@ -107,6 +107,60 @@ def test_session_windows_vectorized_matches_reference(ray_session):
     pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
 
 
+def test_session_windows_split_matches_plain_with_hot_user(ray_session):
+    """Hot-user pre-split (split_s): one user owns 50% of events and
+    sessions deliberately SPAN split boundaries; the two-stage path must be
+    value-identical to the single-exchange path."""
+    import ray.data as rd
+    from sift_ray.functions.windows import session_windows
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    gap_s = 100
+    split_s = 1000  # many events cross t = k*1000s boundaries within gap
+    users = np.where(rng.rand(n) < 0.5, 0,
+                     rng.randint(1, 30, n)).astype(np.int64)
+    ts = rng.randint(0, 20_000, n).astype(np.int64) * 1_000_000
+    df = pd.DataFrame({"user_id": users,
+                       "ts": pd.to_datetime(ts, unit="us")})
+
+    plain = (session_windows(rd.from_pandas(df), gap_s=gap_s).to_pandas()
+             .sort_values(["user_id", "session_id"])
+             .reset_index(drop=True))
+    split = (session_windows(rd.from_pandas(df), gap_s=gap_s,
+                             split_s=split_s).to_pandas()
+             .sort_values(["user_id", "session_id"])
+             .reset_index(drop=True))
+    assert (plain["user_id"] == 0).sum() >= 1  # hot user produced sessions
+    pd.testing.assert_frame_equal(split.astype("int64"),
+                                  plain.astype("int64"))
+
+
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """Hot-key salting: one key owns half the left rows; salted results must
+    equal unsalted for inner, left, and anti joins."""
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+
+    rng = np.random.RandomState(13)
+    n = 3000
+    lk = np.where(rng.rand(n) < 0.5, 42,
+                  rng.randint(0, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    rk = np.arange(0, 150, dtype=np.int64)  # key 42 matches; 150..199 don't
+    right = pd.DataFrame({"k": rk, "rv": rk * 10})
+
+    for how in ("inner", "left", "anti"):
+        base = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", how=how).to_pandas()
+                .sort_values(["k", "lv"]).reset_index(drop=True))
+        salted = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            on="k", how=how, salt=8).to_pandas()
+                  .sort_values(["k", "lv"]).reset_index(drop=True))
+        assert len(base) > 0
+        pd.testing.assert_frame_equal(salted, base, check_dtype=False)
+
+
 def test_exact_dedup_keeps_min_id(ray_session):
     import ray.data as rd
     from sift_ray.functions.dedup import exact_dedup
