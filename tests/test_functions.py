@@ -128,6 +128,107 @@ def test_ngram_jaccard_custom_id_col(ray_session):
     assert set(zip(out["doc_a"], out["doc_b"])) == {(7, 9)}
 
 
+def _planted_doc_families(n_families=5, fam_size=3, n_noise=40, seed=17):
+    """Corpus with planted near-dup families: members of a family differ by
+    one appended word (shingle Jaccard ~0.95); noise docs are random word
+    soup sharing no long n-grams. Returns (df, expected_pair_set)."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    texts, ids = [], []
+    expected = set()
+    did = 0
+    for f in range(n_families):
+        base = " ".join(rng.choice(vocab, 80))
+        members = []
+        for m in range(fam_size):
+            texts.append(base + f" fam{f}tail{m}")
+            members.append(did)
+            ids.append(did)
+            did += 1
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                expected.add((a, b))
+    for _ in range(n_noise):
+        texts.append(" ".join(rng.choice(vocab, 80)))
+        ids.append(did)
+        did += 1
+    import pandas as pd
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+    return df, expected
+
+
+def test_minhash_planted_families_exact_pairs(ray_session):
+    """Not just row counts: the EXACT planted pair set must come back (the
+    ~0.95-Jaccard families are detected with prob ~1-5e-12 per pair at 16
+    bands x 4 rows; exact verification kills any chance collision)."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import minhash_lsh_pairs
+    df, expected = _planted_doc_families()
+    out = minhash_lsh_pairs(rd.from_pandas(df), jaccard_threshold=0.5,
+                            shingle_k=5).to_pandas()
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == expected, (sorted(got ^ expected))
+    assert (out["jaccard"] >= 0.5).all()
+
+
+def test_simhash_planted_families_exact_pairs(ray_session):
+    """SimHash is deterministic: one-word-different family members hash
+    within a few bits; random word soup is far. Pin the exact pair set."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import SimHashStage, simhash_pairs
+    df, expected = _planted_doc_families()
+    # keep only families whose members ARE within the hamming threshold
+    # (simhash of a short doc can flip >3 bits on a one-word change);
+    # asserting the op returns exactly the qualifying subset, no more
+    h = {i: SimHashStage.simhash(t)
+         for i, t in zip(df["doc_id"], df["text"])}
+    qualifying = {(a, b) for a, b in expected
+                  if bin(h[a] ^ h[b]).count("1") <= 3}
+    assert len(qualifying) >= 5  # fixture sanity: families are detectable
+    out = simhash_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == qualifying, (sorted(got ^ qualifying))
+
+
+def test_embedding_lsh_planted_families_exact_pairs(ray_session):
+    """Embedding LSH near-dup: planted vector families at cosine ~0.999
+    (recall ~1 across 8 tables), noise at random cosine ~N(0, 1/8). The
+    exact partition-local cosine check makes false positives impossible, so
+    the result must be exactly the planted set."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.similarity import embedding_near_dup
+    rng = np.random.RandomState(23)
+    dim = 64
+    vecs, ids = [], []
+    expected = set()
+    vid = 0
+    for f in range(5):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        members = []
+        for m in range(3):
+            v = base + 0.01 * rng.randn(dim)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            members.append(vid)
+            ids.append(vid)
+            vid += 1
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                expected.add((a, b))
+    for _ in range(40):
+        v = rng.randn(dim)
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        ids.append(vid)
+        vid += 1
+    df = pd.DataFrame({"vec_id": np.array(ids, np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = embedding_near_dup(rd.from_pandas(df), threshold=0.95,
+                             dim=dim).to_pandas()
+    got = set(zip(out["vec_a"].astype(int), out["vec_b"].astype(int)))
+    assert got == expected, (sorted(got ^ expected))
+
+
 def test_tumbling_window_counts_null_values(ray_session):
     """ADVICE fix: n_events must be count(*) — a null value still counts."""
     import pandas as pd
