@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pyarrow as pa
 
-from .shuffle import (add_hash_partition, auto_pool, default_num_parts,
+from .shuffle import (TaskStage, add_hash_partition, default_num_parts,
                       mix64, partitioned_group_agg)
 from .textstats import digest_batch
 
@@ -368,59 +368,165 @@ def _dedupe_pair_rows(tbl: pa.Table) -> Tuple[np.ndarray, np.ndarray, list]:
     return a[keep], b[keep], keep
 
 
-def _collect_pair_ids(pairs_ds) -> set:
-    """Distinct doc ids of a (small, materialized) candidate-pair Dataset."""
-    ids: set = set()
-    for batch in pairs_ds.iter_batches(batch_size=65536,
-                                       batch_format="pyarrow"):
-        ids.update(batch.column("doc_a").to_pylist())
-        ids.update(batch.column("doc_b").to_pylist())
-    return ids
+def _collect_pairs(pairs_ds) -> pa.Table:
+    """ONE driver pass over a (materialized, candidate-proportional)
+    pair Dataset: the int (doc_a, doc_b) columns as a single-chunk table.
+    Callers derive both the distinct-id broadcast set and (on the
+    broadcast verify path) the deduped pair list from it, so the Dataset
+    is never scanned twice."""
+    empty = pa.schema([("doc_a", pa.int64()),
+                       ("doc_b", pa.int64())]).empty_table()
+    return pa.concat_tables(
+        [empty] + list(pairs_ds.select_columns(["doc_a", "doc_b"])
+                       .iter_batches(batch_size=1 << 18,
+                                     batch_format="pyarrow"))
+    ).combine_chunks()
 
 
 _EMPTY_JACCARD = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("jaccard", pa.float64())])
 
 
+class _JaccardVerifyStage:
+    """Map-side exact-Jaccard verify against a broadcast candidate shingle
+    map (fetched once per actor). Used ONLY below the broadcast threshold —
+    the map is candidate-proportional and its size is bounded by the
+    caller's pair-count gate."""
+
+    def __init__(self, smap_ref, threshold: float):
+        import ray
+        self.smap: Dict[int, bytes] = ray.get(smap_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        keep_a, keep_b, keep_j = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa = np.frombuffer(self.smap.get(a, b""), dtype=np.uint64)
+            sb = np.frombuffer(self.smap.get(b, b""), dtype=np.uint64)
+            isect = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - isect
+            j = isect / union if union else 0.0
+            if j >= self.threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                keep_j.append(j)
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(keep_j, pa.float64()),
+        })
+
+
+def _minhash_verify_broadcast(ds, pairs_tbl, needed, shingle_k: int,
+                              threshold: float, text_col: str, id_col: str):
+    """Small-candidate verification: dedupe the (int) candidate pairs on
+    the driver, broadcast the candidate shingle blobs once, verify
+    map-side. Two cheap stages instead of two blob-carrying exchanges."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    a, b, _ = _dedupe_pair_rows(pairs_tbl)
+
+    def cand_sh(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
+        blobs = [_shingle_hash_set(t or "", shingle_k).tobytes()
+                 for t in sub.column(text_col).to_pylist()]
+        return pa.table({
+            "id": pc.cast(sub.column(id_col), pa.int64()),
+            "sh": pa.array(blobs, pa.binary()),
+        })
+
+    smap: Dict[int, bytes] = {}
+    for batch in (ds.map_batches(cand_sh, batch_format="pyarrow")
+                  .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        smap.update(zip(batch.column("id").to_pylist(),
+                        batch.column("sh").to_pylist()))
+    ref = ray.put(smap)
+    pairs_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(a, pa.int64()),
+        "doc_b": pa.array(b, pa.int64()),
+    }))
+    return pairs_ds.map_batches(
+        _JaccardVerifyStage,
+        fn_constructor_kwargs={"smap_ref": ref, "threshold": threshold},
+        batch_format="pyarrow", concurrency=2)
+
+
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_threshold: float = 0.5,
                       concurrency=None, text_col: str = "text",
                       id_col: str = "doc_id", num_parts: Optional[int] = None,
-                      max_bucket: int = 200):
+                      max_bucket: int = 200,
+                      broadcast_limit: int = 100_000):
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
-    Fully distributed, NO driver-side shingle state: band triples are
-    hash-partitioned by bucket key and candidate pairs generated per
-    partition (locally deduped); candidate docs' shingle-hash sets are
-    computed map-side (broadcast id-set semi-join — the driver holds only
-    candidate INTS) as binary blobs; then two key-hash exchanges attach the
-    blobs to the pairs — the first keyed by doc_a (which also removes
-    cross-band duplicate pairs exactly, since all copies of (a,b) share
-    doc_a), the second keyed by doc_b with the exact-Jaccard check inlined
-    in the partition kernel. Shingle data moves at most twice, pairs move
-    twice, everything is candidate-proportional and partitioned. Returns a
-    Dataset of (doc_a, doc_b, jaccard >= t).
+    Band triples are hash-partitioned by bucket key and candidate pairs
+    generated per partition (locally deduped); candidate docs' shingle-hash
+    sets are computed map-side (broadcast id-set semi-join — the driver
+    holds only candidate INTS) as binary blobs. Verification then takes one
+    of two shapes, switched on the measured candidate-pair count:
+
+    * pairs <= broadcast_limit: candidate pairs (ints) are deduped on the
+      driver and the candidate shingle blobs broadcast once per actor for a
+      map-side verify — two cheap stages, the right constant factor when
+      duplicates are a bounded slice of the corpus.
+    * pairs > broadcast_limit (dup-heavy web corpus — candidate state would
+      be O(corpus) on the driver): two key-hash exchanges attach the blobs
+      to the pairs — the first keyed by doc_a (which also removes
+      cross-band duplicate pairs exactly, since all copies of (a,b) share
+      doc_a), the second keyed by doc_b with the exact-Jaccard check
+      inlined in the partition kernel. Shingle data moves at most twice,
+      pairs move twice, everything is candidate-proportional and
+      partitioned — no driver-side shingle state at any point.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard >= t).
     """
     import pyarrow.compute as pc
     import ray.data as rd
 
     P = num_parts or default_num_parts()
-    triples = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k, "text_col": text_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    # plain tasks, not an actor pool: the per-process state is a cached
+    # seeded RNG (see shuffle.TaskStage) — tasks scale elastically with
+    # zero spawn ramp. An explicit ``concurrency`` still selects a pool.
+    if concurrency is None:
+        triples = ds.map_batches(
+            TaskStage(MinHashStage, num_perm=num_perm, bands=bands,
+                      shingle_k=shingle_k, text_col=text_col,
+                      id_col=id_col),
+            batch_format="pyarrow")
+    else:
+        triples = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                                   "shingle_k": shingle_k,
+                                   "text_col": text_col, "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency)
     partials = (add_hash_partition(triples, ["band_id", "band_hash"], P)
                 .groupby("part")
                 .map_groups(_minhash_partition_pairs(max_bucket),
                             batch_format="pandas")).materialize()
-    if partials.count() == 0:
+    # ONE driver pass over the (candidate-proportional, int-only) pair
+    # rows: derives the broadcast id set — both verify paths hold exactly
+    # this much driver state — and, on the broadcast path, the pair list.
+    pairs_tbl = _collect_pairs(partials)
+    n_partial = pairs_tbl.num_rows
+    if n_partial == 0:
         return rd.from_arrow(_EMPTY_JACCARD.empty_table())
 
     # semi-join: broadcast the candidate id set (ints), filter the docs
     # table map-side, compute shingle hashes inside those tasks
-    needed = pa.array(sorted(_collect_pair_ids(partials)), pa.int64())
+    needed = pa.array(np.union1d(
+        pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False),
+        pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False)),
+        pa.int64())
+
+    if n_partial <= broadcast_limit:
+        return _minhash_verify_broadcast(ds, pairs_tbl, needed, shingle_k,
+                                         jaccard_threshold, text_col,
+                                         id_col)
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
@@ -628,10 +734,18 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
     from .shuffle import hash_join
 
     P = num_parts or default_num_parts()
-    grams = ds.map_batches(
-        NgramStage,
-        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    if concurrency is None:
+        # plain tasks (per-process cached stage): zero pool-spawn ramp for
+        # a microsecond-__init__ stage — see shuffle.TaskStage
+        grams = ds.map_batches(
+            TaskStage(NgramStage, k=k, text_col=text_col, id_col=id_col),
+            batch_format="pyarrow")
+    else:
+        grams = ds.map_batches(
+            NgramStage,
+            fn_constructor_kwargs={"k": k, "text_col": text_col,
+                                   "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency)
     rows = (add_hash_partition(grams, ["gram"], P)
             .groupby("part")
             .map_groups(_ngram_partition_counts(id_col, max_df),
@@ -831,10 +945,15 @@ def simhash_pairs(ds, max_hamming: int = 3, concurrency=None,
     no driver-side pass at any point. Returns a Dataset
     (doc_a, doc_b, hamming)."""
     P = num_parts or default_num_parts()
-    sims = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs={"text_col": text_col,
-                                             "id_col": id_col},
-        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    if concurrency is None:
+        sims = ds.map_batches(
+            TaskStage(SimHashStage, text_col=text_col, id_col=id_col),
+            batch_format="pyarrow")
+    else:
+        sims = ds.map_batches(
+            SimHashStage, fn_constructor_kwargs={"text_col": text_col,
+                                                 "id_col": id_col},
+            batch_format="pyarrow", concurrency=concurrency)
     partials = (add_hash_partition(sims, ["band_id", "band_val"], P)
                 .groupby("part")
                 .map_groups(_simhash_partition_pairs(max_hamming, max_bucket),

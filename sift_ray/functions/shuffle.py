@@ -22,6 +22,7 @@ exact. Results are invariant to ``num_parts``; choose it so a partition
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -50,6 +51,33 @@ def auto_pool(concurrency):
     if concurrency is not None:
         return concurrency
     return (2, max(2, _cluster_cpus() - 2))
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_stage(cls, kw_items):
+    return cls(**dict(kw_items))
+
+
+class TaskStage:
+    """Run a callable-class stage as plain TASKS with per-worker-process
+    state caching, instead of an actor pool.
+
+    For stages whose ``__init__`` costs microseconds (a seeded RNG, a few
+    compiled params — MinHash/SimHash/Ngram/LshBucket), an actor pool buys
+    nothing: the pool spawn ramp (~cpus actors) dominates short stages and
+    drags wall-clock scaling efficiency, while tasks schedule elastically
+    on already-warm workers. The instance is built once per worker process
+    via an lru-cache keyed on (cls, kwargs); kwargs must be hashable.
+
+    Reserve real actor pools (``concurrency=N``) for stages with genuinely
+    expensive setup: model weights, large vocabularies, index builds."""
+
+    def __init__(self, cls, **kwargs):
+        self.cls = cls
+        self.kw = tuple(sorted(kwargs.items()))
+
+    def __call__(self, batch):
+        return _cached_stage(self.cls, self.kw)(batch)
 
 
 def mix64(cols: Sequence[np.ndarray]) -> np.ndarray:

@@ -214,14 +214,23 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 6,
     removed by the partitioned vectorized (vec_a, vec_b) groupby — no
     driver-side pass. Approximate recall 1-(1-p^n_planes)^n_tables per
     pair."""
-    from .shuffle import (add_hash_partition, auto_pool, default_num_parts,
+    from .shuffle import (TaskStage, add_hash_partition, default_num_parts,
                           partitioned_group_agg)
 
-    bucketed = ds.map_batches(
-        LshBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "n_tables": n_tables},
-        batch_format="pyarrow", concurrency=auto_pool(concurrency))
+    if concurrency is None:
+        # plain tasks (per-process cached stage): LshBucketStage.__init__
+        # only seeds an RNG and draws the plane matrix — see
+        # shuffle.TaskStage for why a pool loses here
+        bucketed = ds.map_batches(
+            TaskStage(LshBucketStage, dim=dim, n_planes=n_planes,
+                      n_tables=n_tables),
+            batch_format="pyarrow")
+    else:
+        bucketed = ds.map_batches(
+            LshBucketStage,
+            fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                                   "n_tables": n_tables},
+            batch_format="pyarrow", concurrency=concurrency)
     parted = add_hash_partition(bucketed, ["table_id", "bucket"],
                                 default_num_parts())
     pairs = (parted.groupby("part")

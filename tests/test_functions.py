@@ -164,11 +164,15 @@ def test_minhash_planted_families_exact_pairs(ray_session):
     import ray.data as rd
     from sift_ray.functions.dedup import minhash_lsh_pairs
     df, expected = _planted_doc_families()
-    out = minhash_lsh_pairs(rd.from_pandas(df), jaccard_threshold=0.5,
-                            shingle_k=5).to_pandas()
-    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
-    assert got == expected, (sorted(got ^ expected))
-    assert (out["jaccard"] >= 0.5).all()
+    # both verification paths: broadcast (default) and the distributed
+    # two-exchange join path (forced with broadcast_limit=0)
+    for limit in (100_000, 0):
+        out = minhash_lsh_pairs(rd.from_pandas(df), jaccard_threshold=0.5,
+                                shingle_k=5,
+                                broadcast_limit=limit).to_pandas()
+        got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+        assert got == expected, (limit, sorted(got ^ expected))
+        assert (out["jaccard"] >= 0.5).all()
 
 
 def test_simhash_planted_families_exact_pairs(ray_session):
