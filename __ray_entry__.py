@@ -54,7 +54,7 @@ def _extract_query(cfg_kwargs: dict):
         else:
             cfg = SiftConfig(**{k: v for k, v in cfg_kwargs.items()
                                 if not k.startswith("_")})
-        out = build_extract_pipeline(ds, cfg)  # concurrency auto: cpus-2
+        out = build_extract_pipeline(ds, cfg)  # default: task-based stage
         return out.select_columns(["url", "status", "extracted_md"])
     return run
 

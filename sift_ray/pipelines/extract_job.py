@@ -4,10 +4,12 @@ Streaming design notes (the 100 TB shape):
 
 * ``read_parquet(columns=["url", "html"])`` — only the two needed columns
   leave storage; ``text``/``lang`` never move.
-* One fused actor-pool ``map_batches`` (extract + sift) — the per-document
-  compute kernel; batches default to block-bounded size, so a batch's BYTE
-  footprint is capped by ``DataContext.target_max_block_size`` regardless of
-  the heavy-tail page distribution (the per-batch byte budget).
+* One fused ``map_batches`` (extract + sift) — the per-document compute
+  kernel, run as plain tasks with per-process cached state by default (see
+  ``build_extract_pipeline``); batches default to block-bounded size, so a
+  batch's BYTE footprint is capped by ``DataContext.target_max_block_size``
+  regardless of the heavy-tail page distribution (the per-batch byte
+  budget).
 * No shuffle anywhere: sift's semantics are strictly per-document
   (SURVEY.md §2.8), output is keyed by url.
 * Partition loop = checkpoint granularity: input files are grouped into
@@ -59,9 +61,26 @@ def build_extract_pipeline(ds, cfg: Optional[SiftConfig] = None,
                            max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
                            keep_markdown: bool = False):
     """pages Dataset -> extracted Dataset (url, status, error, bytes_in,
-    extracted_md [, markdown if keep_markdown]). Lazy; caller consumes."""
+    extracted_md [, markdown if keep_markdown]). Lazy; caller consumes.
+
+    Default (``concurrency=None``) runs the fused stage as plain TASKS with
+    a per-worker-process cached instance (shuffle.TaskStage): the stage's
+    setup is microseconds (frozen SiftConfig + classifier), so an actor
+    pool buys nothing and costs a spawn ramp proportional to pool size,
+    while tasks schedule elastically around the capped read tasks and use
+    every free slot (measured ~20% faster wall at both 8 and 32 cpus on
+    the 96k-page bench). Pass an explicit ``concurrency`` to pin an actor
+    pool instead (e.g. to reserve slots on a shared cluster)."""
     if concurrency is None:
-        concurrency = _default_concurrency()
+        from ..functions.shuffle import TaskStage
+        return ds.map_batches(
+            TaskStage(SiftPipelineStage, cfg=cfg,
+                      max_html_bytes=max_html_bytes,
+                      keep_markdown=keep_markdown),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
     return ds.map_batches(
         SiftPipelineStage,
         fn_constructor_kwargs={"cfg": cfg, "max_html_bytes": max_html_bytes,
