@@ -106,7 +106,10 @@ def add_hash_partition(ds, key_cols: List[str], num_parts: int,
             arrs = [batch.column(c).to_numpy(zero_copy_only=False)
                     for c in key_cols]
         part = mix64(arrs) % np.int64(num_parts)
-        return batch.append_column(
+        # drop schema-level metadata (pandas-written parquet carries a
+        # b"pandas" entry that makes pa.Schema unhashable — Ray's sort
+        # reduce then logs "Failed to hash the schemas" per task); zero-copy
+        return batch.replace_schema_metadata(None).append_column(
             "part", pa.array(part.astype(np.int64), pa.int64()))
     return ds.map_batches(add_part, batch_format="pyarrow")
 
