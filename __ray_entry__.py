@@ -501,6 +501,46 @@ def _q_hash_sample(sf_dir: str):
         sample, batch_format="pyarrow")
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Global top-100 words by corpus frequency — distributed word count
+    (per-batch combiner -> ONE word-hash exchange -> local-topk merge)."""
+    from sift_ray.functions.corpus import vocab_topk
+    return vocab_topk(_docs(sf_dir, ["doc_id", "text"]), k=100)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic downsample: keep 4/16 of 'en', 1/16 of
+    every other language, by md5(text) hex threshold — the reproducible
+    language-rebalancing primitive (zero shuffle)."""
+    from sift_ray.functions.corpus import stratified_sample
+    return stratified_sample(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                             rates={"en": "4"}, default_rate="1")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    deterministic 'benchmark' slice (doc_id % 37 == 0) are dropped; the
+    tiny benchmark gram set is computed once and matched map-side."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sift_ray.functions.corpus import decontaminate
+
+    def bench_slice(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    bench = []
+    for b in (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(bench_slice, batch_format="pyarrow")
+              .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        bench.extend(zip(b.column("doc_id").to_pylist(),
+                         b.column("text").to_pylist()))
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+    return decontaminate(ds, bench, k=4,
+                         out_cols=["doc_id", "lang", "source", "n_chars"])
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -576,6 +616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_shards_ckpt": _q_corpus_prep_ckpt,
         "approx_distinct_by_priority": _q_approx_distinct_by_priority,
         "hash_sample": _q_hash_sample,
+        "vocab_topk": _q_vocab_topk,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -835,6 +878,40 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "vocab_topk": """
+            WITH words AS (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            counted AS (
+                SELECT word, count(*) AS n FROM words
+                WHERE word <> '' GROUP BY word
+            )
+            SELECT word, n FROM counted ORDER BY n DESC, word LIMIT 100
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, md5(text) AS digest FROM documents
+            WHERE md5(text) < CASE WHEN lang = 'en' THEN '4' ELSE '1' END
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 37 = 0
+            ),
+            grams AS (
+                SELECT b.doc_id,
+                       array_to_string(b.w[i.i : i.i + 3], ' ') AS gram
+                FROM bench b, LATERAL (
+                    SELECT unnest(generate_series(1, len(b.w) - 3)) AS i
+                ) i
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM grams g
+                WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
+            )
         """,
         "events_tumbling_window": """
             SELECT user_id,

@@ -193,7 +193,8 @@ def run_bench() -> dict:
         "events_hopping_window", "embedding_near_dup_lsh",
         "orders_customer_join", "events_asof_join", "token_shards",
         "corpus_prep_shards",
-        "token_counts", "pricing_summary", "customers_per_nation")
+        "token_counts", "pricing_summary", "customers_per_nation",
+        "vocab_topk", "stratified_sample", "decontaminate")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

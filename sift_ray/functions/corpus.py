@@ -1,0 +1,162 @@
+"""Corpus-level selection operators for training-data preparation:
+vocabulary building, stratified sampling, and benchmark decontamination.
+
+These are the remaining corpus-shaping steps a web-scale LLM data pipeline
+runs between quality filtering and shard packing (alongside the dedup
+family in ``dedup.py`` and the packing in ``sharding.py``). Scale shapes:
+
+* ``vocab_topk`` — classic distributed word count: per-batch vectorized
+  value_counts (map-side combiner), ONE word-hash exchange of (word, n)
+  partial rows, pyarrow hash-agg per partition, then a per-batch local
+  top-k combiner whose candidate set (num_parts x k rows) is merged on the
+  driver. Full text never moves; only the per-batch distinct vocabulary.
+* ``stratified_sample`` — deterministic per-group downsampling by content
+  digest threshold (the standard trick for capping dominant languages):
+  pure map-side filter, zero shuffle, reproducible across runs/engines
+  because the sampling key is md5(text), not an RNG.
+* ``decontaminate`` — drop documents sharing any word k-gram with a small
+  benchmark set (eval-set leakage removal). The benchmark side is tiny by
+  construction (eval suites are thousands of documents), so its gram table
+  is broadcast once per actor and matching is map-side substring search —
+  zero shuffle of the corpus. At 10^6+ benchmark grams, swap the per-gram
+  vectorized pass for a per-actor Aho-Corasick automaton built once in
+  ``__init__``; the plumbing (broadcast + map-side filter) is unchanged.
+
+No reference analog: chriscorrea/sift has no corpus-level operators
+(SURVEY.md §2.8) — these extend the engine for the 100 TB use case.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .shuffle import default_num_parts, partitioned_group_agg
+from .textstats import digest_batch
+
+
+def _word_hash_keys(batch: pa.Table):
+    """Deterministic vectorized int64 hash of the ``word`` column for the
+    exchange (polars xxhash with a fixed seed — stable across worker
+    processes, unlike Python's salted ``hash``)."""
+    import polars as pl
+
+    h = pl.from_arrow(batch.column("word")).hash(seed=0)
+    return [h.to_numpy().view(np.int64)]
+
+
+def vocab_topk(ds, k: int = 100, text_col: str = "text",
+               num_parts: Optional[int] = None):
+    """Global top-k words by corpus frequency: (word, n), ordered by
+    n DESC, word ASC (deterministic tiebreak).
+
+    Words are whitespace-split tokens (single-space delimiter, empty
+    strings dropped — matching SQL ``string_split(text, ' ')``).
+    """
+    import pyarrow.compute as pc
+    import pandas as pd
+    import ray.data as rd
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(batch.column(text_col), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial_counts, batch_format="pyarrow")
+    counts = partitioned_group_agg(rows, ["word"], [("n", "sum", "n")],
+                                   num_parts=num_parts,
+                                   key_arrays_fn=_word_hash_keys)
+
+    # local top-k combiner: each partition's output batch emits only its
+    # own top-k, so the driver merge sees <= num_parts * k candidate rows
+    def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf.sort_values(["n", "word"],
+                               ascending=[False, True]).head(k)
+
+    cands = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = (cands.sort_values(["n", "word"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return rd.from_pandas(top)
+
+
+def stratified_sample(ds, rates: dict, default_rate: str = "1",
+                      group_col: str = "lang", text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Deterministic per-group content-hash sample: keep a row iff
+    ``md5(text) < threshold`` where the hex threshold depends on the
+    group (e.g. ``{"en": "4"}`` keeps 4/16 of English, ``default_rate="1"``
+    keeps 1/16 of everything else). Returns (id, group, digest) rows.
+
+    This is the reproducible language-rebalancing primitive: thresholds
+    are hex-string prefixes, so rates are multiples of 1/16 per character
+    (use two-char thresholds for 1/256 granularity). Zero shuffle; the
+    same rows are kept on ANY engine that computes md5, which is what
+    makes carved splits auditable."""
+    import pyarrow.compute as pc
+
+    def sample(batch: pa.Table) -> pa.Table:
+        t = digest_batch(batch, text_col)
+        dig = t.column("digest")
+        grp = t.column(group_col)
+        keep = pc.less(dig, default_rate)
+        for g, thresh in rates.items():
+            in_g = pc.equal(grp, g)
+            keep = pc.if_else(in_g, pc.less(dig, thresh), keep)
+        return t.filter(keep).select([id_col, group_col, "digest"])
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def bench_kgrams(bench_rows: Sequence[Tuple[int, str]],
+                 k: int = 4) -> List[Tuple[str, List[int]]]:
+    """All word k-grams of the benchmark docs as (gram, owner_ids),
+    distinct grams with their owning doc ids (an owner's own grams must
+    not disqualify the owner)."""
+    owners: dict = {}
+    for doc_id, text in bench_rows:
+        words = [w for w in text.split(" ") if w != ""]
+        for i in range(len(words) - k + 1):
+            g = " ".join(words[i:i + k])
+            owners.setdefault(g, set()).add(doc_id)
+    return [(g, sorted(s)) for g, s in owners.items()]
+
+
+def decontaminate(ds, bench_rows: Sequence[Tuple[int, str]], k: int = 4,
+                  id_col: str = "doc_id",
+                  out_cols: Optional[List[str]] = None):
+    """Drop documents whose text contains any word k-gram of a benchmark
+    document OTHER than itself (eval-leakage removal, the n-gram-overlap
+    rule used by web-corpus pipelines; matching is plain substring search,
+    byte-exact with SQL ``instr`` — a production rule would additionally
+    anchor word boundaries).
+
+    ``bench_rows``: (doc_id, text) of the benchmark set — small by
+    construction; its gram list is computed once on the driver and
+    captured by the map-side filter (broadcast once per task process).
+    """
+    import pyarrow.compute as pc
+
+    grams = bench_kgrams(bench_rows, k)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        ids = batch.column(id_col)
+        drop = None
+        for g, gram_owners in grams:
+            m = pc.match_substring(text, g)
+            if len(gram_owners) == 1:
+                m = pc.and_(m, pc.not_equal(ids, gram_owners[0]))
+            drop = m if drop is None else pc.or_(drop, m)
+        out = batch if drop is None else batch.filter(pc.invert(drop))
+        return out.select(out_cols) if out_cols else out
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -343,3 +343,86 @@ def test_ngram_hot_gram_cap_completes(ray_session):
     # no pair shares any non-hot gram -> zero pairs under capped semantics
     assert len(out) == 0
     assert dt < 60, f"capped run too slow: {dt}"
+
+
+# ---------------------------------------------------------------- corpus ops
+
+
+def test_vocab_topk_exact_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import vocab_topk
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b b c", "b c  c", "d a b"],  # double space -> empty token dropped
+    })
+    out = vocab_topk(rd.from_pandas(df), k=3).to_pandas()
+    # counts: b=4, c=3, a=2, d=1 -> top3 with n desc, word asc
+    assert list(zip(out["word"], out["n"])) == [("b", 4), ("c", 3), ("a", 2)]
+
+
+def test_vocab_topk_tiebreak_and_k(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import vocab_topk
+    df = pd.DataFrame({"doc_id": [1], "text": ["z y x w"]})
+    out = vocab_topk(rd.from_pandas(df), k=2).to_pandas()
+    # all tie at n=1 -> lexicographic tiebreak
+    assert list(out["word"]) == ["w", "x"]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import stratified_sample
+    rows = [(i, f"text number {i}", "en" if i % 2 == 0 else "de")
+            for i in range(400)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = stratified_sample(rd.from_pandas(df), rates={"en": "8"},
+                            default_rate="2").to_pandas()
+    # exact expected set from the same md5 rule
+    exp = set()
+    for i, t, lang in rows:
+        h = hashlib.md5(t.encode()).hexdigest()
+        if h < ("8" if lang == "en" else "2"):
+            exp.add(i)
+    assert set(out["doc_id"]) == exp
+    assert len(exp) > 0
+    # en kept at ~8/16, de at ~2/16
+    en_kept = (out["lang"] == "en").sum()
+    de_kept = (out["lang"] == "de").sum()
+    assert en_kept > de_kept
+
+
+def test_decontaminate_owner_exclusion(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import decontaminate
+    bench = [(1, "alpha beta gamma delta epsilon")]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon",      # the bench doc itself: kept
+            "xx alpha beta gamma delta yy",        # contains bench 4-gram: dropped
+            "unrelated words only here",           # kept
+            "beta gamma delta epsilon tail",       # contains shifted 4-gram: dropped
+        ],
+    })
+    out = decontaminate(rd.from_pandas(df), bench, k=4).to_pandas()
+    assert set(out["doc_id"]) == {1, 3}
+
+
+def test_decontaminate_shared_gram_drops_both_owners(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import decontaminate
+    # two bench docs share the gram -> each contains a gram owned by the
+    # OTHER, so both are dropped (matches the SQL EXISTS semantics)
+    bench = [(1, "one two three four"), (2, "one two three four")]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["one two three four", "one two three four", "clean doc"],
+    })
+    out = decontaminate(rd.from_pandas(df), bench, k=4).to_pandas()
+    assert set(out["doc_id"]) == {3}
