@@ -166,17 +166,32 @@ def doc_stats(ds) -> "object":
     return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
 
 
-def token_counts(ds, concurrency: int = 2) -> "object":
+def token_counts(ds, concurrency=None) -> "object":
+    # default: plain tasks with per-process cached stage (regex/profile
+    # setup is milliseconds — see shuffle.TaskStage); explicit concurrency
+    # pins an actor pool
+    from .shuffle import TaskStage
+    if concurrency is None:
+        return ds.map_batches(TaskStage(TokenCountStage),
+                              batch_format="pyarrow")
     return ds.map_batches(TokenCountStage, batch_format="pyarrow",
                           concurrency=concurrency)
 
 
-def lang_id(ds, concurrency: int = 2) -> "object":
+def lang_id(ds, concurrency=None) -> "object":
+    from .shuffle import TaskStage
+    if concurrency is None:
+        return ds.map_batches(TaskStage(LangIdStage),
+                              batch_format="pyarrow")
     return ds.map_batches(LangIdStage, batch_format="pyarrow",
                           concurrency=concurrency)
 
 
-def fingerprints(ds, concurrency: int = 2) -> "object":
+def fingerprints(ds, concurrency=None) -> "object":
+    from .shuffle import TaskStage
+    if concurrency is None:
+        return ds.map_batches(TaskStage(FingerprintStage),
+                              batch_format="pyarrow")
     return ds.map_batches(FingerprintStage, batch_format="pyarrow",
                           concurrency=concurrency)
 
