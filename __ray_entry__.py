@@ -541,6 +541,16 @@ def _q_decontaminate(sf_dir: str):
                          out_cols=["doc_id", "lang", "source", "n_chars"])
 
 
+def _q_per_source_cap(sf_dir: str):
+    """Per-domain document cap (keep the 10 lowest doc_ids per source) —
+    the standard web-pipeline guard against a single host dominating the
+    corpus. Distributed local-topk combiner, bounded driver merge."""
+    from sift_ray.functions.relational import topk_per_group
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return topk_per_group(ds, "source", "doc_id", "doc_id", k=10,
+                          ascending=True)
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -619,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "per_source_cap": _q_per_source_cap,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -878,6 +889,14 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "per_source_cap": """
+            SELECT doc_id, source, rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rank
+                FROM documents
+            ) WHERE rank <= 10
         """,
         "vocab_topk": """
             WITH words AS (

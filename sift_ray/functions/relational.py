@@ -65,10 +65,11 @@ class BroadcastLookupStage:
 
 
 def topk_per_group(ds, group_col: str, order_col: str, tiebreak_col: str,
-                   k: int = 3):
+                   k: int = 3, ascending: bool = False):
     """Distributed top-k per group: every batch emits only its local top-k
     per group (combiner), the driver merges the tiny candidate set. Order:
-    order_col DESC, tiebreak_col ASC — fully deterministic.
+    order_col DESC (or ASC with ``ascending=True`` — the per-domain
+    keep-earliest cap), tiebreak_col ASC — fully deterministic.
 
     At 10^12 rows the candidate set is n_batches x groups x k smalls rows;
     the final merge stays driver-sized as long as group cardinality is
@@ -77,15 +78,17 @@ def topk_per_group(ds, group_col: str, order_col: str, tiebreak_col: str,
     import pandas as pd
     import ray.data as rd
 
+    order = [True, ascending, True]
+
     def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf.sort_values([group_col, order_col, tiebreak_col],
-                            ascending=[True, False, True])
+                            ascending=order)
         return s.groupby(group_col, sort=False).head(k)
 
     cands = (ds.map_batches(local_topk, batch_format="pandas")
              .to_pandas())
     s = cands.sort_values([group_col, order_col, tiebreak_col],
-                          ascending=[True, False, True])
+                          ascending=order)
     top = s.groupby(group_col, sort=False).head(k).copy()
     top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
     return rd.from_pandas(top.reset_index(drop=True))

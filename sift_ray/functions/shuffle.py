@@ -44,15 +44,6 @@ def default_num_parts() -> int:
     return max(16, 2 * _cluster_cpus())
 
 
-def auto_pool(concurrency):
-    """Actor-pool sizing for compute-heavy explode stages: an explicit int
-    is honored; None becomes an autoscaling (2, cpus-2) pool so the stage
-    can use the whole node while leaving exchange/read tasks schedulable."""
-    if concurrency is not None:
-        return concurrency
-    return (2, max(2, _cluster_cpus() - 2))
-
-
 @functools.lru_cache(maxsize=32)
 def _cached_stage(cls, kw_items):
     return cls(**dict(kw_items))

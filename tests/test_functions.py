@@ -426,3 +426,15 @@ def test_decontaminate_shared_gram_drops_both_owners(ray_session):
     })
     out = decontaminate(rd.from_pandas(df), bench, k=4).to_pandas()
     assert set(out["doc_id"]) == {3}
+
+
+def test_topk_per_group_ascending(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.relational import topk_per_group
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "v": [5, 1, 3, 2, 9, 7, 8]})
+    out = topk_per_group(rd.from_pandas(df), "g", "v", "v", k=2,
+                         ascending=True).to_pandas()
+    got = sorted(zip(out["g"], out["v"], out["rank"]))
+    assert got == [("a", 1, 1), ("a", 2, 2), ("b", 7, 1), ("b", 8, 2)]
