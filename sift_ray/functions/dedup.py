@@ -98,10 +98,21 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_parts: Optional[int] = None,
                     max_df: Optional[int] = None,
-                    broadcast_limit: int = 2_000_000):
+                    broadcast_limit: int = 2_000_000,
+                    method: str = "ngram"):
     """Materialize the NEAR-deduplicated docs table: drop the higher-id side
-    of every n-gram-Jaccard pair >= threshold (greedy keep-lowest rule, the
+    of every near-duplicate pair >= threshold (greedy keep-lowest rule, the
     standard web-corpus policy).
+
+    ``method``: how pairs are found.
+    * ``"ngram"`` — exact n-gram Jaccard (the SQL-oracle semantics; ``k`` is
+      the word n-gram size, ``max_df`` caps hot grams).
+    * ``"minhash"`` — MinHash+LSH banding with exact-Jaccard verification
+      (``k`` is the shingle size): the scale route when exactness of the
+      candidate ENUMERATION isn't demanded — candidate generation touches
+      only banded int rows instead of the full gram index, at the cost of
+      LSH recall < 1 near the threshold. Verified pairs are exact, so
+      precision is 1 either way.
 
     Two anti-join strategies, switched on the measured pair count:
     * pairs <= broadcast_limit: collect the drop-id set (ints only) and
@@ -116,10 +127,18 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
 
     from .shuffle import hash_join
 
-    pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
-                                text_col=text_col, id_col=id_col,
-                                num_parts=num_parts,
-                                max_df=max_df).materialize()
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(ds, shingle_k=k,
+                                  jaccard_threshold=threshold,
+                                  text_col=text_col, id_col=id_col,
+                                  num_parts=num_parts).materialize()
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
+                                    text_col=text_col, id_col=id_col,
+                                    num_parts=num_parts,
+                                    max_df=max_df).materialize()
+    else:
+        raise ValueError(f"unknown near-dedup method: {method!r}")
     n_pairs = pairs.count()
     if n_pairs > broadcast_limit:
         drop_ids = partitioned_group_agg(

@@ -438,3 +438,15 @@ def test_topk_per_group_ascending(ray_session):
                          ascending=True).to_pandas()
     got = sorted(zip(out["g"], out["v"], out["rank"]))
     assert got == [("a", 1, 1), ("a", 2, 2), ("b", 7, 1), ("b", 8, 2)]
+
+
+def test_near_dedup_docs_minhash_route(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import minhash_lsh_pairs, near_dedup_docs
+    df, expected_pairs = _planted_doc_families()
+    ds = rd.from_pandas(df)
+    out = near_dedup_docs(ds, k=5, threshold=0.5,
+                          method="minhash").to_pandas()
+    # greedy keep-lowest over the verified pair set
+    drop = {b for _, b in expected_pairs}
+    assert set(out["doc_id"]) == set(df["doc_id"]) - drop
