@@ -551,6 +551,13 @@ def _q_per_source_cap(sf_dir: str):
                           ascending=True)
 
 
+def _q_word_count_quantiles(sf_dir: str):
+    """Exact corpus quantiles of per-document word count (distributed
+    histogram; driver folds only the distinct-value histogram)."""
+    from sift_ray.functions.corpus import word_count_quantiles
+    return word_count_quantiles(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -630,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "per_source_cap": _q_per_source_cap,
+        "word_count_quantiles": _q_word_count_quantiles,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -889,6 +897,20 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "word_count_quantiles": r"""
+            WITH s AS (
+                SELECT len(regexp_extract_all(text,
+                    '[^ \t\n\r\f\v]+')) AS v
+                FROM documents
+            ),
+            c AS (SELECT v, count(*) AS n FROM s GROUP BY v),
+            w AS (SELECT v, sum(n) OVER (ORDER BY v) AS cn FROM c),
+            t AS (SELECT count(*) AS total FROM s)
+            SELECT CAST(q.q AS DOUBLE) AS q, min(w.v) AS value
+            FROM w, t, (VALUES (0.25), (0.50), (0.75), (0.90)) q(q)
+            WHERE w.cn >= ceil(q.q * t.total)
+            GROUP BY q.q
         """,
         "per_source_cap": """
             SELECT doc_id, source, rank FROM (

@@ -116,6 +116,53 @@ def stratified_sample(ds, rates: dict, default_rate: str = "1",
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
+def word_count_quantiles(ds, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
+                         text_col: str = "text",
+                         num_parts: Optional[int] = None):
+    """Exact corpus quantiles of the per-document word count — the
+    calibration step behind quality-filter thresholds. Rule (deterministic,
+    discrete): the smallest value whose cumulative count >= ceil(q * n).
+
+    Scale shape: per-batch value_counts combiner (ints only), ONE
+    value-keyed exchange, pyarrow hash-agg per partition; the driver then
+    folds the (value, count) histogram — bounded by DISTINCT word counts
+    (<= max document length, ~10^5 rows at any corpus size), never by
+    corpus rows. Returns (q, value)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .textstats import _WORD_PATTERN
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        wc = pc.cast(pc.count_substring_regex(batch.column(text_col),
+                                              _WORD_PATTERN), pa.int64())
+        vc = wc.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "v": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial_counts, batch_format="pyarrow")
+    hist = (partitioned_group_agg(rows, ["v"], [("n", "sum", "n")],
+                                  num_parts=num_parts)
+            .to_pandas().sort_values("v").reset_index(drop=True))
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        need = int(np.ceil(q * total))
+        idx = int(np.searchsorted(cum, max(need, 1)))
+        out_q.append(float(q))
+        out_v.append(int(vals[min(idx, len(vals) - 1)]) if total else 0)
+    return rd.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+    }))
+
+
 def bench_kgrams(bench_rows: Sequence[Tuple[int, str]],
                  k: int = 4) -> List[Tuple[str, List[int]]]:
     """All word k-grams of the benchmark docs as (gram, owner_ids),

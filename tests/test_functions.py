@@ -450,3 +450,17 @@ def test_near_dedup_docs_minhash_route(ray_session):
     # greedy keep-lowest over the verified pair set
     drop = {b for _, b in expected_pairs}
     assert set(out["doc_id"]) == set(df["doc_id"]) - drop
+
+
+def test_word_count_quantiles_known(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import word_count_quantiles
+    # word counts: 1,2,3,...,10 (one doc each)
+    df = pd.DataFrame({"doc_id": range(10),
+                       "text": [" ".join(["w"] * (i + 1)) for i in range(10)]})
+    out = word_count_quantiles(rd.from_pandas(df),
+                               qs=(0.1, 0.5, 1.0)).to_pandas()
+    got = dict(zip(out["q"], out["value"]))
+    # smallest v with cumcount >= ceil(q*10): q=0.1 -> 1, q=0.5 -> 5, q=1.0 -> 10
+    assert got == {0.1: 1, 0.5: 5, 1.0: 10}
