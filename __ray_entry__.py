@@ -551,6 +551,15 @@ def _q_per_source_cap(sf_dir: str):
                           ascending=True)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Transitive near-dup clustering: every doc with the min doc_id of
+    its connected component under n-gram Jaccard >= 0.5 (distributed
+    min-label propagation over the pair graph; singletons own cluster)."""
+    from sift_ray.functions.dedup import dup_clusters
+    return dup_clusters(_docs(sf_dir, ["doc_id", "text"]), k=3,
+                        threshold=0.5)
+
+
 def _q_word_count_quantiles(sf_dir: str):
     """Exact corpus quantiles of per-document word count (distributed
     histogram; driver folds only the distinct-value histogram)."""
@@ -638,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "per_source_cap": _q_per_source_cap,
         "word_count_quantiles": _q_word_count_quantiles,
+        "dup_clusters": _q_dup_clusters,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -897,6 +907,34 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "dup_clusters": _NGRAM_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
+            ,
+            jpairs AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE CAST(i.isect AS DOUBLE)
+                      / (ca.n + cb.n - i.isect) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION
+                SELECT doc_b, doc_a FROM jpairs
+            ),
+            walk(a, lbl) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
         """,
         "word_count_quantiles": r"""
             WITH s AS (

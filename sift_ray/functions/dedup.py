@@ -162,6 +162,129 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def connected_components(pairs_ds, max_iters: int = 50,
+                         num_parts: Optional[int] = None):
+    """Connected components over an undirected (doc_a, doc_b) edge
+    Dataset: returns (doc_id, cluster_id) where cluster_id is the MINIMUM
+    doc id in the node's component — the transitive closure of near-dup
+    pairs (greedy pairwise dropping under-merges chains: a~b, b~c never
+    links a and c without this).
+
+    Distributed iterative min-label propagation: labels start as each
+    node's own id; every round joins labels onto the (bidirectional) edge
+    list (one key exchange), takes the per-node neighborhood minimum (one
+    exchange), and folds it into the labels (one exchange). The driver
+    holds ONE integer per round (the changed-label count) and stops at a
+    fixpoint; rounds needed = component diameter, which for near-dup
+    clusters is small (dup families are dense). For adversarial
+    long-chain graphs swap in large-star/small-star pointer jumping —
+    O(log n) rounds, same exchange primitives.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("doc_a"), pa.int64())
+        b = pc.cast(t.column("doc_b"), pa.int64())
+        return pa.table({"src": pa.concat_arrays(
+                             [c for ch in (a, b) for c in
+                              (ch.chunks if isinstance(ch, pa.ChunkedArray)
+                               else [ch])]),
+                         "dst": pa.concat_arrays(
+                             [c for ch in (b, a) for c in
+                              (ch.chunks if isinstance(ch, pa.ChunkedArray)
+                               else [ch])])})
+
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+
+    # initial labels: every node labels itself
+    labels = partitioned_group_agg(
+        edges.map_batches(lambda t: pa.table({"node": t.column("src"),
+                                              "label": t.column("src")}),
+                          batch_format="pyarrow"),
+        ["node"], [("label", "min", "label")],
+        num_parts=num_parts).materialize()
+
+    for _ in range(max_iters):
+        # ship each node's label to its neighbors and take the minimum
+        msgs = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"dst": t.column("node"),
+                                    "nbr_label": t.column("label")}),
+                batch_format="pyarrow"),
+            on="dst", num_parts=num_parts)
+        neigh = partitioned_group_agg(msgs, ["src"],
+                                      [("nbr_label", "min", "nmin")],
+                                      num_parts=num_parts)
+        merged = hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"src": t.column("node"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow"),
+            neigh, on="src", how="left", num_parts=num_parts)
+
+        def fold(t: pa.Table) -> pa.Table:
+            old = pc.cast(t.column("label"), pa.int64())
+            nmin = pc.cast(t.column("nmin"), pa.int64())
+            new = pc.min_element_wise(old, pc.coalesce(nmin, old))
+            return pa.table({
+                "node": pc.cast(t.column("src"), pa.int64()),
+                "label": new,
+                "changed": pc.cast(pc.not_equal(new, old), pa.int64()),
+            })
+
+        folded = merged.map_batches(fold,
+                                    batch_format="pyarrow").materialize()
+        changed = folded.sum("changed")
+        labels = folded.drop_columns(["changed"]).materialize()
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow")
+
+
+def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 num_parts: Optional[int] = None,
+                 max_df: Optional[int] = None):
+    """Every document with its near-dup cluster id (min doc id of its
+    connected component under n-gram-Jaccard >= threshold; singletons are
+    their own cluster). The transitive version of ``near_dedup_docs`` —
+    keep one row per cluster_id to dedup whole families."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+
+    pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                num_parts=num_parts,
+                                max_df=max_df).materialize()
+    comp = connected_components(pairs, num_parts=num_parts)
+    joined = hash_join(
+        ds.map_batches(lambda t: pa.table(
+            {"doc_id": pc.cast(t.column(id_col), pa.int64())}),
+            batch_format="pyarrow"),
+        comp.map_batches(lambda t: pa.table(
+            {"doc_id": t.column("doc_id"),
+             "cluster_id": t.column("cluster_id")}),
+            batch_format="pyarrow"),
+        on="doc_id", how="left", num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        cl = pc.cast(t.column("cluster_id"), pa.int64())
+        return pa.table({"doc_id": ids,
+                         "cluster_id": pc.coalesce(cl, ids)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _word_shingles(text: str, k: int) -> set:
     words = text.split()
     if len(words) < k:

@@ -464,3 +464,15 @@ def test_word_count_quantiles_known(ray_session):
     got = dict(zip(out["q"], out["value"]))
     # smallest v with cumcount >= ceil(q*10): q=0.1 -> 1, q=0.5 -> 5, q=1.0 -> 10
     assert got == {0.1: 1, 0.5: 5, 1.0: 10}
+
+
+def test_connected_components_chain_and_island(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import connected_components
+    pairs = pd.DataFrame({"doc_a": [1, 2, 5, 9],
+                          "doc_b": [2, 3, 6, 7]})
+    out = connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # chain 1-2-3 merges transitively; 5-6 and 7-9 are separate
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 7}
