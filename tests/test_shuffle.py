@@ -587,3 +587,31 @@ def test_near_dedup_docs_anti_join_path_equals_broadcast(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert len(a) > 0 and len(a) < 30  # something dropped, something kept
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_task_stage_caches_per_process_and_transforms():
+    import pyarrow as pa
+    from sift_ray.functions.shuffle import TaskStage, _cached_stage
+
+    class Doubler:
+        instances = 0
+
+        def __init__(self, factor: int = 2):
+            Doubler.instances += 1
+            self.factor = factor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return batch.set_column(
+                0, "x", pc.multiply(batch.column("x"), self.factor))
+
+    _cached_stage.cache_clear()
+    stage = TaskStage(Doubler, factor=3)
+    t = pa.table({"x": [1, 2]})
+    assert stage(t).column("x").to_pylist() == [3, 6]
+    assert stage(t).column("x").to_pylist() == [3, 6]
+    # the instance is constructed once per (cls, kwargs) in this process
+    assert Doubler.instances == 1
+    # a different parameterization constructs a second instance
+    assert TaskStage(Doubler, factor=5)(t).column("x").to_pylist() == [5, 10]
+    assert Doubler.instances == 2
