@@ -194,7 +194,8 @@ def run_bench() -> dict:
         "orders_customer_join", "events_asof_join", "token_shards",
         "corpus_prep_shards",
         "token_counts", "pricing_summary", "customers_per_nation",
-        "vocab_topk", "stratified_sample", "decontaminate")
+        "vocab_topk", "stratified_sample", "decontaminate",
+        "per_source_cap", "word_count_quantiles")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()
