@@ -551,6 +551,16 @@ def _q_per_source_cap(sf_dir: str):
                           ascending=True)
 
 
+def _q_knn_join(sf_dir: str):
+    """Exact 3-NN cosine self-join over the embeddings table (tiled
+    broadcast right side, integer rank output)."""
+    import ray.data as rd
+    from sift_ray.functions.similarity import knn_join
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return knn_join(ds, k=3)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Transitive near-dup clustering: every doc with the min doc_id of
     its connected component under n-gram Jaccard >= 0.5 (distributed
@@ -648,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "word_count_quantiles": _q_word_count_quantiles,
         "dup_clusters": _q_dup_clusters,
+        "knn_join": _q_knn_join,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -907,6 +918,19 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "knn_join": """
+            SELECT vec_id, nn_id, rank FROM (
+                SELECT a.vec_id, b.vec_id AS nn_id,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) DESC,
+                           b.vec_id) AS rank
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE b.vec_id <> a.vec_id
+            ) WHERE rank <= 3
         """,
         "dup_clusters": _NGRAM_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
             ,

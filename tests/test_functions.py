@@ -476,3 +476,31 @@ def test_connected_components_chain_and_island(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     # chain 1-2-3 merges transitively; 5-6 and 7-9 are separate
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 7}
+
+
+def test_knn_join_tiling_invariance_and_self_exclusion(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.similarity import knn_join
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 6).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(20),
+                       "embedding": [list(v) for v in vecs]})
+    full = knn_join(rd.from_pandas(df), k=2).to_pandas()
+    # every row has exactly k neighbors, never itself
+    assert len(full) == 40
+    assert (full["vec_id"] != full["nn_id"]).all()
+    # tiny tiles must produce the identical result (running top-k merge)
+    import ray
+    from sift_ray.functions.similarity import KnnJoinStage
+    import pyarrow as pa
+    right = {"ids": np.arange(20, dtype=np.int64),
+             "matrix": vecs.astype(np.float64)}
+    ref = ray.put(right)
+    batch = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                      "embedding": pa.array([list(map(float, v))
+                                             for v in vecs])})
+    tiled = KnnJoinStage(ref, k=2, tile_rows=3)(batch).to_pandas()
+    untiled = KnnJoinStage(ref, k=2, tile_rows=1000)(batch).to_pandas()
+    assert tiled.equals(untiled)
