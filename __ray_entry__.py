@@ -308,6 +308,29 @@ def _q_decode_bmp(sf_dir: str):
     return decode_bmps(rd.from_pandas(pd.DataFrame(rows)))
 
 
+def _q_decode_png(sf_dir: str):
+    """Real PNG decode (stdlib zlib + numpy, all five scanline filters)
+    over a deterministic synthetic image corpus with quarantine rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_pngs, make_png
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        if i % 19 == 4:
+            payload = b"BM not a png"
+        else:
+            rng = np.random.RandomState(i)
+            px = rng.randint(0, 256, (3 + i % 21, 4 + i % 32, 3),
+                             dtype=np.uint8)
+            payload = make_png(px, color_type=2, filter_type=i % 5)
+        rows.append({"doc_id": i, "payload": payload})
+    return decode_pngs(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_multimodal(sf_dir: str):
     from sift_ray.functions.multimodal import multimodal_features
     return multimodal_features(_docs(sf_dir, ["doc_id", "text"]))
@@ -638,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
+        "decode_png": _q_decode_png,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
         "events_hopping_window": _q_hopping_windows,

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT present in this container, so the
-decode kernel is a clearly-marked stub: ``DecodeStage(real=True)`` raises
-NotImplementedError; the default deterministic fake derives metadata from the
-payload bytes. Everything Ray-side — schema (binary column + struct-ish
-metadata), actor-pool signature, batch sizing for large payloads, output
-layout — is real and tested.
+General image/audio/video decode libraries are NOT present in this
+container, so the generic decode kernel is a clearly-marked stub:
+``DecodeStage(real=True)`` raises NotImplementedError; the default
+deterministic fake derives metadata from the payload bytes. Two REAL
+decoders ship alongside it — uncompressed 24/32-bit BMP
+(``BmpDecodeStage``) and 8-bit PNG with full scanline unfiltering
+(``PngDecodeStage``, stdlib zlib) — so the plumbing (schema, batch
+sizing for large payloads, quarantine statuses, output layout) is
+exercised end-to-end with spec-valid files, not only fakes.
 
 At scale: binary payloads make row count a poor proxy for batch memory; run
 this stage with small ``batch_size`` (or rely on block-byte-bounded default
@@ -133,6 +136,232 @@ class BmpDecodeStage:
             "mean_b": pa.array(out["mean_b"], pa.float64()),
             "status": pa.array(out["status"], pa.string()),
         })
+
+
+class PngDecodeStage:
+    """REAL image decode for PNG payloads — stdlib zlib + struct + numpy,
+    no image libraries (RFC 2083 / PNG spec). Supports 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), non-interlaced; everything else (16-bit, Adam7) is
+    quarantined with a status row, never a task failure. All five
+    scanline filters (None/Sub/Up/Average/Paeth) are unfiltered — Sub as
+    a vectorized per-lane cumulative sum, Up vectorized, Average/Paeth
+    as the spec's sequential recurrences.
+
+    Emits the same (id, width, height, bit_depth, mean_r/g/b, status)
+    layout as BmpDecodeStage; bit_depth reports bits per PIXEL."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+    @classmethod
+    def _unfilter(cls, raw, h: int, stride: int, bpp: int):
+        import numpy as np
+        lines = raw.reshape(h, stride + 1)
+        filters = lines[:, 0]
+        data = lines[:, 1:].astype(np.int64)
+        recon = np.zeros((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            f = filters[y]
+            row = data[y]
+            if f == 0:
+                r = row
+            elif f == 1:  # Sub: per-lane cumulative sum mod 256
+                r = row.copy()
+                for lane in range(bpp):
+                    r[lane::bpp] = np.cumsum(row[lane::bpp]) % 256
+            elif f == 2:  # Up
+                r = (row + prev) % 256
+            elif f == 3:  # Average: sequential in x by spec
+                r = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = r[x - bpp] if x >= bpp else 0
+                    r[x] = (row[x] + (a + prev[x]) // 2) % 256
+            elif f == 4:  # Paeth: sequential in x by spec
+                r = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = r[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c)
+                    r[x] = (row[x] + pred) % 256
+            else:
+                return None
+            recon[y] = r
+            prev = r
+        return recon.astype(np.uint8)
+
+    @classmethod
+    def decode(cls, payload: bytes) -> dict:
+        import struct
+        import zlib
+
+        import numpy as np
+        if len(payload) < 8 or payload[:8] != cls._SIG:
+            return {"status": "not_png"}
+        pos = 8
+        ihdr = None
+        plte = b""
+        idat = []
+        while pos + 8 <= len(payload):
+            length, = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4:pos + 8]
+            body = payload[pos + 8:pos + 8 + length]
+            if len(body) < length:
+                return {"status": "truncated"}
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"PLTE":
+                plte = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            return {"status": "truncated"}
+        w, h, depth, color_type, comp, filt, interlace = ihdr
+        if (depth != 8 or color_type not in cls._CHANNELS
+                or comp != 0 or filt != 0 or interlace != 0
+                or w <= 0 or h <= 0):
+            return {"status": "unsupported"}
+        try:
+            raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                                dtype=np.uint8)
+        except zlib.error:
+            return {"status": "corrupt"}
+        ch = cls._CHANNELS[color_type]
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return {"status": "truncated"}
+        recon = cls._unfilter(raw, h, stride, ch)
+        if recon is None:
+            return {"status": "corrupt"}
+        px = recon.reshape(h, w, ch)
+        if color_type == 3:
+            if len(plte) < 3:
+                return {"status": "corrupt"}
+            pal = np.frombuffer(plte, dtype=np.uint8)
+            pal = pal[:len(pal) - len(pal) % 3].reshape(-1, 3)
+            idx = px[:, :, 0]
+            if idx.max(initial=0) >= len(pal):
+                return {"status": "corrupt"}
+            rgb = pal[idx]
+        elif color_type in (0, 4):
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            rgb = px[:, :, :3]
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        return {"status": "ok", "width": int(w), "height": int(h),
+                "bit_depth": depth * ch,
+                "mean_r": float(means[0]), "mean_g": float(means[1]),
+                "mean_b": float(means[2])}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        out = {"width": [], "height": [], "bit_depth": [],
+               "mean_r": [], "mean_g": [], "mean_b": [], "status": []}
+        for p in payloads:
+            try:
+                m = self.decode(p or b"")
+            except Exception as exc:  # defensive: no row kills the task
+                m = {"status": f"error: {type(exc).__name__}"}
+            out["status"].append(m.get("status", "error"))
+            out["width"].append(m.get("width", 0))
+            out["height"].append(m.get("height", 0))
+            out["bit_depth"].append(m.get("bit_depth", 0))
+            out["mean_r"].append(m.get("mean_r", 0.0))
+            out["mean_g"].append(m.get("mean_g", 0.0))
+            out["mean_b"].append(m.get("mean_b", 0.0))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "width": pa.array(out["width"], pa.int64()),
+            "height": pa.array(out["height"], pa.int64()),
+            "bit_depth": pa.array(out["bit_depth"], pa.int64()),
+            "mean_r": pa.array(out["mean_r"], pa.float64()),
+            "mean_g": pa.array(out["mean_g"], pa.float64()),
+            "mean_b": pa.array(out["mean_b"], pa.float64()),
+            "status": pa.array(out["status"], pa.string()),
+        })
+
+
+def make_png(pixels, color_type: int = 2, filter_type: int = 0,
+             palette=None) -> bytes:
+    """Write a spec-valid PNG from an (h, w, ch) uint8 array (for
+    tests/corpora): 8-bit, non-interlaced, one filter type for all rows
+    (the encoder computes the matching residuals, so every decoder filter
+    path is exercisable)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            res = cur
+        elif filter_type == 1:
+            a = np.zeros(stride, dtype=np.int64)
+            a[ch:] = cur[:-ch]
+            res = (cur - a) % 256
+        elif filter_type == 2:
+            res = (cur - prev) % 256
+        elif filter_type == 3:
+            a = np.zeros(stride, dtype=np.int64)
+            a[ch:] = cur[:-ch]
+            res = (cur - (a + prev) // 2) % 256
+        elif filter_type == 4:
+            res = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c)
+                res[x] = (cur[x] - pred) % 256
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        lines.append(bytes([filter_type]) + bytes(res.astype(np.uint8)))
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    parts = [PngDecodeStage._SIG, chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        parts.append(chunk(b"PLTE", bytes(palette or b"")))
+    parts.append(chunk(b"IDAT", zlib.compress(raw)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+def decode_pngs(ds, payload_col: str = "payload", id_col: str = "doc_id",
+                concurrency: int = 2, batch_size: int = 64):
+    """Dataset with a PNG binary column -> decoded metadata + channel means."""
+    return ds.map_batches(
+        PngDecodeStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
 
 
 def make_bmp(width: int, height: int, rgb=(255, 0, 0)) -> bytes:

@@ -504,3 +504,67 @@ def test_knn_join_tiling_invariance_and_self_exclusion(ray_session):
     tiled = KnnJoinStage(ref, k=2, tile_rows=3)(batch).to_pandas()
     untiled = KnnJoinStage(ref, k=2, tile_rows=1000)(batch).to_pandas()
     assert tiled.equals(untiled)
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+    from sift_ray.functions.multimodal import PngDecodeStage, make_png
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    for f in range(5):
+        m = PngDecodeStage.decode(make_png(px, color_type=2, filter_type=f))
+        assert m["status"] == "ok", (f, m)
+        assert (m["width"], m["height"], m["bit_depth"]) == (7, 9, 24)
+        means = px.reshape(-1, 3).mean(axis=0)
+        assert abs(m["mean_r"] - means[0]) < 1e-9, f
+        assert abs(m["mean_g"] - means[1]) < 1e-9, f
+        assert abs(m["mean_b"] - means[2]) < 1e-9, f
+
+
+def test_png_gray_alpha_and_palette():
+    import numpy as np
+    from sift_ray.functions.multimodal import PngDecodeStage, make_png
+    # grayscale (color type 0)
+    g = np.full((4, 5, 1), 77, dtype=np.uint8)
+    m = PngDecodeStage.decode(make_png(g, color_type=0, filter_type=2))
+    assert m["status"] == "ok" and m["mean_r"] == 77.0
+    # gray+alpha (color type 4): alpha ignored in means
+    ga = np.dstack([np.full((4, 5), 10, np.uint8),
+                    np.full((4, 5), 200, np.uint8)])
+    m = PngDecodeStage.decode(make_png(ga, color_type=4, filter_type=1))
+    assert m["status"] == "ok" and m["mean_r"] == 10.0
+    # palette (color type 3): two entries, half the pixels each
+    idx = np.zeros((2, 4, 1), dtype=np.uint8)
+    idx[1] = 1
+    pal = bytes((255, 0, 0, 0, 0, 255))
+    m = PngDecodeStage.decode(make_png(idx, color_type=3, palette=pal))
+    assert m["status"] == "ok"
+    assert m["mean_r"] == 127.5 and m["mean_b"] == 127.5
+
+
+def test_png_rgba_and_quarantine():
+    import numpy as np
+    from sift_ray.functions.multimodal import PngDecodeStage, make_png
+    rgba = np.dstack([np.full((3, 3), c, np.uint8)
+                      for c in (9, 18, 27, 255)])
+    m = PngDecodeStage.decode(make_png(rgba, color_type=6, filter_type=4))
+    assert m["status"] == "ok" and (m["mean_r"], m["mean_g"],
+                                    m["mean_b"]) == (9.0, 18.0, 27.0)
+    assert PngDecodeStage.decode(b"nope")["status"] == "not_png"
+    png = make_png(rgba, color_type=6)
+    assert PngDecodeStage.decode(png[:40])["status"] == "truncated"
+    corrupt = png.replace(b"IDAT", b"IDAt")  # drops the pixel chunk
+    assert PngDecodeStage.decode(corrupt)["status"] == "truncated"
+
+
+def test_decode_pngs_dataset(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_pngs, make_png
+    px = np.full((2, 2, 3), 50, dtype=np.uint8)
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "payload": [make_png(px), b"junk"]})
+    out = decode_pngs(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(out["status"]) == ["ok", "not_png"]
+    assert list(out["width"]) == [2, 0]
