@@ -584,6 +584,17 @@ def _q_knn_join(sf_dir: str):
     return knn_join(ds, k=3)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class prototypes): per-batch (sum, count)
+    partials, one label-keyed exchange, rounded for engine-exact compare."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.similarity import label_centroids
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Transitive near-dup clustering: every doc with the min doc_id of
     its connected component under n-gram Jaccard >= 0.5 (distributed
@@ -683,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
+        "label_centroids": _q_label_centroids,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         # table ops (rows-only: heuristic / sketch / not SQL-expressible)
@@ -942,6 +954,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "label_centroids": """
+            WITH e AS (
+                SELECT label, generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS centroid
+            FROM e GROUP BY label, dim
         """,
         "knn_join": """
             SELECT vec_id, nn_id, rank FROM (

@@ -177,6 +177,57 @@ def knn_join(ds, k: int = 3, vec_col: str = "embedding",
         batch_format="pyarrow", concurrency=concurrency)
 
 
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding", decimals: int = 6,
+                    num_parts: Optional[int] = None):
+    """Per-label mean embedding (class prototypes — the seed step for IVF
+    coarse quantizers and prototype classifiers): returns one row per
+    (label, dim) with the centroid component, rounded to ``decimals`` so
+    the result is summation-order independent (exactly comparable across
+    engines).
+
+    Scale shape: each batch folds its vectors into per-label (sum, count)
+    partials — a (labels x dims)-sized table regardless of batch rows —
+    then ONE label-keyed exchange combines partials with pyarrow hash-agg.
+    Vector data crosses the wire only as per-batch partial sums."""
+    import pyarrow.compute as pc
+
+    from .shuffle import partitioned_group_agg
+
+    def partials(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column(label_col).to_pylist(),
+                            dtype=np.int64)
+        mat = _to_matrix(batch.column(vec_col))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = mat.shape[1] if mat.size else 0
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        lab = np.repeat(uniq, d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(lab, pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        })
+
+    rows = ds.map_batches(partials, batch_format="pyarrow")
+    agg = partitioned_group_agg(rows, ["label", "dim"],
+                                [("s", "sum", "s"), ("n", "sum", "n")],
+                                num_parts=num_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.divide(t.column("s"), pc.cast(t.column("n"),
+                                                      pa.float64())),
+                     ndigits=decimals)
+        return pa.table({"label": t.column("label"),
+                         "dim": t.column("dim"),
+                         "centroid": c})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _fetch_vectors(ds, ids: List[int], vec_col: str, id_col: str):
     """Pull the (tiny) query-vector rows via a DISTRIBUTED map-side
     ``pc.is_in`` filter + take — never a full driver-side dataset scan.

@@ -568,3 +568,17 @@ def test_decode_pngs_dataset(ray_session):
     out = decode_pngs(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert list(out["status"]) == ["ok", "not_png"]
     assert list(out["width"]) == [2, 0]
+
+
+def test_label_centroids_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.similarity import label_centroids
+    df = pd.DataFrame({
+        "label": [0, 0, 1],
+        "embedding": [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]],
+    })
+    out = label_centroids(rd.from_pandas(df)).to_pandas()
+    got = {(r.label, r.dim): r.centroid for r in out.itertuples()}
+    assert got == {(0, 1): 2.0, (0, 2): 3.0, (1, 1): 10.0, (1, 2): 20.0}
