@@ -587,7 +587,6 @@ def _q_knn_join(sf_dir: str):
 def _q_label_centroids(sf_dir: str):
     """Per-label mean embedding (class prototypes): per-batch (sum, count)
     partials, one label-keyed exchange, rounded for engine-exact compare."""
-    import pyarrow.compute as pc
     import ray.data as rd
     from sift_ray.functions.similarity import label_centroids
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
