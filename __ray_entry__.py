@@ -610,6 +610,32 @@ def _q_word_count_quantiles(sf_dir: str):
     return word_count_quantiles(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_span_dedup(sf_dir: str):
+    """C4-style corpus-wide exact span dedup: 8-word spans survive only at
+    their first (doc_id, span_no) occurrence; docs reassembled from kept
+    spans (two exchanges: span-hash, then doc_id; in-batch combiner)."""
+    from sift_ray.functions.corpus import span_dedup
+    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), span_words=8)
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-wide exact line dedup over a line-structured view of the
+    documents table (lines minted deterministically by turning the word
+    ' table ' into a newline in BOTH engines); lines with >= 3 words keep
+    only their first (doc_id, line_no) occurrence."""
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import line_dedup
+
+    def to_lines(batch):
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.replace_substring(batch.column("text"), " table ", "\n"))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_lines, batch_format="pyarrow")
+    return line_dedup(ds, delimiter="\n", min_words=3)
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -691,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "per_source_cap": _q_per_source_cap,
         "word_count_quantiles": _q_word_count_quantiles,
+        "span_dedup": _q_span_dedup,
+        "line_dedup": _q_line_dedup,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
@@ -1060,6 +1088,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
             )
+        """,
+        "span_dedup": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(range(len(string_split(text, ' ')))) AS wno
+                FROM documents
+            ), spans AS (
+                SELECT doc_id, wno // 8 AS span_no,
+                       string_agg(word, ' ' ORDER BY wno) AS span
+                FROM words GROUP BY doc_id, wno // 8
+            ), ranked AS (
+                SELECT doc_id, span_no, span,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, span_no) AS rn
+                FROM spans
+            )
+            SELECT doc_id, string_agg(span, ' ' ORDER BY span_no) AS text,
+                   CAST(count(*) AS BIGINT) AS n_units
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """,
+        "line_dedup": """
+            WITH lined AS (
+                SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS line_no
+                FROM lined
+            ), marked AS (
+                SELECT doc_id, line_no, line,
+                       length(regexp_extract_all(line, '[^ ]+')) >= 3
+                           AS elig
+                FROM lines
+            ), ranked AS (
+                SELECT doc_id, line_no, line, elig,
+                       row_number() OVER (PARTITION BY elig, line
+                                          ORDER BY doc_id, line_no) AS rn
+                FROM marked
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+                       AS text,
+                   CAST(count(*) AS BIGINT) AS n_units
+            FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
         """,
         "events_tumbling_window": """
             SELECT user_id,

@@ -33,7 +33,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 import pyarrow as pa
 
-from .shuffle import default_num_parts, partitioned_group_agg
+from .shuffle import (add_hash_partition, default_num_parts,
+                      partitioned_group_agg)
 from .textstats import digest_batch
 
 
@@ -161,6 +162,169 @@ def word_count_quantiles(ds, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v, pa.int64()),
     }))
+
+
+def _unit_hash_keys(batch: pa.Table):
+    """Routing keys for the unit-dedup exchange: eligible units route by a
+    stable 64-bit hash of the unit STRING (all copies co-locate); ineligible
+    units route by (doc_id, unit_no) so boilerplate short lines spread
+    uniformly instead of piling into one partition. Hash collisions only
+    co-locate two unit groups — the kernel re-groups by the true string."""
+    import polars as pl
+
+    h = pl.from_arrow(batch.column("unit")).hash(seed=0).to_numpy() \
+        .view(np.int64)
+    from .shuffle import mix64
+    row_key = mix64([batch.column("doc_id").to_numpy(zero_copy_only=False),
+                     batch.column("unit_no").to_numpy(zero_copy_only=False)])
+    elig = batch.column("elig").to_numpy(zero_copy_only=False)
+    return [np.where(elig, h, row_key)]
+
+
+def _dedup_units(units, num_parts: Optional[int] = None,
+                 join_delim: str = "\n"):
+    """Core of line/span dedup: keep, per distinct eligible unit string, only
+    its lexicographically first occurrence ``(doc_id, unit_no)`` corpus-wide;
+    ineligible units always survive. Reassemble documents from the kept
+    units. ``units`` rows: (doc_id:int64, unit_no:int64, unit:str, elig:bool)
+    — already locally combined (in-batch duplicate losers dropped map-side,
+    so a unit repeated k times in one batch ships once; a corpus-hot unit's
+    partition load is bounded by the number of BATCHES containing it, not by
+    its occurrence count).
+
+    Two exchanges, each moving a kept unit once: (1) unit-hash partition →
+    per-partition winner selection (pandas sort + drop_duplicates, exact
+    because all copies of a string co-locate); (2) doc_id partition →
+    per-partition reassembly (sort by unit_no, group-concat). Returns
+    (doc_id, text, n_units) for documents with >= 1 surviving unit."""
+    import pyarrow.compute as pc
+
+    P = num_parts or default_num_parts()
+    parted = add_hash_partition(units, ["unit"], P,
+                                key_arrays_fn=_unit_hash_keys)
+
+    def pick_winners(tbl: pa.Table) -> pa.Table:
+        elig = tbl.column("elig")
+        keep_cols = ["doc_id", "unit_no", "unit"]
+        passthrough = tbl.filter(pc.invert(elig)).select(keep_cols)
+        df = tbl.filter(elig).select(keep_cols).to_pandas()
+        df = df.sort_values(["doc_id", "unit_no"], kind="stable")
+        winners = df.drop_duplicates("unit", keep="first")
+        won = pa.Table.from_pandas(winners, preserve_index=False)
+        return pa.concat_tables([won.cast(passthrough.schema),
+                                 passthrough])
+
+    kept = parted.groupby("part").map_groups(pick_winners,
+                                             batch_format="pyarrow")
+    parted2 = add_hash_partition(kept, ["doc_id"], P)
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(["doc_id", "unit_no", "unit"]).to_pandas()
+        df = df.sort_values(["doc_id", "unit_no"], kind="stable")
+        g = df.groupby("doc_id", sort=True)["unit"]
+        out = g.agg(join_delim.join).reset_index().rename(
+            columns={"unit": "text"})
+        out["n_units"] = g.size().to_numpy()
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "n_units": pa.array(out["n_units"].to_numpy(), pa.int64()),
+        })
+
+    return parted2.groupby("part").map_groups(reassemble,
+                                              batch_format="pyarrow")
+
+
+def _explode_units(batch: pa.Table, splits: pa.ChunkedArray,
+                   id_col: str) -> Tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Flatten a per-doc list column into (doc_ids, unit_pos, flat_values)
+    using Arrow C++ kernels (this host's np.repeat/fancy-index are ~100x
+    slow, so parent indices and start offsets stay in Arrow)."""
+    import pyarrow.compute as pc
+
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits)
+    doc_ids = pc.take(batch.column(id_col), parent)
+    offsets = splits.offsets
+    starts = pc.take(offsets, parent).cast(pa.int64())
+    pos = np.arange(len(flat), dtype=np.int64) \
+        - starts.to_numpy(zero_copy_only=False)
+    return (doc_ids.to_numpy(zero_copy_only=False), pos, flat)
+
+
+def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_parts: Optional[int] = None):
+    """C4-style corpus-wide exact line deduplication: split every document
+    on ``delimiter``; any line with >= ``min_words`` words (space-separated
+    tokens) survives only at its lexicographically first occurrence
+    ``(doc_id, line_no)`` across the whole corpus; shorter lines are always
+    kept. Documents are reassembled from surviving lines in order. Returns
+    (doc_id, text, n_units).
+
+    Scale shape: map-side explode + in-batch combiner (a line duplicated
+    within a batch ships once), then the two-exchange ``_dedup_units`` core
+    — no driver state, partition loads bounded by batch count per hot line.
+    No reference analog (SURVEY.md §2.8); this is the C4 "deduplicate at the
+    line level" rule from the public pipeline description."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), delimiter)
+        doc_ids, pos, flat = _explode_units(batch, splits, id_col)
+        wc = pc.count_substring_regex(flat, "[^ ]+")
+        elig = pc.greater_equal(wc, min_words)
+        t = pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "unit_no": pa.array(pos, pa.int64()),
+            "unit": flat,
+            "elig": elig,
+        })
+        # in-batch combiner: rows arrive in (doc_id, unit_no) order, so
+        # keep="first" drops exactly the in-batch lexicographic losers
+        df = t.to_pandas()
+        dup = df["elig"] & df.duplicated("unit", keep="first")
+        return t.filter(pa.array(~dup.to_numpy()))
+
+    units = ds.map_batches(explode, batch_format="pyarrow")
+    return _dedup_units(units, num_parts=num_parts, join_delim=delimiter)
+
+
+def span_dedup(ds, span_words: int = 8, id_col: str = "doc_id",
+               text_col: str = "text", num_parts: Optional[int] = None):
+    """Corpus-wide exact dedup of fixed-size word spans: each document's
+    space-separated words are grouped into consecutive ``span_words``-word
+    spans; every distinct span string survives only at its first occurrence
+    ``(doc_id, span_no)``; documents are reassembled from surviving spans.
+    The span variant of line_dedup for prose without newline structure
+    (and the shape of span-level near-dup removal used on web corpora).
+    Returns (doc_id, text, n_units)."""
+    import pyarrow.compute as pc
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), " ")
+        doc_ids, pos, flat = _explode_units(batch, splits, id_col)
+        df = pd.DataFrame({
+            "doc_id": doc_ids,
+            "span_no": pos // span_words,
+            "word": flat.to_pandas(),
+        })
+        spans = (df.groupby(["doc_id", "span_no"], sort=False)["word"]
+                 .agg(" ".join).reset_index())
+        dup = spans.duplicated("word", keep="first")  # in-batch combiner
+        spans = spans[~dup.to_numpy()]
+        return pa.table({
+            "doc_id": pa.array(spans["doc_id"].to_numpy(), pa.int64()),
+            "unit_no": pa.array(spans["span_no"].to_numpy(), pa.int64()),
+            "unit": pa.array(spans["word"], pa.string()),
+            "elig": pa.array(np.ones(len(spans), dtype=bool)),
+        })
+
+    units = ds.map_batches(explode, batch_format="pyarrow")
+    return _dedup_units(units, num_parts=num_parts, join_delim=" ")
 
 
 def bench_kgrams(bench_rows: Sequence[Tuple[int, str]],

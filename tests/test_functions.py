@@ -582,3 +582,69 @@ def test_label_centroids_exact(ray_session):
     out = label_centroids(rd.from_pandas(df)).to_pandas()
     got = {(r.label, r.dim): r.centroid for r in out.itertuples()}
     assert got == {(0, 1): 2.0, (0, 2): 3.0, (1, 1): 10.0, (1, 2): 20.0}
+
+
+def test_line_dedup_planted_duplicates(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import line_dedup
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma\nshort\nunique one here",
+                 "alpha beta gamma\nother line entirely\nshort",
+                 "short\nalpha beta gamma"],
+    })
+    out = (line_dedup(rd.from_pandas(df), min_words=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # "alpha beta gamma" (3 words, eligible) survives only in doc 1;
+    # "short" (1 word, ineligible) survives everywhere
+    assert list(out.doc_id) == [1, 2, 3]
+    assert out.text[0] == "alpha beta gamma\nshort\nunique one here"
+    assert out.text[1] == "other line entirely\nshort"
+    assert out.text[2] == "short"
+    assert list(out.n_units) == [3, 2, 1]
+
+
+def test_line_dedup_in_batch_combiner_and_first_wins(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import line_dedup
+    # duplicate INSIDE one doc: later copy must drop; (doc, line) order wins
+    df = pd.DataFrame({
+        "doc_id": [5, 7],
+        "text": ["dup line here\nmiddle bit x\ndup line here",
+                 "dup line here"],
+    })
+    out = (line_dedup(rd.from_pandas(df), min_words=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out.doc_id) == [5]  # doc 7 lost its only line
+    assert out.text[0] == "dup line here\nmiddle bit x"
+
+
+def test_span_dedup_exact_duplicate_doc_vanishes(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import span_dedup
+    words = " ".join(f"w{i}" for i in range(16))  # exactly two 8-word spans
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [words, words, "totally different words here now ok yes a"],
+    })
+    out = (span_dedup(rd.from_pandas(df), span_words=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 2 is byte-identical to doc 1 -> both its spans lose -> doc gone
+    assert list(out.doc_id) == [1, 3]
+    assert out.text[0] == words
+    assert list(out.n_units) == [2, 1]
+
+
+def test_span_dedup_partial_overlap_keeps_tail(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import span_dedup
+    a = " ".join(f"w{i}" for i in range(8))
+    b = " ".join(f"v{i}" for i in range(8))
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": [a + " " + b, a + " tail words"]})
+    out = (span_dedup(rd.from_pandas(df), span_words=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 2's first span == a -> dropped; its short tail span survives
+    assert list(out.doc_id) == [1, 2]
+    assert out.text[1] == "tail words"
+    assert list(out.n_units) == [2, 1]
