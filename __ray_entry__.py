@@ -636,6 +636,39 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4s / phone-like numbers -> placeholders,
+    with per-doc counts). The fixture corpus carries no PII, so the query
+    decorates each doc with deterministic doc_id-derived PII in BOTH
+    engines — the scrub itself (RE2 patterns, replacement order) is what is
+    being checked byte-exact. Map-only, zero shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.functions.textstats import pii_scrub
+
+    def decorate(b: "pa.Table") -> "pa.Table":
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pc.cast(b.column("doc_id"), pa.string())
+        octet = pa.array((ids % 200).astype("U"), pa.string())
+        phone = pa.array((100 + ids % 900).astype("U"), pa.string())
+        text = pc.binary_join_element_wise(
+            b.column("text"), " contact user", s, "@example.com from ",
+            octet, ".0.0.1 call 555-0", phone, "")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        decorate, batch_format="pyarrow")
+    return pii_scrub(ds)
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (distinct-word count, most
+    frequent word 2-gram count) as exact integers; map-only."""
+    from sift_ray.functions.textstats import repetition_stats
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -719,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
@@ -1134,6 +1169,70 @@ def oracle_sql() -> dict[str, str]:
                        AS text,
                    CAST(count(*) AS BIGINT) AS n_units
             FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "pii_scrub": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from '
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || '.0.0.1 call 555-0'
+                       || CAST(100 + doc_id % 900 AS VARCHAR) AS t0
+                FROM documents
+            ), s AS (
+                SELECT doc_id, t0,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM d
+            ), s2 AS (
+                SELECT *, regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS t2
+                FROM s
+            ), s3 AS (
+                SELECT *, regexp_replace(t2, '\\b\\d{3}-\\d{3,4}\\b',
+                                         '<PHONE>', 'g') AS t3
+                FROM s2
+            )
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(length(regexp_extract_all(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ip,
+                   CAST(length(regexp_extract_all(t2,
+                       '\\b\\d{3}-\\d{3,4}\\b')) AS BIGINT) AS n_phone,
+                   t3 AS text
+            FROM s3
+        """,
+        "repetition_stats": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(range(len(string_split(text, ' ')))) AS wno
+                FROM documents
+            ), base AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(count(DISTINCT word) AS BIGINT)
+                           AS n_distinct_words
+                FROM words GROUP BY doc_id
+            ), gc AS (
+                SELECT a.doc_id, a.word || ' ' || b.word AS gram,
+                       count(*) AS c
+                FROM words a
+                JOIN words b ON a.doc_id = b.doc_id AND b.wno = a.wno + 1
+                GROUP BY a.doc_id, gram
+            ), gtop AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_n,
+                       CAST(sum(c) AS BIGINT) AS n_2grams
+                FROM gc GROUP BY doc_id
+            )
+            SELECT base.doc_id, n_words, n_distinct_words,
+                   COALESCE(top_2gram_n, 0) AS top_2gram_n,
+                   COALESCE(n_2grams, 0) AS n_2grams
+            FROM base LEFT JOIN gtop ON base.doc_id = gtop.doc_id
         """,
         "events_tumbling_window": """
             SELECT user_id,

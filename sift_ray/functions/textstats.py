@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -252,3 +253,90 @@ def quality_filter_batch(batch: pa.Table, text_col: str = "text",
 
 def quality_filter(ds) -> "object":
     return ds.map_batches(quality_filter_batch, batch_format="pyarrow")
+
+
+# default PII patterns: RE2 syntax, identical semantics in pyarrow
+# (count/replace_substring_regex are RE2) and DuckDB (regexp_* are RE2),
+# which is what makes the scrub oracle-checkable byte-exact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3,4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text",
+                    patterns=PII_PATTERNS) -> pa.Table:
+    """Redact PII spans in-place and count them per document. Patterns are
+    applied in order (email first: its local part may contain digits that
+    the later numeric patterns would otherwise mangle). Pure vectorized
+    RE2 kernels; zero shuffle — the map-only scrub a web pipeline runs
+    right before sharding."""
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    cols = {"doc_id": batch.column("doc_id")}
+    for name, pat, repl in patterns:
+        cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pat),
+                                    pa.int64())
+        text = pc.replace_substring_regex(text, pat, repl)
+    cols["text"] = text
+    return pa.table(cols)
+
+
+def pii_scrub(ds, text_col: str = "text", patterns=PII_PATTERNS):
+    return ds.map_batches(
+        lambda b: pii_scrub_batch(b, text_col, patterns),
+        batch_format="pyarrow")
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family, computed over space-separated words): distinct-word count and
+    the frequency of the most common word 2-gram. Integer outputs so the
+    downstream fractions (dup-word fraction, top-2-gram fraction) are
+    engine-exact. Map-only; the per-doc group sizes are document-bounded."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern(batch.column(text_col), " ")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    words = flat.to_pandas()
+    df = pd.DataFrame({"row": parent, "word": words})
+    per_row = df.groupby("row", sort=True)["word"]
+    n_words = per_row.size()
+    n_distinct = per_row.nunique()
+    # 2-grams: adjacent word pairs within a row
+    same_row = parent[1:] == parent[:-1]
+    grams = pd.DataFrame({
+        "row": parent[1:][same_row],
+        "gram": (words.iloc[:-1].reset_index(drop=True)[same_row] + " " +
+                 words.iloc[1:].reset_index(drop=True)[same_row]),
+    })
+    gcnt = (grams.groupby(["row", "gram"], sort=False).size()
+            .groupby("row").agg(["max", "sum"]))
+    n = batch.num_rows
+    rows = np.arange(n)
+    out = pd.DataFrame(index=rows)
+    out["n_words"] = n_words.reindex(rows, fill_value=0)
+    out["n_distinct_words"] = n_distinct.reindex(rows, fill_value=0)
+    out["top_2gram_n"] = gcnt["max"].reindex(rows, fill_value=0)
+    out["n_2grams"] = gcnt["sum"].reindex(rows, fill_value=0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_words": pa.array(out["n_words"].to_numpy(), pa.int64()),
+        "n_distinct_words": pa.array(out["n_distinct_words"].to_numpy(),
+                                     pa.int64()),
+        "top_2gram_n": pa.array(out["top_2gram_n"].to_numpy(), pa.int64()),
+        "n_2grams": pa.array(out["n_2grams"].to_numpy(), pa.int64()),
+    })
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col),
+        batch_format="pyarrow")

@@ -648,3 +648,46 @@ def test_span_dedup_partial_overlap_keeps_tail(ray_session):
     assert list(out.doc_id) == [1, 2]
     assert out.text[1] == "tail words"
     assert list(out.n_units) == [2, 1]
+
+
+def test_pii_scrub_patterns_and_order():
+    import pyarrow as pa
+    from sift_ray.functions.textstats import pii_scrub_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["mail a.b_c%x@sub.ex.org now",
+                 "srv at 192.168.0.1 and 10.0.0.255, dial 555-0199",
+                 "no pii here 1234567 999.999 just text"],
+    })
+    out = pii_scrub_batch(t).to_pandas()
+    assert out.text[0] == "mail <EMAIL> now"
+    assert out.text[1] == "srv at <IP> and <IP>, dial <PHONE>"
+    assert out.text[2] == "no pii here 1234567 999.999 just text"
+    assert list(out.n_email) == [1, 0, 0]
+    assert list(out.n_ip) == [0, 2, 0]
+    assert list(out.n_phone) == [0, 1, 0]
+
+
+def test_pii_scrub_email_before_numeric():
+    import pyarrow as pa
+    from sift_ray.functions.textstats import pii_scrub_batch
+    # digits inside an email local part must not leak into the phone scrub
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["user555-0123@ex.com ok"]})
+    out = pii_scrub_batch(t).to_pandas()
+    assert out.text[0] == "<EMAIL> ok"
+    assert list(out.n_phone) == [0]
+
+
+def test_repetition_stats_known_values():
+    import pyarrow as pa
+    from sift_ray.functions.textstats import repetition_stats_batch
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a b a", "x y z w", ""],
+    })
+    out = repetition_stats_batch(t).to_pandas()
+    assert list(out.n_words) == [5, 4, 1]          # '' splits to ['']
+    assert list(out.n_distinct_words) == [2, 4, 1]
+    assert list(out.top_2gram_n) == [2, 1, 0]      # 'a b' twice
+    assert list(out.n_2grams) == [4, 3, 0]
