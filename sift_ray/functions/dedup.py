@@ -591,10 +591,12 @@ def _minhash_verify_broadcast(ds, pairs_tbl, needed, shingle_k: int,
         "doc_a": pa.array(a, pa.int64()),
         "doc_b": pa.array(b, pa.int64()),
     }))
+    # plain tasks with per-process cached state (ObjectRefs are hashable):
+    # below the broadcast gate the pair list is small, and a 2-actor pool's
+    # spawn latency would dominate the whole verify stage
     return pairs_ds.map_batches(
-        _JaccardVerifyStage,
-        fn_constructor_kwargs={"smap_ref": ref, "threshold": threshold},
-        batch_format="pyarrow", concurrency=2)
+        TaskStage(_JaccardVerifyStage, smap_ref=ref, threshold=threshold),
+        batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
