@@ -636,6 +636,25 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3 shape: two chained distributed hash joins (customer
+    semi-join keys-only, then orders->lineitem), integer-cents revenue
+    group-agg partitioned on l_orderkey, local-topk merge."""
+    import ray.data as rd
+    from sift_ray.functions.relational import shipping_priority
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    cu = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    return shipping_priority(li, od, cu)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4s / phone-like numbers -> placeholders,
     with per-doc counts). The fixture corpus carries no PII, so the query
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "shipping_priority": _q_shipping_priority,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
@@ -1169,6 +1189,21 @@ def oracle_sql() -> dict[str, str]:
                        AS text,
                    CAST(count(*) AS BIGINT) AS n_units
             FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND epoch_us(o_orderdate) < 795225600000000
+              AND epoch_us(l_shipdate) > 795225600000000
+            GROUP BY l_orderkey, o_orderdate_us, o_orderpriority
+            ORDER BY revenue_cents DESC, o_orderdate_us, o_orderkey
+            LIMIT 10
         """,
         "pii_scrub": """
             WITH d AS (

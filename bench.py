@@ -195,7 +195,9 @@ def run_bench() -> dict:
         "corpus_prep_shards",
         "token_counts", "pricing_summary", "customers_per_nation",
         "vocab_topk", "stratified_sample", "decontaminate",
-        "per_source_cap", "word_count_quantiles")
+        "per_source_cap", "word_count_quantiles",
+        "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
+        "shipping_priority")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

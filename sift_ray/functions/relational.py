@@ -116,3 +116,95 @@ def customers_per_nation(customer_ds, nation_path: str):
             .aggregate(Count(alias_name="n_customers"),
                        Min("c_acctbal", alias_name="min_acctbal"),
                        Max("c_acctbal", alias_name="max_acctbal")))
+
+
+def shipping_priority(lineitem, orders, customer, segment: str = "BUILDING",
+                      cutoff_us: int = 795225600000000, k: int = 10,
+                      num_parts: Optional[int] = None):
+    """TPC-H-Q3-shaped composition: top-k unshipped orders by revenue for a
+    market segment — two DISTRIBUTED hash joins chained on the exchange
+    primitive, then a high-cardinality group-agg and a local-topk merge.
+
+    Shape at 100 TB: the customer semi-join carries only keys (right side
+    restricted to c_custkey), the order->lineitem join is the one big
+    exchange, revenue is summed as integer cents (floor(x*100 + 0.5),
+    identical in IEEE order on both engines) because distributed float
+    sums are order-dependent, and the group-agg partitions on l_orderkey
+    alone (it functionally determines the other two group keys) so string
+    keys never enter the partition hash. Only num_parts * k candidate rows
+    reach the driver. ``cutoff_us`` is epoch microseconds (default
+    1995-03-15, the TPC-H validation date).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from .shuffle import hash_join, partitioned_group_agg
+
+    cust = customer.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+                   .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow")
+
+    def orders_pre(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("o_orderdate"),
+                     pa.timestamp("us")), pa.int64())
+        keep = pc.less(ts, cutoff_us)
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate_us": ts,
+            "o_orderpriority": t.column("o_orderpriority"),
+        }).filter(keep)
+
+    ord_f = orders.map_batches(orders_pre, batch_format="pyarrow")
+    # semi-join on custkey: right side is keys-only, so the inner merge
+    # emits each order at most once (c_custkey is unique)
+    ord_seg = hash_join(ord_f, cust, on="o_custkey", how="inner",
+                        num_parts=num_parts)
+
+    def line_pre(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t.column("l_shipdate"),
+                       pa.timestamp("us")), pa.int64())
+        rev = pc.floor(pc.add(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0)), pa.scalar(0.5)))
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rev_cents": pc.cast(rev, pa.int64()),
+        }).filter(pc.greater(ship, cutoff_us))
+
+    line_f = lineitem.map_batches(line_pre, batch_format="pyarrow")
+    joined = hash_join(line_f, ord_seg, on="o_orderkey", how="inner",
+                       num_parts=num_parts,
+                       right_cols=["o_orderdate_us", "o_orderpriority"])
+
+    def okey_only(batch: pa.Table):
+        return [batch.column("o_orderkey").to_numpy(zero_copy_only=False)]
+
+    agg = partitioned_group_agg(
+        joined, ["o_orderkey", "o_orderdate_us", "o_orderpriority"],
+        [("rev_cents", "sum", "revenue_cents")],
+        num_parts=num_parts, key_arrays_fn=okey_only)
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_orderdate_us", pa.int64()),
+                            ("o_orderpriority", pa.string()),
+                            ("revenue_cents", pa.int64())])
+
+    def local_topk(pdf):
+        if pdf.empty:  # Ray emits 0-column blocks for empty sort ranges
+            return out_schema.empty_table().to_pandas()
+        return pdf.sort_values(
+            ["revenue_cents", "o_orderdate_us", "o_orderkey"],
+            ascending=[False, True, True]).head(k)
+
+    cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
+    if cands.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    top = (cands.sort_values(
+        ["revenue_cents", "o_orderdate_us", "o_orderkey"],
+        ascending=[False, True, True]).head(k)
+        .reset_index(drop=True)[out_schema.names])
+    return rd.from_arrow(pa.Table.from_pandas(top, preserve_index=False,
+                                              schema=out_schema))

@@ -179,8 +179,14 @@ def hash_join(left, right, on: str, how: str = "inner",
     P = num_parts or default_num_parts()
     if salt is not None and salt < 2:
         salt = None
-    lc = [c for c in (left_cols or left.schema().names) if c != on]
-    rc = [c for c in (right_cols or right.schema().names) if c != on]
+    def _names(ds_, given):
+        if given is not None:
+            return given
+        s = ds_.schema()
+        return [on] if s is None else s.names  # empty side: key only
+
+    lc = [c for c in _names(left, left_cols) if c != on]
+    rc = [c for c in _names(right, right_cols) if c != on]
     if how == "anti":
         rc = []  # only the right KEYS matter for an anti-join
     overlap = set(lc) & set(rc)
@@ -189,35 +195,44 @@ def hash_join(left, right, on: str, how: str = "inner",
     if how not in ("inner", "left", "anti"):
         raise ValueError(f"unsupported how: {how}")
 
-    left_t = left.map_batches(
-        lambda t: t.select([on] + lc).append_column(
-            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
-        batch_format="pyarrow")
-    right_t = right.map_batches(
-        lambda t: t.select([on] + rc).append_column(
-            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
-        batch_format="pyarrow")
-
-    def pad(missing_names, missing_types):
-        def fn(t: pa.Table) -> pa.Table:
-            for name, typ in zip(missing_names, missing_types):
-                t = t.append_column(name, pa.nulls(t.num_rows, typ))
-            return t
-        return fn
-
     l_schema = left.schema()
     r_schema = right.schema()
-    l_types = {n: _as_pa_type(t)
-               for n, t in zip(l_schema.names, l_schema.types)}
-    r_types = {n: _as_pa_type(t)
-               for n, t in zip(r_schema.names, r_schema.types)}
+    # a fully EMPTY side reports schema() = None in Ray; the join result is
+    # then empty too — type its columns as string so the pipeline still
+    # produces a well-formed (0-row) table instead of crashing
+    l_types = ({n: pa.string() for n in [on] + lc} if l_schema is None else
+               {n: _as_pa_type(t)
+                for n, t in zip(l_schema.names, l_schema.types)})
+    r_types = ({n: pa.string() for n in [on] + rc} if r_schema is None else
+               {n: _as_pa_type(t)
+                for n, t in zip(r_schema.names, r_schema.types)})
+    if l_schema is None and r_schema is not None and on in r_types:
+        l_types[on] = r_types[on]
     order = [on] + lc + rc + ["_side"]
-    left_t = left_t.map_batches(pad(rc, [r_types[c] for c in rc]),
-                                batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(order), batch_format="pyarrow")
-    right_t = right_t.map_batches(pad(lc, [l_types[c] for c in lc]),
-                                  batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(order), batch_format="pyarrow")
+    tagged_schema = pa.schema(
+        [(on, l_types[on])] + [(c, l_types[c]) for c in lc]
+        + [(c, r_types[c]) for c in rc] + [("_side", pa.int8())])
+
+    def prep_side(own_cols, pad_cols, pad_types, side_val):
+        def fn(t: pa.Table) -> pa.Table:
+            # an upstream map_groups emits 0-COLUMN blocks for empty sort
+            # ranges (Ray internal); normalize to a typed empty so chained
+            # joins never see a missing field
+            if t.num_rows == 0:
+                return tagged_schema.empty_table()
+            t = t.select([on] + own_cols).append_column(
+                "_side", pa.array(np.full(t.num_rows, side_val, np.int8)))
+            for name, typ in zip(pad_cols, pad_types):
+                t = t.append_column(name, pa.nulls(t.num_rows, typ))
+            return t.select(order)
+        return fn
+
+    left_t = left.map_batches(
+        prep_side(lc, rc, [r_types[c] for c in rc], 0),
+        batch_format="pyarrow")
+    right_t = right.map_batches(
+        prep_side(rc, lc, [l_types[c] for c in lc], 1),
+        batch_format="pyarrow")
 
     if salt is not None:
         s = int(salt)

@@ -615,3 +615,40 @@ def test_task_stage_caches_per_process_and_transforms():
     # a different parameterization constructs a second instance
     assert TaskStage(Doubler, factor=5)(t).column("x").to_pylist() == [5, 10]
     assert Doubler.instances == 2
+
+
+def test_hash_join_tolerates_empty_upstream_blocks(ray_session):
+    """Chained joins: the right side is itself a join output, whose
+    map_groups can emit 0-column blocks for empty sort ranges — the side
+    prep must normalize those instead of KeyError-ing on select."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    mid_r = rd.from_pandas(pd.DataFrame({"k": [2, 3, 4], "mv": [5, 6, 7]}))
+    mid = hash_join(left, mid_r, on="k", how="inner", num_parts=16)
+    right = rd.from_pandas(pd.DataFrame({"k": [3], "rv": [99]}))
+    out = (hash_join(mid, right, on="k", how="inner", num_parts=16)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.to_dict("list") == {"k": [3], "lv": [30], "mv": [6],
+                                   "rv": [99]}
+
+
+def test_shipping_priority_empty_segment(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.relational import shipping_priority
+    li = rd.from_pandas(pd.DataFrame({
+        "l_orderkey": [1], "l_extendedprice": [100.0],
+        "l_discount": [0.1],
+        "l_shipdate": pd.to_datetime(["1996-01-01"])}))
+    od = rd.from_pandas(pd.DataFrame({
+        "o_orderkey": [1], "o_custkey": [7],
+        "o_orderdate": pd.to_datetime(["1995-01-01"]),
+        "o_orderpriority": ["1-URGENT"]}))
+    cu = rd.from_pandas(pd.DataFrame({
+        "c_custkey": [7], "c_mktsegment": ["AUTOMOBILE"]}))
+    out = shipping_priority(li, od, cu, segment="NO_SUCH_SEGMENT")
+    assert len(out.to_pandas()) == 0
+    out2 = shipping_priority(li, od, cu, segment="AUTOMOBILE").to_pandas()
+    assert out2.revenue_cents.tolist() == [9000]  # 100 * 0.9 * 100 cents
