@@ -54,7 +54,11 @@ COMMENT = 2
 class Node:
     """One DOM node. type is ELEMENT / TEXT / COMMENT."""
 
-    __slots__ = ("type", "tag", "attrs", "children", "parent", "text")
+    # ts/te/es/ee/ig are scratch slots owned by readability._TextIndex
+    # (text span, element-position span, index generation stamp) — storing
+    # them on the node replaces four id()-keyed dict lookups per query
+    __slots__ = ("type", "tag", "attrs", "children", "parent", "text",
+                 "ts", "te", "es", "ee", "ig")
 
     def __init__(self, type_: int, tag: str = "", text: str = "",
                  attrs: Optional[Dict[str, str]] = None):
@@ -64,6 +68,7 @@ class Node:
         self.children: List["Node"] = []
         self.parent: Optional["Node"] = None
         self.text = text
+        self.ig = 0  # 0 = not indexed by any _TextIndex generation
 
     # --- tree ops ----------------------------------------------------------
 

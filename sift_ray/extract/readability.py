@@ -24,6 +24,7 @@ process; the extract stage runs this inside an actor pool.
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import List, Optional, Tuple
 from urllib.parse import urljoin
@@ -99,9 +100,15 @@ class _TextIndex:
                      int(len(text(a)) * (0.3 if href.startswith("#") else 1.0))
     """
 
-    __slots__ = ("_buf", "_span", "_norm", "_a_starts", "_a_psum",
-                 "_a_ends", "_a_nodes", "_espan", "_tag_pos",
-                 "_list_starts", "_list_psum")
+    __slots__ = ("_buf", "_norm", "_a_starts", "_a_psum",
+                 "_a_ends", "_a_nodes", "_tag_pos",
+                 "_list_starts", "_list_psum", "_gen")
+
+    # monotone generation counter: each index stamps the nodes it walked
+    # with its generation (node.ig), so membership is ONE attribute compare
+    # instead of an id()-keyed dict probe; a node carrying a previous
+    # index's spans can never be mistaken for indexed-by-this-one
+    _GEN = itertools.count(1)
 
     # element tags _clean_conditionally counts per candidate subtree —
     # indexed here so those counts become bisect range queries instead of
@@ -119,11 +126,11 @@ class _TextIndex:
         # A parallel ELEMENT-POSITION coordinate (pre-order visit index,
         # unique per node unlike text offsets) spans each subtree, making
         # per-tag element counts range queries too.
+        gen = next(self._GEN)
+        self._gen = gen
         buf_parts: List[str] = []
         pos = 0
         epos = 0
-        span: dict = {}
-        espan: dict = {}
         a_nodes: List[Node] = []  # document order == start order
         list_nodes: List[Node] = []  # ul/ol, document order
         tag_pos: dict = {t: [] for t in self._COUNT_TAGS}
@@ -131,19 +138,22 @@ class _TextIndex:
         while stack:
             node, done = stack.pop()
             if done:
-                span[id(node)] = (span[id(node)][0], pos)
-                espan[id(node)] = (espan[id(node)][0], epos)
+                node.te = pos
+                node.ee = epos
                 continue
-            nid = id(node)
-            espan[nid] = (epos, epos + 1)
+            node.ig = gen
+            node.es = epos
+            node.ee = epos + 1
             epos += 1
             if node.type == TEXT:
                 t = node.text
-                span[nid] = (pos, pos + len(t))
-                buf_parts.append(t)
+                node.ts = pos
                 pos += len(t)
+                node.te = pos
+                buf_parts.append(t)
             else:
-                span[nid] = (pos, pos)
+                node.ts = pos
+                node.te = pos
                 if node.type == ELEMENT:
                     if node.tag == "a":
                         a_nodes.append(node)
@@ -151,17 +161,13 @@ class _TextIndex:
                         list_nodes.append(node)
                     lst = tag_pos.get(node.tag)
                     if lst is not None:
-                        lst.append(espan[nid][0])
+                        lst.append(node.es)
                 if node.children:
                     stack.append((node, True))
                     for c in reversed(node.children):
                         stack.append((c, False))
-                else:
-                    span[nid] = (pos, pos)
         buf = "".join(buf_parts)
         self._buf = buf
-        self._span = span
-        self._espan = espan
         self._tag_pos = tag_pos
         norm: dict = {}
         # link contribution per <a>, prefix-summed by start position
@@ -169,17 +175,16 @@ class _TextIndex:
         psum: List[int] = [0]
         total = 0
         for a in a_nodes:
-            s, e = span[id(a)]
-            n = " ".join(buf[s:e].split())
+            n = " ".join(buf[a.ts:a.te].split())
             norm[id(a)] = n
             coeff = 0.3 if a.get("href", "").startswith("#") else 1.0
             total += int(len(n) * coeff)
-            starts.append(s)
+            starts.append(a.ts)
             psum.append(total)
         self._norm = norm
         self._a_starts = starts
         self._a_psum = psum
-        self._a_ends = [span[id(a)][1] for a in a_nodes]
+        self._a_ends = [a.te for a in a_nodes]
         self._a_nodes = a_nodes
         # ul/ol normalized-text-length prefix sums by element position:
         # list_text_len(node) = range sum over lists inside the subtree
@@ -188,9 +193,8 @@ class _TextIndex:
         lpsum: List[int] = [0]
         ltotal = 0
         for ln in list_nodes:
-            s, e = span[id(ln)]
-            ltotal += len(" ".join(buf[s:e].split()))
-            lstarts.append(espan[id(ln)][0])
+            ltotal += len(" ".join(buf[ln.ts:ln.te].split()))
+            lstarts.append(ln.es)
             lpsum.append(ltotal)
         self._list_starts = lstarts
         self._list_psum = lpsum
@@ -199,10 +203,9 @@ class _TextIndex:
         nid = id(node)
         n = self._norm.get(nid)
         if n is None:
-            sp = self._span.get(nid)
-            if sp is None:  # node not in indexed tree: fall back to a walk
+            if node.ig != self._gen:  # not in indexed tree: walk instead
                 return _inner_text(node)
-            n = " ".join(self._buf[sp[0]:sp[1]].split())
+            n = " ".join(self._buf[node.ts:node.te].split())
             self._norm[nid] = n
         return n
 
@@ -216,7 +219,7 @@ class _TextIndex:
         only correction needed is subtracting those equal-start ancestors.
         """
         from bisect import bisect_left
-        s, e = self._span[id(node)]
+        s, e = node.ts, node.te
         starts = self._a_starts
         lo = bisect_left(starts, s)
         hi = bisect_left(starts, e)
@@ -241,7 +244,7 @@ class _TextIndex:
         positions. Equal to ``sum(1 for d in node.iter() if d.tag == tag)``
         whenever node's own tag differs from ``tag``."""
         from bisect import bisect_left, bisect_right
-        es, ee = self._espan[id(node)]
+        es, ee = node.es, node.ee
         pos = self._tag_pos[tag]
         return bisect_left(pos, ee) - bisect_right(pos, es)
 
@@ -255,19 +258,19 @@ class _TextIndex:
         the subtree (nested lists counted per occurrence — identical to the
         walk-based double counting it replaces)."""
         from bisect import bisect_left, bisect_right
-        es, ee = self._espan[id(node)]
+        es, ee = node.es, node.ee
         lo = bisect_right(self._list_starts, es)
         hi = bisect_left(self._list_starts, ee)
         return self._list_psum[hi] - self._list_psum[lo]
 
     def has_espan(self, node: Node) -> bool:
-        return id(node) in self._espan
+        return node.ig == self._gen
 
     def link_density(self, node: Node) -> float:
         text_len = len(self.text(node))
         if text_len == 0:
             return 0.0
-        if id(node) not in self._span:
+        if node.ig != self._gen:
             return _link_density(node)
         return self._link_len(node) / text_len
 
