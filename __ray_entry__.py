@@ -636,6 +636,19 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Approximate quantiles of o_totalprice via the two-level mergeable
+    weighted-quantile summary (rank error ~1/m per level) — the
+    continuous-column companion to the exact word_count_quantiles. No
+    oracle entry (approximate by construction); the test suite bounds the
+    rank error vs the exact quantile at <2%."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import quantile_sketch
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_totalprice"])
+    return quantile_sketch(ds, "o_totalprice")
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H-Q3 shape: two chained distributed hash joins (customer
     semi-join keys-only, then orders->lineitem), integer-cents revenue
@@ -774,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
+        "price_quantiles": _q_price_quantiles,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,

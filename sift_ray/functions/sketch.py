@@ -188,3 +188,96 @@ def approx_distinct(ds, col: str, precision: int = 12) -> float:
         for b in batch.column("regs").to_pylist():
             np.maximum(final, np.frombuffer(b, dtype=np.uint8), out=final)
     return _estimate(final)
+
+
+def _compress_weighted(v: np.ndarray, w: np.ndarray, m: int):
+    """Compress a weighted value multiset to <= m equal-spaced weighted
+    quantile points (v sorted ascending on return). The standard mergeable
+    weighted-summary step (the compression used by distributed quantile
+    sketches in the GK / XGBoost line): pick the value at cumulative-weight
+    rank (i + 0.5)/m * W for i in 0..m-1, each carrying weight W/m.
+    Deterministic — no RNG, stable under re-partitioning of equal data."""
+    order = np.argsort(v, kind="stable")
+    vs, ws = v[order], w[order]
+    cum = np.cumsum(ws)
+    total = float(cum[-1])
+    if len(vs) <= m:
+        return vs, ws
+    targets = (np.arange(m, dtype=np.float64) + 0.5) / m * total
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(vs) - 1)
+    return vs[idx], np.full(m, total / m, dtype=np.float64)
+
+
+def quantile_sketch(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                    m: int = 256, num_parts: Optional[int] = None):
+    """Approximate quantiles of a numeric column via a two-level mergeable
+    weighted-quantile summary (rank error ~1/m per level, ~1% at m=256).
+    Unlike ``corpus.word_count_quantiles`` (exact, but driver state scales
+    with DISTINCT values), this works for continuous columns whose distinct
+    count is corpus-sized.
+
+    Shape: every batch compresses to <= m (value, weight) points; ONE
+    exchange spreads summary points across partitions (any spread works —
+    summaries are mergeable regardless of grouping); each partition
+    compresses its points to m again; the driver folds num_parts * m
+    points. Driver and exchange volume are O(num_parts * m), independent
+    of corpus size. Returns a Dataset of (q, value) float64 rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch.column(col), pa.float64())
+        v = vals.drop_null().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        sv, sw = _compress_weighted(v, np.ones(len(v)), m)
+        return pa.table({"v": pa.array(sv, pa.float64()),
+                         "w": pa.array(sw, pa.float64())})
+
+    def merge_partition(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        sv, sw = _compress_weighted(v, w, m)
+        return pa.table({"v": pa.array(sv, pa.float64()),
+                         "w": pa.array(sw, pa.float64())})
+
+    def vbits(batch: pa.Table):
+        return [batch.column("v").to_numpy(zero_copy_only=False)
+                .view(np.int64)]
+
+    summaries = ds.map_batches(summarize, batch_format="pyarrow")
+    parted = add_hash_partition(summaries, ["v"], P, key_arrays_fn=vbits)
+    merged = parted.groupby("part").map_groups(
+        lambda t: merge_partition(t.select(["v", "w"])),
+        batch_format="pyarrow")
+
+    folded = merged.to_pandas()
+    out_q, out_v = [], []
+    if len(folded):
+        v = folded["v"].to_numpy()
+        w = folded["w"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        vs, ws = v[order], w[order]
+        cum = np.cumsum(ws)
+        total = float(cum[-1])
+        for q in qs:
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            out_q.append(float(q))
+            out_v.append(float(vs[min(i, len(vs) - 1)]))
+    else:
+        out_q = [float(q) for q in qs]
+        out_v = [0.0] * len(qs)
+    import ray.data as rd2
+    return rd2.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64()),
+    }))

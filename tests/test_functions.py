@@ -691,3 +691,27 @@ def test_repetition_stats_known_values():
     assert list(out.n_distinct_words) == [2, 4, 1]
     assert list(out.top_2gram_n) == [2, 1, 0]      # 'a b' twice
     assert list(out.n_2grams) == [4, 3, 0]
+
+
+def test_compress_weighted_exact_when_small():
+    from sift_ray.functions.sketch import _compress_weighted
+    v = np.array([5.0, 1.0, 3.0])
+    w = np.array([1.0, 1.0, 1.0])
+    sv, sw = _compress_weighted(v, w, m=16)
+    assert sv.tolist() == [1.0, 3.0, 5.0]
+    assert sw.tolist() == [1.0, 1.0, 1.0]
+
+
+def test_quantile_sketch_rank_error(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sketch import quantile_sketch
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.0, 20000)
+    df = pd.DataFrame({"x": vals})
+    ds = rd.from_pandas(df).repartition(8)
+    out = quantile_sketch(ds, "x", qs=(0.25, 0.5, 0.9), m=256).to_pandas()
+    srt = np.sort(vals)
+    for q, est in zip(out.q, out.value):
+        # rank of the estimate must sit within +-2% of the target rank
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.02, (q, est, rank)
