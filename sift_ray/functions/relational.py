@@ -120,22 +120,34 @@ def customers_per_nation(customer_ds, nation_path: str):
 
 def shipping_priority(lineitem, orders, customer, segment: str = "BUILDING",
                       cutoff_us: int = 795225600000000, k: int = 10,
-                      num_parts: Optional[int] = None):
+                      num_parts: Optional[int] = None,
+                      broadcast_keys: int = 2_000_000,
+                      broadcast_orders: int = 2_000_000):
     """TPC-H-Q3-shaped composition: top-k unshipped orders by revenue for a
-    market segment — two DISTRIBUTED hash joins chained on the exchange
-    primitive, then a high-cardinality group-agg and a local-topk merge.
-
-    Shape at 100 TB: the customer semi-join carries only keys (right side
-    restricted to c_custkey), the order->lineitem join is the one big
-    exchange, revenue is summed as integer cents (floor(x*100 + 0.5),
-    identical in IEEE order on both engines) because distributed float
-    sums are order-dependent, and the group-agg partitions on l_orderkey
-    alone (it functionally determines the other two group keys) so string
-    keys never enter the partition hash. Only num_parts * k candidate rows
-    reach the driver. ``cutoff_us`` is epoch microseconds (default
+    market segment. Revenue is summed as integer cents (floor(x*100 + 0.5),
+    IEEE-identical in both engines) because distributed float sums are
+    order-dependent. ``cutoff_us`` is epoch microseconds (default
     1995-03-15, the TPC-H validation date).
+
+    Strategy is size-gated per join side, the same pattern as the dedup
+    family's broadcast gates — filters here are selective, so the build
+    sides are usually far smaller than their tables:
+
+    * customer semi-join: if the filtered segment has <= ``broadcast_keys``
+      keys, broadcast them (ray.put once, map-side ``is_in`` — ZERO
+      exchange); else a distributed keys-only ``hash_join``.
+    * orders->lineitem: the filtered order side is materialized (the
+      exchange would materialize it anyway); if <= ``broadcast_orders``
+      rows, lineitem is reduced map-side to per-batch (orderkey, partial
+      revenue) rows against the broadcast key set and ONE tiny exchange of
+      partials finishes the sum — order metadata is re-attached on the
+      driver from the already-collected order table. Else: full
+      ``hash_join`` whose partition kernel folds the same-key group-agg and
+      local top-k (``post``), so only num_parts * k candidate rows reach
+      the driver. Worst case (both sides big) is exactly two exchanges.
     """
     import numpy as np
+    import ray
     import ray.data as rd
 
     from .shuffle import hash_join, partitioned_group_agg
@@ -157,10 +169,29 @@ def shipping_priority(lineitem, orders, customer, segment: str = "BUILDING",
         }).filter(keep)
 
     ord_f = orders.map_batches(orders_pre, batch_format="pyarrow")
-    # semi-join on custkey: right side is keys-only, so the inner merge
-    # emits each order at most once (c_custkey is unique)
-    ord_seg = hash_join(ord_f, cust, on="o_custkey", how="inner",
-                        num_parts=num_parts)
+    # type hints everywhere: a schema() probe on a join output EXECUTES the
+    # upstream pipeline once for the probe and again for the real run
+    ord_types = {"o_custkey": pa.int64(), "o_orderkey": pa.int64(),
+                 "o_orderdate_us": pa.int64(), "o_orderpriority": pa.string()}
+
+    empty_keys = pa.schema([("o_custkey", pa.int64())]).empty_table()
+    ckeys = cust.materialize()
+    if ckeys.count() <= broadcast_keys:
+        key_tbl = pa.concat_tables(
+            [empty_keys] + list(ckeys.iter_batches(batch_size=1 << 18,
+                                                   batch_format="pyarrow")))
+        key_set = key_tbl.column("o_custkey").combine_chunks()
+
+        def seg_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("o_custkey"),
+                                     value_set=key_set))
+        ord_seg = ord_f.map_batches(seg_filter, batch_format="pyarrow")
+    else:
+        # semi-join on custkey: right side is keys-only, so the inner
+        # merge emits each order at most once (c_custkey is unique)
+        ord_seg = hash_join(ord_f, cust, on="o_custkey", how="inner",
+                            num_parts=num_parts, left_types=ord_types,
+                            right_types={"o_custkey": pa.int64()})
 
     def line_pre(t: pa.Table) -> pa.Table:
         ship = pc.cast(pc.cast(t.column("l_shipdate"),
@@ -175,33 +206,81 @@ def shipping_priority(lineitem, orders, customer, segment: str = "BUILDING",
         }).filter(pc.greater(ship, cutoff_us))
 
     line_f = lineitem.map_batches(line_pre, batch_format="pyarrow")
-    joined = hash_join(line_f, ord_seg, on="o_orderkey", how="inner",
-                       num_parts=num_parts,
-                       right_cols=["o_orderdate_us", "o_orderpriority"])
-
-    def okey_only(batch: pa.Table):
-        return [batch.column("o_orderkey").to_numpy(zero_copy_only=False)]
-
-    agg = partitioned_group_agg(
-        joined, ["o_orderkey", "o_orderdate_us", "o_orderpriority"],
-        [("rev_cents", "sum", "revenue_cents")],
-        num_parts=num_parts, key_arrays_fn=okey_only)
-
     out_schema = pa.schema([("o_orderkey", pa.int64()),
                             ("o_orderdate_us", pa.int64()),
                             ("o_orderpriority", pa.string()),
                             ("revenue_cents", pa.int64())])
 
-    def local_topk(pdf):
-        if pdf.empty:  # Ray emits 0-column blocks for empty sort ranges
-            return out_schema.empty_table().to_pandas()
-        return pdf.sort_values(
-            ["revenue_cents", "o_orderdate_us", "o_orderkey"],
-            ascending=[False, True, True]).head(k)
+    ord_m = ord_seg.materialize()  # the exchange would materialize it too
+    if ord_m.count() <= broadcast_orders:
+        # broadcast path: reduce lineitem map-side to per-batch partial
+        # revenue per orderkey against the broadcast key set; ONE exchange
+        # of tiny partials finishes the sum; per-partition top-k keeps all
+        # revenue TIES (date tiebreak is resolved on the driver, which
+        # already holds the order metadata)
+        empty_ord = pa.schema([(n, t) for n, t in ord_types.items()
+                               if n != "o_custkey"]).empty_table()
+        ord_tbl = pa.concat_tables(
+            [empty_ord]
+            + [b.select(list(empty_ord.schema.names)) for b in
+               ord_m.iter_batches(batch_size=1 << 18,
+                                  batch_format="pyarrow")
+               if b.num_rows])  # skip Ray's 0-column empty blocks
+        okeys = ord_tbl.column("o_orderkey").combine_chunks()
 
-    cands = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
-    if cands.empty:
-        return rd.from_arrow(out_schema.empty_table())
+        def partial_rev(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_in(t.column("o_orderkey"),
+                                    value_set=okeys))
+            g = (sub.group_by(["o_orderkey"])
+                 .aggregate([("rev_cents", "sum")]))
+            return g.rename_columns(["o_orderkey", "rev_cents"])
+
+        partials = line_f.map_batches(partial_rev, batch_format="pyarrow")
+        sums = partitioned_group_agg(
+            partials, ["o_orderkey"],
+            [("rev_cents", "sum", "revenue_cents")], num_parts=num_parts)
+
+        def topk_with_ties(tbl: pa.Table) -> pa.Table:
+            pdf = tbl.select(["o_orderkey", "revenue_cents"]).to_pandas()
+            if len(pdf) > k:
+                kth = pdf["revenue_cents"].nlargest(k).iloc[-1]
+                pdf = pdf[pdf["revenue_cents"] >= kth]
+            return pa.Table.from_pandas(pdf, preserve_index=False)
+
+        cands = (sums.map_batches(topk_with_ties, batch_format="pyarrow")
+                 .to_pandas())
+        if cands.empty:
+            return rd.from_arrow(out_schema.empty_table())
+        meta = ord_tbl.to_pandas().drop(columns=[], errors="ignore")
+        cands = cands.merge(meta[["o_orderkey", "o_orderdate_us",
+                                  "o_orderpriority"]], on="o_orderkey")
+    else:
+        # the group-agg key (l_orderkey) IS the join key, so the revenue
+        # sum and the local top-k fold into the join's partition kernel
+        # (``post``): two exchanges total, and only num_parts * k
+        # candidate rows ever leave a partition
+        def agg_topk(joined: pa.Table) -> pa.Table:
+            g = (joined.group_by(["o_orderkey", "o_orderdate_us",
+                                  "o_orderpriority"])
+                 .aggregate([("rev_cents", "sum")])
+                 .rename_columns(["o_orderkey", "o_orderdate_us",
+                                  "o_orderpriority", "revenue_cents"]))
+            pdf = g.to_pandas().sort_values(
+                ["revenue_cents", "o_orderdate_us", "o_orderkey"],
+                ascending=[False, True, True]).head(k)
+            return pa.Table.from_pandas(pdf, preserve_index=False,
+                                        schema=out_schema)
+
+        cands = hash_join(
+            line_f, ord_m, on="o_orderkey", how="inner",
+            num_parts=num_parts,
+            right_cols=["o_orderdate_us", "o_orderpriority"],
+            left_types={"o_orderkey": pa.int64(),
+                        "rev_cents": pa.int64()},
+            right_types=ord_types, post=agg_topk).to_pandas()
+        if cands.empty:
+            return rd.from_arrow(out_schema.empty_table())
+
     top = (cands.sort_values(
         ["revenue_cents", "o_orderdate_us", "o_orderkey"],
         ascending=[False, True, True]).head(k)

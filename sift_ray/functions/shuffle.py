@@ -144,7 +144,10 @@ def hash_join(left, right, on: str, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None,
-              salt: Optional[int] = None):
+              salt: Optional[int] = None,
+              left_types: Optional[dict] = None,
+              right_types: Optional[dict] = None,
+              post: Optional[Callable] = None):
     """Distributed hash join on an int-like key — the general two-big-sides
     join Ray Data does not provide (its idiom, and this repo's
     ``relational.BroadcastLookupStage``, covers only small-side broadcast).
@@ -179,14 +182,16 @@ def hash_join(left, right, on: str, how: str = "inner",
     P = num_parts or default_num_parts()
     if salt is not None and salt < 2:
         salt = None
-    def _names(ds_, given):
+    def _names(ds_, given, types):
         if given is not None:
             return given
+        if types is not None:
+            return list(types)
         s = ds_.schema()
         return [on] if s is None else s.names  # empty side: key only
 
-    lc = [c for c in _names(left, left_cols) if c != on]
-    rc = [c for c in _names(right, right_cols) if c != on]
+    lc = [c for c in _names(left, left_cols, left_types) if c != on]
+    rc = [c for c in _names(right, right_cols, right_types) if c != on]
     if how == "anti":
         rc = []  # only the right KEYS matter for an anti-join
     overlap = set(lc) & set(rc)
@@ -195,19 +200,26 @@ def hash_join(left, right, on: str, how: str = "inner",
     if how not in ("inner", "left", "anti"):
         raise ValueError(f"unsupported how: {how}")
 
-    l_schema = left.schema()
-    r_schema = right.schema()
-    # a fully EMPTY side reports schema() = None in Ray; the join result is
-    # then empty too — type its columns as string so the pipeline still
-    # produces a well-formed (0-row) table instead of crashing
-    l_types = ({n: pa.string() for n in [on] + lc} if l_schema is None else
-               {n: _as_pa_type(t)
-                for n, t in zip(l_schema.names, l_schema.types)})
-    r_types = ({n: pa.string() for n in [on] + rc} if r_schema is None else
-               {n: _as_pa_type(t)
-                for n, t in zip(r_schema.names, r_schema.types)})
-    if l_schema is None and r_schema is not None and on in r_types:
-        l_types[on] = r_types[on]
+    # left_types/right_types ({name: pa type}) skip the Dataset.schema()
+    # probe entirely — ESSENTIAL when a side is itself a join/groupby
+    # output, where schema() executes the whole upstream pipeline once for
+    # the probe and again for the real run
+    def _side_types(ds_, hinted, cols):
+        if hinted is not None:
+            return {n: _as_pa_type(t) for n, t in hinted.items()}
+        s = ds_.schema()
+        if s is None:
+            # a fully EMPTY side reports schema() = None; the join result
+            # is then empty too — string-type its columns so the pipeline
+            # still produces a well-formed (0-row) table
+            return {n: pa.string() for n in [on] + cols}
+        return {n: _as_pa_type(t) for n, t in zip(s.names, s.types)}
+
+    l_types = _side_types(left, left_types, lc)
+    r_types = _side_types(right, right_types, rc)
+    l_empty = left_types is None and left.schema() is None
+    if l_empty and on in r_types:
+        l_types[on] = r_types[on]  # key type comes from the non-empty side
     order = [on] + lc + rc + ["_side"]
     tagged_schema = pa.schema(
         [(on, l_types[on])] + [(c, l_types[c]) for c in lc]
@@ -293,7 +305,12 @@ def hash_join(left, right, on: str, how: str = "inner",
         # to null)
         arrays = [pa.Array.from_pandas(out[name], type=typ)
                   for name, typ in out_fields]
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        joined = pa.Table.from_arrays(arrays, schema=out_schema)
+        # ``post`` runs INSIDE the partition on the joined rows — the hook
+        # that lets a same-key aggregation/top-k fold into the join's
+        # exchange instead of paying a second one (all rows of a key are
+        # in this partition, so key-grouped post-processing stays exact)
+        return post(joined) if post is not None else joined
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 

@@ -652,3 +652,34 @@ def test_shipping_priority_empty_segment(ray_session):
     assert len(out.to_pandas()) == 0
     out2 = shipping_priority(li, od, cu, segment="AUTOMOBILE").to_pandas()
     assert out2.revenue_cents.tolist() == [9000]  # 100 * 0.9 * 100 cents
+
+
+def test_shipping_priority_strategy_invariance(ray_session):
+    """The size gates only pick a strategy — broadcast and distributed
+    paths must return identical rows."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.relational import shipping_priority
+    rng = __import__("numpy").random.default_rng(3)
+    n_ord = 200
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, n_ord, 800),
+        "l_extendedprice": rng.uniform(10, 1000, 800).round(2),
+        "l_discount": rng.choice([0.0, 0.05, 0.1], 800),
+        "l_shipdate": pd.to_datetime("1995-06-01"),
+    })
+    od = pd.DataFrame({
+        "o_orderkey": range(n_ord),
+        "o_custkey": rng.integers(0, 40, n_ord),
+        "o_orderdate": pd.to_datetime("1995-01-01"),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH"], n_ord),
+    })
+    cu = pd.DataFrame({"c_custkey": range(40),
+                       "c_mktsegment": ["BUILDING", "AUTO"] * 20})
+    args = (rd.from_pandas(li), rd.from_pandas(od), rd.from_pandas(cu))
+    fast = shipping_priority(*args, k=5).to_pandas()
+    args = (rd.from_pandas(li), rd.from_pandas(od), rd.from_pandas(cu))
+    dist = shipping_priority(*args, k=5, broadcast_keys=0,
+                             broadcast_orders=0).to_pandas()
+    assert fast.to_dict("list") == dist.to_dict("list")
+    assert len(fast) == 5
