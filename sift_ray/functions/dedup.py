@@ -220,12 +220,16 @@ def connected_components(pairs_ds, max_iters: int = 50,
         neigh = partitioned_group_agg(msgs, ["src"],
                                       [("nbr_label", "min", "nmin")],
                                       num_parts=num_parts)
+        # right_types: a schema() probe on the groupby output would execute
+        # the whole msgs pipeline once extra PER ITERATION
         merged = hash_join(
             labels.map_batches(
                 lambda t: pa.table({"src": t.column("node"),
                                     "label": t.column("label")}),
                 batch_format="pyarrow"),
-            neigh, on="src", how="left", num_parts=num_parts)
+            neigh, on="src", how="left", num_parts=num_parts,
+            left_types={"src": pa.int64(), "label": pa.int64()},
+            right_types={"src": pa.int64(), "nmin": pa.int64()})
 
         def fold(t: pa.Table) -> pa.Table:
             old = pc.cast(t.column("label"), pa.int64())
@@ -274,7 +278,9 @@ def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
             {"doc_id": t.column("doc_id"),
              "cluster_id": t.column("cluster_id")}),
             batch_format="pyarrow"),
-        on="doc_id", how="left", num_parts=num_parts)
+        on="doc_id", how="left", num_parts=num_parts,
+        left_types={"doc_id": pa.int64()},
+        right_types={"doc_id": pa.int64(), "cluster_id": pa.int64()})
 
     def finish(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column("doc_id"), pa.int64())
@@ -957,10 +963,17 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
         return capped.map_batches(
             lambda t: t.rename_columns([to, cnt]), batch_format="pyarrow")
 
+    i64 = pa.int64()
     j1 = hash_join(inter, ren("doc_id", "doc_a", "cap_a"), on="doc_a",
-                   how="left", num_parts=P)
+                   how="left", num_parts=P,
+                   right_types={"doc_a": i64, "cap_a": i64})
+    # left_types: j1 is a join output — a schema() probe would execute it
+    # once for the probe and again for the real run
     j2 = hash_join(j1, ren("doc_id", "doc_b", "cap_b"), on="doc_b",
-                   how="left", num_parts=P)
+                   how="left", num_parts=P,
+                   left_types={"doc_a": i64, "doc_b": i64, "isect": i64,
+                               "n_a": i64, "n_b": i64, "cap_a": i64},
+                   right_types={"doc_b": i64, "cap_b": i64})
 
     def adjust(batch: pa.Table) -> pa.Table:
         cap_a = pc.fill_null(batch.column("cap_a"), 0)
