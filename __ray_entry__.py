@@ -636,6 +636,13 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_doc_freq_topk(sf_dir: str):
+    """Top-100 words by DOCUMENT frequency (IDF building block): per-batch
+    per-doc-distinct combiner -> one word-hash exchange -> local-topk."""
+    from sift_ray.functions.corpus import doc_freq_topk
+    return doc_freq_topk(_docs(sf_dir, ["doc_id", "text"]), k=100)
+
+
 def _q_price_quantiles(sf_dir: str):
     """Approximate quantiles of o_totalprice via the two-level mergeable
     weighted-quantile summary (rank error ~1/m per level) — the
@@ -788,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "price_quantiles": _q_price_quantiles,
+        "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
@@ -1134,6 +1142,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE word <> '' GROUP BY word
             )
             SELECT word, n FROM counted ORDER BY n DESC, word LIMIT 100
+        """,
+        "doc_freq_topk": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            pairs AS (
+                SELECT DISTINCT doc_id, word FROM w WHERE word <> ''
+            ),
+            counted AS (
+                SELECT word, count(*) AS df FROM pairs GROUP BY word
+            )
+            SELECT word, df FROM counted ORDER BY df DESC, word LIMIT 100
         """,
         "stratified_sample": """
             SELECT doc_id, lang, md5(text) AS digest FROM documents

@@ -371,3 +371,46 @@ def decontaminate(ds, bench_rows: Sequence[Tuple[int, str]], k: int = 4,
         return out.select(out_cols) if out_cols else out
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_freq_topk(ds, k: int = 100, text_col: str = "text",
+                  id_col: str = "doc_id", num_parts: Optional[int] = None):
+    """Top-k words by DOCUMENT frequency (number of documents containing
+    the word at least once) — the IDF building block beside ``vocab_topk``'s
+    term frequency. Order: df DESC, word ASC.
+
+    Scale shape: identical to vocab_topk except the per-batch combiner
+    emits each (doc, word) pair once (per-row unique before counting), so
+    the exchange still moves only per-batch distinct vocabulary rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"row": parent, "word": flat.to_pandas()})
+        df = df[df["word"] != ""].drop_duplicates(["row", "word"])
+        vc = df["word"].value_counts()
+        return pa.table({
+            "word": pa.array(vc.index, pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial_df, batch_format="pyarrow")
+    counts = partitioned_group_agg(rows, ["word"], [("n", "sum", "df")],
+                                   num_parts=num_parts,
+                                   key_arrays_fn=_word_hash_keys)
+
+    def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf.sort_values(["df", "word"],
+                               ascending=[False, True]).head(k)
+
+    cands = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = (cands.sort_values(["df", "word"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return rd.from_pandas(top)

@@ -715,3 +715,17 @@ def test_quantile_sketch_rank_error(ray_session):
         # rank of the estimate must sit within +-2% of the target rank
         rank = np.searchsorted(srt, est) / len(srt)
         assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+def test_doc_freq_topk_counts_docs_not_occurrences(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import doc_freq_topk
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple apple", "apple pear", "pear pear kiwi"],
+    })
+    out = doc_freq_topk(rd.from_pandas(df), k=10).to_pandas()
+    got = dict(zip(out.word, out.df))
+    assert got == {"apple": 2, "pear": 2, "kiwi": 1}
+    # order: df DESC, word ASC
+    assert list(out.word) == ["apple", "pear", "kiwi"]
