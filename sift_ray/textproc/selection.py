@@ -127,21 +127,42 @@ def apply_simple_size_limit(content: str, max_units: int, counting_method: str) 
     count = counter.count
     end = 0
     hit_budget = False
-    for m in _SIMPLE_TOKEN_RE.finditer(content):
-        token = m.group()
-        units = cget(token)
-        if units is None:
-            units = count(token)
-            cache[token] = units
-        if current + units > max_units:
+    # chunked vectorized accumulation: the original per-token loop
+    # (lookup -> branch -> append) costs ~0.35 us/token in pure Python;
+    # cumulative sums via itertools.accumulate + one bisect per chunk keep
+    # the early exit (a 50k-token page still stops at the budget) while
+    # running the hot path at C speed. Acceptance rule unchanged: accept
+    # token i iff running total <= max_units; stop at the first total
+    # >= max_units (accepting it exactly at ==).
+    from bisect import bisect_left
+    from itertools import accumulate
+    # findall is safe because matches tile the string contiguously from
+    # offset 0 (ws* then word+; only a TRAILING pure-whitespace run is
+    # unmatched), so the end offset of accepted text is the sum of
+    # accepted token lengths
+    all_toks = _SIMPLE_TOKEN_RE.findall(content)
+    for i0 in range(0, len(all_toks), 4096):
+        toks = all_toks[i0:i0 + 4096]
+        units = list(map(cget, toks))
+        for i, u in enumerate(units):
+            if u is None:
+                u = count(toks[i])
+                cache[toks[i]] = u
+                units[i] = u
+        totals = list(accumulate(units, initial=current))[1:]
+        idx = bisect_left(totals, max_units)
+        if idx < len(toks):
             hit_budget = True
+            if totals[idx] == max_units:  # accept the boundary token
+                idx += 1
+            out.extend(toks[:idx])
+            if idx:
+                current = totals[idx - 1]
+            end += sum(map(len, toks[:idx]))
             break
-        out.append(token)
-        current += units
-        end = m.end()
-        if current >= max_units:
-            hit_budget = True
-            break
+        out.extend(toks)
+        current = totals[-1]
+        end += sum(map(len, toks))
     if not hit_budget and end < len(content):
         # trailing remainder (whitespace-only run): same budget rule
         token = content[end:]
