@@ -378,6 +378,7 @@ _RAWTEXT_END = {
 # self-closing only when '/' is the LAST char before '>' (html.parser treats
 # '/ >' as a regular start tag with junk, not startend)
 _SIMPLE_START_RE = re.compile(r"([a-zA-Z][a-zA-Z0-9:_-]*)\s*(/?)$")
+_TAGNAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_-]*")
 
 
 class _FastUnsupported(Exception):
@@ -417,14 +418,15 @@ def _fast_feed(builder: "_TreeBuilder", html: str) -> None:
         if m.start() > pos:
             emit_text(html[pos:m.start()])
         pos = m.end()
-        if m.group("start") is not None:
+        kind = m.lastgroup  # exactly one alternative matched
+        if kind == "start":
             raw = m.group("start")[:-1]  # strip '>'
             sm = _SIMPLE_START_RE.match(raw)
             if sm is not None:
                 tag, selfclose = sm.group(1).lower(), sm.group(2)
                 attrs: List = []
             else:
-                ws = re.match(r"[a-zA-Z][a-zA-Z0-9:_-]*", raw)
+                ws = _TAGNAME_RE.match(raw)
                 if ws is None:
                     raise _FastUnsupported(raw)
                 tag = ws.group().lower()
@@ -482,12 +484,13 @@ def _fast_feed(builder: "_TreeBuilder", html: str) -> None:
                             builder.handle_data(html[pos:em.start()])
                         builder.handle_endtag(tag)
                         pos = fm.end()
-        elif m.group("end") is not None:
+        elif kind == "end":
             name = m.group("end")[1:-1].strip().lower()
-            if not re.fullmatch(r"[a-zA-Z][a-zA-Z0-9:_-]*", name):
+            fm = _TAGNAME_RE.match(name)
+            if fm is None or fm.end() != len(name):
                 raise _FastUnsupported(name)
             builder.handle_endtag(name)
-        elif m.group("comment") is not None:
+        elif kind == "comment":
             body = m.group("comment")[3:]
             body = body[:body.rindex("--")]
             builder.handle_comment(body)
