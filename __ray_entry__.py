@@ -656,6 +656,18 @@ def _q_price_quantiles(sf_dir: str):
     return quantile_sketch(ds, "o_totalprice")
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    """Frequent-items operator: all user_ids with > 0.8% of events, EXACT
+    counts via two-pass distributed Misra-Gries (mergeable candidate
+    sketch + broadcast exact recount). Oracle-exact: the sketch only
+    decides WHICH values get recounted (a guaranteed superset)."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import heavy_hitters
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return heavy_hitters(ds, "user_id", phi=0.008)
+
+
 def _q_shipping_priority(sf_dir: str):
     """TPC-H-Q3 shape: two chained distributed hash joins (customer
     semi-join keys-only, then orders->lineitem), integer-cents revenue
@@ -795,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "price_quantiles": _q_price_quantiles,
+        "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
         "knn_join": _q_knn_join,
@@ -1109,6 +1122,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id AS value, count(*) AS n
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+            ORDER BY n DESC, value ASC
         """,
         "word_count_quantiles": r"""
             WITH s AS (

@@ -197,7 +197,7 @@ def run_bench() -> dict:
         "vocab_topk", "stratified_sample", "decontaminate",
         "per_source_cap", "word_count_quantiles",
         "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
-        "shipping_priority", "price_quantiles")
+        "shipping_priority", "price_quantiles", "heavy_hitter_users")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

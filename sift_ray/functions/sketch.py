@@ -281,3 +281,153 @@ def quantile_sketch(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v, pa.float64()),
     }))
+
+
+def _mg_compress(values: pa.Array, counts: np.ndarray, s: int):
+    """Misra-Gries compression of a (value, count) table to <= s counters:
+    subtract the (s+1)-th largest count from everything, drop <= 0. Each
+    application undercounts any value by at most (its input's share of)
+    n/(s+1); summaries compressed this way stay mergeable with the error
+    bounds adding (Agarwal et al., "Mergeable Summaries", PODS 2012)."""
+    if len(counts) <= s:
+        return values, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    sub = counts[order[s]]
+    keep_idx = order[:s]
+    kept = counts[keep_idx] - sub
+    pos = kept > 0
+    return values.take(pa.array(keep_idx[pos])), kept[pos]
+
+
+def heavy_hitters(ds, col: str, phi: float = 0.008,
+                  num_parts: Optional[int] = None):
+    """All values of ``col`` whose frequency exceeds ``phi * n`` (n = row
+    count of ``ds``), with EXACT counts — the distributed frequent-items
+    operator (bot/spam domain detection, hot-key discovery before a join,
+    stop-word mining).
+
+    Two streaming passes (``ds`` is executed twice — pass a re-readable
+    Dataset such as a parquet read, or materialize upstream first):
+
+    1. CANDIDATES — mergeable Misra-Gries summaries: each batch folds to a
+       vectorized value-counts table compressed to s = 4*ceil(1/phi)
+       counters; ONE value-hash exchange; each partition sums its partials
+       (pyarrow hash-agg) and compresses to s again. Per-batch plus
+       per-partition compressions undercount any value by at most
+       2n/(s+1) <= phi*n/2, so every true heavy hitter survives with
+       partial count >= phi*n/2 and the candidate set (values whose
+       partial + 2n/(s+1) clears the threshold) is a guaranteed superset
+       of the answer, at most ~2/phi values. Driver folds
+       num_parts * s tiny rows — kilobytes, never corpus data.
+    2. EXACT RECOUNT — the candidate list (a few KB) is captured map-side;
+       ``pc.is_in`` filter + per-batch value_counts + one tiny exchange
+       sums exact counts per candidate.
+
+    Approximation affects only WHICH values get recounted (a superset);
+    reported counts are exact, so the output equals SQL
+    ``GROUP BY col HAVING count(*) > phi * n``. The threshold compare uses
+    the same double expression (phi * total) an oracle would. Null values
+    are never reported (SQL group-by would emit a NULL group; add
+    ``WHERE col IS NOT NULL`` when comparing), but null ROWS still count
+    in n, matching ``(SELECT count(*) FROM t)``.
+
+    Returns a Dataset of (value, n) ordered n DESC, value ASC.
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+    s = max(4 * int(math.ceil(1.0 / phi)), 64)
+
+    def _value_counts(arr):
+        vc = arr.drop_null().value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return (vc.field("values"),
+                pc.cast(vc.field("counts"), pa.int64()).to_numpy())
+
+    def _with_total(vtype, v, c, total_rows: int) -> pa.Table:
+        # carry count(*) mass even when compression kept nothing
+        if len(c) == 0 and total_rows > 0:
+            return pa.table({"value": pa.nulls(1, vtype),
+                             "n": pa.array([0], pa.int64()),
+                             "total": pa.array([total_rows], pa.int64())})
+        total = np.zeros(len(c), dtype=np.int64)
+        if len(total):
+            total[0] = total_rows
+        return pa.table({"value": pc.cast(v, vtype),
+                         "n": pa.array(c, pa.int64()),
+                         "total": pa.array(total, pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        v, c = _value_counts(batch.column(col))
+        v, c = _mg_compress(v, c, s)
+        return _with_total(batch.schema.field(col).type, v, c,
+                           batch.num_rows)
+
+    def value_keys(batch: pa.Table):
+        import polars as pl
+        h = pl.from_arrow(batch.column("value")).hash(seed=0)
+        return [h.to_numpy().view(np.int64)]
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        ptotal = int(pc.sum(tbl.column("total")).as_py() or 0)
+        g = (tbl.select(["value", "n"]).group_by("value")
+             .aggregate([("n", "sum")]))
+        v = g.column("value")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        mask = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        c = g.column("n_sum").to_numpy(zero_copy_only=False)
+        v, c = _mg_compress(v.filter(pa.array(mask)), c[mask], s)
+        return _with_total(tbl.schema.field("value").type, v, c, ptotal)
+
+    partials = ds.map_batches(fold, batch_format="pyarrow")
+    parted = add_hash_partition(partials, ["value"], P,
+                                key_arrays_fn=value_keys)
+    small = (parted.groupby("part")
+             .map_groups(kernel, batch_format="pyarrow").to_pandas())
+
+    if small.empty or "value" not in small.columns:
+        return rd.from_arrow(pa.table({
+            "value": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64())}))
+
+    total = int(small["total"].sum())
+    thr = phi * total
+    err = 2.0 * total / (s + 1)
+    agg = small.dropna(subset=["value"]).groupby("value")["n"].sum()
+    cands = agg[agg + err >= thr].index.tolist()
+
+    vtype = pa.Schema.from_pandas(small[["value"]]).field("value").type
+    if not cands or total == 0:
+        return rd.from_arrow(pa.table({
+            "value": pa.array([], vtype or pa.int64()),
+            "n": pa.array([], pa.int64())}))
+
+    cand_arr = pa.array(cands)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col).drop_null()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.filter(pc.is_in(arr, value_set=pc.cast(cand_arr,
+                                                         arr.type)))
+        v, c = _value_counts(arr)
+        return pa.table({"value": v, "n": pa.array(c, pa.int64())})
+
+    from .shuffle import partitioned_group_agg
+    exact = partitioned_group_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["value"], [("n", "sum", "n")], num_parts=P,
+        key_arrays_fn=value_keys).to_pandas()
+
+    out = (exact[exact["n"] > thr]
+           .sort_values(["n", "value"], ascending=[False, True])
+           .reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

@@ -729,3 +729,54 @@ def test_doc_freq_topk_counts_docs_not_occurrences(ray_session):
     assert got == {"apple": 2, "pear": 2, "kiwi": 1}
     # order: df DESC, word ASC
     assert list(out.word) == ["apple", "pear", "kiwi"]
+
+
+def test_heavy_hitters_exact_vs_pandas(ray_session):
+    """Two-pass MG result == exact GROUP BY ... HAVING count > phi*n,
+    including under a summary size far smaller than the distinct count."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: a few hot users over a long uniform tail
+    vals = np.concatenate([
+        np.repeat([1001, 1002, 1003], [400, 250, 120]),
+        rng.integers(1, 5000, size=4000),
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())}))
+    for phi in (0.02, 0.05):
+        got = heavy_hitters(ds, "u", phi=phi).to_pandas()
+        s = pd.Series(vals).value_counts()
+        want = s[s > phi * len(vals)]
+        want = (want.rename_axis("u").reset_index(name="n")
+                .sort_values(["n", "u"], ascending=[False, True])
+                .reset_index(drop=True))
+        assert list(got["value"]) == list(want["u"])
+        assert list(got["n"]) == list(want["n"])
+
+
+def test_heavy_hitters_string_and_nulls(ray_session):
+    """String values work through the polars-hash exchange; null rows
+    count toward n (count(*)) but are never reported as a value."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import heavy_hitters
+
+    vals = ["a"] * 50 + ["b"] * 30 + [None] * 15 + ["c"] * 5
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals, pa.string())}))
+    got = heavy_hitters(ds, "s", phi=0.2).to_pandas()
+    # n = 100 rows; threshold 20: a(50) and b(30) qualify, c(5) doesn't,
+    # and the 15 nulls must neither appear nor shrink the denominator
+    assert list(got["value"]) == ["a", "b"]
+    assert list(got["n"]) == [50, 30]
+
+
+def test_heavy_hitters_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import heavy_hitters
+
+    ds = rd.from_arrow(pa.table({"u": pa.array([], pa.int64())}))
+    assert len(heavy_hitters(ds, "u", phi=0.1).to_pandas()) == 0
