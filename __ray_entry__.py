@@ -564,6 +564,32 @@ def _q_decontaminate(sf_dir: str):
                          out_cols=["doc_id", "lang", "source", "n_chars"])
 
 
+def _q_decontaminate_grams(sf_dir: str):
+    """Scale path of decontaminate: WORD-ALIGNED 4-gram leakage (the
+    published GPT-3/Gopher-style rule) via per-doc vectorized gram
+    extraction + broadcast bloom-prefiltered hash membership — cost is
+    O(corpus words) regardless of benchmark size, vs the per-gram
+    substring passes of the small-bench path."""
+    import pyarrow as pa
+
+    from sift_ray.functions.corpus import decontaminate_grams
+
+    def bench_slice(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    bench = []
+    for b in (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(bench_slice, batch_format="pyarrow")
+              .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        bench.extend(zip(b.column("doc_id").to_pylist(),
+                         b.column("text").to_pylist()))
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+    return decontaminate_grams(ds, bench, k=4,
+                               out_cols=["doc_id", "lang", "source",
+                                         "n_chars"])
+
+
 def _q_per_source_cap(sf_dir: str):
     """Per-domain document cap (keep the 10 lowest doc_ids per source) —
     the standard web-pipeline guard against a single host dominating the
@@ -799,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "decontaminate_grams": _q_decontaminate_grams,
         "per_source_cap": _q_per_source_cap,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
@@ -1198,6 +1225,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
+            )
+        """,
+        "decontaminate_grams": """
+            WITH bench AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE doc_id % 37 = 0
+            ),
+            bgrams AS (
+                SELECT DISTINCT b.doc_id,
+                       array_to_string(b.w[i.i : i.i + 3], ' ') AS gram
+                FROM bench b, LATERAL (
+                    SELECT unnest(generate_series(1, len(b.w) - 3)) AS i
+                ) i
+            ),
+            docw AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            dgrams AS (
+                SELECT DISTINCT d.doc_id,
+                       array_to_string(d.w[i.i : i.i + 3], ' ') AS gram
+                FROM docw d, LATERAL (
+                    SELECT unnest(generate_series(1, len(d.w) - 3)) AS i
+                ) i
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dgrams dg JOIN bgrams bg ON dg.gram = bg.gram
+                WHERE dg.doc_id = d.doc_id AND bg.doc_id <> dg.doc_id
             )
         """,
         "span_dedup": """

@@ -414,3 +414,156 @@ def doc_freq_topk(ds, k: int = 100, text_col: str = "text",
     top = (cands.sort_values(["df", "word"], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return rd.from_pandas(top)
+
+
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_word_array(arr) -> np.ndarray:
+    """uint64 xxhash per word (polars, fixed seed — identical on the
+    driver's bench side and in worker kernels)."""
+    import polars as pl
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(list(arr), pa.string())
+    return pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def _gram_hashes(wh: np.ndarray, k: int) -> np.ndarray:
+    """Order-sensitive combine of k consecutive word hashes into one gram
+    hash — vectorized over the whole flat word array; callers mask out
+    positions that cross document boundaries."""
+    n = len(wh) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = wh[:n].copy()
+    for j in range(1, k):
+        h = h * _GRAM_MIX ^ wh[j:j + n]
+    return h
+
+
+def bench_gram_state(bench_rows: Sequence[Tuple[int, str]], k: int = 4,
+                     bits_per_gram: int = 16) -> dict:
+    """Broadcast state for ``decontaminate_grams``: sorted uint64 gram
+    hashes, per-gram owner (-1 when owned by more than one benchmark doc
+    — those disqualify everyone), and a bloom bitmap sized at
+    ``bits_per_gram`` bits per distinct gram (2 probes, ~1% fpp at 16
+    bits — false positives only cost a binary-search confirm)."""
+    hs, owners = [], []
+    for doc_id, text in bench_rows:
+        words = [w for w in text.split(" ") if w != ""]
+        if len(words) < k:
+            continue
+        gh = _gram_hashes(_hash_word_array(words), k)
+        hs.append(gh)
+        owners.append(np.full(len(gh), doc_id, np.int64))
+    if not hs:
+        return {"h": np.empty(0, np.uint64), "owner": np.empty(0, np.int64),
+                "bloom": np.zeros(8, np.uint8), "mbits": 64}
+    h = np.concatenate(hs)
+    o = np.concatenate(owners)
+    order = np.lexsort((o, h))
+    h, o = h[order], o[order]
+    uniq, start = np.unique(h, return_index=True)
+    end = np.append(start[1:], len(h))
+    owner = o[start].copy()
+    owner[o[end - 1] != o[start]] = -1  # >1 distinct owner
+    mbits = 1 << max(6, int(np.ceil(np.log2(len(uniq) * bits_per_gram))))
+    bloom = np.zeros(mbits >> 3, np.uint8)
+    for idx in _bloom_probes(uniq, mbits):
+        np.bitwise_or.at(bloom, idx >> np.uint64(3),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return {"h": uniq, "owner": owner, "bloom": bloom, "mbits": mbits}
+
+
+def _bloom_probes(h: np.ndarray, mbits: int):
+    m = np.uint64(mbits - 1)
+    yield h & m
+    yield ((h >> np.uint64(32)) ^ (h * np.uint64(0xFF51AFD7ED558CCD))) & m
+
+
+class DecontGramStage:
+    """Map-side word-aligned k-gram decontamination against a broadcast
+    benchmark gram state (``ray.put`` once, fetched once per worker
+    process via TaskStage's instance cache)."""
+
+    def __init__(self, state_ref, k: int, id_col: str = "doc_id",
+                 out_cols: Optional[tuple] = None):
+        import ray
+        st = ray.get(state_ref)
+        self.h, self.owner = st["h"], st["owner"]
+        self.bloom, self.mbits = st["bloom"], st["mbits"]
+        self.k, self.id_col, self.out_cols = k, id_col, out_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        k = self.k
+        splits = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep_w = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep_w)), parent[keep_w]
+        drop = np.zeros(batch.num_rows, dtype=bool)
+        if len(parent) >= k and len(self.h):
+            gh = _gram_hashes(_hash_word_array(flat), k)
+            valid = parent[:len(gh)] == parent[k - 1:k - 1 + len(gh)]
+            gh, gp = gh[valid], parent[:len(valid)][valid]
+            # bloom pre-filter: ~10-16 bits touched per gram instead of an
+            # 8-byte binary search — the searchsorted below only sees hits
+            cand = np.ones(len(gh), dtype=bool)
+            for idx in _bloom_probes(gh, self.mbits):
+                cand &= (self.bloom[(idx >> np.uint64(3)).astype(np.int64)]
+                         >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            gh, gp = gh[cand], gp[cand]
+            if len(gh):
+                pos = np.searchsorted(self.h, gh)
+                pos_c = np.minimum(pos, len(self.h) - 1)
+                hit = self.h[pos_c] == gh
+                own = self.owner[pos_c[hit]]
+                rows = gp[hit]
+                ids = batch.column(self.id_col).to_numpy(
+                    zero_copy_only=False)[rows]
+                bad = rows[(own == -1) | (own != ids)]
+                drop[bad] = True
+        out = batch.filter(pa.array(~drop))
+        return out.select(list(self.out_cols)) if self.out_cols else out
+
+
+def decontaminate_grams(ds, bench_rows: Sequence[Tuple[int, str]],
+                        k: int = 4, id_col: str = "doc_id",
+                        out_cols: Optional[List[str]] = None):
+    """Scale path of ``decontaminate``: WORD-ALIGNED k-gram overlap (the
+    published eval-leakage rule — GPT-3/Gopher-style n-gram
+    decontamination matches token-aligned grams, not raw substrings).
+
+    Where ``decontaminate`` runs one vectorized substring pass per bench
+    gram (O(|grams| x batch bytes) — right shape for a few thousand
+    grams), this extracts each document's own k-grams vectorized (flat
+    word array + boundary masks, the span_dedup machinery), hashes them,
+    and tests membership against a broadcast state: a bloom bitmap
+    (~2 bytes/gram) prefilters, a sorted-hash binary search confirms, and
+    a per-gram owner array applies the own-document exclusion without any
+    per-doc Python loop. Cost is O(batch words) regardless of benchmark
+    size; the broadcast is ~10 bytes per DISTINCT bench gram (10^8 grams
+    = ~1 GB state, fetched once per worker — beyond that, exchange both
+    sides by gram hash instead of broadcasting).
+
+    Matching is exact (64-bit gram hashes; collisions ~n^2/2^65 — the
+    same accepted-risk class as the md5 digests in exact_dedup).
+    Drop rule matches ``decontaminate``: a doc is dropped iff it shares a
+    gram owned by any OTHER benchmark doc (multi-owner grams drop their
+    owners too).
+    """
+    import ray
+
+    from .shuffle import TaskStage
+
+    ref = ray.put(bench_gram_state(bench_rows, k))
+    return ds.map_batches(
+        TaskStage(DecontGramStage, state_ref=ref, k=k, id_col=id_col,
+                  out_cols=tuple(out_cols) if out_cols else None),
+        batch_format="pyarrow")

@@ -780,3 +780,66 @@ def test_heavy_hitters_empty(ray_session):
 
     ds = rd.from_arrow(pa.table({"u": pa.array([], pa.int64())}))
     assert len(heavy_hitters(ds, "u", phi=0.1).to_pandas()) == 0
+
+
+def test_decontaminate_grams_planted(ray_session):
+    """Word-aligned semantics: a leaked 4-gram drops the non-owner; the
+    owner keeps itself; word-MISALIGNED substring overlap does NOT drop
+    (that's the small-bench substring path's semantics, not this one)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import decontaminate_grams
+
+    leak = "alpha beta gamma delta epsilon"
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "completely unrelated text with different words here",
+        2: f"prefix words {leak} suffix words",
+        3: f"another doc that contains {leak} inside it",
+        4: "xthe quick brown foxy misaligned variant stays",
+        5: "quick brown fox jumps",
+        6: "short one",
+    }
+    bench = [(0, texts[0]), (2, texts[2])]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = sorted(decontaminate_grams(ds, bench, k=4)
+                 .to_pandas()["doc_id"])
+    assert got == [0, 1, 2, 4, 6]
+
+
+def test_decontaminate_grams_multi_owner_drops_owners(ray_session):
+    """A gram owned by TWO bench docs disqualifies both owners (matches
+    the substring path's rule)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import decontaminate_grams
+
+    shared = "one two three four"
+    texts = {10: f"{shared} tail a", 11: f"{shared} tail b",
+             12: "clean separate document words"}
+    bench = [(10, texts[10]), (11, texts[11])]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = sorted(decontaminate_grams(ds, bench, k=4)
+                 .to_pandas()["doc_id"])
+    assert got == [12]
+
+
+def test_bench_gram_state_bloom_contains_all(ray_session):
+    """Every bench gram hash must test positive in its own bloom (no
+    false negatives by construction)."""
+    import numpy as np
+    from sift_ray.functions.corpus import (_bloom_probes, bench_gram_state)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, " ".join(f"t{rng.integers(0, 400)}" for _ in range(30)))
+            for i in range(60)]
+    st = bench_gram_state(rows, k=4)
+    ok = np.ones(len(st["h"]), dtype=bool)
+    for idx in _bloom_probes(st["h"], st["mbits"]):
+        ok &= (st["bloom"][(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    assert ok.all()
