@@ -590,6 +590,16 @@ def _q_decontaminate_grams(sf_dir: str):
                                          "n_chars"])
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Rebalance languages to a 40/30/30 en/zh/es target mixture:
+    per-group counts (one tiny exchange) -> data-derived md5-prefix
+    thresholds -> zero-shuffle map-side filter. Reproducible on any
+    engine that computes md5 (the oracle recomputes the same doubles)."""
+    from sift_ray.functions.corpus import mixture_sample
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return mixture_sample(ds, {"en": 0.4, "zh": 0.3, "es": 0.3})
+
+
 def _q_per_source_cap(sf_dir: str):
     """Per-domain document cap (keep the 10 lowest doc_ids per source) —
     the standard web-pipeline guard against a single host dominating the
@@ -827,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_grams": _q_decontaminate_grams,
         "per_source_cap": _q_per_source_cap,
+        "mixture_sample": _q_mixture_sample,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
@@ -1226,6 +1237,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
             )
+        """,
+        "mixture_sample": """
+            WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.3),
+                                        ('es', 0.3)),
+            n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            t AS (SELECT min(n.n / w.wt) AS T
+                  FROM n JOIN w ON n.lang = w.lang),
+            r AS (SELECT w.lang,
+                         CASE WHEN w.wt * t.T / n.n >= 1 THEN 'g'
+                              ELSE printf('%08x', CAST(floor(
+                                  w.wt * t.T / n.n * 4294967296) AS BIGINT))
+                         END AS th
+                  FROM w JOIN n ON w.lang = n.lang CROSS JOIN t)
+            SELECT d.doc_id, d.lang, md5(d.text) AS digest
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE substr(md5(d.text), 1, 8) < r.th
         """,
         "decontaminate_grams": """
             WITH bench AS (

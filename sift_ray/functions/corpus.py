@@ -567,3 +567,69 @@ def decontaminate_grams(ds, bench_rows: Sequence[Tuple[int, str]],
         TaskStage(DecontGramStage, state_ref=ref, k=k, id_col=id_col,
                   out_cols=tuple(out_cols) if out_cols else None),
         batch_format="pyarrow")
+
+
+def mixture_thresholds(counts: dict, targets: dict) -> dict:
+    """Per-group md5-prefix keep-thresholds that rebalance group sizes to
+    the ``targets`` mixture: T = min_g(n_g / w_g) is the largest feasible
+    sampled-corpus size, rate_g = w_g * T / n_g, and the threshold is the
+    8-hex-char string floor(rate * 16^8) ('g' = keep-all when rate >= 1,
+    since 'g' sorts above every hex digit). The float expressions mirror
+    the SQL oracle term-for-term so both engines compute bit-identical
+    doubles."""
+    present = [g for g in targets if counts.get(g)]
+    if not present:
+        return {}
+    T = min(counts[g] / targets[g] for g in present)
+    out = {}
+    for g in present:
+        rate = targets[g] * T / counts[g]
+        out[g] = "g" if rate >= 1 else format(int(rate * 16**8), "08x")
+    return out
+
+
+def mixture_sample(ds, targets: dict, group_col: str = "lang",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_parts: Optional[int] = None):
+    """Downsample groups so the kept corpus matches a target mixture
+    (e.g. rebalance languages to 40/30/30) — the data-dependent companion
+    to ``stratified_sample``'s fixed rates.
+
+    Pass 1 counts groups (per-batch value_counts combiner -> one tiny
+    group-keyed exchange -> driver folds #groups rows). The driver turns
+    counts into per-group hex thresholds (``mixture_thresholds``): the
+    group with the scarcest supply relative to its target keeps ~100%,
+    everything else is thinned proportionally; groups absent from
+    ``targets`` are dropped. Pass 2 is the same zero-shuffle map-side
+    md5-prefix filter as stratified_sample, so the kept set is
+    reproducible on any engine that computes md5 (expected group sizes
+    are w_g * T with binomial noise; exact-count carving would need a
+    per-group rank, i.e. one more exchange).
+
+    Returns (id, group, digest) rows.
+    """
+    import pyarrow.compute as pc
+
+    def group_keys(batch: pa.Table):
+        import polars as pl
+        h = pl.from_arrow(batch.column(group_col)).hash(seed=0)
+        return [h.to_numpy().view(np.int64)]
+
+    counts_df = partitioned_group_agg(
+        ds.map_batches(lambda t: t.select([group_col]),
+                       batch_format="pyarrow"),
+        [group_col], [(None, "count", "n")], num_parts=num_parts,
+        key_arrays_fn=group_keys).to_pandas()
+    counts = dict(zip(counts_df[group_col], counts_df["n"]))
+    thresholds = mixture_thresholds(counts, targets)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        t = digest_batch(batch, text_col)
+        grp = t.column(group_col)
+        pref = pc.utf8_slice_codeunits(t.column("digest"), 0, 8)
+        keep = pa.array(np.zeros(t.num_rows, dtype=bool))
+        for g, th in thresholds.items():
+            keep = pc.if_else(pc.equal(grp, g), pc.less(pref, th), keep)
+        return t.filter(keep).select([id_col, group_col, "digest"])
+
+    return ds.map_batches(sample, batch_format="pyarrow")

@@ -843,3 +843,40 @@ def test_bench_gram_state_bloom_contains_all(ray_session):
         ok &= (st["bloom"][(idx >> np.uint64(3)).astype(np.int64)]
                >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
     assert ok.all()
+
+
+def test_mixture_thresholds_binding_group_keeps_all():
+    from sift_ray.functions.corpus import mixture_thresholds
+
+    # es is scarcest relative to its target -> rate 1.0 -> 'g' (keep all)
+    th = mixture_thresholds({"en": 218, "zh": 75, "es": 73},
+                            {"en": 0.4, "zh": 0.3, "es": 0.3})
+    assert th["es"] == "g"
+    assert th["en"] < "8" and len(th["en"]) == 8  # ~0.45 rate
+    # a target group with zero supply is skipped, absent groups dropped
+    assert mixture_thresholds({"en": 10}, {"fr": 1.0}) == {}
+
+
+def test_mixture_sample_deterministic_and_proportional(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import mixture_sample
+
+    rng = np.random.default_rng(5)
+    langs = ["en"] * 600 + ["de"] * 200 + ["fr"] * 200
+    texts = [f"doc {i} {rng.integers(0, 1 << 30)}" for i in range(1000)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    a = (mixture_sample(ds, targets).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (mixture_sample(ds.repartition(7), targets).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)  # partition-invariant (digest rule, exact counts)
+    sizes = a.groupby("lang").size()
+    # T = min(600/.5, 200/.25, 200/.25) = 800 -> expect 400/200/200;
+    # de and fr are binding (rate 1.0), en is binomially ~400
+    assert sizes["de"] == 200 and sizes["fr"] == 200
+    assert 330 <= sizes["en"] <= 470
