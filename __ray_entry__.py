@@ -692,6 +692,38 @@ def _q_price_quantiles(sf_dir: str):
     return quantile_sketch(ds, "o_totalprice")
 
 
+def _q_events_interval_join(sf_dir: str):
+    """Distributed RANGE join (no equi-key): every event paired with
+    every 1-hour incident window it falls in (windows = every 50th
+    event's start time). Time-binned bucket exchange + hash_join with a
+    partition-local range post-filter; each candidate pair meets in
+    exactly one bucket, so no dedup pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import interval_join
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "ts"])
+
+    def mk_windows(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 50 == 0))
+        ws = pc.cast(t.column("ts"), pa.int64())
+        we = pc.add(ws, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"window_id": t.column("event_id"),
+                         "ws": ws, "we": we})
+
+    wins = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "ts"]).map_batches(
+        mk_windows, batch_format="pyarrow")
+    return interval_join(events, wins, "ts", "ws", "we",
+                         ["event_id"], ["window_id"],
+                         granularity_s=3600,
+                         event_types={"event_id": "int64"},
+                         ival_types={"window_id": "int64"})
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Frequent-items operator: all user_ids with > 0.8% of events, EXACT
     counts via two-pass distributed Misra-Gries (mergeable candidate
@@ -826,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
         "events_asof_join": _q_events_asof_join,
+        "events_interval_join": _q_events_interval_join,
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
@@ -1160,6 +1193,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        """,
+        "events_interval_join": """
+            WITH w AS (
+                SELECT event_id AS window_id, ts AS ws,
+                       ts + INTERVAL 1 HOUR AS we
+                FROM events WHERE event_id % 50 = 0
+            )
+            SELECT e.event_id, w.window_id
+            FROM events e JOIN w
+              ON e.ts >= w.ws AND e.ts < w.we
         """,
         "heavy_hitter_users": """
             SELECT user_id AS value, count(*) AS n

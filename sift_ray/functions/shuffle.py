@@ -396,3 +396,85 @@ def asof_join(left, right, key: str, ts: str, value_col: str,
         return out.append_column(value_col, vals)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def interval_join(events, intervals, ts_col: str, start_col: str,
+                  end_col: str, event_cols: List[str],
+                  ival_cols: List[str], granularity_s: int = 3600,
+                  num_parts: Optional[int] = None,
+                  salt: Optional[int] = None,
+                  event_types: Optional[dict] = None,
+                  ival_types: Optional[dict] = None):
+    """Distributed RANGE (interval) join with no equi-key: every
+    (event, interval) pair with ``start <= ts < end`` (half-open, SQL
+    ``e.ts >= i.start AND e.ts < i.end``) — sessionized-log enrichment,
+    incident-window attribution, ad-slot matching.
+
+    Shape: time is binned at ``granularity_s``; each interval row is
+    REPLICATED to every bucket it overlaps (vectorized explode — choose
+    the granularity near the median interval length so the replication
+    factor stays ~2), each event maps to exactly ONE bucket, and the
+    pairing is ``hash_join`` on the bucket with a partition-local range
+    post-filter. An (event, interval) candidate meets in exactly one
+    bucket — the event's — so the output needs no dedup pass, and both
+    sides cross the wire once (intervals x replication). Hot buckets
+    (flash-crowd seconds) can be spread with ``salt`` exactly like a hot
+    join key. Both time columns must share a unit (timestamp[us] or any
+    int64-castable epoch).
+
+    Output columns: ``event_cols + ival_cols`` (names must be disjoint).
+    """
+    import pyarrow.compute as pc
+
+    G = np.int64(int(granularity_s) * 1_000_000)
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out = t.select(event_cols)
+        out = out.append_column("_ts_us", pa.array(ts, pa.int64()))
+        return out.append_column("_bucket",
+                                 pa.array(ts // G, pa.int64()))
+
+    def prep_ivals(t: pa.Table) -> pa.Table:
+        ws = pc.cast(t.column(start_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        we = pc.cast(t.column(end_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = we > ws  # empty intervals match nothing under [ws, we)
+        ws, we = ws[keep], we[keep]
+        t = t.filter(pa.array(keep))
+        b0 = ws // G
+        counts = (we - 1) // G - b0 + 1
+        idx = np.repeat(np.arange(len(b0), dtype=np.int64), counts)
+        offs = (np.arange(counts.sum(), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        out = t.select(ival_cols).take(pa.array(idx))
+        out = out.append_column("_ws_us", pa.array(ws[idx], pa.int64()))
+        out = out.append_column("_we_us", pa.array(we[idx], pa.int64()))
+        return out.append_column("_bucket",
+                                 pa.array(b0[idx] + offs, pa.int64()))
+
+    ev = events.map_batches(prep_events, batch_format="pyarrow")
+    iv = intervals.map_batches(prep_ivals, batch_format="pyarrow")
+
+    def post(joined: pa.Table) -> pa.Table:
+        ts = joined.column("_ts_us")
+        m = pc.and_(pc.greater_equal(ts, joined.column("_ws_us")),
+                    pc.less(ts, joined.column("_we_us")))
+        return joined.filter(m).select(event_cols + ival_cols)
+
+    # type hints skip hash_join's Dataset.schema() probe (which would
+    # execute each prep pipeline once for the probe and again for real)
+    lt = ({"_bucket": pa.int64(), "_ts_us": pa.int64(),
+           **{c: _as_pa_type(t) for c, t in event_types.items()}}
+          if event_types is not None else None)
+    rt = ({"_bucket": pa.int64(), "_ws_us": pa.int64(),
+           "_we_us": pa.int64(),
+           **{c: _as_pa_type(t) for c, t in ival_types.items()}}
+          if ival_types is not None else None)
+    return hash_join(ev, iv, on="_bucket",
+                     left_cols=event_cols + ["_ts_us"],
+                     right_cols=ival_cols + ["_ws_us", "_we_us"],
+                     num_parts=num_parts, salt=salt, post=post,
+                     left_types=lt, right_types=rt)

@@ -683,3 +683,66 @@ def test_shipping_priority_strategy_invariance(ray_session):
                              broadcast_orders=0).to_pandas()
     assert fast.to_dict("list") == dist.to_dict("list")
     assert len(fast) == 5
+
+
+def test_interval_join_matches_pandas(ray_session):
+    """Range join vs a pandas cross-filter reference: overlapping windows,
+    multi-match events, boundary semantics [ws, we), and granularity
+    invariance (bucket size must not change the result)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.shuffle import interval_join
+
+    US = 1_000_000
+    ev = pd.DataFrame({
+        "event_id": range(8),
+        "t": [0, 5 * US, 10 * US, 10 * US, 3600 * US,
+              7200 * US, 7199 * US, 11_000 * US],
+    })
+    iv = pd.DataFrame({
+        "wid": [100, 101, 102, 103],
+        "ws": [0, 5 * US, 3600 * US, 50_000 * US],
+        "we": [10 * US, 7200 * US, 3600 * US, 60_000 * US],  # 102 empty
+    })
+    want = (ev.merge(iv, how="cross")
+            .query("t >= ws and t < we")[["event_id", "wid"]]
+            .sort_values(["event_id", "wid"]).reset_index(drop=True))
+    for g in (1, 7, 3600, 100_000):
+        got = (interval_join(
+            rd.from_arrow(pa.Table.from_pandas(ev, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(iv, preserve_index=False)),
+            "t", "ws", "we", ["event_id"], ["wid"], granularity_s=g,
+            event_types={"event_id": "int64"}, ival_types={"wid": "int64"})
+            .to_pandas().sort_values(["event_id", "wid"])
+            .reset_index(drop=True))
+        assert got.equals(want), f"granularity {g}"
+
+
+def test_interval_join_salted_equals_plain(ray_session):
+    """Hot-bucket salting must not change the joined pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.shuffle import interval_join
+
+    rng = np.random.default_rng(2)
+    US = 1_000_000
+    ev = pd.DataFrame({"event_id": range(500),
+                       "t": rng.integers(0, 1000 * US, 500)})
+    iv = pd.DataFrame({"wid": range(40),
+                       "ws": rng.integers(0, 900 * US, 40)})
+    iv["we"] = iv["ws"] + rng.integers(1, 200 * US, 40)
+
+    def run(**kw):
+        return (interval_join(
+            rd.from_arrow(pa.Table.from_pandas(ev, preserve_index=False)),
+            rd.from_arrow(pa.Table.from_pandas(iv, preserve_index=False)),
+            "t", "ws", "we", ["event_id"], ["wid"], granularity_s=100,
+            event_types={"event_id": "int64"},
+            ival_types={"wid": "int64"}, **kw)
+            .to_pandas().sort_values(["event_id", "wid"])
+            .reset_index(drop=True))
+
+    assert run(salt=4).equals(run())
