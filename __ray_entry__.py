@@ -590,6 +590,16 @@ def _q_decontaminate_grams(sf_dir: str):
                                          "n_chars"])
 
 
+def _q_unigram_logprob(sf_dir: str):
+    """Perplexity-filter scores: per-doc unigram-LM log-prob in integer
+    micro-nats (order-independent exact sums -> oracle-comparable).
+    Train pass = the vocab exchange materialized once; score pass =
+    broadcast sorted-hash logprob table, vectorized segment-sum."""
+    from sift_ray.functions.corpus import unigram_logprob
+    return unigram_logprob(_docs(sf_dir, ["doc_id", "text"]),
+                           top_n=50000)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Rebalance languages to a 40/30/30 en/zh/es target mixture:
     per-group counts (one tiny exchange) -> data-derived md5-prefix
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_grams": _q_decontaminate_grams,
         "per_source_cap": _q_per_source_cap,
         "mixture_sample": _q_mixture_sample,
+        "unigram_logprob": _q_unigram_logprob,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
@@ -1280,6 +1291,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
             )
+        """,
+        "unigram_logprob": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ),
+            words_f AS (SELECT doc_id, w FROM words WHERE w <> ''),
+            c AS (SELECT w, count(*) AS n FROM words_f GROUP BY w),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            top AS (
+                SELECT w, n FROM c
+                QUALIFY row_number()
+                    OVER (ORDER BY n DESC, w ASC) <= 50000
+            ),
+            lp AS (SELECT top.w,
+                          CAST(round(ln(top.n / t.total) * 1000000)
+                               AS BIGINT) AS lp
+                   FROM top, t),
+            oov AS (SELECT CAST(round(ln(0.5 / t.total) * 1000000)
+                                AS BIGINT) AS lp FROM t)
+            SELECT wf.doc_id, count(*) AS n_tokens,
+                   sum(coalesce(lp.lp, oov.lp)) AS logprob_micro
+            FROM words_f wf LEFT JOIN lp ON wf.w = lp.w CROSS JOIN oov
+            GROUP BY wf.doc_id
         """,
         "mixture_sample": """
             WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.3),

@@ -633,3 +633,131 @@ def mixture_sample(ds, targets: dict, group_col: str = "lang",
         return t.filter(keep).select([id_col, group_col, "digest"])
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+class _UnigramScoreStage:
+    """Per-batch unigram-LM scoring against a broadcast (word-hash ->
+    micro-nat logprob) table: split, hash, binary-search, segment-sum —
+    no Python loop over tokens."""
+
+    def __init__(self, state_ref, text_col: str, id_col: str):
+        import ray
+        st = ray.get(state_ref)
+        self.h, self.lp, self.lp_oov = st["h"], st["lp"], st["lp_oov"]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        splits = pc.split_pattern(batch.column(self.text_col), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        n_rows = batch.num_rows
+        if len(parent) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "logprob_micro": pa.array([], pa.int64())})
+        wh = _hash_word_array(flat)
+        lp = np.full(len(wh), self.lp_oov, dtype=np.float64)
+        if len(self.h):
+            pos = np.searchsorted(self.h, wh)
+            pos_c = np.minimum(pos, len(self.h) - 1)
+            hit = self.h[pos_c] == wh
+            lp[hit] = self.lp[pos_c[hit]]
+        # float64 sums of micro-nat ints stay exact far below 2^53
+        sums = np.bincount(parent, weights=lp, minlength=n_rows)
+        toks = np.bincount(parent, minlength=n_rows)
+        nz = toks > 0  # docs with no tokens have no LM score (match SQL)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(toks[nz].astype(np.int64), pa.int64()),
+            "logprob_micro": pa.array(sums[nz].astype(np.int64),
+                                      pa.int64()),
+        })
+
+
+def unigram_logprob(ds, top_n: int = 50000, text_col: str = "text",
+                    id_col: str = "doc_id", oov_count: float = 0.5,
+                    num_parts: Optional[int] = None):
+    """Per-document unigram language-model score — the corpus-side half
+    of perplexity filtering (drop documents whose own-corpus perplexity
+    is extreme; CCNet/Gopher-style quality signal).
+
+    Pass 1 trains the LM: distinct-word counts via the vocab_topk
+    exchange, materialized once (the model IS the vocabulary — far
+    smaller than the corpus); the top ``top_n`` words (count DESC, word
+    ASC tiebreak) get probability n/total, everything else the OOV mass
+    ``oov_count/total``. Pass 2 scores: the (sorted word-hash ->
+    logprob) table is broadcast via ``ray.put`` and every batch is
+    split/hashed/binary-searched/segment-summed — no token-level Python.
+
+    Log-probs are quantized to integer MICRO-NATS (round(ln(p) * 1e6))
+    before summing, so per-document sums are order-independent exact
+    integers and the output is oracle-comparable: the SQL oracle
+    computes round(ln(n/total)*1e6) over the same doubles. Returns
+    (doc_id, n_tokens, logprob_micro); perplexity =
+    exp(-logprob_micro / 1e6 / n_tokens). Docs with zero tokens emit no
+    row (SQL group-by semantics).
+
+    ``ds`` is executed twice (train + score) — pass a re-readable
+    Dataset (parquet read) or materialize upstream.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from .shuffle import TaskStage
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(batch.column(text_col), " "))
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = partitioned_group_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["word"], [("n", "sum", "n")], num_parts=num_parts,
+        key_arrays_fn=_word_hash_keys).materialize()
+
+    total = counts.sum("n") or 0
+    if total == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logprob_micro": pa.array([], pa.int64())}))
+
+    def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pdf.sort_values(["n", "word"],
+                               ascending=[False, True]).head(top_n)
+
+    top = (counts.map_batches(local_topk, batch_format="pandas")
+           .to_pandas().sort_values(["n", "word"],
+                                    ascending=[False, True])
+           .head(top_n).reset_index(drop=True))
+
+    wh = _hash_word_array(pa.array(top["word"].tolist(), pa.string()))
+    lp = np.round(np.log(top["n"].to_numpy(np.float64) / float(total))
+                  * 1e6).astype(np.int64)
+    order = np.argsort(wh, kind="stable")
+    state = {
+        "h": wh[order], "lp": lp[order],
+        "lp_oov": np.int64(round(
+            float(np.log(oov_count / float(total))) * 1e6)),
+    }
+    ref = ray.put(state)
+    return ds.map_batches(
+        TaskStage(_UnigramScoreStage, state_ref=ref, text_col=text_col,
+                  id_col=id_col),
+        batch_format="pyarrow")

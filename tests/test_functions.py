@@ -880,3 +880,51 @@ def test_mixture_sample_deterministic_and_proportional(ray_session):
     # de and fr are binding (rate 1.0), en is binomially ~400
     assert sizes["de"] == 200 and sizes["fr"] == 200
     assert 330 <= sizes["en"] <= 470
+
+
+def test_unigram_logprob_oov_and_topn_cut(ray_session):
+    """With top_n=2 only the two most frequent words get LM mass; the
+    rest score as OOV. Checked against a direct python computation."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import unigram_logprob
+
+    texts = {1: "a a a b b c", 2: "a b c d", 3: "", 4: "c c"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = (unigram_logprob(ds, top_n=2, oov_count=0.5).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # counts: a=4, c=4, b=3, d=1, total=12; top2 = a, c (count desc,
+    # word asc tiebreak); b and d are OOV
+    total = 12.0
+    lp = {"a": round(math.log(4 / total) * 1e6),
+          "c": round(math.log(4 / total) * 1e6)}
+    oov = round(math.log(0.5 / total) * 1e6)
+    def score(t):
+        ws = [w for w in t.split(" ") if w]
+        return len(ws), sum(lp.get(w, oov) for w in ws)
+    # doc 3 is empty -> no row (SQL group-by semantics)
+    assert list(got["doc_id"]) == [1, 2, 4]
+    for _, row in got.iterrows():
+        n, s = score(texts[row["doc_id"]])
+        assert row["n_tokens"] == n and row["logprob_micro"] == s
+
+
+def test_unigram_logprob_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import unigram_logprob
+
+    rng = np.random.default_rng(9)
+    texts = [" ".join(f"w{rng.integers(0, 200)}" for _ in range(30))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = (unigram_logprob(rd.from_arrow(tbl), top_n=150).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (unigram_logprob(rd.from_arrow(tbl).repartition(11), top_n=150)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
