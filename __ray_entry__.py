@@ -590,6 +590,17 @@ def _q_decontaminate_grams(sf_dir: str):
                                          "n_chars"])
 
 
+def _q_bm25_corpus_topk(sf_dir: str):
+    """Corpus-scale BM25 retrieval (top-20 docs for 'hash join dup') —
+    the web-scale extension of the reference's in-document BM25: stats
+    pass is a distributed tree aggregate of a handful of ints, score
+    pass is vectorized bincount BM25 with integer-micro quantization and
+    a per-batch local top-k combiner."""
+    from sift_ray.functions.corpus import bm25_topk
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     ["hash", "join", "dup"], k=20)
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Perplexity-filter scores: per-doc unigram-LM log-prob in integer
     micro-nats (order-independent exact sums -> oracle-comparable).
@@ -882,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "mixture_sample": _q_mixture_sample,
         "unigram_logprob": _q_unigram_logprob,
+        "bm25_corpus_topk": _q_bm25_corpus_topk,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
@@ -1291,6 +1303,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
             )
+        """,
+        "bm25_corpus_topk": """
+            WITH q(term) AS (VALUES ('hash'), ('join'), ('dup')),
+            words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+            wf AS (SELECT doc_id, w FROM words WHERE w <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM wf GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS N,
+                          (SELECT CAST(count(*) AS BIGINT) FROM wf)
+                              AS toks),
+            av AS (SELECT toks / N AS avgdl, N FROM st),
+            df AS (SELECT q.term, count(DISTINCT wf.doc_id) AS df
+                   FROM q JOIN wf ON wf.w = q.term GROUP BY q.term),
+            tf AS (SELECT wf.doc_id, wf.w AS term, count(*) AS tf
+                   FROM wf JOIN q ON wf.w = q.term
+                   GROUP BY wf.doc_id, wf.w),
+            sc AS (SELECT tf.doc_id,
+                          CAST(round(
+                              ln((av.N - df.df + 0.5) / (df.df + 0.5) + 1)
+                              * (tf.tf * (1.2 + 1))
+                              / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * dl.dl / av.avgdl))
+                              * 1000000) AS BIGINT) AS s
+                   FROM tf JOIN df ON tf.term = df.term
+                   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN av)
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+            FROM sc GROUP BY doc_id
+            QUALIFY row_number()
+                OVER (ORDER BY sum(s) DESC, doc_id ASC) <= 20
+            ORDER BY score_micro DESC, doc_id ASC
         """,
         "unigram_logprob": """
             WITH words AS (

@@ -761,3 +761,109 @@ def unigram_logprob(ds, top_n: int = 50000, text_col: str = "text",
         TaskStage(_UnigramScoreStage, state_ref=ref, text_col=text_col,
                   id_col=id_col),
         batch_format="pyarrow")
+
+
+def bm25_topk(ds, query_terms: Sequence[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Corpus-scale BM25 retrieval: the top-k documents for a bag of
+    query terms — the web-scale extension of the reference's chunk-level
+    BM25 (sift ranks chunks WITHIN one document; this ranks documents
+    across the corpus; cf. /root/reference sift.go:255-301 for the
+    in-document analog).
+
+    Two streaming passes, no inverted index materialized:
+
+    1. STATS — each batch emits one row (n_docs, n_tokens, per-term
+       df partials from a vectorized hash compare); a distributed tree
+       aggregate folds them — driver sees a handful of integers.
+    2. SCORE — per batch: split/hash once, per-term tf and doc length
+       by ``np.bincount`` over the flat word array, BM25 term scores
+       quantized to integer MICRO-units (round(term_score * 1e6)) so
+       per-doc sums are order-independent exact ints; a per-batch local
+       top-k combiner bounds the driver merge at batches x k rows (route
+       the candidates through one more exchange if k x batch-count ever
+       matters).
+
+    The float expression mirrors the SQL oracle token-for-token
+    (idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)), ln/divide in
+    the same order), so results are oracle-exact. Query terms must be
+    distinct; docs containing none of them are not returned. Returns a
+    Dataset of (doc_id, score_micro) ordered score DESC, doc_id ASC.
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    terms = list(query_terms)
+    th = _hash_word_array(pa.array(terms, pa.string()))
+
+    def _flat_words(batch: pa.Table):
+        splits = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return flat.filter(pa.array(keep)), parent[keep]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, parent = _flat_words(batch)
+        wh = _hash_word_array(flat) if len(parent) else np.empty(
+            0, np.uint64)
+        row = {"n_docs": [batch.num_rows], "n_tokens": [len(parent)]}
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int(len(np.unique(parent[wh == th[i]])))]
+        return pa.table(row)
+
+    agg = ds.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("n_docs"), Sum("n_tokens"),
+        *[Sum(f"df{i}") for i in range(len(terms))])
+    N = int(agg["sum(n_docs)"] or 0)
+    toks = int(agg["sum(n_tokens)"] or 0)
+    if N == 0 or toks == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64())}))
+    dfs = [int(agg[f"sum(df{i})"] or 0) for i in range(len(terms))]
+    avgdl = toks / N
+    idf = [math.log((N - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _flat_words(batch)
+        n_rows = batch.num_rows
+        out_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        wh = _hash_word_array(flat)
+        dl = np.bincount(parent, minlength=n_rows).astype(np.float64)
+        total = np.zeros(n_rows, dtype=np.float64)  # exact int sums
+        matched = np.zeros(n_rows, dtype=bool)
+        for i in range(len(terms)):
+            tf = np.bincount(parent[wh == th[i]],
+                             minlength=n_rows).astype(np.float64)
+            term = np.round(
+                idf[i] * (tf * (k1 + 1))
+                / (tf + k1 * (1 - b + b * dl / avgdl)) * 1e6)
+            total += term
+            matched |= tf > 0
+        pdf = pd.DataFrame({"doc_id": out_ids[matched],
+                            "score_micro": total[matched].astype(
+                                np.int64)})
+        return pa.Table.from_pandas(
+            pdf.sort_values(["score_micro", "doc_id"],
+                            ascending=[False, True]).head(k),
+            preserve_index=False)
+
+    cands = (ds.map_batches(score, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(cands,
+                                              preserve_index=False))

@@ -928,3 +928,68 @@ def test_unigram_logprob_partition_invariant(ray_session):
     b = (unigram_logprob(rd.from_arrow(tbl).repartition(11), top_n=150)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """Distributed BM25 vs a direct python computation, including rare
+    vs common term idf contrast and the (score, doc_id) tiebreak."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "apple apple apple apple",
+        3: "banana banana cherry",
+        4: "durian elderberry fig",
+        5: "apple banana",
+        6: "",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = bm25_topk(ds, ["apple", "fig"], k=3).to_pandas()
+
+    words = {i: [w for w in t.split(" ") if w] for i, t in texts.items()}
+    N = len(texts)
+    toks = sum(len(w) for w in words.values())
+    avgdl = toks / N
+    k1, b = 1.2, 0.75
+
+    def idf(term):
+        df = sum(1 for w in words.values() if term in w)
+        return math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    scores = {}
+    for i, w in words.items():
+        s = 0
+        hit = False
+        for term in ("apple", "fig"):
+            tf = w.count(term)
+            if tf:
+                hit = True
+            dl = len(w)
+            s += round(idf(term) * (tf * (k1 + 1))
+                       / (tf + k1 * (1 - b + b * dl / avgdl)) * 1e6)
+        if hit:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["doc_id"], got["score_micro"])) == want
+
+
+def test_bm25_topk_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+
+    rng = np.random.default_rng(13)
+    texts = [" ".join(f"w{rng.integers(0, 60)}" for _ in range(25))
+             for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = bm25_topk(rd.from_arrow(tbl), ["w1", "w2"], k=10).to_pandas()
+    b = bm25_topk(rd.from_arrow(tbl).repartition(9),
+                  ["w1", "w2"], k=10).to_pandas()
+    assert a.equals(b)
