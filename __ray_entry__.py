@@ -308,6 +308,28 @@ def _q_decode_bmp(sf_dir: str):
     return decode_bmps(rd.from_pandas(pd.DataFrame(rows)))
 
 
+def _q_decode_wav(sf_dir: str):
+    """Real PCM WAV decode (stdlib struct + numpy) over a deterministic
+    synthetic audio corpus with quarantine rows mixed in."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_wavs, make_wav
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        if i % 17 == 5:
+            payload = b"ID3 not a wav"
+        else:
+            payload = make_wav(110.0 * (1 + i % 8), 0.01 + (i % 4) * 0.01,
+                               8000 if i % 2 else 16000,
+                               channels=1 + i % 2, bits=8 if i % 5 == 0
+                               else 16)
+        rows.append({"doc_id": i, "payload": payload})
+    return decode_wavs(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_decode_png(sf_dir: str):
     """Real PNG decode (stdlib zlib + numpy, all five scanline filters)
     over a deterministic synthetic image corpus with quarantine rows."""
@@ -871,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
         "decode_png": _q_decode_png,
+        "decode_wav": _q_decode_wav,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
         "events_hopping_window": _q_hopping_windows,

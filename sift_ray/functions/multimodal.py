@@ -404,3 +404,110 @@ def multimodal_features(ds, concurrency: int = 2, batch_size: int = 64):
     payloads = ds.map_batches(text_as_payload, batch_format="pyarrow")
     return payloads.map_batches(DecodeStage, batch_format="pyarrow",
                                 batch_size=batch_size, concurrency=concurrency)
+
+
+class WavDecodeStage:
+    """REAL audio decode for PCM WAV payloads (RIFF chunk walk, 8/16-bit,
+    any channel count) — stdlib struct + numpy only. Emits (id,
+    sample_rate, channels, bit_depth, n_frames, duration_s, mean_abs,
+    peak, status); non-WAV, compressed, or cut-short payloads are
+    quarantined with status rows, never task failures. Completes the
+    multimodal family alongside BMP/PNG (image) and PDF (document)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        import struct
+
+        import numpy as np
+        if (len(payload) < 12 or payload[:4] != b"RIFF"
+                or payload[8:12] != b"WAVE"):
+            return {"status": "not_wav"}
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size, = struct.unpack_from("<I", payload, pos + 4)
+            if pos + 8 + size > len(payload):
+                return {"status": "truncated"}
+            if cid == b"fmt ":
+                fmt = payload[pos + 8:pos + 8 + size]
+            elif cid == b"data":
+                data = payload[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or len(fmt) < 16 or data is None:
+            return {"status": "unsupported"}
+        audio_fmt, ch, sr, _br, _ba, bits = struct.unpack_from(
+            "<HHIIHH", fmt, 0)
+        if audio_fmt != 1 or bits not in (8, 16) or ch < 1 or sr == 0:
+            return {"status": "unsupported"}  # PCM only, no ADPCM/float
+        if bits == 16:
+            n = len(data) // 2 * 2
+            x = (np.frombuffer(data, dtype="<i2", count=n // 2)
+                 .astype(np.float64) / 32768.0)
+        else:
+            x = ((np.frombuffer(data, dtype=np.uint8)
+                  .astype(np.float64) - 128.0) / 128.0)
+        frames = len(x) // ch
+        return {"status": "ok", "sample_rate": int(sr),
+                "channels": int(ch), "bit_depth": int(bits),
+                "n_frames": int(frames),
+                "duration_s": frames / sr,
+                "mean_abs": float(np.abs(x).mean()) if len(x) else 0.0,
+                "peak": float(np.abs(x).max()) if len(x) else 0.0}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        metas = [self.decode(p or b"") for p in payloads]
+
+        def col(name, default, typ):
+            return pa.array([m.get(name, default) for m in metas], typ)
+
+        return pa.table({
+            "doc_id": batch.column(self.id_col),
+            "status": col("status", "error", pa.string()),
+            "sample_rate": col("sample_rate", 0, pa.int64()),
+            "channels": col("channels", 0, pa.int64()),
+            "bit_depth": col("bit_depth", 0, pa.int64()),
+            "n_frames": col("n_frames", 0, pa.int64()),
+            "duration_s": col("duration_s", 0.0, pa.float64()),
+            "mean_abs": col("mean_abs", 0.0, pa.float64()),
+            "peak": col("peak", 0.0, pa.float64()),
+        })
+
+
+def make_wav(freq_hz: float = 440.0, duration_s: float = 0.05,
+             sample_rate: int = 8000, channels: int = 1,
+             bits: int = 16, amplitude: float = 0.5) -> bytes:
+    """Write a minimal valid PCM WAV (sine tone) for tests/corpora."""
+    import struct
+
+    import numpy as np
+    n = int(duration_s * sample_rate)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    x = amplitude * np.sin(2 * np.pi * freq_hz * t)
+    frames = np.repeat(x[:, None], channels, axis=1).ravel()
+    if bits == 16:
+        data = (frames * 32767.0).astype("<i2").tobytes()
+    else:
+        data = ((frames * 127.0) + 128.0).astype(np.uint8).tobytes()
+    ba = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * ba, ba, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wavs(ds, payload_col: str = "payload", id_col: str = "doc_id",
+                concurrency: int = 2, batch_size: int = 64):
+    """Dataset with a WAV binary column -> decoded audio metadata."""
+    return ds.map_batches(
+        WavDecodeStage,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

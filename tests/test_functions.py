@@ -993,3 +993,47 @@ def test_bm25_topk_partition_invariant(ray_session):
     b = bm25_topk(rd.from_arrow(tbl).repartition(9),
                   ["w1", "w2"], k=10).to_pandas()
     assert a.equals(b)
+
+
+def test_wav_decode_roundtrip():
+    from sift_ray.functions.multimodal import WavDecodeStage, make_wav
+
+    m = WavDecodeStage.decode(make_wav(440.0, 0.05, 8000, channels=2,
+                                       bits=16, amplitude=0.5))
+    assert m["status"] == "ok"
+    assert (m["sample_rate"], m["channels"], m["bit_depth"]) == (8000, 2, 16)
+    assert m["n_frames"] == 400 and m["duration_s"] == 400 / 8000
+    # mean |sin| of a 0.5-amp sine ~ 0.5 * 2/pi ~ 0.318
+    assert 0.28 <= m["mean_abs"] <= 0.34 and 0.45 <= m["peak"] <= 0.51
+
+    m8 = WavDecodeStage.decode(make_wav(100.0, 0.02, 4000, bits=8))
+    assert m8["status"] == "ok" and m8["bit_depth"] == 8
+
+
+def test_wav_decode_quarantines():
+    import struct
+    from sift_ray.functions.multimodal import WavDecodeStage, make_wav
+
+    assert WavDecodeStage.decode(b"OggS junk")["status"] == "not_wav"
+    w = make_wav()
+    assert WavDecodeStage.decode(w[:len(w) // 2])["status"] == "truncated"
+    # declared float format (3) -> unsupported, not a crash
+    bad = bytearray(w)
+    fmt_off = w.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_off, 3)
+    assert WavDecodeStage.decode(bytes(bad))["status"] == "unsupported"
+
+
+def test_decode_wavs_dataset(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_wavs, make_wav
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [make_wav(220.0, 0.03), b"junk",
+                    make_wav(880.0, 0.01, 16000)],
+    })
+    out = decode_wavs(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "status"] == "ok" and out.loc[1, "sample_rate"] == 8000
+    assert out.loc[2, "status"] == "not_wav"
+    assert out.loc[3, "status"] == "ok" and out.loc[3, "n_frames"] == 160
