@@ -612,6 +612,18 @@ def _q_decontaminate_grams(sf_dir: str):
                                          "n_chars"])
 
 
+def _q_global_rank(sf_dir: str):
+    """Exact global row numbers (ORDER BY n_chars DESC, doc_id) via
+    value-range partitioning + driver prefix of P row counts — the
+    distributed ranking primitive behind deterministic top-N% curation
+    cuts."""
+    import ray.data as rd
+    from sift_ray.functions.sharding import global_rank
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars")
+
+
 def _q_bm25_corpus_topk(sf_dir: str):
     """Corpus-scale BM25 retrieval (top-20 docs for 'hash join dup') —
     the web-scale extension of the reference's in-document BM25: stats
@@ -917,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "unigram_logprob": _q_unigram_logprob,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
+        "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
@@ -1326,6 +1339,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM grams g
                 WHERE g.doc_id <> d.doc_id AND instr(d.text, g.gram) > 0
             )
+        """,
+        "global_rank_by_length": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                       AS global_rank
+            FROM documents
         """,
         "bm25_corpus_topk": """
             WITH q(term) AS (VALUES ('hash'), ('join'), ('dup')),

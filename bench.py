@@ -197,7 +197,7 @@ def run_bench() -> dict:
         "token_counts", "pricing_summary", "customers_per_nation",
         "vocab_topk", "stratified_sample", "decontaminate",
         "decontaminate_grams", "mixture_sample", "unigram_logprob",
-        "bm25_corpus_topk",
+        "bm25_corpus_topk", "global_rank_by_length", "decode_wav",
         "per_source_cap", "word_count_quantiles",
         "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
         "shipping_priority", "price_quantiles", "heavy_hitter_users")

@@ -105,3 +105,79 @@ def token_shards(ds, shard_tokens: int = 100_000, text_col: str = "text",
         })
 
     return parted.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
+def global_rank(ds, value_col: str, id_col: str = "doc_id",
+                descending: bool = True,
+                num_parts: Optional[int] = None):
+    """Exact global row numbers under a total order — SQL
+    ``row_number() OVER (ORDER BY value [DESC], id ASC)`` at corpus
+    scale (leaderboards, deterministic take-top-N% curation cuts).
+
+    Same two-pass shape as the token prefix sum, but range-partitioned
+    by the VALUE: part = (v - min) // range_size keeps each partition a
+    contiguous value range (equal values co-locate, so the id tiebreak
+    is partition-local); pass 1 collects one ROW COUNT per partition and
+    exclusive-prefix-sums them on the driver in rank order (P integers);
+    pass 2 sorts each partition by (value, id) and adds its offset.
+    Integer values only. A single value held by a large fraction of the
+    corpus concentrates in one partition — the usual range-partition
+    skew caveat; pre-bucket such columns or rank on (value, salt).
+
+    Returns (id, value, global_rank) with rank starting at 1.
+    """
+    # strip schema metadata: pandas-written parquet carries a b"pandas"
+    # entry that makes pa.Schema unhashable (Ray's sort reduce then logs
+    # "Failed to hash the schemas" per task)
+    counted = ds.map_batches(
+        lambda t: t.select([id_col, value_col])
+                   .replace_schema_metadata(None),
+        batch_format="pyarrow").materialize()
+
+    vmax, vmin = counted.max(value_col), counted.min(value_col)
+    if vmax is None:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "global_rank": pa.array([], pa.int64())}))
+    P = num_parts or default_num_parts()
+    range_size = max(1, (int(vmax) - int(vmin) + P) // P)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        part = ((v - np.int64(int(vmin))) // range_size).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    parted = counted.map_batches(add_part, batch_format="pyarrow")
+
+    counts: dict = {}
+    for batch in (parted.map_batches(
+            lambda t: t.select(["part"]).group_by(["part"])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        for p, c in zip(batch.column("part").to_pylist(),
+                        batch.column("count_all").to_pylist()):
+            counts[p] = counts.get(p, 0) + c
+    offsets = {}
+    acc = 0
+    for p in sorted(counts, reverse=descending):
+        offsets[p] = acc
+        acc += counts[p]
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        part = int(tbl.column("part")[0].as_py())
+        key = -v if descending else v
+        order = np.lexsort((ids, key))
+        rank = (np.arange(len(ids), dtype=np.int64) + 1
+                + np.int64(offsets.get(part, 0)))
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            value_col: pa.array(v[order], pa.int64()),
+            "global_rank": pa.array(rank, pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(scan, batch_format="pyarrow")

@@ -1037,3 +1037,35 @@ def test_decode_wavs_dataset(ray_session):
     assert out.loc[1, "status"] == "ok" and out.loc[1, "sample_rate"] == 8000
     assert out.loc[2, "status"] == "not_wav"
     assert out.loc[3, "status"] == "ok" and out.loc[3, "n_frames"] == 160
+
+
+def test_global_rank_dense_ties_and_ascending(ray_session):
+    """Ties broken by id; ascending and descending both exact; ranks are
+    a permutation of 1..n regardless of partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sharding import global_rank
+
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 50, size=400)  # heavy ties
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    for desc in (True, False):
+        got = (global_rank(rd.from_arrow(tbl).repartition(13), "v",
+                           descending=desc)
+               .to_pandas().sort_values("global_rank")
+               .reset_index(drop=True))
+        order = sorted(range(400),
+                       key=lambda i: (-vals[i] if desc else vals[i], i))
+        assert list(got["doc_id"]) == order
+        assert list(got["global_rank"]) == list(range(1, 401))
+
+
+def test_global_rank_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sharding import global_rank
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+    assert len(global_rank(ds, "v").to_pandas()) == 0
