@@ -330,6 +330,31 @@ def _q_decode_wav(sf_dir: str):
     return decode_wavs(rd.from_pandas(pd.DataFrame(rows)))
 
 
+def _q_decode_gif(sf_dir: str):
+    """Real GIF decode (own LZW) over a deterministic synthetic animated
+    corpus — frame counting is the frame-sample path for video-like
+    payloads; quarantine rows mixed in."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_gifs, make_gif
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 250}.get(sf, 80)
+    pal = [(i, 255 - i, (i * 3) % 256) for i in range(0, 256, 32)]
+    rows = []
+    for i in range(n):
+        if i % 23 == 7:
+            payload = b"\x89PNG not a gif"
+        else:
+            frames = [np.full((2 + i % 5, 3 + i % 4), (i + f) % len(pal),
+                              dtype=np.uint8)
+                      for f in range(1 + i % 4)]
+            payload = make_gif(frames, pal)
+        rows.append({"doc_id": i, "payload": payload})
+    return decode_gifs(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_decode_png(sf_dir: str):
     """Real PNG decode (stdlib zlib + numpy, all five scanline filters)
     over a deterministic synthetic image corpus with quarantine rows."""
@@ -906,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_bmp": _q_decode_bmp,
         "decode_png": _q_decode_png,
         "decode_wav": _q_decode_wav,
+        "decode_gif": _q_decode_gif,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
         "events_hopping_window": _q_hopping_windows,

@@ -511,3 +511,212 @@ def decode_wavs(ds, payload_col: str = "payload", id_col: str = "doc_id",
                                "id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def _lzw_decode(min_size: int, data: bytes, expected: int):
+    """GIF-variant LZW (LSB-first bit packing, growing code width,
+    clear/EOI codes). Returns a list of palette indices or None on a
+    corrupt stream. Inherently sequential — fine for frame-sample
+    decode; a production video path would batch frames per actor."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    size = min_size + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + size <= nbits and len(out) < expected:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << size) - 1)
+        bitpos += size
+        if code == clear:
+            size = min_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None
+        if next_code == (1 << size) and size < 12:
+            size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:expected]
+
+
+class GifDecodeStage:
+    """REAL GIF decode (87a/89a): frame COUNT across the whole file (the
+    frame-sample path for animated payloads) plus a full LZW decode of
+    the FIRST frame with palette-resolved channel means. Interlaced or
+    corrupt payloads are quarantined with status rows."""
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "doc_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        import struct
+
+        import numpy as np
+        if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return {"status": "not_gif"}
+        w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 3 * (2 << (flags & 7))
+            gct = payload[pos:pos + n]
+            pos += n
+        n_frames = 0
+        first = None  # (indices, palette, fw, fh)
+        try:
+            while pos < len(payload):
+                b0 = payload[pos]
+                if b0 == 0x3B:  # trailer
+                    break
+                if b0 == 0x21:  # extension: skip sub-blocks
+                    pos += 2
+                    while payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                elif b0 == 0x2C:  # image descriptor
+                    _l, _t, fw, fh, lflags = struct.unpack_from(
+                        "<HHHHB", payload, pos + 1)
+                    pos += 10
+                    pal = gct
+                    if lflags & 0x80:
+                        n = 3 * (2 << (lflags & 7))
+                        pal = payload[pos:pos + n]
+                        pos += n
+                    if lflags & 0x40:
+                        return {"status": "unsupported"}  # interlaced
+                    min_size = payload[pos]
+                    pos += 1
+                    chunks = []
+                    while payload[pos] != 0:
+                        ln = payload[pos]
+                        chunks.append(payload[pos + 1:pos + 1 + ln])
+                        pos += 1 + ln
+                    pos += 1
+                    n_frames += 1
+                    if first is None:
+                        idx = _lzw_decode(min_size, b"".join(chunks),
+                                          fw * fh)
+                        if idx is None or len(idx) < fw * fh or pal is None:
+                            return {"status": "corrupt"}
+                        first = (idx, pal, fw, fh)
+                else:
+                    return {"status": "corrupt"}
+        except (IndexError, struct.error):
+            return {"status": "truncated"}
+        if first is None:
+            return {"status": "corrupt"}
+        idx, pal, fw, fh = first
+        p = np.frombuffer(pal, dtype=np.uint8)
+        rgb = p[:len(p) // 3 * 3].reshape(-1, 3)
+        px = rgb[np.minimum(np.asarray(idx), len(rgb) - 1)]
+        means = px.mean(axis=0)
+        return {"status": "ok", "width": int(w), "height": int(h),
+                "n_frames": int(n_frames),
+                "palette_size": int(len(rgb)),
+                "mean_r": float(means[0]), "mean_g": float(means[1]),
+                "mean_b": float(means[2])}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        metas = [self.decode(p or b"") for p in payloads]
+
+        def col(name, default, typ):
+            return pa.array([m.get(name, default) for m in metas], typ)
+
+        return pa.table({
+            "doc_id": batch.column(self.id_col),
+            "status": col("status", "error", pa.string()),
+            "width": col("width", 0, pa.int64()),
+            "height": col("height", 0, pa.int64()),
+            "n_frames": col("n_frames", 0, pa.int64()),
+            "palette_size": col("palette_size", 0, pa.int64()),
+            "mean_r": col("mean_r", 0.0, pa.float64()),
+            "mean_g": col("mean_g", 0.0, pa.float64()),
+            "mean_b": col("mean_b", 0.0, pa.float64()),
+        })
+
+
+def make_gif(frames, palette) -> bytes:
+    """Write a minimal valid (multi-frame) GIF89a for tests/corpora:
+    ``frames`` = list of 2-D lists/arrays of palette indices, ``palette``
+    = list of (r, g, b). The LZW stream emits a clear code before every
+    pixel so the code table never grows — spec-valid and trivially
+    correct, if bulky (fine for fixtures)."""
+    import struct
+
+    import numpy as np
+    np_frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = np_frames[0].shape
+    ncol = max(2, 1 << int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct_bits = int(np.log2(ncol))
+    pal = bytearray()
+    for i in range(ncol):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        pal += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += pal
+    min_size = max(2, gct_bits)
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    width = min_size + 1
+    for f in np_frames:
+        fh, fw = f.shape
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, fw, fh, 0)
+        out += bytes((min_size,))
+        codes = [clear]
+        for v in f.ravel():
+            codes.extend((int(v), clear))
+        codes[-1] = eoi  # replace the trailing clear
+        acc = bitlen = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << bitlen
+            bitlen += width
+            while bitlen >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                bitlen -= 8
+        if bitlen:
+            data.append(acc & 0xFF)
+        for i in range(0, len(data), 255):
+            block = data[i:i + 255]
+            out += bytes((len(block),)) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gifs(ds, payload_col: str = "payload", id_col: str = "doc_id",
+                concurrency: int = 2, batch_size: int = 64):
+    """Dataset with a GIF binary column -> frame count + first-frame
+    palette-resolved channel means."""
+    return ds.map_batches(
+        GifDecodeStage,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

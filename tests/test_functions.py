@@ -1069,3 +1069,55 @@ def test_global_rank_empty(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                  "v": pa.array([], pa.int64())}))
     assert len(global_rank(ds, "v").to_pandas()) == 0
+
+
+def test_gif_decode_roundtrip_multiframe():
+    from sift_ray.functions.multimodal import GifDecodeStage, make_gif
+
+    pal = [(10, 20, 30), (200, 100, 50)]
+    f1 = np.ones((4, 6), dtype=np.uint8)
+    f2 = np.zeros((4, 6), dtype=np.uint8)
+    m = GifDecodeStage.decode(make_gif([f1, f2], pal))
+    assert m["status"] == "ok" and m["n_frames"] == 2
+    assert (m["width"], m["height"], m["palette_size"]) == (6, 4, 2)
+    # first frame is all palette[1]
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == (200.0, 100.0, 50.0)
+
+    mixed = GifDecodeStage.decode(
+        make_gif([np.array([[0, 1], [1, 0]], np.uint8)], pal))
+    assert mixed["mean_r"] == (10 + 200) / 2
+
+    # LZW data crossing the 255-byte sub-block boundary
+    big = np.tile(np.array([0, 1], np.uint8), (20, 15))
+    mb = GifDecodeStage.decode(make_gif([big], pal))
+    assert mb["status"] == "ok" and mb["width"] == 30
+
+
+def test_gif_decode_quarantines():
+    from sift_ray.functions.multimodal import GifDecodeStage, make_gif
+
+    pal = [(1, 2, 3), (4, 5, 6)]
+    g = make_gif([np.zeros((3, 3), np.uint8)], pal)
+    assert GifDecodeStage.decode(b"RIFF junk")["status"] == "not_gif"
+    assert GifDecodeStage.decode(g[:20])["status"] in ("truncated",
+                                                       "corrupt")
+    # garbage after the header block walk -> corrupt, never a raise
+    assert GifDecodeStage.decode(g[:-1] + b"\x55")["status"] in (
+        "ok", "corrupt", "truncated")
+
+
+def test_decode_gifs_dataset(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.multimodal import decode_gifs, make_gif
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [make_gif([np.ones((2, 2), np.uint8)] * 3, pal),
+                    b"junk",
+                    make_gif([np.zeros((5, 4), np.uint8)], pal)],
+    })
+    out = decode_gifs(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "status"] == "ok" and out.loc[1, "n_frames"] == 3
+    assert out.loc[2, "status"] == "not_gif"
+    assert out.loc[3, "status"] == "ok" and out.loc[3, "width"] == 4
