@@ -772,6 +772,19 @@ def _q_price_quantiles(sf_dir: str):
     return quantile_sketch(ds, "o_totalprice")
 
 
+def _q_price_quantiles_by_priority(sf_dir: str):
+    """Per-group approximate quantiles (o_totalprice by o_orderpriority)
+    via the grouped mergeable weighted-quantile summary: per-batch
+    per-group compression, ONE key-hash exchange, partition-local fold.
+    No oracle entry (approximate by construction); the test suite bounds
+    the per-group rank error at <3%."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import quantile_sketch_by
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    return quantile_sketch_by(ds, "o_orderpriority", "o_totalprice")
+
+
 def _q_events_interval_join(sf_dir: str):
     """Distributed RANGE join (no equi-key): every event paired with
     every 1-hour incident window it falls in (windows = every 50th
@@ -963,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "price_quantiles": _q_price_quantiles,
+        "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,

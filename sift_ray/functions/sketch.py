@@ -431,3 +431,112 @@ def heavy_hitters(ds, col: str, phi: float = 0.008,
            .sort_values(["n", "value"], ascending=[False, True])
            .reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def quantile_sketch_by(ds, key_col: str, col: str,
+                       qs=(0.25, 0.5, 0.75, 0.9), m: int = 256,
+                       num_parts: Optional[int] = None):
+    """Per-group approximate quantiles of a continuous column (per-type
+    latency percentiles, per-language length calibration) — the grouped
+    companion to ``quantile_sketch``, same mergeable weighted summaries.
+
+    Shape: every batch compresses EACH group present in it to <= m
+    (value, weight) points; ONE key-hash exchange co-locates each
+    group's points; each partition folds its keys' summaries completely
+    and emits (key, q, value) rows — no cross-partition merge, driver
+    volume O(groups x len(qs)). Rank error ~1/m per compression level.
+    Rows whose key or value is null are dropped (SQL aggregates ignore
+    null values; null GROUP BY keys are out of scope for a sketch).
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+
+    def _per_group(keys: np.ndarray, v: np.ndarray, w: np.ndarray, fn):
+        """Apply fn(slice_v, slice_w) per contiguous key segment (input
+        sorted by key); yields (key, result)."""
+        n = len(keys)
+        is_start = np.ones(n, dtype=bool)
+        if n > 1:
+            is_start[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(is_start).tolist()
+        starts.append(n)
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            yield keys[s], fn(v[s:e], w[s:e])
+
+    def _keys_np(col_arr):
+        if pa.types.is_integer(col_arr.type):
+            return col_arr.to_numpy(zero_copy_only=False)
+        return np.asarray(col_arr.to_pylist(), dtype=object)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key_col).type
+        vals = pc.cast(batch.column(col), pa.float64())
+        ok = pc.and_(pc.is_valid(vals), pc.is_valid(batch.column(key_col)))
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        keys = _keys_np(t.column(key_col))
+        v = pc.cast(t.column(col), pa.float64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, v = keys[order], v[order]
+        out_k, out_v, out_w = [], [], []
+        for k, (sv, sw) in _per_group(keys, v, np.ones(len(v)),
+                                      lambda a, b:
+                                      _compress_weighted(a, b, m)):
+            out_k.extend([k] * len(sv))
+            out_v.extend(sv.tolist())
+            out_w.extend(sw.tolist())
+        return pa.table({key_col: pa.array(out_k, ktype),
+                         "v": pa.array(out_v, pa.float64()),
+                         "w": pa.array(out_w, pa.float64())})
+
+    def key_hash(batch: pa.Table):
+        return [_hash64_any(batch.column(key_col)).astype(np.int64)]
+
+    parted = add_hash_partition(
+        ds.map_batches(summarize, batch_format="pyarrow"),
+        [key_col], P, key_arrays_fn=key_hash)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        ktype = tbl.schema.field(key_col).type
+        if tbl.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        keys = _keys_np(tbl.column(key_col))
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys, v, w = keys[order], v[order], w[order]
+        out_k, out_q, out_v = [], [], []
+
+        def quantiles(sv, sw):
+            o = np.argsort(sv, kind="stable")
+            svs, sws = sv[o], sw[o]
+            cum = np.cumsum(sws)
+            total = float(cum[-1])
+            res = []
+            for q in qs:
+                i = int(np.searchsorted(cum, q * total, side="left"))
+                res.append(float(svs[min(i, len(svs) - 1)]))
+            return res
+
+        for k, res in _per_group(keys, v, w, quantiles):
+            for q, val in zip(qs, res):
+                out_k.append(k)
+                out_q.append(float(q))
+                out_v.append(val)
+        return pa.table({key_col: pa.array(out_k, ktype),
+                         "q": pa.array(out_q, pa.float64()),
+                         "value": pa.array(out_v, pa.float64())})
+
+    return parted.groupby("part").map_groups(
+        lambda t: kernel(t.select([key_col, "v", "w"])),
+        batch_format="pyarrow")

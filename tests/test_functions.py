@@ -717,6 +717,45 @@ def test_quantile_sketch_rank_error(ray_session):
         assert abs(rank - q) < 0.02, (q, est, rank)
 
 
+def test_quantile_sketch_by_rank_error_and_types(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.sketch import quantile_sketch_by
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["en", "de", "fr"], 15000)
+    # group-dependent scale so a wrong-group mixup is detectable
+    scale = np.where(keys == "en", 1.0, np.where(keys == "de", 5.0, 25.0))
+    vals = rng.lognormal(2.0, 0.8, 15000) * scale
+    df = pd.DataFrame({"lang": keys, "x": vals})
+    ds = rd.from_pandas(df).repartition(8)
+    out = quantile_sketch_by(ds, "lang", "x", qs=(0.25, 0.5, 0.9),
+                             m=256).to_pandas()
+    assert sorted(out.lang.unique()) == ["de", "en", "fr"]
+    assert len(out) == 9
+    for lang in ("en", "de", "fr"):
+        srt = np.sort(vals[keys == lang])
+        sub = out[out.lang == lang]
+        for q, est in zip(sub.q, sub.value):
+            rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(rank - q) < 0.03, (lang, q, est, rank)
+
+
+def test_quantile_sketch_by_int_key_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import quantile_sketch_by
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 2, None, 1], pa.int32()),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 5.0, None]),
+    })
+    out = quantile_sketch_by(rd.from_arrow(t), "k", "x",
+                             qs=(0.5,), m=64).to_pandas()
+    # null key row and null value row both dropped; key dtype preserved
+    assert sorted(out.k.tolist()) == [1, 2]
+    got = dict(zip(out.k, out.value))
+    # <=m points per group -> lossless summaries -> exact rank selection
+    assert got[1] == 2.0 and got[2] == 20.0
+
+
 def test_doc_freq_topk_counts_docs_not_occurrences(ray_session):
     import ray.data as rd
     from sift_ray.functions.corpus import doc_freq_topk
