@@ -785,6 +785,103 @@ def _q_price_quantiles_by_priority(sf_dir: str):
     return quantile_sketch_by(ds, "o_orderpriority", "o_totalprice")
 
 
+_PAGERANK_ITERS = 3
+_PAGERANK_SCALE = 10 ** 12
+
+
+def _q_pagerank_customers(sf_dir: str):
+    """Distributed PageRank in exact int64 fixed-point over a
+    deterministic graph derived from orders (src = o_custkey, dst = a
+    multiplicative hash of o_orderkey folded into custkey space — both
+    engines derive the identical edge list, so the oracle is value-exact
+    including the floor divisions). Two exchanges per iteration (edges
+    ride ONE src-keyed join exchange; per-partition partials ride the
+    node-keyed state join), driver traffic = 2 ints/iteration."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import pagerank
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    C = orders.max("o_custkey")
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = 1 + (ok * 26544357) % C
+        return pa.table({"src": pa.array(ck, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = orders.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
+
+
+def _pagerank_oracle_sql(iters: int, scale: int) -> str:
+    """The identical integer recurrence as an unrolled chain of CTEs —
+    one (dang, contrib, state) triple per iteration."""
+    parts = [f"""
+            WITH edges AS (
+                SELECT o_custkey AS src,
+                       1 + (o_orderkey * 26544357)
+                           % (SELECT max(o_custkey) FROM orders) AS dst
+                FROM orders
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src AS node, count(*) AS deg
+                    FROM edges GROUP BY src),
+            state0 AS (
+                SELECT n.node, COALESCE(d.deg, 0) AS deg,
+                       CAST({scale} AS BIGINT) AS r
+                FROM nodes n LEFT JOIN deg d USING (node)
+            )"""]
+    for i in range(iters):
+        parts.append(f""",
+            dang{i} AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dsum
+                        FROM state{i} WHERE deg = 0),
+            contrib{i} AS (
+                SELECT e.dst AS node, CAST(SUM(s.r // s.deg) AS BIGINT) AS a
+                FROM edges e JOIN state{i} s ON e.src = s.node
+                GROUP BY e.dst
+            ),
+            state{i + 1} AS (
+                SELECT s.node, s.deg,
+                       CAST((15 * {scale}
+                             + 85 * (COALESCE(c.a, 0)
+                                     + (SELECT dsum FROM dang{i})
+                                       // (SELECT n FROM nn))) // 100
+                            AS BIGINT) AS r
+                FROM state{i} s LEFT JOIN contrib{i} c USING (node)
+            )""")
+    parts.append(f"""
+            SELECT node, r AS "rank" FROM state{iters}""")
+    return "".join(parts)
+
+
+def _q_page_outlinks(sf_dir: str):
+    """Hyperlink edge extraction (src, dst, anchor) from raw HTML over
+    the fixture pages corpus: DOM parse per page, <base href> honored,
+    relative hrefs resolved, fragments/non-navigational schemes dropped.
+    Zero shuffle. Rows-only (DOM semantics are not SQL-expressible);
+    resolution rules are unit-tested in tests/test_linkgraph.py."""
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import extract_outlinks
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return extract_outlinks(pages)
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-level link graph (src_host, dst_host, n) aggregated from the
+    page-level edges via one host-pair-keyed exchange."""
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import extract_outlinks, host_edges
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return host_edges(extract_outlinks(pages))
+
+
 def _q_events_interval_join(sf_dir: str):
     """Distributed RANGE join (no equi-key): every event paired with
     every 1-hour incident window it falls in (windows = every 50th
@@ -977,6 +1074,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
+        "pagerank_customers": _q_pagerank_customers,
+        "page_outlinks": _q_page_outlinks,
+        "host_graph": _q_host_graph,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
@@ -1684,4 +1784,6 @@ def oracle_sql() -> dict[str, str]:
     # the checkpointed flagship runs the SAME composition; the oracle
     # is identical by construction
     d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
+    d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
+                                                   _PAGERANK_SCALE)
     return d

@@ -201,7 +201,9 @@ def run_bench() -> dict:
         "decode_gif",
         "per_source_cap", "word_count_quantiles",
         "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
-        "shipping_priority", "price_quantiles", "heavy_hitter_users")
+        "shipping_priority", "price_quantiles", "heavy_hitter_users",
+        "price_quantiles_by_priority", "pagerank_customers",
+        "page_outlinks")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

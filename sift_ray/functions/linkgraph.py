@@ -1,0 +1,335 @@
+"""Link-graph operator family: outlink extraction from raw HTML and
+distributed PageRank over the resulting edge list.
+
+The reference engine (chriscorrea/sift) is a per-document extractor and
+has no cross-document operators; link analysis is the canonical
+cross-document computation of a web-scale corpus (crawl frontier
+prioritization, spam demotion, quality-weighted sampling of training
+data), so it belongs in this engine's training-data family alongside
+dedup and retrieval.
+
+Scale shape:
+- ``extract_outlinks`` is embarrassingly parallel (one DOM parse per
+  page, zero shuffle) — the same stage shape as the extraction pipeline.
+- ``pagerank`` is the standard synchronous power iteration expressed in
+  this repo's exchange primitives: per iteration the edge table moves
+  through ONE src-keyed exchange (joined against the node-sized rank
+  state), per-partition contributions are pre-summed by destination
+  before ONE dst-keyed exchange, and the summed in-flows join back onto
+  the state through ONE node-keyed exchange. Driver traffic per
+  iteration is two integers (dangling mass, node count). Iteration
+  state is node-proportional and re-materialized each step (the one
+  documented use of mid-pipeline materialization: iterative algorithms
+  need their lineage truncated). A production run on a co-partitioned
+  store would cache the edge partitioning across iterations; Ray Data
+  has no co-partitioned join reuse, so the edges re-shuffle per
+  iteration — the classic Spark-without-partitioner cost, noted here
+  deliberately.
+
+Determinism: all PageRank arithmetic is int64 (ranks in fixed-point
+"micro-rank" units, floor division for the per-edge contribution and
+the damping blend). Integer addition is commutative, so the result is
+bit-identical under any partitioning / summation order — and exactly
+reproducible in ANSI SQL (the driver oracle runs the same recurrence as
+an unrolled chain of CTEs in DuckDB). Choose ``scale`` so that
+``100 * n_nodes * scale < 2**63``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+_SKIP_SCHEME_RE = re.compile(r"^(javascript|mailto|tel|data):", re.I)
+_WS_RE = re.compile(r"\s+")
+
+
+def _page_outlinks(url: str, html: str, max_links: int):
+    """(dst, anchor) pairs for one page: every <a href> resolved against
+    the page URL (honoring the first <base href>), fragments stripped,
+    non-navigational schemes (javascript/mailto/tel/data) and
+    fragment-only self-links dropped."""
+    from ..dom.parser import parse_html
+
+    root = parse_html(html)
+    base = url
+    for b in root.iter_elements("base"):
+        href = b.get("href").strip()
+        if href:
+            base = urljoin(url, href)
+        break
+    out = []
+    for a in root.iter_elements("a"):
+        href = a.get("href").strip()
+        if not href or href.startswith("#") or _SKIP_SCHEME_RE.match(href):
+            continue
+        dst = urljoin(base, href)
+        dst = dst.split("#", 1)[0]
+        if not dst.startswith(("http://", "https://")):
+            continue
+        anchor = _WS_RE.sub(" ", a.text_content()).strip()[:200]
+        out.append((dst, anchor))
+        if max_links is not None and len(out) >= max_links:
+            break
+    return out
+
+
+class OutlinkStage:
+    """Batch kernel for outlink extraction. Stateless apart from the
+    config; run it as plain tasks (``shuffle.TaskStage``) — DOM parsing
+    per page is the cost, setup is microseconds."""
+
+    def __init__(self, max_bytes: int = 50 * 1024 * 1024,
+                 max_links: Optional[int] = None):
+        self.max_bytes = max_bytes
+        self.max_links = max_links
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src_o, dst_o, anchor_o = [], [], []
+        for url, html in zip(urls, htmls):
+            if html is None:
+                continue
+            if isinstance(html, bytes):
+                if len(html) > self.max_bytes:
+                    continue  # oversize pages contribute no edges
+                html = html.decode("utf-8", errors="replace")
+            elif len(html) > self.max_bytes:
+                continue
+            try:
+                links = _page_outlinks(url, html, self.max_links)
+            except Exception:
+                continue  # pathological DOM: no edges, never a task error
+            for dst, anchor in links:
+                src_o.append(url)
+                dst_o.append(dst)
+                anchor_o.append(anchor)
+        return pa.table({"src": pa.array(src_o, pa.string()),
+                         "dst": pa.array(dst_o, pa.string()),
+                         "anchor": pa.array(anchor_o, pa.string())})
+
+
+def extract_outlinks(pages, max_bytes: int = 50 * 1024 * 1024,
+                     max_links: Optional[int] = None):
+    """Dataset of (src, dst, anchor) hyperlink edges from a pages table
+    with (url, html) columns. Zero shuffle; scales as the extract stage
+    does."""
+    from .shuffle import TaskStage
+    return pages.map_batches(
+        TaskStage(OutlinkStage, max_bytes=max_bytes, max_links=max_links),
+        batch_format="pyarrow")
+
+
+def host_edges(edges, num_parts: Optional[int] = None):
+    """Collapse a URL edge list to the host graph: (src_host, dst_host,
+    n) with n = number of page-level links. One host-pair-keyed exchange
+    (in-batch pre-aggregation via Arrow group_by happens inside the
+    partition kernel)."""
+    from .shuffle import partitioned_group_agg
+    from .sketch import _hash64_any
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"src_host": pa.array([], pa.string()),
+                             "dst_host": pa.array([], pa.string())})
+        sh = [urlsplit(u).netloc.lower() for u in t.column("src").to_pylist()]
+        dh = [urlsplit(u).netloc.lower() for u in t.column("dst").to_pylist()]
+        return pa.table({"src_host": pa.array(sh, pa.string()),
+                         "dst_host": pa.array(dh, pa.string())})
+
+    hosts = edges.map_batches(to_hosts, batch_format="pyarrow")
+
+    def key_hash(batch: pa.Table):
+        return [_hash64_any(batch.column("src_host")).astype(np.int64),
+                _hash64_any(batch.column("dst_host")).astype(np.int64)]
+
+    return partitioned_group_agg(hosts, ["src_host", "dst_host"],
+                                 [(None, "count", "n")],
+                                 num_parts=num_parts,
+                                 key_arrays_fn=key_hash)
+
+
+def _tolerate_empty(schema: pa.Schema):
+    """Map fn that normalizes Ray's 0-column empty blocks (emitted for
+    empty map_groups sort ranges) to a typed empty table."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and (t.num_columns == 0
+                                or t.column_names != schema.names):
+            return schema.empty_table()
+        return t
+    return fn
+
+
+def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
+             scale: int = 10 ** 12, num_parts: Optional[int] = None):
+    """Distributed PageRank over an int64 edge list (src, dst) in exact
+    fixed-point arithmetic; returns a Dataset of (node, rank) int64 rows.
+
+    Recurrence (all int64, floor division)::
+
+        r_0(v)    = scale
+        c(s->v)   = r_i(s) // outdeg(s)
+        D_i       = sum of r_i over dangling nodes (outdeg 0)
+        r_{i+1}(v) = ((d_den - d_num) * scale
+                      + d_num * (sum_in c + D_i // n)) // d_den
+
+    Integer sums are order-free, so the result is identical under any
+    partitioning — and byte-reproducible by the unrolled-CTE SQL oracle
+    (``__ray_entry__.oracle_sql()['pagerank_customers']``). String-keyed
+    graphs (URL edges from ``extract_outlinks``) are dictionary-encoded
+    to int64 ids first (``doc_fingerprints``-style hashing or a distinct
+    exchange); this kernel stays int-keyed on purpose — the exchanges
+    move 16-byte edge rows, not URLs.
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import (add_hash_partition, default_num_parts, hash_join,
+                          partitioned_group_agg)
+
+    P = num_parts or default_num_parts()
+    i64 = pa.int64()
+
+    # ---- node set: distinct(src) UNION distinct(dst), one exchange ----
+    def both_cols(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"node": pa.array([], i64)})
+        s = pc.cast(t.column("src"), i64).combine_chunks()
+        d = pc.cast(t.column("dst"), i64).combine_chunks()
+        comb = pa.chunked_array([s, d], type=i64)
+        return pa.table({"node": pc.unique(comb)})
+
+    nodes_schema = pa.schema([("node", i64)])
+    nodes = partitioned_group_agg(
+        edges.map_batches(both_cols, batch_format="pyarrow"),
+        ["node"], [(None, "count", "_c")], num_parts=P)
+    nodes = nodes.map_batches(
+        lambda t: (nodes_schema.empty_table()
+                   if t.num_rows == 0 and "node" not in t.column_names
+                   else t.select(["node"])),
+        batch_format="pyarrow")
+
+    # ---- out-degree per src, one exchange ----
+    deg = partitioned_group_agg(edges, ["src"], [(None, "count", "deg")],
+                                num_parts=P)
+    deg = deg.map_batches(
+        lambda t: (pa.table({"node": pa.array([], i64),
+                             "deg": pa.array([], i64)})
+                   if t.num_rows == 0 and "src" not in t.column_names
+                   else t.rename_columns(["node", "deg"])),
+        batch_format="pyarrow")
+
+    state_schema = pa.schema([("node", i64), ("deg", i64), ("r", i64)])
+
+    def init_state(joined: pa.Table) -> pa.Table:
+        dg = pc.fill_null(pc.cast(joined.column("deg"), i64), 0)
+        n_ = joined.num_rows
+        return pa.table({"node": pc.cast(joined.column("node"), i64),
+                         "deg": dg,
+                         "r": pa.array(np.full(n_, scale, np.int64), i64)})
+
+    state = hash_join(nodes, deg, on="node", how="left",
+                      num_parts=P,
+                      left_types={"node": i64},
+                      right_types={"node": i64, "deg": i64},
+                      post=init_state)
+    state = state.map_batches(_tolerate_empty(state_schema),
+                              batch_format="pyarrow").materialize()
+    n = state.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.schema([("node", i64),
+                                        ("rank", i64)]).empty_table())
+
+    edges64 = edges.map_batches(
+        lambda t: (pa.table({"src": pa.array([], i64),
+                             "dst": pa.array([], i64)})
+                   if t.num_rows == 0 or "src" not in t.column_names
+                   else pa.table({"src": pc.cast(t.column("src"), i64),
+                                  "dst": pc.cast(t.column("dst"), i64)})),
+        batch_format="pyarrow")
+
+    partial_schema = pa.schema([("dst", i64), ("a", i64)])
+
+    def contribs(joined: pa.Table) -> pa.Table:
+        # partition-local: per-edge contribution, pre-summed by dst
+        # BEFORE the dst exchange (the combiner that keeps the second
+        # exchange node-proportional, not edge-proportional)
+        r = joined.column("r").to_numpy(zero_copy_only=False)
+        dg = joined.column("deg").to_numpy(zero_copy_only=False)
+        c = r // np.maximum(dg, 1)  # deg>=1 by construction (src rows)
+        t = pa.table({"dst": joined.column("dst"), "a": pa.array(c, i64)})
+        g = t.group_by(["dst"]).aggregate([("a", "sum")])
+        return g.rename_columns(["dst", "a"])
+
+    for _ in range(iters):
+        # dangling mass: ONE int64 to the driver
+        def dang_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "deg" not in t.column_names:
+                return pa.table({"dsum": pa.array([], i64)})
+            m = pc.equal(t.column("deg"), 0)
+            s = pc.sum(pc.cast(t.filter(m).column("r"), i64))
+            return pa.table({"dsum": pa.array(
+                [s.as_py() if s.as_py() is not None else 0], i64)})
+
+        dang = state.map_batches(dang_partial, batch_format="pyarrow") \
+                    .sum("dsum")
+        D = int(dang or 0)
+
+        src_schema = pa.schema([("src", i64), ("deg", i64), ("r", i64)])
+        state_as_src = state.map_batches(
+            lambda t: (src_schema.empty_table()
+                       if t.num_rows == 0 and "node" not in t.column_names
+                       else t.rename_columns(["src", "deg", "r"])),
+            batch_format="pyarrow")
+        inflow = hash_join(
+            edges64, state_as_src, on="src", how="inner", num_parts=P,
+            left_types={"src": i64, "dst": i64},
+            right_types={"src": i64, "deg": i64, "r": i64},
+            right_cols=["deg", "r"],
+            post=contribs)
+        inflow = inflow.map_batches(_tolerate_empty(partial_schema),
+                                    batch_format="pyarrow")
+        # rename dst -> node so the per-dst partials ride the STATE join's
+        # exchange directly (each node has at most one partial per
+        # src-partition; the post hook folds them) — one exchange per
+        # iteration instead of a group-agg exchange plus a join exchange
+        sums_schema = pa.schema([("node", i64), ("a", i64)])
+        partials = inflow.map_batches(
+            lambda t: (sums_schema.empty_table()
+                       if t.num_rows == 0 and "dst" not in t.column_names
+                       else t.rename_columns(["node", "a"])),
+            batch_format="pyarrow")
+
+        base = (d_den - d_num) * scale
+        share = D // n
+
+        def step(joined: pa.Table, base=base, share=share) -> pa.Table:
+            # a left row per (node, partial); fold to one row per node:
+            # deg/r are constants within the node, a sums (all-null -> 0)
+            g = joined.group_by(["node"]).aggregate(
+                [("deg", "min"), ("a", "sum")])
+            a = pc.fill_null(pc.cast(g.column("a_sum"), i64), 0) \
+                .to_numpy(zero_copy_only=False)
+            r_new = (base + d_num * (a + share)) // d_den
+            return pa.table({"node": g.column("node"),
+                             "deg": g.column("deg_min"),
+                             "r": pa.array(r_new, i64)})
+
+        state = hash_join(state, partials, on="node", how="left",
+                          num_parts=P,
+                          left_types={"node": i64, "deg": i64, "r": i64},
+                          right_types={"node": i64, "a": i64},
+                          left_cols=["deg", "r"], right_cols=["a"],
+                          post=lambda j, b=base, s=share: step(j, b, s))
+        state = state.map_batches(_tolerate_empty(state_schema),
+                                  batch_format="pyarrow").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "rank": t.column("r")})
+
+    return state.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""Link-graph family: outlink extraction semantics and exact-integer
+distributed PageRank (partitioning invariance + reference recurrence)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _outlinks(url, html, **kw):
+    from sift_ray.functions.linkgraph import OutlinkStage
+    t = pa.table({"url": [url], "html": pa.array([html.encode()],
+                                                 pa.binary())})
+    out = OutlinkStage(**kw)(t)
+    return list(zip(out.column("dst").to_pylist(),
+                    out.column("anchor").to_pylist()))
+
+
+def test_outlinks_relative_resolution_and_skips():
+    html = """<html><body>
+      <a href="/about">About  Us</a>
+      <a href="page2.html">Next</a>
+      <a href="https://other.com/x#frag">Other</a>
+      <a href="#section">Skip fragment</a>
+      <a href="javascript:void(0)">Skip js</a>
+      <a href="mailto:a@b.c">Skip mail</a>
+      <a href="">Skip empty</a>
+      <a>Skip no-href</a>
+    </body></html>"""
+    got = _outlinks("http://example.com/dir/index.html", html)
+    assert got == [
+        ("http://example.com/about", "About Us"),
+        ("http://example.com/dir/page2.html", "Next"),
+        ("https://other.com/x", "Other"),
+    ]
+
+
+def test_outlinks_base_href_and_nested_anchor_text():
+    html = """<html><head><base href="http://cdn.example.com/assets/">
+      </head><body>
+      <a href="img/x.html"><b>Bold</b> and <i>italic</i> text</a>
+    </body></html>"""
+    got = _outlinks("http://example.com/page", html)
+    assert got == [("http://cdn.example.com/assets/img/x.html",
+                    "Bold and italic text")]
+
+
+def test_outlinks_oversize_and_broken_html_yield_no_edges():
+    big = "<a href='http://x.com/'>x</a>" * 10
+    got = _outlinks("http://e.com/", big, max_bytes=10)
+    assert got == []
+    # pathological html must not raise
+    got = _outlinks("http://e.com/", "<a href=http://ok.com/y>y</a><<<>")
+    assert ("http://ok.com/y", "y") in got
+
+
+def test_outlinks_max_links_cap():
+    html = "".join(f'<a href="http://h.com/{i}">l{i}</a>' for i in range(9))
+    got = _outlinks("http://e.com/", html, max_links=4)
+    assert len(got) == 4
+
+
+def _ref_pagerank(edges, iters, scale=10 ** 12):
+    nodes = sorted({x for e in edges for x in e})
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    n = len(nodes)
+    r = {v: scale for v in nodes}
+    for _ in range(iters):
+        D = sum(r[v] for v in nodes if deg[v] == 0)
+        A = {v: 0 for v in nodes}
+        for s, d in edges:
+            A[d] += r[s] // deg[s]
+        r = {v: (15 * scale + 85 * (A[v] + D // n)) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_reference_and_partition_invariant(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import pagerank
+    rng = np.random.default_rng(3)
+    # random graph incl. dangling nodes (targets outside the src set)
+    src = rng.integers(1, 40, 300)
+    dst = rng.integers(1, 60, 300)
+    edges = list(zip(src.tolist(), dst.tolist()))
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ref = _ref_pagerank(edges, iters=2)
+
+    got = {}
+    for parts, blocks in ((4, 2), (16, 5)):
+        out = pagerank(rd.from_arrow(t).repartition(blocks), iters=2,
+                       num_parts=parts).to_pandas()
+        got[parts] = dict(zip(out.node, out["rank"]))
+        assert got[parts] == ref, f"num_parts={parts}"
+    assert got[4] == got[16]
+
+
+def test_pagerank_empty_edges(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import pagerank
+    t = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    out = pagerank(rd.from_arrow(t), iters=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_host_edges_counts(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import host_edges
+    t = pa.table({
+        "src": ["http://a.com/1", "http://a.com/2", "http://b.com/1"],
+        "dst": ["http://B.com/x", "http://b.com/y", "http://a.com/z"],
+        "anchor": ["", "", ""],
+    })
+    out = host_edges(rd.from_arrow(t)).to_pandas()
+    got = {(r.src_host, r.dst_host): r.n for r in out.itertuples()}
+    # hosts lowercased: a.com->b.com twice
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
