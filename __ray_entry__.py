@@ -785,6 +785,50 @@ def _q_price_quantiles_by_priority(sf_dir: str):
     return quantile_sketch_by(ds, "o_orderpriority", "o_totalprice")
 
 
+def _q_orders_customer_full_join(sf_dir: str):
+    """Distributed FULL OUTER join: per-customer order counts x
+    high-balance customers. Left-only keys (low-balance customers with
+    orders) null the right columns; right-only keys (high-balance
+    customers without orders) null the left columns; integer columns
+    stay exact int64 through the nullable-dtype merge."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join, partitioned_group_agg
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    o = partitioned_group_agg(orders, ["o_custkey"],
+                              [(None, "count", "n_orders")])
+    o = o.map_batches(
+        lambda t: (pa.schema([("custkey", pa.int64()),
+                              ("n_orders", pa.int64())]).empty_table()
+                   if t.num_rows == 0 and "o_custkey" not in t.column_names
+                   else t.rename_columns(["custkey", "n_orders"])),
+        batch_format="pyarrow")
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_acctbal"])
+    import pyarrow.compute as pc
+    c = cust.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), 5000.0))
+                   .rename_columns(["custkey", "c_acctbal"]),
+        batch_format="pyarrow")
+
+    return hash_join(o, c, on="custkey", how="full",
+                     left_types={"custkey": pa.int64(),
+                                 "n_orders": pa.int64()},
+                     right_types={"custkey": pa.int64(),
+                                  "c_acctbal": pa.float64()})
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode (NFC) + whitespace normalization pass over documents —
+    map-only, zero shuffle; every rule is mirrored verbatim in the
+    DuckDB oracle so the output is value-exact."""
+    from sift_ray.functions.textstats import normalize_text
+    return normalize_text(_docs(sf_dir, ["doc_id", "text"]))
+
+
 _PAGERANK_ITERS = 3
 _PAGERANK_SCALE = 10 ** 12
 
@@ -1075,6 +1119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "pagerank_customers": _q_pagerank_customers,
+        "normalize_text": _q_normalize_text,
+        "orders_customer_full_join": _q_orders_customer_full_join,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -1786,4 +1832,24 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
     d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
                                                    _PAGERANK_SCALE)
+    d["normalize_text"] = r"""
+            WITH norm AS (
+                SELECT doc_id, text AS orig,
+                       trim(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(nfc_normalize(text),
+                                            '\r\n?', chr(10), 'g'),
+                             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                           '\n{3,}', chr(10) || chr(10), 'g'),
+                         ' ' || chr(9) || chr(10) || chr(13)) AS text
+                FROM documents)
+            SELECT doc_id, text, (text <> orig) AS changed FROM norm"""
+    d["orders_customer_full_join"] = """
+            WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey),
+                 c AS (SELECT c_custkey AS custkey, c_acctbal
+                       FROM customer WHERE c_acctbal > 5000)
+            SELECT custkey, n_orders, c_acctbal
+            FROM o FULL OUTER JOIN c USING (custkey)"""
     return d

@@ -172,8 +172,11 @@ def hash_join(left, right, on: str, how: str = "inner",
     mapping only per block layout — the JOIN RESULT is layout-invariant
     because every salt sees the full right side.
 
-    ``how``: "inner", "left", or "anti" (left rows whose key has NO right
-    match — the distributed anti-join; right non-key columns are ignored).
+    ``how``: "inner", "left", "full" (unmatched rows of EITHER side kept,
+    the other side's columns null — integer columns stay exact int64 via
+    nullable dtypes on both sides), or "anti" (left rows whose key has NO
+    right match — the distributed anti-join; right non-key columns are
+    ignored). A right join is "left" with the arguments swapped.
     Non-key column names must be disjoint (restrict with
     left_cols/right_cols).
     """
@@ -197,8 +200,9 @@ def hash_join(left, right, on: str, how: str = "inner",
     overlap = set(lc) & set(rc)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
-    if how not in ("inner", "left", "anti"):
-        raise ValueError(f"unsupported how: {how}")
+    if how not in ("inner", "left", "anti", "full"):
+        raise ValueError(f"unsupported how: {how}")  # right = full w/ swap
+                                                     # or left w/ swapped args
 
     # left_types/right_types ({name: pa type}) skip the Dataset.schema()
     # probe entirely — ESSENTIAL when a side is itself a join/groupby
@@ -292,14 +296,20 @@ def hash_join(left, right, on: str, how: str = "inner",
         # every padded int column into float64)
         ldf = tbl.filter(pc.equal(side, 0)).select([on] + lc).to_pandas()
         rdf = tbl.filter(pc.equal(side, 1)).select([on] + rc).to_pandas()
-        if how == "left":
+        if how in ("left", "full"):
             # unmatched left rows null the right columns; pandas would
             # coerce int64 -> float64 (lossy past 2^53). Nullable Int64
             # keeps exact integers through the merge.
             for c in rc:
                 if pa.types.is_integer(r_types[c]):
                     rdf[c] = rdf[c].astype("Int64")
-        out = ldf.merge(rdf, on=on, how=how)
+        if how == "full":
+            # a full join also nulls LEFT columns on right-only keys
+            for c in lc:
+                if pa.types.is_integer(l_types[c]):
+                    ldf[c] = ldf[c].astype("Int64")
+        out = ldf.merge(rdf, on=on,
+                        how=("outer" if how == "full" else how))
         # rebuild against the declared schema: blocks keep identical dtypes
         # regardless of match pattern / emptiness (from_pandas maps NaN/NA
         # to null)

@@ -340,3 +340,49 @@ def repetition_stats(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda b: repetition_stats_batch(b, text_col),
         batch_format="pyarrow")
+
+
+def normalize_text_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Unicode + whitespace text normalization — the cleanup map a web
+    corpus runs before dedup/tokenization so byte-different encodings of
+    the same text collapse. Rules, in order (each mirrored verbatim by
+    the DuckDB oracle, so the op is value-exact):
+
+    1. NFC unicode normalization (combining sequences -> precomposed)
+    2. CR / CRLF -> LF
+    3. drop C0/DEL control chars except tab and newline
+    4. collapse runs of 3+ newlines to exactly 2 (the reference's
+       markdown rule, extract.go:132-134, applied corpus-wide)
+    5. trim leading/trailing whitespace (space/tab/newline/CR)
+
+    Regex steps are pyarrow RE2 kernels (identical semantics to DuckDB's
+    regexp_replace); only the NFC step is per-row Python (C-speed via
+    unicodedata, with an is_normalized fast path — ASCII corpora skip
+    the allocation entirely).
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    vals = text.to_pylist()
+    nfc = [v if v is None or unicodedata.is_normalized("NFC", v)
+           else unicodedata.normalize("NFC", v) for v in vals]
+    arr = pa.array(nfc, pa.string())
+    arr = pc.replace_substring_regex(arr, r"\r\n?", "\n")
+    arr = pc.replace_substring_regex(
+        arr, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    arr = pc.replace_substring_regex(arr, r"\n{3,}", "\n\n")
+    arr = pc.utf8_trim(arr, " \t\n\r")
+    changed = pc.invert(pc.equal(arr, text))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "text": arr,
+                     "changed": changed})
+
+
+def normalize_text(ds, text_col: str = "text"):
+    """Map-only normalization pass; zero shuffle."""
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col),
+        batch_format="pyarrow")

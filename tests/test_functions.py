@@ -1160,3 +1160,29 @@ def test_decode_gifs_dataset(ray_session):
     assert out.loc[1, "status"] == "ok" and out.loc[1, "n_frames"] == 3
     assert out.loc[2, "status"] == "not_gif"
     assert out.loc[3, "status"] == "ok" and out.loc[3, "width"] == 4
+
+
+def test_normalize_text_rules(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.textstats import normalize_text
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a\r\nb\rc",                      # CR / CRLF -> LF
+            "étude",                     # NFC: e + combining acute
+            "x\x01\x02y\n\n\n\n\nz",          # controls drop, 5 LF -> 2
+            "  keep \t inner  \n",            # trim ends only
+        ],
+    })
+    out = (normalize_text(rd.from_arrow(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.text.tolist() == ["a\nb\nc", "étude",
+                                 "xy\n\nz", "keep \t inner"]
+    assert out.changed.tolist() == [True, True, True, True]
+    # idempotent: a second pass changes nothing
+    out2 = (normalize_text(rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": out.text.tolist()}))).to_pandas()
+        .sort_values("doc_id"))
+    assert out2.changed.tolist() == [False] * 4

@@ -232,6 +232,44 @@ def test_hash_join_left(ray_session):
     assert out.loc[out.k == 5, "rv"].isna().all()
 
 
+def test_hash_join_full_outer(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _join_frames()  # left-only k=3,5; right-only k=4
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="full").to_pandas()
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    exp = (left.merge(right, on="k", how="outer")
+           .sort_values(["k", "lv"]).reset_index(drop=True))
+    assert len(out) == len(exp) == 6
+    assert out.loc[out.k == 4, "lv"].isna().all()   # right-only row
+    assert out.loc[out.k == 5, "rv"].isna().all()   # left-only row
+    assert set(out.k) == {1, 2, 3, 4, 5}
+
+
+def test_hash_join_full_preserves_big_int64_both_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    big = (1 << 62) + 777  # not representable in float64
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "lv": np.array([big, 20], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 3], dtype=np.int64),
+                          "rv": np.array([big + 1, 30], dtype=np.int64)})
+    ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                   how="full")
+    tbl = pa.concat_tables(ds.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"))
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    assert pa.types.is_integer(sch["lv"]) and pa.types.is_integer(sch["rv"])
+    rows = {k: (lv, rv) for k, lv, rv in
+            zip(tbl.column("k").to_pylist(), tbl.column("lv").to_pylist(),
+                tbl.column("rv").to_pylist())}
+    assert rows[1] == (big, None)
+    assert rows[2] == (20, big + 1)
+    assert rows[3] == (None, 30)
+
+
 def test_hash_join_rejects_overlapping_columns(ray_session):
     import ray.data as rd
     from sift_ray.functions.shuffle import hash_join
