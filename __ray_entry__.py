@@ -821,6 +821,37 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over the pages corpus with planted URL-level
+    duplicates (each url also appears utm-decorated with a later fetch
+    ts): the output must collapse back to one row per page, keeping the
+    earliest fetch. Exact-dedup exchange shape — full rows move once
+    through a canonical-key exchange. Rows-only (URL parsing is not
+    SQL-expressible); the canonicalization rules are unit-tested in
+    tests/test_urls.py."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.urls import url_dedup
+
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "warc_ts", "html"])
+
+    def plant_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup_url = pc.binary_join_element_wise(
+            t.column("url"), pa.scalar("?utm_source=feed&gclid=1"), "")
+        later = pc.add(t.column("warc_ts"),
+                       pa.scalar(datetime.timedelta(days=30)))
+        dup = pa.table({"url": dup_url, "warc_ts": later,
+                        "html": t.column("html")})
+        return pa.concat_tables([t.select(["url", "warc_ts", "html"]), dup])
+
+    doubled = pages.map_batches(plant_dups, batch_format="pyarrow")
+    return url_dedup(doubled, ts_col="warc_ts")
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode (NFC) + whitespace normalization pass over documents —
     map-only, zero shuffle; every rule is mirrored verbatim in the
@@ -1121,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_customers": _q_pagerank_customers,
         "normalize_text": _q_normalize_text,
         "orders_customer_full_join": _q_orders_customer_full_join,
+        "url_dedup": _q_url_dedup,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
         "heavy_hitter_users": _q_heavy_hitter_users,

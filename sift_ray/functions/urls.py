@@ -1,0 +1,112 @@
+"""URL canonicalization and canonical-URL dedup — the crawl-side twin of
+content dedup: the same page fetched as ``http://Example.com/a?utm_source=x``
+and ``http://example.com:80/a`` must collapse to one row before any
+content-level pass spends compute on it.
+
+Scale shape: canonicalization is a zero-shuffle map; the dedup is the
+exact-dedup exchange shape (ONE canonical-key hash exchange, partition-
+local keep-first) — full rows move exactly once, no driver state.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+import numpy as np
+import pyarrow as pa
+
+# query params that identify a campaign/click, not a resource — dropping
+# them is the standard crawl canonicalization (utm_* per Google's own
+# urchin params; the rest are the big ad/social click ids)
+_TRACKING_RE = re.compile(
+    r"^(utm_\w+|gclid|fbclid|msclkid|dclid|igshid|mc_eid|mc_cid|ref|ref_src"
+    r"|_hs\w+|yclid|twclid)$", re.I)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url(u: str) -> Optional[str]:
+    """Canonical form of one URL: lowercase scheme/host, default port and
+    fragment stripped, tracking params dropped, remaining query params
+    sorted by (key, value), empty path normalized to '/'. Returns None
+    for unparseable or non-http(s) input."""
+    try:
+        parts = urlsplit(u.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = parts.hostname
+    if not host:
+        return None
+    host = host.lower().rstrip(".")
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+         if not _TRACKING_RE.match(k)]
+    query = urlencode(sorted(q))
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_urls(ds, url_col: str = "url",
+                      out_col: str = "canonical_url"):
+    """Append the canonical form of ``url_col`` (null where unparseable).
+    Zero shuffle."""
+    def fn(t: pa.Table) -> pa.Table:
+        canon = [canonical_url(u) if u is not None else None
+                 for u in t.column(url_col).to_pylist()]
+        return t.append_column(out_col, pa.array(canon, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def url_dedup(ds, url_col: str = "url", ts_col: Optional[str] = None,
+              num_parts: Optional[int] = None):
+    """Keep ONE row per canonical URL: the earliest ``ts_col`` if given
+    (tie-broken by ascending raw url), else the lexicographically-first
+    raw url — both deterministic under any partitioning. Rows whose URL
+    does not canonicalize (non-http, unparseable) are kept as-is, keyed
+    on their raw string. Exact-dedup exchange shape: full rows move
+    through exactly ONE canonical-key hash exchange; the keep decision
+    is partition-local (equal keys co-locate)."""
+    from .shuffle import add_hash_partition, default_num_parts
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+    canoned = canonicalize_urls(ds, url_col, "_canon")
+
+    def fill_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = pc.coalesce(t.column("_canon"), t.column(url_col))
+        return t.set_column(t.schema.get_field_index("_canon"),
+                            "_canon", key)
+
+    keyed = canoned.map_batches(fill_key, batch_format="pyarrow")
+
+    def key_hash(batch: pa.Table):
+        return [_hash64_any(batch.column("_canon")).astype(np.int64)]
+
+    parted = add_hash_partition(keyed, ["_canon"], P,
+                                key_arrays_fn=key_hash)
+
+    sort_cols = ["_canon"] + ([ts_col] if ts_col else []) + [url_col]
+
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.drop_columns(
+                [c for c in ("_canon", "part") if c in tbl.column_names])
+        df = tbl.to_pandas().sort_values(sort_cols, kind="stable")
+        df = df.drop_duplicates(subset=["_canon"], keep="first")
+        df = df.drop(columns=[c for c in ("_canon", "part")
+                              if c in df.columns])
+        out_schema = pa.schema([f for f in tbl.schema
+                                if f.name not in ("_canon", "part")])
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=out_schema)
+
+    return parted.groupby("part").map_groups(
+        lambda t: keep_first(t), batch_format="pyarrow")

@@ -1,0 +1,63 @@
+"""URL canonicalization rules and canonical-URL dedup."""
+
+import datetime
+
+import pandas as pd
+import pyarrow as pa
+
+from sift_ray.functions.urls import canonical_url
+
+
+def test_canonical_url_rules():
+    assert canonical_url("HTTP://Example.COM:80/a#frag") == \
+        "http://example.com/a"
+    assert canonical_url("https://example.com:443/") == "https://example.com/"
+    assert canonical_url("https://example.com:8443/x") == \
+        "https://example.com:8443/x"
+    assert canonical_url("http://example.com") == "http://example.com/"
+    # tracking params dropped, the rest sorted by (key, value)
+    assert canonical_url(
+        "http://e.com/p?utm_source=x&b=2&a=1&gclid=99&fbclid=z&a=0") == \
+        "http://e.com/p?a=0&a=1&b=2"
+    assert canonical_url("http://e.com/p?ref=tw&keep=1") == \
+        "http://e.com/p?keep=1"
+    # trailing host dot, preserved case-sensitive path
+    assert canonical_url("http://E.com./CaseSensitive") == \
+        "http://e.com/CaseSensitive"
+    # non-navigational / unparseable
+    assert canonical_url("ftp://e.com/x") is None
+    assert canonical_url("not a url") is None
+    assert canonical_url("http://") is None
+
+
+def test_url_dedup_keeps_earliest_ts(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.urls import url_dedup
+    t0 = datetime.datetime(2020, 1, 1)
+    df = pd.DataFrame({
+        "url": [
+            "http://a.com/x?utm_source=feed",   # dup group A (later)
+            "http://A.com:80/x",                # dup group A (earliest)
+            "http://a.com/x?v=2",               # distinct (real param)
+            "::::bad::::",                      # unparseable, kept raw
+        ],
+        "warc_ts": [t0 + datetime.timedelta(days=d) for d in (5, 1, 2, 3)],
+        "payload": ["late", "early", "v2", "bad"],
+    })
+    out = (url_dedup(rd.from_pandas(df).repartition(3), ts_col="warc_ts")
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert sorted(out.payload) == ["bad", "early", "v2"]
+    # the kept group-A row is the earliest fetch, raw url preserved
+    assert "early" in set(out.payload)
+    assert set(out.columns) == {"url", "warc_ts", "payload"}
+
+
+def test_url_dedup_lexicographic_without_ts(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.urls import url_dedup
+    df = pd.DataFrame({"url": ["http://b.com/x?utm_medium=m",
+                               "http://B.com/x",
+                               "http://c.com/y"]})
+    out = url_dedup(rd.from_pandas(df)).to_pandas()
+    # keep-first by raw url: "http://B.com/x" < "http://b.com/x?..."
+    assert sorted(out.url) == ["http://B.com/x", "http://c.com/y"]
