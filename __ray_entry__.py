@@ -821,6 +821,50 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_warc_extract(sf_dir: str):
+    """The full source-to-markdown path from a Common-Crawl-style WARC
+    archive instead of parquet: fixture pages are written as
+    gzip-member-per-record WARC files (idempotent, cached in /tmp), read
+    back through the from-scratch WARC parser, and extracted. Byte
+    identity with the parquet path is pinned by
+    tests/test_warc.py; rows-only here (WARC framing is not
+    SQL-expressible)."""
+    import ray.data as rd
+    from sift_ray.config import default_config
+    from sift_ray.pipelines.extract_job import build_extract_pipeline
+    from sift_ray.sources.pages import gen_page
+    from sift_ray.sources.warc import write_warc
+
+    n = min(_PAGES_BY_SF.get(os.path.basename(sf_dir.rstrip("/")), 400),
+            200)
+    out_dir = f"/tmp/sift_ray_warc/{n}"
+    marker = os.path.join(out_dir, f"_SUCCESS_{n}")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        per_file = 50
+        for f in range(0, n, per_file):
+            import datetime
+            epoch = datetime.datetime(1970, 1, 1)
+            recs = []
+            for i in range(f, min(f + per_file, n)):
+                p = gen_page(i)
+                html = p["html"]
+                if isinstance(html, str):
+                    html = html.encode()
+                ts = epoch + datetime.timedelta(
+                    microseconds=int(p["warc_ts"]))
+                recs.append((p["url"], ts, html))
+            write_warc(os.path.join(out_dir, f"part-{f:05d}.warc.gz"),
+                       recs)
+        open(marker, "w").close()
+    from sift_ray.sources.warc import read_warc
+    paths = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                   if f.endswith(".warc.gz"))
+    pages = read_warc(paths)
+    out = build_extract_pipeline(pages, default_config())
+    return out.select_columns(["url", "status", "extracted_md"])
+
+
 def _q_url_dedup(sf_dir: str):
     """Canonical-URL dedup over the pages corpus with planted URL-level
     duplicates (each url also appears utm-decorated with a later fetch
@@ -1153,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "orders_customer_full_join": _q_orders_customer_full_join,
         "url_dedup": _q_url_dedup,
+        "warc_extract": _q_warc_extract,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
         "heavy_hitter_users": _q_heavy_hitter_users,
