@@ -821,6 +821,26 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_price_histogram(sf_dir: str):
+    """Exact fixed-width histogram of o_totalprice (60 buckets over
+    [0, 600000)): per-batch bincount combiner, one bucket-keyed exchange
+    of at most 60 rows per batch. The bucket expression is evaluated in
+    the same float64 association order in both engines, so the counts
+    are value-exact."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import histogram
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_totalprice"])
+    return histogram(ds, "o_totalprice", lo=0.0, hi=600000.0, bins=60)
+
+
+def _q_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio (Gopher-style redundancy
+    signal). Rows-only: zlib output length is not SQL-expressible."""
+    from sift_ray.functions.textstats import compression_ratio
+    return compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_warc_extract(sf_dir: str):
     """The full source-to-markdown path from a Common-Crawl-style WARC
     archive instead of parquet: fixture pages are written as
@@ -1198,6 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_full_join": _q_orders_customer_full_join,
         "url_dedup": _q_url_dedup,
         "warc_extract": _q_warc_extract,
+        "price_histogram": _q_price_histogram,
+        "compression_ratio": _q_compression_ratio,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
         "heavy_hitter_users": _q_heavy_hitter_users,
@@ -1929,4 +1951,12 @@ def oracle_sql() -> dict[str, str]:
                        FROM customer WHERE c_acctbal > 5000)
             SELECT custkey, n_orders, c_acctbal
             FROM o FULL OUTER JOIN c USING (custkey)"""
+    d["price_histogram"] = """
+            WITH b AS (
+                SELECT CAST(floor((o_totalprice - 0.0) * 60
+                                  / (600000.0 - 0.0)) AS BIGINT) AS bucket
+                FROM orders)
+            SELECT bucket, count(*) AS n FROM b
+            WHERE bucket >= 0 AND bucket < 60
+            GROUP BY bucket"""
     return d

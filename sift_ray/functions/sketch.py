@@ -540,3 +540,44 @@ def quantile_sketch_by(ds, key_col: str, col: str,
     return parted.groupby("part").map_groups(
         lambda t: kernel(t.select([key_col, "v", "w"])),
         batch_format="pyarrow")
+
+
+def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
+              num_parts: Optional[int] = None):
+    """Exact fixed-width histogram of a numeric column over [lo, hi):
+    Dataset of (bucket, n) int64 rows, empty buckets omitted (SQL GROUP
+    BY semantics). The bucket index is computed as
+    ``floor((x - lo) * bins / (hi - lo))`` in float64 with that exact
+    association order, so DuckDB evaluating the same expression buckets
+    every IEEE double identically — the histogram is oracle-exact, not
+    just approximately equal. Out-of-range and null values are dropped.
+
+    Shape: per-batch bincount combiner (O(bins) ints per batch), ONE
+    bucket-keyed exchange over at most bins rows per batch — exchange
+    volume is bins-proportional, never corpus-proportional."""
+    import pyarrow.compute as pc
+
+    from .shuffle import partitioned_group_agg
+
+    lo_f, hi_f, nb = float(lo), float(hi), int(bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64()).drop_null() \
+            .to_numpy(zero_copy_only=False)
+        if len(x) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        idx = np.floor((x - lo_f) * nb / (hi_f - lo_f))
+        keep = (idx >= 0) & (idx < nb)
+        idx = idx[keep].astype(np.int64)
+        if len(idx) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.bincount(idx, minlength=nb)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    return partitioned_group_agg(rows, ["bucket"], [("n", "sum", "n")],
+                                 num_parts=num_parts)

@@ -386,3 +386,31 @@ def normalize_text(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda b: normalize_text_batch(b, text_col),
         batch_format="pyarrow")
+
+
+def compression_ratio_batch(batch: pa.Table,
+                            text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-style redundancy signal: boilerplate and template spam
+    compress far below prose. C-speed per row via zlib; map-only."""
+    import zlib
+
+    vals = batch.column(text_col).to_pylist()
+    raw, comp, ratio = [], [], []
+    for v in vals:
+        b = (v or "").encode("utf-8")
+        c = len(zlib.compress(b, level))
+        raw.append(len(b))
+        comp.append(c)
+        ratio.append(c / len(b) if b else 1.0)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "raw_bytes": pa.array(raw, pa.int64()),
+                     "compressed_bytes": pa.array(comp, pa.int64()),
+                     "compression_ratio": pa.array(ratio, pa.float64())})
+
+
+def compression_ratio(ds, text_col: str = "text", level: int = 6):
+    return ds.map_batches(
+        lambda b: compression_ratio_batch(b, text_col, level),
+        batch_format="pyarrow")

@@ -1186,3 +1186,35 @@ def test_normalize_text_rules(ray_session):
         "text": out.text.tolist()}))).to_pandas()
         .sort_values("doc_id"))
     assert out2.changed.tolist() == [False] * 4
+
+
+def test_histogram_exact_counts_and_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import histogram
+    vals = [0.0, 0.999, 1.0, 5.0, 9.999, 10.0, -0.5, None, 3.0]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    out = (histogram(rd.from_arrow(t).repartition(3), "x",
+                     lo=0.0, hi=10.0, bins=10).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    got = dict(zip(out.bucket, out.n))
+    # 10.0 and -0.5 out of [0,10); None dropped; 1.0 lands in bucket 1
+    assert got == {0: 2, 1: 1, 3: 1, 5: 1, 9: 1}
+
+
+def test_compression_ratio_signal(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.textstats import compression_ratio
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spam " * 500,                       # highly redundant
+                 "The quick brown fox jumps over the lazy dog once.",
+                 ""],
+    })
+    out = (compression_ratio(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[1, "compression_ratio"] < 0.05       # template spam
+    assert out.loc[2, "compression_ratio"] > 0.5        # short prose
+    assert out.loc[3, "compression_ratio"] == 1.0       # empty: neutral
+    assert out.loc[1, "raw_bytes"] == 2500
