@@ -821,6 +821,34 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_orders_join_bloom(sf_dir: str):
+    """Bloom runtime-filter pushdown on the distributed join: orders x
+    AUTOMOBILE-segment customers (a selective dimension). The bloom of
+    right keys drops ~80% of order rows map-side BEFORE the exchange;
+    results are value-exact vs plain SQL because blooms have no false
+    negatives."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey",
+                                    "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"),
+                                    "AUTOMOBILE"))
+                   .rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    return hash_join(orders, cust, on="custkey", how="inner",
+                     bloom_prefilter=1 << 20)
+
+
 def _q_price_histogram(sf_dir: str):
     """Exact fixed-width histogram of o_totalprice (60 buckets over
     [0, 600000)): per-batch bincount combiner, one bucket-keyed exchange
@@ -1219,6 +1247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "warc_extract": _q_warc_extract,
         "price_histogram": _q_price_histogram,
+        "orders_join_bloom": _q_orders_join_bloom,
         "compression_ratio": _q_compression_ratio,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
@@ -1959,4 +1988,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n FROM b
             WHERE bucket >= 0 AND bucket < 60
             GROUP BY bucket"""
+    d["orders_join_bloom"] = """
+            SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'AUTOMOBILE'"""
     return d

@@ -140,6 +140,77 @@ def _as_pa_type(t):
         return pa.string()  # object dtype: strings in practice
 
 
+def _bloom_probes2(h: np.ndarray, mbits: int):
+    """Two derived probe positions per uint64 hash (same double-probe
+    scheme as corpus._bloom_probes; mbits must be a power of two)."""
+    m = np.uint64(mbits - 1)
+    yield h & m
+    yield ((h >> np.uint64(32)) ^ (h * np.uint64(0xFF51AFD7ED558CCD))) & m
+
+
+def build_key_bloom(ds, col: str, mbits: int = 1 << 23):
+    """Broadcastable bloom bitmap of a key column — the runtime filter
+    for join pushdown. Per-batch fold sets bits locally; per-block OR
+    combine; the driver merges n_blocks bitmaps (mbits/8 bytes each) and
+    ``ray.put``s the result ONCE. No false negatives ever: a key failing
+    the bloom definitely does not occur in ``col``. Executes ``ds`` —
+    use on the smaller / cheap-to-recompute side."""
+    import ray
+
+    from .sketch import _hash64_any
+
+    nbytes = mbits >> 3
+
+    def fold(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, np.uint8)
+        if t.num_rows > 0 and col in t.column_names:
+            h = _hash64_any(t.column(col))
+            for idx in _bloom_probes2(h, mbits):
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(np.uint8(1),
+                                  (idx & np.uint64(7)).astype(np.uint8)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, np.uint8)
+        for b in t.column("bits").to_pylist():
+            np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    rows = (ds.map_batches(fold, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow"))
+    acc = np.zeros(nbytes, np.uint8)
+    for b in rows.to_pandas()["bits"]:
+        np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
+    return ray.put({"bits": acc, "mbits": mbits})
+
+
+class BloomFilterStage:
+    """Map-side key-membership filter against a broadcast bloom (fetched
+    once per worker process via TaskStage's instance cache).
+    mode="pass" keeps rows whose key MIGHT match (bloom hit);
+    mode="fail" keeps rows whose key DEFINITELY has no match."""
+
+    def __init__(self, state_ref, col: str, mode: str = "pass"):
+        import ray
+        st = ray.get(state_ref)
+        self.bits, self.mbits = st["bits"], st["mbits"]
+        self.col, self.mode = col, mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .sketch import _hash64_any
+        if t.num_rows == 0:
+            return t
+        h = _hash64_any(t.column(self.col))
+        ok = np.ones(len(h), dtype=bool)
+        for idx in _bloom_probes2(h, self.mbits):
+            ok &= ((self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)) & 1) > 0
+        keep = ok if self.mode == "pass" else ~ok
+        return t.filter(pa.array(keep))
+
+
 def hash_join(left, right, on: str, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
@@ -147,9 +218,11 @@ def hash_join(left, right, on: str, how: str = "inner",
               salt: Optional[int] = None,
               left_types: Optional[dict] = None,
               right_types: Optional[dict] = None,
-              post: Optional[Callable] = None):
-    """Distributed hash join on an int-like key — the general two-big-sides
-    join Ray Data does not provide (its idiom, and this repo's
+              post: Optional[Callable] = None,
+              bloom_prefilter: Optional[int] = None):
+    """Distributed hash join on any hashable key type (ints partition on
+    value; strings — urls, digests — hash to int64 map-side) — the
+    general two-big-sides join Ray Data does not provide (its idiom, and this repo's
     ``relational.BroadcastLookupStage``, covers only small-side broadcast).
 
     Shape: both sides are tagged, schema-aligned (missing columns padded
@@ -179,6 +252,20 @@ def hash_join(left, right, on: str, how: str = "inner",
     ignored). A right join is "left" with the arguments swapped.
     Non-key column names must be disjoint (restrict with
     left_cols/right_cols).
+
+    ``bloom_prefilter``: runtime-filter pushdown (the Spark/Presto
+    bloom-join optimization) — pass a power-of-two bit count (e.g.
+    ``1 << 23``) to build a bloom of the RIGHT keys first and filter the
+    LEFT side map-side BEFORE the exchange. Blooms have no false
+    negatives, so results are EXACTLY the unfiltered join's: for
+    "inner", left rows failing the bloom cannot match and are dropped
+    (exchange volume shrinks by the non-matching fraction — the big win
+    when a huge fact table joins a selective dimension); for "anti",
+    rows failing the bloom are definite results and BYPASS the exchange
+    entirely, only possible-matches pay for it. Ignored for
+    "left"/"full" (every left row must reach the output anyway). Builds
+    the bloom eagerly (one extra pass over ``right``) — use when right
+    is the smaller or cheap-to-recompute side.
     """
     import pandas as pd
 
@@ -224,6 +311,27 @@ def hash_join(left, right, on: str, how: str = "inner",
     l_empty = left_types is None and left.schema() is None
     if l_empty and on in r_types:
         l_types[on] = r_types[on]  # key type comes from the non-empty side
+    bypass = None
+    if bloom_prefilter and how in ("inner", "anti"):
+        if how == "anti" and post is not None:
+            raise ValueError("bloom_prefilter with how='anti' cannot "
+                             "honor post (bypass rows skip the kernel)")
+        bref = build_key_bloom(right, on, mbits=bloom_prefilter)
+        if how == "anti":
+            left_schema = pa.schema(
+                [(on, l_types[on])] + [(c, l_types[c]) for c in lc])
+            fail = left.map_batches(
+                TaskStage(BloomFilterStage, state_ref=bref, col=on,
+                          mode="fail"), batch_format="pyarrow")
+            bypass = fail.map_batches(
+                lambda t: (left_schema.empty_table() if t.num_rows == 0
+                           and on not in t.column_names
+                           else t.select([on] + lc)),
+                batch_format="pyarrow")
+        left = left.map_batches(
+            TaskStage(BloomFilterStage, state_ref=bref, col=on,
+                      mode="pass"), batch_format="pyarrow")
+
     order = [on] + lc + rc + ["_side"]
     tagged_schema = pa.schema(
         [(on, l_types[on])] + [(c, l_types[c]) for c in lc]
@@ -271,7 +379,24 @@ def hash_join(left, right, on: str, how: str = "inner",
         part_keys = [on]
 
     both = left_t.union(right_t)
-    parted = add_hash_partition(both, part_keys, P)
+
+    def join_key_arrays(batch: pa.Table):
+        # int keys partition on their value; other key types (url/digest
+        # strings) hash to int64 — collisions only co-locate two key
+        # groups, the kernel's merge re-groups by the true key
+        col = batch.column(on)
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False)
+        else:
+            from .sketch import _hash64_any
+            keys = _hash64_any(col).astype(np.int64)
+        arrs = [keys]
+        for extra in part_keys[1:]:
+            arrs.append(batch.column(extra).to_numpy(zero_copy_only=False))
+        return arrs
+
+    parted = add_hash_partition(both, part_keys, P,
+                                key_arrays_fn=join_key_arrays)
 
     out_fields = [(on, l_types[on])] + [(c, l_types[c]) for c in lc] \
         + [(c, r_types[c]) for c in rc]
@@ -322,7 +447,11 @@ def hash_join(left, right, on: str, how: str = "inner",
         # in this partition, so key-grouped post-processing stays exact)
         return post(joined) if post is not None else joined
 
-    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+    out = parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+    if bypass is not None:
+        # anti-join bloom path: definite non-matches skipped the exchange
+        out = out.union(bypass)
+    return out
 
 
 def asof_join(left, right, key: str, ts: str, value_col: str,

@@ -270,6 +270,45 @@ def test_hash_join_full_preserves_big_int64_both_sides(ray_session):
     assert rows[3] == (None, 30)
 
 
+@pytest.mark.parametrize("mbits", [1 << 16, 64])  # 64 bits: forces FPs
+def test_hash_join_bloom_prefilter_matches_plain(ray_session, mbits):
+    """Runtime-filter pushdown must be invisible in the results — for
+    inner AND anti, even with a tiny bloom full of false positives
+    (blooms have no false negatives, which is all correctness needs)."""
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 500),
+                         "lv": np.arange(500, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 100, dtype=np.int64),
+                          "rv": np.arange(100, dtype=np.int64) * 7})
+    for how in ("inner", "anti"):
+        plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", how=how).to_pandas()
+                 .sort_values(["k", "lv"]).reset_index(drop=True))
+        bloom = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", how=how, bloom_prefilter=mbits)
+                 .to_pandas().sort_values(["k", "lv"])
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(bloom, plain), (how, mbits)
+
+
+def test_hash_join_bloom_string_keys(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = pd.DataFrame({"k": [f"u{i}" for i in range(200)],
+                         "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({"k": [f"u{i}" for i in range(0, 200, 10)],
+                          "rv": list(range(20))})
+    plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+             .to_pandas().sort_values("lv").reset_index(drop=True))
+    bloom = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       bloom_prefilter=1 << 16)
+             .to_pandas().sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bloom, plain)
+    assert len(plain) == 20
+
+
 def test_hash_join_rejects_overlapping_columns(ray_session):
     import ray.data as rd
     from sift_ray.functions.shuffle import hash_join
