@@ -821,6 +821,55 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_split_sentences(sf_dir: str):
+    """Sentence segmentation explode (doc_id, sent_idx, sentence) —
+    map-only, vectorized list offsets; the RE2 split pattern is shared
+    with the DuckDB oracle so the rows are value-exact."""
+    from sift_ray.functions.corpus import split_sentences
+    return split_sentences(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_ngram_counts(sf_dir: str):
+    """Corpus-wide word-3-gram count table with a min-count threshold:
+    per-batch value_counts combiner, one gram-hash exchange, exact
+    HAVING filter partition-local."""
+    from sift_ray.functions.corpus import ngram_counts
+    return ngram_counts(_docs(sf_dir, ["doc_id", "text"]), n=3,
+                        min_count=3)
+
+
+def _q_incremental_ingest(sf_dir: str):
+    """Incremental ingest: which documents of the NEW snapshot carry
+    content absent from the OLD snapshot (old = doc_id % 7 != 0)? A
+    content-digest ANTI join on a STRING key with the bloom
+    runtime-filter: definite-new digests bypass the exchange entirely —
+    at a real crawl's ~90% overlap only the overlapping tail pays for
+    the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    from sift_ray.functions.textstats import digest_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    new = docs.map_batches(
+        lambda t: digest_batch(t).select(["digest", "doc_id"]),
+        batch_format="pyarrow")
+    import numpy as np
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return digest_batch(t.filter(pa.array(ids % 7 != 0))) \
+            .select(["digest"])
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    return hash_join(new, old, on="digest", how="anti",
+                     left_types={"digest": pa.string(),
+                                 "doc_id": pa.int64()},
+                     right_types={"digest": pa.string()},
+                     bloom_prefilter=1 << 20)
+
+
 def _q_orders_join_bloom(sf_dir: str):
     """Bloom runtime-filter pushdown on the distributed join: orders x
     AUTOMOBILE-segment customers (a selective dimension). The bloom of
@@ -1248,6 +1297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": _q_warc_extract,
         "price_histogram": _q_price_histogram,
         "orders_join_bloom": _q_orders_join_bloom,
+        "split_sentences": _q_split_sentences,
+        "ngram_counts": _q_ngram_counts,
+        "incremental_ingest": _q_incremental_ingest,
         "compression_ratio": _q_compression_ratio,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
@@ -1993,4 +2045,38 @@ def oracle_sql() -> dict[str, str]:
                    c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'AUTOMOBILE'"""
+    d["split_sentences"] = r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_split_to_array(text,
+                                             '[.!?]+[ \t\n]+') AS arr
+                FROM documents),
+            pos AS (
+                SELECT doc_id, arr,
+                       unnest(generate_series(1, len(arr))) AS sent_idx
+                FROM s)
+            SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+                   arr[sent_idx] AS sentence
+            FROM pos WHERE arr[sent_idx] <> ''"""
+    d["ngram_counts"] = r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                FROM words WHERE len(w) >= 3
+            ),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM pos
+            )
+            SELECT gram, count(*) AS cnt FROM grams
+            GROUP BY gram HAVING count(*) >= 3"""
+    d["incremental_ingest"] = """
+            SELECT md5(d.text) AS digest, d.doc_id
+            FROM documents d
+            WHERE md5(d.text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)"""
     return d

@@ -867,3 +867,97 @@ def bm25_topk(ds, query_terms: Sequence[str], k: int = 20,
              .head(k).reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(cands,
                                               preserve_index=False))
+
+
+def split_sentences(ds, text_col: str = "text"):
+    """Sentence segmentation: (doc_id, sent_idx, sentence) rows, one per
+    non-empty segment after splitting on terminator runs followed by
+    whitespace (``[.!?]+[ \\t\\n]+`` — RE2 in pyarrow AND DuckDB, so the
+    op is value-exact against regexp_split_to_array). ``sent_idx`` is
+    the 1-based position among RAW segments (empties dropped after
+    numbering, mirroring the SQL unnest+filter). Map-only, zero shuffle;
+    the explode is vectorized (list offsets, no per-row Python)."""
+    import pyarrow.compute as pc
+
+    pat = r"[.!?]+[ \t\n]+"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # null text -> "" so list_flatten positions stay aligned with
+        # the list offsets (flatten silently skips null lists)
+        text = pc.coalesce(batch.column(text_col), "")
+        parts = pc.split_pattern_regex(text, pat)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        parent = pc.list_parent_indices(parts).to_numpy(
+            zero_copy_only=False)
+        # 1-based index within each document's raw segment list
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        starts = offsets[parent]
+        idx = (np.arange(len(flat), dtype=np.int64) - starts + 1)
+        ids = batch.column("doc_id").take(pa.array(parent))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": ids.filter(pa.array(keep)),
+            "sent_idx": pa.array(idx[keep], pa.int64()),
+            "sentence": flat.filter(pa.array(keep)),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def ngram_counts(ds, n: int = 3, min_count: int = 2,
+                 num_parts: Optional[int] = None):
+    """Corpus-wide word n-gram count table (the n-gram-LM / collocation
+    building block): (gram, cnt) rows with cnt >= min_count. Words are
+    lowercase alnum runs (same tokenization as the Jaccard family's SQL
+    oracle). Per-batch value_counts combiner -> ONE gram-hash exchange
+    of (gram, partial) rows -> partition-local sum + HAVING filter (all
+    rows of a gram co-locate, so the threshold is exact)."""
+    import pyarrow.compute as pc
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch.column("text"), ""))
+        words = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        parent = parent[keep]
+        if len(w) < n:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        # vectorized windowing: gram i spans words [i, i+n); valid when
+        # the window stays within one document
+        m = len(w) - n + 1
+        grams = w[:m].copy()
+        for j in range(1, n):
+            grams = grams + " "
+            grams = grams + w[j:m + j]
+        valid = parent[:m] == parent[n - 1:n - 1 + m]
+        vc = pa.array(grams[valid], pa.string()).value_counts()
+        return pa.table({"gram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+
+    def gram_hash(batch: pa.Table):
+        return [_hash64_any(batch.column("gram")).astype(np.int64)]
+
+    counts = partitioned_group_agg(rows, ["gram"], [("cnt", "sum", "cnt")],
+                                   num_parts=P, key_arrays_fn=gram_hash)
+
+    def having(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "cnt" not in t.column_names:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        import pyarrow.compute as pc2
+        return t.filter(pc2.greater_equal(t.column("cnt"), min_count))
+
+    return counts.map_batches(having, batch_format="pyarrow")

@@ -1218,3 +1218,36 @@ def test_compression_ratio_signal(ray_session):
     assert out.loc[2, "compression_ratio"] > 0.5        # short prose
     assert out.loc[3, "compression_ratio"] == 1.0       # empty: neutral
     assert out.loc[1, "raw_bytes"] == 2500
+
+
+def test_split_sentences_indexing(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import split_sentences
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["One. Two sentences! And three? Done",
+                 "No terminator here"],
+    })
+    out = (split_sentences(rd.from_pandas(df)).to_pandas()
+           .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+    d1 = out[out.doc_id == 1]
+    assert d1.sentence.tolist() == ["One", "Two sentences",
+                                    "And three", "Done"]
+    assert d1.sent_idx.tolist() == [1, 2, 3, 4]
+    assert out[out.doc_id == 2].sentence.tolist() == ["No terminator here"]
+
+
+def test_ngram_counts_threshold(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import ngram_counts
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick fox", "The QUICK fox!", "the quick dog"],
+    })
+    out = ngram_counts(rd.from_pandas(df).repartition(3), n=3,
+                       min_count=2).to_pandas()
+    got = dict(zip(out.gram, out.cnt))
+    # casefold + punctuation-insensitive; window never crosses docs
+    assert got == {"the quick fox": 2}
