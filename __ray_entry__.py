@@ -821,6 +821,18 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_html_stats(sf_dir: str):
+    """Byte-level page triage signals over the RAW html column (tag /
+    script / anchor counts, visible-byte ratio) — the pre-extraction
+    drop pass at crawl scale; all RE2 kernels run on binary directly,
+    no decode, no DOM. Rows-only (byte-regex semantics over binary are
+    not SQL-expressible); signal direction is unit-tested."""
+    import ray.data as rd
+    from sift_ray.functions.textstats import html_stats
+    corpus = _pages_corpus_for(sf_dir)
+    return html_stats(rd.read_parquet(corpus, columns=["url", "html"]))
+
+
 def _q_split_sentences(sf_dir: str):
     """Sentence segmentation explode (doc_id, sent_idx, sentence) —
     map-only, vectorized list offsets; the RE2 split pattern is shared
@@ -1298,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "orders_join_bloom": _q_orders_join_bloom,
         "split_sentences": _q_split_sentences,
+        "html_stats": _q_html_stats,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,
         "compression_ratio": _q_compression_ratio,

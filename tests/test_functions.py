@@ -1251,3 +1251,24 @@ def test_ngram_counts_threshold(ray_session):
     got = dict(zip(out.gram, out.cnt))
     # casefold + punctuation-insensitive; window never crosses docs
     assert got == {"the quick fox": 2}
+
+
+def test_html_stats_triage(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.textstats import html_stats
+    spam = (b"<html><script>junk</script>" +
+            b"<a href=x>l</a>" * 50 + b"</html>")
+    prose = (b"<html><body><p>" + b"real visible words here " * 40 +
+             b"</p></body></html>")
+    bad = b"<html>\xff\xfe<p>still counted</p></html>"  # invalid utf-8
+    t = pa.table({"url": ["s", "p", "b"],
+                  "html": pa.array([spam, prose, bad], pa.binary())})
+    out = html_stats(rd.from_arrow(t)).to_pandas().set_index("url")
+    assert out.loc["s", "anchor_tags"] == 50
+    assert out.loc["s", "script_tags"] == 1
+    assert out.loc["s", "link_density_proxy"] > \
+        out.loc["p", "link_density_proxy"]
+    assert out.loc["p", "visible_ratio"] > out.loc["s", "visible_ratio"]
+    assert out.loc["b", "tag_count"] == 4  # invalid bytes never throw
