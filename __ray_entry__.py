@@ -821,6 +821,22 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_web_pipeline(sf_dir: str):
+    """THE end-to-end composition: raw pages -> byte-level triage ->
+    readability extract (byte-identical per url) -> unicode normalize ->
+    C4-style corpus-wide line dedup -> token-budget shard packing.
+    Stages 1-3 are zero-shuffle maps; dedup is the two-exchange unit
+    pipeline; packing is the distributed ordered prefix sum. Rows-only
+    (the extract stage has no SQL analog); determinism under
+    repartitioning and dedup behavior are pinned by
+    tests/test_ray_pipeline.py."""
+    import ray.data as rd
+    from sift_ray.pipelines.web_pipeline import web_corpus_pipeline
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return web_corpus_pipeline(pages, shard_tokens=2000)
+
+
 def _q_html_stats(sf_dir: str):
     """Byte-level page triage signals over the RAW html column (tag /
     script / anchor counts, visible-byte ratio) — the pre-extraction
@@ -1311,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_bloom": _q_orders_join_bloom,
         "split_sentences": _q_split_sentences,
         "html_stats": _q_html_stats,
+        "web_pipeline_shards": _q_web_pipeline,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,
         "compression_ratio": _q_compression_ratio,

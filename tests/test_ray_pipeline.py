@@ -190,3 +190,39 @@ def test_cli_sift_single_document(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert bad.returncode == 1
     assert "selector" in bad.stderr
+
+
+def test_web_corpus_pipeline_end_to_end(ray_session):
+    """pages -> triage -> extract -> normalize -> line-dedup -> shards:
+    deterministic, fully packed, and duplicate lines actually removed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.pipelines.web_pipeline import web_corpus_pipeline
+    from sift_ray.sources.pages import pages_batch
+
+    base = pages_batch(list(range(24)))
+    # plant a full-page duplicate under a different url: its lines must
+    # dedup away, leaving an (almost) empty shard contribution
+    dup = base.slice(5, 1)
+    dup = dup.set_column(0, "url", pa.array(["https://dup.test/copy"]))
+    pages = rd.from_arrow(pa.concat_tables([base, dup])).repartition(4)
+
+    out = web_corpus_pipeline(pages, shard_tokens=500).to_pandas()
+    assert len(out) >= 20
+    assert (out.n_tokens >= 0).all()
+    # shard_id is exactly start_offset // shard_tokens (a doc longer than
+    # the budget legitimately leaves gaps in the shard-id sequence)
+    assert (out.shard_id == out.start_offset // 500).all()
+    assert out.shard_id.min() == 0
+    # exclusive prefix sums consistent with n_tokens in doc_id order
+    srt = out.sort_values("doc_id").reset_index(drop=True)
+    assert (srt.start_offset.values ==
+            np.concatenate([[0], srt.n_tokens.cumsum().values[:-1]])).all()
+    # determinism under different partitioning
+    out2 = web_corpus_pipeline(
+        rd.from_arrow(pa.concat_tables([base, dup])).repartition(2),
+        shard_tokens=500).to_pandas()
+    pd1 = out.sort_values("doc_id").reset_index(drop=True)
+    pd2 = out2.sort_values("doc_id").reset_index(drop=True)
+    assert pd1.equals(pd2)
