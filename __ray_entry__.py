@@ -821,6 +821,28 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_pmi_topk(sf_dir: str):
+    """Top-50 word-bigram collocations by PMI in exact integer
+    micro-nats (one fixed double association order both engines):
+    bigram + unigram count exchanges materialized once, two string-key
+    hash joins, local-topk merge."""
+    from sift_ray.functions.corpus import pmi_topk
+    return pmi_topk(_docs(sf_dir, ["doc_id", "text"]), k=50, min_count=5)
+
+
+def _q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embeddings table (the 4x
+    storage/bandwidth cut before ANN at scale): per-dim range via tree
+    aggregate, zero-shuffle quantize map. Rows-only; reconstruction
+    error is bounded in tests at span/510 per dimension."""
+    import ray.data as rd
+    from sift_ray.functions.similarity import embedding_quantize
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out, _ = embedding_quantize(ds)
+    return out
+
+
 def _q_web_pipeline(sf_dir: str):
     """THE end-to-end composition: raw pages -> byte-level triage ->
     readability extract (byte-identical per url) -> unicode normalize ->
@@ -1328,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sentences": _q_split_sentences,
         "html_stats": _q_html_stats,
         "web_pipeline_shards": _q_web_pipeline,
+        "embedding_quantize": _q_embedding_quantize,
+        "pmi_topk": _q_pmi_topk,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,
         "compression_ratio": _q_compression_ratio,
@@ -2104,6 +2128,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*) AS cnt FROM grams
             GROUP BY gram HAVING count(*) >= 3"""
+    d["pmi_topk"] = r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            uni AS (SELECT unnest(w) AS word FROM words),
+            ucnt AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+            nw AS (SELECT count(*) AS n FROM uni),
+            pos AS (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM words WHERE len(w) >= 2),
+            big AS (SELECT w[i] AS x, w[i+1] AS y FROM pos),
+            bcnt AS (SELECT x, y, count(*) AS cnt FROM big GROUP BY x, y),
+            nb AS (SELECT count(*) AS n FROM big),
+            j AS (SELECT b.x, b.y, b.cnt, ux.c AS cx, uy.c AS cy
+                  FROM bcnt b
+                  JOIN ucnt ux ON b.x = ux.word
+                  JOIN ucnt uy ON b.y = uy.word
+                  WHERE b.cnt >= 5),
+            p AS (SELECT x || ' ' || y AS gram, cnt,
+                         CAST(round(ln(
+                             (CAST(cnt AS DOUBLE)
+                              * (SELECT n FROM nw) * (SELECT n FROM nw))
+                             / (CAST((SELECT n FROM nb) AS DOUBLE)
+                                * cx * cy)) * 1000000)
+                              AS BIGINT) AS pmi_micro
+                  FROM j)
+            SELECT gram, cnt, pmi_micro FROM p
+            ORDER BY pmi_micro DESC, gram ASC LIMIT 50"""
     d["incremental_ingest"] = """
             SELECT md5(d.text) AS digest, d.doc_id
             FROM documents d

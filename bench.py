@@ -203,7 +203,10 @@ def run_bench() -> dict:
         "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
         "shipping_priority", "price_quantiles", "heavy_hitter_users",
         "price_quantiles_by_priority", "pagerank_customers",
-        "page_outlinks")
+        "page_outlinks", "url_dedup", "normalize_text", "html_stats",
+        "split_sentences", "ngram_counts", "incremental_ingest",
+        "orders_join_bloom", "price_histogram", "compression_ratio",
+        "web_pipeline_shards", "warc_extract")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -961,3 +961,118 @@ def ngram_counts(ds, n: int = 3, min_count: int = 2,
         return t.filter(pc2.greater_equal(t.column("cnt"), min_count))
 
     return counts.map_batches(having, batch_format="pyarrow")
+
+
+def pmi_topk(ds, k: int = 50, min_count: int = 5,
+             num_parts: Optional[int] = None):
+    """Top-k word-bigram collocations by pointwise mutual information —
+    the phrase-mining / tokenizer-merge-candidate pass. PMI is quantized
+    to integer micro-nats with the double arithmetic in ONE fixed
+    association order, so the result is value-exact against the SQL
+    oracle (same convention as unigram_logprob).
+
+    Shape: bigram and unigram count tables are the ngram/vocab exchanges
+    (materialized once — the totals and the joins both consume them);
+    each bigram row joins its two word counts through TWO string-key
+    hash_joins; scoring is a map; the top-k is a per-batch local-topk
+    combiner + bounded driver merge. Driver volume: two ints (corpus
+    totals) + num_batches x k candidate rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import hash_join
+
+    P = num_parts or default_num_parts()
+    bigrams = ngram_counts(ds, n=2, min_count=1, num_parts=P).materialize()
+
+    def upartial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch.column("text"), ""))
+        words = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = partitioned_group_agg(
+        ds.map_batches(upartial, batch_format="pyarrow"),
+        ["word"], [("c", "sum", "c")], num_parts=P,
+        key_arrays_fn=_word_hash_keys).materialize()
+
+    n_w = int(uni.sum("c") or 0)
+    n_b = int(bigrams.sum("cnt") or 0)
+    if n_w == 0 or n_b == 0:
+        return rd.from_arrow(pa.table({
+            "gram": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64())}))
+
+    def split_big(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "gram" not in t.column_names:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        t = t.filter(pc.greater_equal(t.column("cnt"), min_count))
+        parts = pc.split_pattern(t.column("gram"), " ")
+        return pa.table({"x": pc.list_element(parts, 0),
+                         "y": pc.list_element(parts, 1),
+                         "gram": t.column("gram"),
+                         "cnt": t.column("cnt")})
+
+    b2 = bigrams.map_batches(split_big, batch_format="pyarrow")
+
+    def rename_uni(col):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 and "word" not in t.column_names:
+                return pa.table({col: pa.array([], pa.string()),
+                                 f"c{col}": pa.array([], pa.int64())})
+            return t.rename_columns([col, f"c{col}"])
+        return fn
+
+    s, i64 = pa.string(), pa.int64()
+    jx = hash_join(b2, uni.map_batches(rename_uni("x"),
+                                       batch_format="pyarrow"),
+                   on="x", num_parts=P,
+                   left_types={"x": s, "y": s, "gram": s, "cnt": i64},
+                   right_types={"x": s, "cx": i64})
+    jy = hash_join(jx, uni.map_batches(rename_uni("y"),
+                                       batch_format="pyarrow"),
+                   on="y", num_parts=P,
+                   left_types={"y": s, "x": s, "gram": s, "cnt": i64,
+                               "cx": i64},
+                   right_types={"y": s, "cy": i64})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "pmi_micro": pa.array([], pa.int64())})
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cx = t.column("cx").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cy = t.column("cy").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # association order mirrored EXACTLY by the SQL oracle
+        num = (cnt * np.float64(n_w)) * np.float64(n_w)
+        den = (np.float64(n_b) * cx) * cy
+        pmi = np.round(np.log(num / den) * 1e6).astype(np.int64)
+        out = pa.table({"gram": t.column("gram"),
+                        "cnt": t.column("cnt"),
+                        "pmi_micro": pa.array(pmi, pa.int64())})
+        pdf = out.to_pandas().sort_values(
+            ["pmi_micro", "gram"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cands = (jy.map_batches(score, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["pmi_micro", "gram"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(cands, preserve_index=False))

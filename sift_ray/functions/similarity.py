@@ -516,3 +516,57 @@ def embedding_near_dup_exact(ds, threshold: float = 0.95,
     ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
     return pd.DataFrame({"vec_a": ids_arr[ai], "vec_b": ids_arr[bj]}).astype(
         {"vec_a": "int64", "vec_b": "int64"})
+
+
+def embedding_quantize(ds, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Int8 scalar quantization of an embedding column — the 4x storage /
+    bandwidth reduction applied before ANN indexing at corpus scale.
+
+    Pass 1 (tree aggregate): per-batch per-dimension min/max -> one
+    row per batch -> driver folds n_blocks rows into the global per-dim
+    range (driver volume O(blocks x dim) floats, never corpus rows).
+    Pass 2 (zero-shuffle map): q = round((v - lo) / (hi - lo) * 255) -
+    128, clipped to int8; constant dims quantize to -128.
+
+    Returns (id_col, q: list<int8>, plus broadcastable ``lo``/``scale``
+    attached as module-level floats per call via the returned dataset's
+    companion dict) — reconstruction v' = lo + (q + 128) * (hi - lo)/255,
+    max abs error (hi - lo)/510 per dim. Deterministic."""
+    import ray
+
+    def ranges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
+        m = _to_matrix(t.column(vec_col))
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).astype(np.float64).tolist()]),
+            "hi": pa.array([m.max(axis=0).astype(np.float64).tolist()]),
+        })
+
+    rows = ds.map_batches(ranges, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack(rows["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(rows["hi"].to_numpy()), axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    ref = ray.put({"lo": lo, "span": span})
+
+    class QuantStage:
+        def __init__(self, state_ref):
+            st = ray.get(state_ref)
+            self.lo, self.span = st["lo"], st["span"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "q": pa.array([], pa.list_(pa.int8()))})
+            m = _to_matrix(t.column(vec_col)).astype(np.float64)
+            q = np.clip(np.round((m - self.lo) / self.span * 255.0) - 128,
+                        -128, 127).astype(np.int8)
+            return pa.table({id_col: t.column(id_col),
+                             "q": pa.array(list(q), pa.list_(pa.int8()))})
+
+    from .shuffle import TaskStage
+    out = ds.map_batches(TaskStage(QuantStage, state_ref=ref),
+                         batch_format="pyarrow")
+    return out, {"lo": lo, "span": span}

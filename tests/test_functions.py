@@ -1272,3 +1272,43 @@ def test_html_stats_triage(ray_session):
         out.loc["p", "link_density_proxy"]
     assert out.loc["p", "visible_ratio"] > out.loc["s", "visible_ratio"]
     assert out.loc["b", "tag_count"] == 4  # invalid bytes never throw
+
+
+def test_embedding_quantize_roundtrip_error(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.similarity import embedding_quantize
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(0, 2.0, (200, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    out, params = embedding_quantize(rd.from_pandas(df).repartition(4))
+    got = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    q = np.stack(got["q"].to_numpy()).astype(np.float64)
+    recon = params["lo"] + (q + 128) * params["span"] / 255.0
+    err = np.abs(recon - vecs.astype(np.float64))
+    bound = params["span"] / 510.0 + 1e-9
+    assert (err <= bound[None, :] + 1e-9).all()
+    # cosine similarity survives quantization
+    a = vecs[0] / np.linalg.norm(vecs[0])
+    b = recon[0] / np.linalg.norm(recon[0])
+    assert float(a @ b) > 0.999
+
+
+def test_pmi_topk_planted_collocation(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.corpus import pmi_topk
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        words = list(rng.choice(vocab, 30))
+        # plant "zig zag" always adjacent; components never appear apart
+        words[10:10] = ["zig", "zag"]
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": docs})
+    out = pmi_topk(rd.from_pandas(df).repartition(4), k=5,
+                   min_count=5).to_pandas()
+    assert out.gram.iloc[0] == "zig zag"  # perfectly associated pair wins
+    assert out.pmi_micro.is_monotonic_decreasing
