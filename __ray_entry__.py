@@ -821,6 +821,26 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Train 200 BPE merges over documents: ONE word-count exchange
+    distills the corpus to a (word, n) table; the merge loop runs on
+    that vocabulary (sublinear in corpus size, capped at max_words).
+    Rows-only (iterative merge training is not SQL-expressible);
+    determinism and the classic toy merges are unit-tested."""
+    from sift_ray.functions.bpe import bpe_train
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), num_merges=200)
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    """Apply the trained merges corpus-wide: per-document BPE token
+    counts (the sizing signal shard packing consumes). Zero-shuffle map
+    with a per-process merge table + LRU word cache."""
+    from sift_ray.functions.bpe import bpe_encode_counts, bpe_train
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=200)
+    return bpe_encode_counts(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
 def _q_pmi_topk(sf_dir: str):
     """Top-50 word-bigram collocations by PMI in exact integer
     micro-nats (one fixed double association order both engines):
@@ -1352,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline_shards": _q_web_pipeline,
         "embedding_quantize": _q_embedding_quantize,
         "pmi_topk": _q_pmi_topk,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,
         "compression_ratio": _q_compression_ratio,

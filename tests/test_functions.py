@@ -1312,3 +1312,42 @@ def test_pmi_topk_planted_collocation(ray_session):
                    min_count=5).to_pandas()
     assert out.gram.iloc[0] == "zig zag"  # perfectly associated pair wins
     assert out.pmi_micro.is_monotonic_decreasing
+
+
+def test_bpe_train_known_merges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.bpe import bpe_train, train_bpe_merges
+    # classic toy: "low lower lowest" family -> 'l'+'o' merges early
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["low low low lower lowest",
+                                "low lowest new newer"]})
+    merges = bpe_train(rd.from_pandas(df), num_merges=5).to_pandas()
+    pairs = list(zip(merges.left, merges.right))
+    assert ("l", "o") in pairs[:2]  # most frequent pair merges first
+    # driver loop is deterministic & partition-invariant
+    m2 = bpe_train(rd.from_pandas(df).repartition(2),
+                   num_merges=5).to_pandas()
+    assert list(zip(m2.left, m2.right)) == pairs
+    # pure-python reference agrees
+    ref = train_bpe_merges(
+        {"low": 4, "lower": 1, "lowest": 2, "new": 1, "newer": 1}, 5)
+    assert ref == pairs
+
+
+def test_bpe_encode_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.bpe import bpe_encode_counts, bpe_train
+    train = pd.DataFrame({"doc_id": [1],
+                          "text": " ".join(["banana"] * 50) + " bandana"})
+    merges = bpe_train(rd.from_pandas(train), num_merges=30)
+    test = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["banana banana", "zzz", ""]})
+    out = (bpe_encode_counts(rd.from_pandas(test), merges).to_pandas()
+           .set_index("doc_id"))
+    # 'banana' fully merged after 30 merges on a banana-heavy corpus
+    assert out.loc[1, "n_bpe_tokens"] == 2
+    assert out.loc[3, "n_bpe_tokens"] == 0
+    # fully unseen characters stay unmerged: z z z </w> = 4 pieces
+    assert out.loc[2, "n_bpe_tokens"] == 4
