@@ -821,6 +821,18 @@ def _q_orders_customer_full_join(sf_dir: str):
                                   "c_acctbal": pa.float64()})
 
 
+_BLOCKLIST = ("spark", "quantum")
+
+
+def _q_blocklist_filter(sf_dir: str):
+    """C4-style blocklist drop: documents containing any listed phrase
+    as a whole word are removed. One RE2 alternation, zero shuffle,
+    value-exact vs DuckDB regexp_matches."""
+    from sift_ray.functions.textstats import blocklist_filter
+    return blocklist_filter(_docs(sf_dir, ["doc_id", "text"]),
+                            list(_BLOCKLIST))
+
+
 def _q_bpe_merges(sf_dir: str):
     """Train 200 BPE merges over documents: ONE word-count exchange
     distills the corpus to a (word, n) table; the merge loop runs on
@@ -1373,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _q_embedding_quantize,
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,
+        "blocklist_filter": _q_blocklist_filter,
         "bpe_token_counts": _q_bpe_token_counts,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,
@@ -2150,6 +2163,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*) AS cnt FROM grams
             GROUP BY gram HAVING count(*) >= 3"""
+    d["blocklist_filter"] = r"""
+            SELECT doc_id, text FROM documents
+            WHERE NOT regexp_matches(lower(text),
+                                     '\b(spark|quantum)\b')"""
     d["pmi_topk"] = r"""
             WITH words AS (
                 SELECT doc_id,

@@ -72,7 +72,8 @@ def _page_outlinks(url: str, html: str, max_links: int):
         if not dst.startswith(("http://", "https://")):
             continue
         anchor = _WS_RE.sub(" ", a.text_content()).strip()[:200]
-        out.append((dst, anchor))
+        nofollow = "nofollow" in a.get("rel").lower()
+        out.append((dst, anchor, nofollow))
         if max_links is not None and len(out) >= max_links:
             break
     return out
@@ -91,7 +92,7 @@ class OutlinkStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
-        src_o, dst_o, anchor_o = [], [], []
+        src_o, dst_o, anchor_o, nf_o = [], [], [], []
         for url, html in zip(urls, htmls):
             if html is None:
                 continue
@@ -105,13 +106,15 @@ class OutlinkStage:
                 links = _page_outlinks(url, html, self.max_links)
             except Exception:
                 continue  # pathological DOM: no edges, never a task error
-            for dst, anchor in links:
+            for dst, anchor, nofollow in links:
                 src_o.append(url)
                 dst_o.append(dst)
                 anchor_o.append(anchor)
+                nf_o.append(nofollow)
         return pa.table({"src": pa.array(src_o, pa.string()),
                          "dst": pa.array(dst_o, pa.string()),
-                         "anchor": pa.array(anchor_o, pa.string())})
+                         "anchor": pa.array(anchor_o, pa.string()),
+                         "nofollow": pa.array(nf_o, pa.bool_())})
 
 
 def extract_outlinks(pages, max_bytes: int = 50 * 1024 * 1024,

@@ -459,3 +459,30 @@ def html_stats(ds, html_col: str = "html"):
     """Map-only page triage signals; zero shuffle."""
     return ds.map_batches(
         lambda b: html_stats_batch(b, html_col), batch_format="pyarrow")
+
+
+def blocklist_filter(ds, phrases, text_col: str = "text",
+                     id_col: str = "doc_id", keep: bool = True):
+    """C4-style blocklist filtering: drop (or flag) documents whose
+    lowercased text contains ANY of the given phrases as a whole-word
+    match. One RE2 alternation compiled once (identical semantics in
+    pyarrow and DuckDB regexp_matches, so the op is value-exact); at
+    10^5+ phrases swap the alternation for a per-process Aho-Corasick
+    automaton — the plumbing (zero-shuffle map) is unchanged.
+
+    keep=True returns surviving rows (id, text); keep=False returns the
+    flag table (id, blocked) for auditing."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    pat = r"\b(" + "|".join(_re.escape(p.lower()) for p in phrases) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch.column(text_col), ""))
+        hit = pc.match_substring_regex(low, pat)
+        if keep:
+            return batch.filter(pc.invert(hit)).select([id_col, text_col])
+        return pa.table({id_col: batch.column(id_col), "blocked": hit})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

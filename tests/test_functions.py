@@ -1351,3 +1351,21 @@ def test_bpe_encode_counts(ray_session):
     assert out.loc[3, "n_bpe_tokens"] == 0
     # fully unseen characters stay unmerged: z z z </w> = 4 pieces
     assert out.loc[2, "n_bpe_tokens"] == 4
+
+
+def test_blocklist_filter_whole_word(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.textstats import blocklist_filter
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a clean document", "contains BadWord here",
+                 "scunthorpe stays",          # substring must NOT match
+                 "badword at start"],
+    })
+    kept = blocklist_filter(rd.from_pandas(df),
+                            ["badword", "thorpe"]).to_pandas()
+    assert sorted(kept.doc_id) == [1, 3]
+    flags = blocklist_filter(rd.from_pandas(df), ["badword"],
+                             keep=False).to_pandas().set_index("doc_id")
+    assert flags.blocked.tolist() == [False, True, False, True]

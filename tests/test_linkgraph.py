@@ -117,3 +117,18 @@ def test_host_edges_counts(ray_session):
     got = {(r.src_host, r.dst_host): r.n for r in out.itertuples()}
     # hosts lowercased: a.com->b.com twice
     assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def test_outlinks_nofollow_flag():
+    html = ('<a href="http://a.com/x" rel="nofollow">sponsored</a>'
+            '<a href="http://a.com/y" rel="NoFollow ugc">ugc</a>'
+            '<a href="http://a.com/z">organic</a>')
+    from sift_ray.functions.linkgraph import OutlinkStage
+    import pyarrow as pa
+    t = pa.table({"url": ["http://e.com/"],
+                  "html": pa.array([html.encode()], pa.binary())})
+    out = OutlinkStage()(t)
+    got = dict(zip(out.column("dst").to_pylist(),
+                   out.column("nofollow").to_pylist()))
+    assert got == {"http://a.com/x": True, "http://a.com/y": True,
+                   "http://a.com/z": False}
