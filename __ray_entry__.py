@@ -1000,6 +1000,17 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_assign_splits(sf_dir: str):
+    """Leakage-safe train/val/test assignment over pages: split is a
+    pure function of md5(host), so a domain's template near-duplicates
+    can never straddle the train/eval boundary. Zero shuffle; host
+    grouping, balance and repartition-invariance are unit-tested."""
+    import ray.data as rd
+    from sift_ray.functions.urls import assign_splits
+    corpus = _pages_corpus_for(sf_dir)
+    return assign_splits(rd.read_parquet(corpus, columns=["url"]))
+
+
 def _q_warc_extract(sf_dir: str):
     """The full source-to-markdown path from a Common-Crawl-style WARC
     archive instead of parquet: fixture pages are written as
@@ -1386,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,
         "blocklist_filter": _q_blocklist_filter,
+        "assign_splits": _q_assign_splits,
         "bpe_token_counts": _q_bpe_token_counts,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,

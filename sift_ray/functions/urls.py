@@ -110,3 +110,42 @@ def url_dedup(ds, url_col: str = "url", ts_col: Optional[str] = None,
 
     return parted.groupby("part").map_groups(
         lambda t: keep_first(t), batch_format="pyarrow")
+
+
+def assign_splits(ds, url_col: str = "url",
+                  splits=(("train", 0.9), ("val", 0.05), ("test", 0.05))):
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of md5(host), so EVERY page of a domain lands in the same
+    split — template near-duplicates from one site can never straddle
+    the train/eval boundary (the classic contamination vector). Zero
+    shuffle, engine-reproducible (md5 thresholds, no RNG), stable as
+    the corpus grows: adding pages never moves an existing domain.
+
+    ``splits``: (name, fraction) pairs; fractions are mapped to 128-bit
+    md5-space thresholds. Appends ``split`` to the rows."""
+    import hashlib
+
+    names = [n for n, _ in splits]
+    fracs = np.array([f for _, f in splits], dtype=np.float64)
+    fracs = fracs / fracs.sum()
+    bounds = np.cumsum(fracs)[:-1]
+    max128 = (1 << 128) - 1
+    cuts = [int(b * max128) for b in bounds]
+
+    def fn(t: pa.Table) -> pa.Table:
+        hosts = []
+        for u in t.column(url_col).to_pylist():
+            try:
+                hosts.append((urlsplit(u).hostname or u).lower())
+            except ValueError:
+                hosts.append(u)
+        out = []
+        for h in hosts:
+            v = int.from_bytes(hashlib.md5(h.encode()).digest(), "big")
+            i = 0
+            while i < len(cuts) and v >= cuts[i]:
+                i += 1
+            out.append(names[i])
+        return t.append_column("split", pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

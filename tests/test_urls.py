@@ -61,3 +61,23 @@ def test_url_dedup_lexicographic_without_ts(ray_session):
     out = url_dedup(rd.from_pandas(df)).to_pandas()
     # keep-first by raw url: "http://B.com/x" < "http://b.com/x?..."
     assert sorted(out.url) == ["http://B.com/x", "http://c.com/y"]
+
+
+def test_assign_splits_host_grouped_and_balanced(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.urls import assign_splits
+    urls = [f"http://host{h}.com/page{p}" for h in range(300)
+            for p in range(3)]
+    df = pd.DataFrame({"url": urls})
+    out = assign_splits(rd.from_pandas(df).repartition(4)).to_pandas()
+    out["host"] = out.url.str.extract(r"http://(host\d+\.com)")
+    # every page of a host lands in ONE split (leakage safety)
+    assert (out.groupby("host").split.nunique() == 1).all()
+    frac = out.split.value_counts(normalize=True)
+    assert 0.8 < frac.get("train", 0) < 0.97
+    assert frac.get("val", 0) > 0.01 and frac.get("test", 0) > 0.01
+    # deterministic under repartitioning
+    out2 = assign_splits(rd.from_pandas(df).repartition(2)).to_pandas()
+    assert out.sort_values("url").split.tolist() == \
+        out2.sort_values("url").split.tolist()
