@@ -1000,6 +1000,32 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_decode_jpeg(sf_dir: str):
+    """Real baseline JPEG decode (own Huffman + IDCT from the T.81 spec)
+    over a deterministic synthetic corpus: solid colors and gradients in
+    both 4:4:4 and 4:2:0, with quarantine rows mixed in. Channel means
+    must sit within quantization error of the encoded content (pinned in
+    tests/test_functions.py)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.jpeg import decode_jpegs, make_jpeg
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 20, "sf0.01": 60, "sf0.1": 150}.get(sf, 60)
+    rows = []
+    for i in range(n):
+        if i % 19 == 5:
+            payload = b"GIF89a not a jpeg"
+        else:
+            w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:, :] = ((i * 37) % 256, (i * 89) % 256, (i * 151) % 256)
+            payload = make_jpeg(img, quality=85, subsample=(i % 2 == 0))
+        rows.append({"doc_id": i, "payload": payload})
+    return decode_jpegs(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_assign_splits(sf_dir: str):
     """Leakage-safe train/val/test assignment over pages: split is a
     pure function of md5(host), so a domain's template near-duplicates
@@ -1398,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "blocklist_filter": _q_blocklist_filter,
         "assign_splits": _q_assign_splits,
+        "decode_jpeg": _q_decode_jpeg,
         "bpe_token_counts": _q_bpe_token_counts,
         "ngram_counts": _q_ngram_counts,
         "incremental_ingest": _q_incremental_ingest,

@@ -1369,3 +1369,70 @@ def test_blocklist_filter_whole_word(ray_session):
     flags = blocklist_filter(rd.from_pandas(df), ["badword"],
                              keep=False).to_pandas().set_index("doc_id")
     assert flags.blocked.tolist() == [False, True, False, True]
+
+
+def _jpeg_img(w=40, h=24, rgb=(200, 100, 50)):
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = rgb
+    return img
+
+
+def test_jpeg_roundtrip_444_and_420():
+    from sift_ray.functions.jpeg import decode_jpeg, make_jpeg
+    img = _jpeg_img()
+    for sub, expect in ((False, "1x1"), (True, "2x2")):
+        d = decode_jpeg(make_jpeg(img, subsample=sub))
+        assert d["status"] == "ok" and d["subsampling"] == expect
+        assert (d["width"], d["height"], d["components"]) == (40, 24, 3)
+        assert abs(d["mean_r"] - 200) < 2 and abs(d["mean_g"] - 100) < 2 \
+            and abs(d["mean_b"] - 50) < 2
+
+
+def test_jpeg_gradient_and_noise_means():
+    from sift_ray.functions.jpeg import decode_jpeg, make_jpeg
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    grad = np.stack([np.tile(x, (32, 1))] * 3, axis=2)
+    d = decode_jpeg(make_jpeg(grad, quality=90))
+    assert d["status"] == "ok"
+    assert abs(d["mean_r"] - float(grad[:, :, 0].mean())) < 1.0
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    d2 = decode_jpeg(make_jpeg(noise, quality=95))
+    assert d2["status"] == "ok"
+    assert abs(d2["mean_r"] - float(noise[:, :, 0].mean())) < 1.0
+
+
+def test_jpeg_non_multiple_of_mcu_dims():
+    from sift_ray.functions.jpeg import decode_jpeg, make_jpeg
+    img = _jpeg_img(w=37, h=19, rgb=(10, 200, 30))  # edge padding path
+    for sub in (False, True):
+        d = decode_jpeg(make_jpeg(img, subsample=sub))
+        assert d["status"] == "ok" and (d["width"], d["height"]) == (37, 19)
+        assert abs(d["mean_g"] - 200) < 2.5
+
+
+def test_jpeg_quarantines():
+    from sift_ray.functions.jpeg import decode_jpeg, make_jpeg
+    assert decode_jpeg(b"\x89PNG....")["status"] == "not_jpeg"
+    assert decode_jpeg(b"")["status"] == "not_jpeg"
+    full = make_jpeg(_jpeg_img())
+    # cut inside the entropy stream -> truncated
+    assert decode_jpeg(full[:len(full) - 30])["status"] in ("truncated",
+                                                            "corrupt")
+    # header-only cut -> corrupt/truncated, never an exception
+    assert decode_jpeg(full[:60])["status"] in ("corrupt", "truncated")
+
+
+def test_jpeg_decode_stage_over_dataset(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.jpeg import decode_jpegs, make_jpeg
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "payload": [make_jpeg(_jpeg_img()), b"junk",
+                    make_jpeg(_jpeg_img(rgb=(0, 0, 255)), subsample=True)],
+    })
+    out = decode_jpegs(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "status"] == "ok" and out.loc[1, "width"] == 40
+    assert out.loc[2, "status"] == "not_jpeg"
+    assert out.loc[3, "status"] == "ok" and out.loc[3, "mean_b"] > 250
