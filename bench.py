@@ -206,7 +206,9 @@ def run_bench() -> dict:
         "page_outlinks", "url_dedup", "normalize_text", "html_stats",
         "split_sentences", "ngram_counts", "incremental_ingest",
         "orders_join_bloom", "price_histogram", "compression_ratio",
-        "web_pipeline_shards", "warc_extract")
+        "web_pipeline_shards", "warc_extract", "pmi_topk",
+        "blocklist_filter", "assign_splits", "embedding_quantize",
+        "decode_jpeg", "bpe_token_counts")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()
