@@ -1337,6 +1337,109 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_orders_window_features(sf_dir: str):
+    """Per-customer ordered window functions (row_number / lag / running
+    sum / 3-row moving sum) over integer cents — ONE custkey exchange,
+    partition-local lexsort + vectorized segment arithmetic (the
+    distributed OVER (PARTITION BY ... ORDER BY ...))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import keyed_window_calcs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "price_cents": cents})
+
+    base = ds.map_batches(pre, batch_format="pyarrow")
+    return keyed_window_calcs(base, "o_custkey",
+                              ["o_orderdate_us", "o_orderkey"],
+                              "price_cents", moving_rows=3)
+
+
+def _q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the corpus crosses the
+    exchange once (finest group-by); coarser levels re-fold the finest
+    aggregate (distributive rollup), grand total folded on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import rollup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    base = ds.map_batches(pre, batch_format="pyarrow")
+    return rollup(base, ["l_returnflag", "l_linestatus"],
+                  [("qty", "sum", "sum_qty"), (None, "count_all", "n_rows")])
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-Res order
+    by ln(md5-uniform)/weight): zero shuffle — per-batch top-k combiner,
+    bounded driver merge; identical rows on any md5-capable engine."""
+    from sift_ray.functions.corpus import weighted_sample
+    return weighted_sample(_docs(sf_dir, ["doc_id", "n_chars"]), k=50)
+
+
+def _q_orders_semi_join(sf_dir: str):
+    """Distributed SEMI join (SQL EXISTS): orders containing at least one
+    high-quantity lineitem — each left row emitted at most once, right
+    non-key columns never move past the map-side projection."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def keys(t: "pa.Table") -> "pa.Table":
+        hot = t.filter(pc.greater(t.column("l_quantity"), pa.scalar(45.0)))
+        return pa.table({"o_orderkey": hot.column("l_orderkey")})
+
+    right = li.map_batches(keys, batch_format="pyarrow")
+    return hash_join(od, right, on="o_orderkey", how="semi",
+                     left_types={"o_orderkey": pa.int64(),
+                                 "o_custkey": pa.int64(),
+                                 "o_totalprice": pa.float64()},
+                     right_types={"o_orderkey": pa.int64()})
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table in exact
+    fixed-point integers — bit-identical under any partitioning. Returns
+    the final per-cluster (size, quantized inertia). Iterative, so no SQL
+    oracle; exactness is pinned by tests (partition invariance + a local
+    integer reference replica)."""
+    import ray.data as rd
+    from sift_ray.functions.similarity import kmeans_fit
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    _, stats = kmeans_fit(ds, n_clusters=8, n_iter=4)
+    return stats
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction family (sift parity; rows-only — see module docstring)
@@ -1407,6 +1510,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
+        "orders_window_features": _q_orders_window_features,
+        "pricing_rollup": _q_pricing_rollup,
+        "weighted_sample_docs": _q_weighted_sample,
+        "orders_semi_join": _q_orders_semi_join,
+        "kmeans_clusters": _q_kmeans_clusters,
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "pagerank_customers": _q_pagerank_customers,
@@ -1984,6 +2092,46 @@ def oracle_sql() -> dict[str, str]:
                        AS text,
                    CAST(count(*) AS BIGINT) AS n_units
             FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "orders_window_features": """
+            WITH t AS (SELECT o_custkey, o_orderkey,
+                              epoch_us(o_orderdate) AS o_orderdate_us,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  AS price_cents
+                       FROM orders)
+            SELECT o_custkey, o_orderkey, o_orderdate_us, price_cents,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate_us, o_orderkey) AS rn,
+                   LAG(price_cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate_us, o_orderkey) AS prev,
+                   SUM(price_cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate_us, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS run,
+                   SUM(price_cents) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate_us, o_orderkey
+                       ROWS 2 PRECEDING) AS mov
+            FROM t
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "weighted_sample_docs": """
+            WITH t AS (SELECT doc_id, n_chars,
+                ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                        ::BIGINT + 1) / 4503599627370496.0)
+                    / n_chars AS key
+                FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM t
+            ORDER BY key DESC, doc_id LIMIT 50
+        """,
+        "orders_semi_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
         """,
         "shipping_priority": """
             SELECT l_orderkey AS o_orderkey,

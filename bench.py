@@ -208,7 +208,9 @@ def run_bench() -> dict:
         "orders_join_bloom", "price_histogram", "compression_ratio",
         "web_pipeline_shards", "warc_extract", "pmi_topk",
         "blocklist_filter", "assign_splits", "embedding_quantize",
-        "decode_jpeg", "bpe_token_counts")
+        "decode_jpeg", "bpe_token_counts",
+        "orders_window_features", "pricing_rollup", "weighted_sample_docs",
+        "orders_semi_join", "kmeans_clusters")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -1,0 +1,210 @@
+"""Analytic (window-function) and OLAP-rollup operators.
+
+The reference has no cross-row analytics of any kind (SURVEY.md §2.8);
+these are engine extensions a training-data / feature pipeline needs:
+per-key ordered window features (row_number / lag / running sum / moving
+sum — the classic sessionized-feature shape) and multi-level ROLLUP
+aggregates. Both are oracle-checked exactly against DuckDB window /
+GROUP BY ROLLUP SQL.
+
+Determinism discipline (same rule as relational.py / windows.py):
+distributed float sums are order-dependent, so exact-checked values are
+integers (cents / counts); ordering keys are total orders (a unique id
+breaks every tie), so results are partition-count and layout invariant.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .shuffle import AggSpec, default_num_parts, partitioned_group_agg
+
+
+def _int64_col(tbl: pa.Table, name: str) -> np.ndarray:
+    col = tbl.column(name)
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def keyed_window_calcs(ds, key_col: str, order_cols: Sequence[str],
+                       value_col: str, moving_rows: int = 3,
+                       num_parts: Optional[int] = None):
+    """Per-key ordered window functions in one exchange.
+
+    For each row, within its ``key_col`` group ordered by ``order_cols``
+    (which must form a total order — include a unique id last), computes:
+
+      rn    — ROW_NUMBER()
+      prev  — LAG(value, 1)           (null on each group's first row)
+      run   — SUM(value) ROWS UNBOUNDED PRECEDING (running total)
+      mov   — SUM(value) ROWS ``moving_rows-1`` PRECEDING (moving sum
+              over the last ``moving_rows`` rows including current)
+
+    ``value_col`` must be int64 (convert money to cents upstream) so the
+    sums are exact and order-free.
+
+    Scale shape: ONE key-hash exchange (all rows of a key land in one
+    partition), then a partition-local lexsort + fully vectorized
+    segment arithmetic — no per-row Python, no driver state. This is the
+    distributed equivalent of SQL ``OVER (PARTITION BY key ORDER BY
+    ...)``; Ray Data has no window-function primitive. Hot keys: a single
+    key's rows must fit one partition (same caveat as session_windows —
+    windows.py documents the time-pre-split mitigation for bot keys).
+    """
+    P = num_parts or default_num_parts()
+    k = int(moving_rows)
+    if k < 1:
+        raise ValueError("moving_rows must be >= 1")
+    order_list: List[str] = list(order_cols)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column("rn", pa.array([], pa.int64())) \
+                      .append_column("prev", pa.array([], pa.int64())) \
+                      .append_column("run", pa.array([], pa.int64())) \
+                      .append_column("mov", pa.array([], pa.int64()))
+        key = _int64_col(tbl, key_col)
+        orders = [_int64_col(tbl, c) for c in order_list]
+        # np.lexsort: last key is primary
+        idx = np.lexsort(tuple(reversed(orders)) + (key,))
+        tbl = tbl.take(pa.array(idx))
+        key = key[idx]
+        val = _int64_col(tbl, value_col)
+
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = key[1:] != key[:-1]
+        # index of each row's group start
+        gstart = np.maximum.accumulate(np.where(starts, pos, 0))
+
+        rn = pos - gstart + 1
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = val[:-1]
+        prev[0] = 0
+        prev_valid = ~starts
+
+        incl = np.cumsum(val)
+        excl = incl - val                      # prefix sum EXCLUDING row i
+        run = incl - excl[gstart]
+        lo = np.maximum(pos - (k - 1), gstart)
+        mov = incl - excl[lo]
+
+        return (tbl
+                .append_column("rn", pa.array(rn, pa.int64()))
+                .append_column("prev", pa.array(prev, pa.int64(),
+                                                mask=~prev_valid))
+                .append_column("run", pa.array(run, pa.int64()))
+                .append_column("mov", pa.array(mov, pa.int64())))
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(ds, [key_col], P)
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+_REFOLD = {"sum": "sum", "count": "sum", "count_all": "sum",
+           "min": "min", "max": "max"}
+
+
+def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
+           num_parts: Optional[int] = None):
+    """GROUP BY ROLLUP(key1, key2, ...): aggregates at every prefix level
+    of the key hierarchy plus the grand total, rolled-up key columns null.
+
+    Only distributive aggregates are accepted (sum / count / count_all /
+    min / max) because every coarser level is re-folded FROM the finest
+    aggregate: the corpus crosses the exchange exactly once (the finest
+    group-by); levels above it reduce the already-aggregated table, whose
+    size is bounded by finest-group cardinality, not corpus rows. This is
+    the textbook distributive-rollup plan (Gray et al., Data Cube, 1997).
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("rollup needs at least one key column")
+    for _, fn, _ in aggs:
+        if fn not in _REFOLD:
+            raise ValueError(f"non-distributive agg {fn!r} in rollup")
+    out_names = [name for *_, name in aggs]
+
+    def key_hashes(cols: List[str]):
+        """Map-side int64 key arrays for any key type (strings hash; the
+        kernel re-groups by the TRUE columns, so collisions stay exact)."""
+        def fn(batch: pa.Table):
+            from .sketch import _hash64_any
+            arrs = []
+            for c in cols:
+                col = batch.column(c)
+                if pa.types.is_integer(col.type):
+                    arrs.append(col.to_numpy(zero_copy_only=False))
+                else:
+                    arrs.append(_hash64_any(col).astype(np.int64))
+            return arrs
+        return fn
+
+    finest = partitioned_group_agg(ds, keys, aggs, num_parts=num_parts,
+                                   key_arrays_fn=key_hashes(keys))
+    finest = finest.materialize()   # reused by every coarser level
+    sch = finest.schema()
+    types = {n: t for n, t in zip(sch.names, sch.types)}
+    refold: List[AggSpec] = [(name, _REFOLD[fn], name)
+                             for (_, fn, _), name in zip(aggs, out_names)]
+
+    def pad_nulls(level_keys: List[str]):
+        """Append typed-null columns for rolled-up keys (typed empties keep
+        the union schema stable — the r2 lesson about schema warnings)."""
+        def fn(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in keys:
+                names.append(c)
+                if c in level_keys:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, types[c]))
+            for c in out_names:
+                names.append(c)
+                arrays.append(t.column(c))
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    levels = [finest.map_batches(pad_nulls(keys), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = partitioned_group_agg(finest, keys[:i], refold,
+                                    num_parts=num_parts,
+                                    key_arrays_fn=key_hashes(keys[:i]))
+        levels.append(lvl.map_batches(pad_nulls(keys[:i]),
+                                      batch_format="pyarrow"))
+
+    # grand total: fold the finest aggregate (small) on the driver
+    fin = finest.to_arrow_refs()
+    import ray
+    tbls = [t for t in ray.get(fin) if t.num_rows]
+    total_arrays, total_names = [], []
+    for c in keys:
+        total_names.append(c)
+        total_arrays.append(pa.nulls(1, types[c]))
+    whole = pa.concat_tables([t.select(out_names) for t in tbls]) \
+        if tbls else None
+    for (_, fn, _), name in zip(aggs, out_names):
+        total_names.append(name)
+        if whole is None or whole.num_rows == 0:
+            total_arrays.append(pa.array([0], types[name]))
+            continue
+        refn = _REFOLD[fn]
+        col = whole.column(name)
+        v = (pc.sum(col) if refn == "sum"
+             else pc.min(col) if refn == "min" else pc.max(col))
+        total_arrays.append(pa.array([v.as_py()], types[name]))
+    import ray.data as rd
+    total = rd.from_arrow(pa.table(dict(zip(total_names, total_arrays))))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(total)

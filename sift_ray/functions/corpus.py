@@ -1076,3 +1076,54 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
              .sort_values(["pmi_micro", "gram"], ascending=[False, True])
              .head(k).reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(cands, preserve_index=False))
+
+
+def weighted_sample(ds, k: int = 50, weight_col: str = "n_chars",
+                    id_col: str = "doc_id"):
+    """Deterministic weighted sampling WITHOUT replacement (top-k of the
+    Efraimidis-Spirakis A-Res order): row i gets key ln(u_i)/w_i where
+    u_i in (0,1] derives from md5(id) — the k largest keys are exactly a
+    weight-proportional sample, and the same rows are chosen by ANY
+    engine that computes md5/ln the same way (the auditable-sample rule
+    stratified_sample follows).
+
+    u_i = (int(md5(str(id))[:13 hex], 16) + 1) / 2^52 — a 52-bit value,
+    so both the integer and the division are exact in float64; the SQL
+    mirror is ('0x' || substr(md5(CAST(id AS VARCHAR)),1,13))::BIGINT.
+    Rows with weight <= 0 are excluded (a zero weight cannot be sampled).
+
+    Scale shape: zero shuffle — each batch emits only its local top-k
+    (combiner), the driver merges n_batches x k candidate rows. Ties
+    (bit-equal keys) break by id ASC."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    TWO52 = np.float64(4503599627370496.0)  # 2^52 = 16^13
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        u = (h.astype(np.float64) + 1.0) / TWO52
+        key = np.log(u) / w
+        keep = w > 0
+        t = pa.table({id_col: batch.column(id_col),
+                      weight_col: batch.column(weight_col),
+                      "key": pa.array(key, pa.float64())}).filter(
+                          pa.array(keep))
+        pdf = t.to_pandas().sort_values(
+            ["key", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cands = (ds.map_batches(local_topk, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["key", id_col], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(
+        cands[[id_col, weight_col]], preserve_index=False))

@@ -247,9 +247,11 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     ``how``: "inner", "left", "full" (unmatched rows of EITHER side kept,
     the other side's columns null — integer columns stay exact int64 via
-    nullable dtypes on both sides), or "anti" (left rows whose key has NO
+    nullable dtypes on both sides), "anti" (left rows whose key has NO
     right match — the distributed anti-join; right non-key columns are
-    ignored). A right join is "left" with the arguments swapped.
+    ignored), or "semi" (left rows whose key HAS a right match, each
+    left row at most once — SQL EXISTS; right non-key columns ignored).
+    A right join is "left" with the arguments swapped.
     Non-key column names must be disjoint (restrict with
     left_cols/right_cols).
 
@@ -282,12 +284,12 @@ def hash_join(left, right, on: str, how: str = "inner",
 
     lc = [c for c in _names(left, left_cols, left_types) if c != on]
     rc = [c for c in _names(right, right_cols, right_types) if c != on]
-    if how == "anti":
-        rc = []  # only the right KEYS matter for an anti-join
+    if how in ("anti", "semi"):
+        rc = []  # only the right KEYS matter for an anti/semi-join
     overlap = set(lc) & set(rc)
     if overlap:
         raise ValueError(f"non-key columns must be disjoint: {overlap}")
-    if how not in ("inner", "left", "anti", "full"):
+    if how not in ("inner", "left", "anti", "semi", "full"):
         raise ValueError(f"unsupported how: {how}")  # right = full w/ swap
                                                      # or left w/ swapped args
 
@@ -312,7 +314,7 @@ def hash_join(left, right, on: str, how: str = "inner",
     if l_empty and on in r_types:
         l_types[on] = r_types[on]  # key type comes from the non-empty side
     bypass = None
-    if bloom_prefilter and how in ("inner", "anti"):
+    if bloom_prefilter and how in ("inner", "anti", "semi"):
         if how == "anti" and post is not None:
             raise ValueError("bloom_prefilter with how='anti' cannot "
                              "honor post (bypass rows skip the kernel)")
@@ -416,6 +418,14 @@ def hash_join(left, right, on: str, how: str = "inner",
                 return lt
             mask = pc.invert(pc.is_in(lt.column(on), value_set=rkeys))
             return lt.filter(mask)
+        if how == "semi":
+            # dual of anti: keep left rows whose key IS present on the right
+            rkeys = (tbl.filter(pc.equal(side, 1)).column(on)
+                     .combine_chunks())
+            lt = tbl.filter(pc.equal(side, 0)).select([on] + lc)
+            if len(rkeys) == 0:
+                return lt.schema.empty_table()
+            return lt.filter(pc.is_in(lt.column(on), value_set=rkeys))
         # split sides in Arrow BEFORE pandas: the padded null columns are
         # dropped here, so dtypes survive (a combined to_pandas would turn
         # every padded int column into float64)

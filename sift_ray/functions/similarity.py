@@ -570,3 +570,110 @@ def embedding_quantize(ds, vec_col: str = "embedding",
     out = ds.map_batches(TaskStage(QuantStage, state_ref=ref),
                          batch_format="pyarrow")
     return out, {"lo": lo, "span": span}
+
+
+def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               num_parts: Optional[int] = None, scale_bits: int = 20):
+    """Distributed Lloyd's k-means over the FULL embedding table (unlike
+    ``_kmeans``, which trains IVF on a bounded driver sample) — in exact
+    fixed-point integer arithmetic, so the result is bit-identical under
+    any partitioning, block layout, or engine.
+
+    Determinism: vectors quantize to int64 micros (``round(x * 2^scale_bits)``
+    — per-row, layout-free); assignment minimizes the INTEGER squared
+    distance (ties -> lowest cluster id); centroid update is integer
+    ``sums // counts``. No float enters any cross-row reduction.
+
+    Scale shape per iteration: one corpus pass folds per-batch per-cluster
+    (sum, count, inertia) partials — a (k x d)-sized table per batch — then
+    ONE (cluster, dim)-keyed exchange combines them (label_centroids'
+    shape); the driver holds k x d ints only. Init = the k smallest-id
+    vectors (deterministic; ids found with a per-batch top-k combiner).
+
+    Overflow bound: per-row d2 <= d * 2^(2*scale_bits+2); inertia partials
+    are emitted as d2 >> 10 (milli-ish units), good to ~10^12 unit-norm
+    rows at d=64 before int64 saturates.
+
+    Returns (centroids int64 micros (k, d), stats Dataset with one row per
+    cluster: cluster, size, inertia_q — the LAST assignment pass's stats).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from .shuffle import partitioned_group_agg
+
+    S = np.int64(1) << scale_bits
+
+    # ---- deterministic init: the k smallest-id vectors --------------
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.sort(ids)[:n_clusters]
+        return pa.table({id_col: pa.array(keep, pa.int64())})
+
+    cand = (ds.map_batches(local_min_ids, batch_format="pyarrow")
+            .to_pandas()[id_col].nsmallest(n_clusters).tolist())
+    _, seed_vecs = _fetch_vectors(ds, cand, vec_col, id_col)
+    C = np.round(np.asarray(seed_vecs, dtype=np.float64) * S) \
+        .astype(np.int64)                                  # (k, d) micros
+    k, d = C.shape
+
+    def make_partials(C_now: np.ndarray):
+        def partials(batch: pa.Table) -> pa.Table:
+            mat = _to_matrix(batch.column(vec_col))
+            if mat.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "iq": pa.array([], pa.int64())})
+            xq = np.round(mat.astype(np.float64) * S).astype(np.int64)
+            n = xq.shape[0]
+            d2 = np.empty((n, k), dtype=np.int64)
+            for c in range(k):
+                diff = xq - C_now[c]
+                d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+            assign = np.argmin(d2, axis=1)          # tie -> lowest id
+            best = d2[np.arange(n), assign] >> 10
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, assign, xq)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            iq = np.zeros(k, dtype=np.int64)
+            np.add.at(iq, assign, best)
+            cl = np.repeat(np.arange(k, dtype=np.int64), d)
+            dim = np.tile(np.arange(d, dtype=np.int64), k)
+            return pa.table({
+                "cluster": pa.array(cl, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+                "iq": pa.array(np.repeat(iq, d), pa.int64()),
+            })
+        return partials
+
+    stats_pdf = None
+    for _ in range(n_iter):
+        rows = ds.map_batches(make_partials(C.copy()),
+                              batch_format="pyarrow")
+        agg = partitioned_group_agg(
+            rows, ["cluster", "dim"],
+            [("s", "sum", "s"), ("n", "sum", "n"), ("iq", "sum", "iq")],
+            num_parts=num_parts).to_pandas()
+        agg = agg.sort_values(["cluster", "dim"]).reset_index(drop=True)
+        newC = C.copy()
+        sizes = np.zeros(k, dtype=np.int64)
+        inert = np.zeros(k, dtype=np.int64)
+        for c in range(k):
+            part = agg[agg["cluster"] == c]
+            if len(part) == 0 or int(part["n"].iloc[0]) == 0:
+                continue                     # empty cluster keeps centroid
+            cnt = part["n"].to_numpy()[0]
+            newC[c] = part["s"].to_numpy() // cnt
+            sizes[c] = cnt
+            inert[c] = part["iq"].to_numpy()[0]
+        C = newC
+        stats_pdf = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
+                                  "size": sizes, "inertia_q": inert})
+
+    stats = rd.from_pandas(stats_pdf.reset_index(drop=True))
+    return C, stats

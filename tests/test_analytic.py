@@ -1,0 +1,248 @@
+"""Tests for the analytic (window-function / rollup) operators, the
+deterministic weighted sampler, the distributed k-means, and the semi
+join — exact expected values from pandas/numpy references, plus
+partition-count invariance (the distributed-correctness property)."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sift_ray.functions.analytic import keyed_window_calcs, rollup
+
+
+def _orders_df(n=4000, seed=7):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "key": rng.randint(0, 200, n).astype(np.int64),
+        "oid": np.arange(n, dtype=np.int64),
+        "ts": rng.randint(0, 10_000, n).astype(np.int64),
+        "val": rng.randint(-500, 500, n).astype(np.int64),
+    })
+
+
+def _expected_windows(df, k=3):
+    s = df.sort_values(["key", "ts", "oid"]).copy()
+    g = s.groupby("key", sort=False)
+    s["rn"] = g.cumcount() + 1
+    s["prev"] = g["val"].shift(1)
+    s["run"] = g["val"].cumsum()
+    s["mov"] = (g["val"].rolling(k, min_periods=1).sum()
+                .reset_index(level=0, drop=True))
+    return s.sort_values("oid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("num_parts", [1, 5, 32])
+def test_keyed_window_calcs_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    df = _orders_df()
+    out = (keyed_window_calcs(rd.from_pandas(df), "key", ["ts", "oid"],
+                              "val", moving_rows=3, num_parts=num_parts)
+           .to_pandas().sort_values("oid").reset_index(drop=True))
+    exp = _expected_windows(df)
+    assert (out["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    assert (out["run"].to_numpy() == exp["run"].to_numpy()).all()
+    assert (out["mov"].to_numpy() == exp["mov"].to_numpy()).all()
+    a, b = out["prev"], exp["prev"]
+    assert (a.isna() == b.isna()).all()
+    m = ~a.isna()
+    assert (a[m].to_numpy().astype(np.int64)
+            == b[m].to_numpy().astype(np.int64)).all()
+
+
+def test_keyed_window_calcs_single_row_groups(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"key": [1, 2, 3], "oid": [10, 20, 30],
+                       "ts": [0, 0, 0],
+                       "val": np.array([5, -7, 9], dtype=np.int64)})
+    out = (keyed_window_calcs(rd.from_pandas(df), "key", ["ts", "oid"],
+                              "val").to_pandas()
+           .sort_values("key").reset_index(drop=True))
+    assert (out["rn"] == 1).all()
+    assert out["prev"].isna().all()          # first row of every group
+    assert (out["run"].to_numpy() == df["val"].to_numpy()).all()
+    assert (out["mov"].to_numpy() == df["val"].to_numpy()).all()
+
+
+def test_keyed_window_calcs_hot_key(ray_session):
+    # one key owns 80% of the rows — the partition must absorb it and
+    # the running sums stay exact
+    import ray.data as rd
+    n = 3000
+    df = pd.DataFrame({
+        "key": np.where(np.arange(n) % 5 < 4, 1, 2).astype(np.int64),
+        "oid": np.arange(n, dtype=np.int64),
+        "ts": np.zeros(n, dtype=np.int64),
+        "val": np.ones(n, dtype=np.int64),
+    })
+    out = (keyed_window_calcs(rd.from_pandas(df), "key", ["ts", "oid"],
+                              "val", num_parts=8).to_pandas())
+    hot = out[out["key"] == 1].sort_values("oid")
+    assert hot["run"].iloc[-1] == len(hot) == 2400
+    assert (hot["rn"].to_numpy() == np.arange(1, 2401)).all()
+
+
+def _rollup_df():
+    rng = np.random.RandomState(3)
+    return pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 900),
+        "b": rng.choice(["p", "q"], 900),
+        "v": rng.randint(0, 100, 900).astype(np.int64),
+    })
+
+
+@pytest.mark.parametrize("num_parts", [1, 16])
+def test_rollup_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    df = _rollup_df()
+    out = rollup(rd.from_pandas(df), ["a", "b"],
+                 [("v", "sum", "sv"), (None, "count_all", "n")],
+                 num_parts=num_parts).to_pandas()
+    fin = df.groupby(["a", "b"]).agg(sv=("v", "sum"), n=("v", "size"))
+    lvl1 = df.groupby("a").agg(sv=("v", "sum"), n=("v", "size"))
+    assert len(out) == len(fin) + len(lvl1) + 1
+    o_fin = out.dropna(subset=["a", "b"]).set_index(["a", "b"])
+    for idx, row in fin.iterrows():
+        assert o_fin.loc[idx, "sv"] == row["sv"]
+        assert o_fin.loc[idx, "n"] == row["n"]
+    o_l1 = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    for idx, row in lvl1.iterrows():
+        assert o_l1.loc[idx, "sv"] == row["sv"]
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert len(total) == 1
+    assert total["sv"].iloc[0] == df["v"].sum()
+    assert total["n"].iloc[0] == len(df)
+
+
+def test_rollup_min_max_refold(ray_session):
+    import ray.data as rd
+    df = _rollup_df()
+    out = rollup(rd.from_pandas(df), ["a"],
+                 [("v", "min", "lo"), ("v", "max", "hi")]).to_pandas()
+    total = out[out["a"].isna()]
+    assert total["lo"].iloc[0] == df["v"].min()
+    assert total["hi"].iloc[0] == df["v"].max()
+
+
+def test_rollup_rejects_non_distributive():
+    with pytest.raises(ValueError):
+        rollup(None, ["a"], [("v", "mean", "m")])
+
+
+def test_weighted_sample_deterministic_and_weight_biased(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import weighted_sample
+    n = 2000
+    # half the rows carry 100x the weight of the other half
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_chars": np.where(np.arange(n) < n // 2, 10_000, 100)
+        .astype(np.int64),
+    })
+    a = weighted_sample(rd.from_pandas(df), k=100).to_pandas()
+    b = weighted_sample(rd.from_pandas(df).repartition(9), k=100).to_pandas()
+    # deterministic + layout invariant
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == 100
+    # heavy rows must dominate the sample (p_heavy ~ 100/101 per slot)
+    heavy = (a["doc_id"] < n // 2).sum()
+    assert heavy > 80
+
+
+def test_weighted_sample_excludes_nonpositive_weights(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import weighted_sample
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "n_chars": np.array([0] * 5 + [50] * 5, np.int64)})
+    out = weighted_sample(rd.from_pandas(df), k=10).to_pandas()
+    assert set(out["doc_id"]) == set(range(5, 10))
+
+
+def test_kmeans_partition_invariant_and_matches_reference(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.similarity import kmeans_fit
+    rng = np.random.RandomState(5)
+    n, d, k = 600, 16, 5
+    mat = rng.randn(n, d).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.astype(np.float32) for v in mat]})
+    C1, st1 = kmeans_fit(rd.from_pandas(df), n_clusters=k, n_iter=3)
+    st1 = st1.to_pandas()
+    C2, st2 = kmeans_fit(rd.from_pandas(df).repartition(11),
+                         n_clusters=k, n_iter=3)
+    assert (C1 == C2).all()
+    assert st1.equals(st2.to_pandas())
+
+    # local single-process integer replica (same algorithm, no Ray)
+    S = np.int64(1) << 20
+    xq = np.round(mat.astype(np.float32).astype(np.float64) * S) \
+        .astype(np.int64)
+    C = xq[:k].copy()
+    for _ in range(3):
+        d2 = np.stack([np.einsum("ij,ij->i", xq - C[c], xq - C[c])
+                       for c in range(k)], axis=1)
+        a = np.argmin(d2, axis=1)
+        best = d2[np.arange(n), a] >> 10
+        newC = C.copy()
+        sizes = np.zeros(k, np.int64)
+        inert = np.zeros(k, np.int64)
+        for c in range(k):
+            m = a == c
+            if m.sum():
+                newC[c] = xq[m].sum(axis=0) // m.sum()
+                sizes[c] = m.sum()
+                inert[c] = best[m].sum()
+        C = newC
+    assert (C == C1).all()
+    assert (sizes == st1["size"].to_numpy()).all()
+    assert (inert == st1["inertia_q"].to_numpy()).all()
+    assert st1["size"].sum() == n
+
+
+def test_hash_join_semi(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = pd.DataFrame({"k": np.array([1, 2, 3, 4, 5], np.int64),
+                         "lv": np.arange(5, dtype=np.int64)})
+    # duplicate right keys: each matching left row must appear ONCE
+    right = pd.DataFrame({"k": np.array([2, 2, 4, 4, 4, 9], np.int64)})
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="semi").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [2, 4]
+    assert list(out.columns) == ["k", "lv"]
+
+
+def test_hash_join_semi_bloom_matches_plain(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    rng = np.random.RandomState(2)
+    left = pd.DataFrame({"k": rng.randint(0, 300, 2000).astype(np.int64),
+                         "lv": np.arange(2000, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.randint(0, 80, 150).astype(np.int64)})
+    plain = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       how="semi").to_pandas()
+             .sort_values(["k", "lv"]).reset_index(drop=True))
+    bloom = (hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       how="semi", bloom_prefilter=1 << 10).to_pandas()
+             .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, bloom)
+    exp = left[left["k"].isin(right["k"])].sort_values(["k", "lv"])
+    assert list(plain["lv"]) == list(exp["lv"])
+
+
+def test_hash_join_semi_empty_right(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from sift_ray.functions.shuffle import hash_join
+    left = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                         "lv": np.array([7, 8], np.int64)})
+    right = pd.DataFrame({"k": np.array([], np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                    how="semi",
+                    right_types={"k": pa.int64()}).to_pandas()
+    assert len(out) == 0
