@@ -1426,6 +1426,27 @@ def _q_orders_semi_join(sf_dir: str):
                      right_types={"o_orderkey": pa.int64()})
 
 
+def _q_boilerplate_strip(sf_dir: str):
+    """CCNet-style per-host template-line removal. The fixture corpus has
+    no shared site chrome, so the query plants a per-source footer line on
+    every doc in BOTH engines (the pii_scrub pattern) — the frequency
+    decision, bloom-prefiltered anti-join strip, and reassembly are what
+    is checked byte-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import boilerplate_strip
+
+    def decorate(b: "pa.Table") -> "pa.Table":
+        text = pc.binary_join_element_wise(
+            b.column("text"), "\ncopyright footer of ", b.column("source"),
+            "")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        decorate, batch_format="pyarrow")
+    return boilerplate_strip(ds, min_docs=3, max_frac=0.5)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd's k-means over the full embedding table in exact
     fixed-point integers — bit-identical under any partitioning. Returns
@@ -1515,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample,
         "orders_semi_join": _q_orders_semi_join,
         "kmeans_clusters": _q_kmeans_clusters,
+        "boilerplate_strip": _q_boilerplate_strip,
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "pagerank_customers": _q_pagerank_customers,
@@ -2132,6 +2154,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "boilerplate_strip": """
+            WITH d AS (SELECT doc_id, source AS host,
+                              text || chr(10) || 'copyright footer of '
+                                   || source AS text
+                       FROM documents),
+            s AS (SELECT doc_id, host,
+                         string_split(text, chr(10)) AS arr FROM d),
+            pos AS (SELECT doc_id, host, arr,
+                           unnest(generate_series(1, len(arr))) AS unit_no
+                    FROM s),
+            l AS (SELECT doc_id, host, unit_no, arr[unit_no] AS line
+                  FROM pos),
+            hosts AS (SELECT host, count(*) AS nd FROM d GROUP BY host),
+            boiler AS (
+                SELECT f.host, f.line
+                FROM (SELECT host, line, count(DISTINCT doc_id) AS df
+                      FROM l
+                      WHERE len(regexp_extract_all(line, '[^ ]+')) >= 1
+                      GROUP BY host, line) f
+                JOIN hosts h USING (host)
+                WHERE h.nd >= 3 AND f.df * 1.0 >= 0.5 * h.nd)
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY unit_no) AS text,
+                   CAST(count(*) AS BIGINT) AS n_units
+            FROM l
+            WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                              WHERE b.host = l.host AND b.line = l.line)
+            GROUP BY doc_id
         """,
         "shipping_priority": """
             SELECT l_orderkey AS o_orderkey,

@@ -207,16 +207,60 @@ def _dedup_units(units, num_parts: Optional[int] = None,
         elig = tbl.column("elig")
         keep_cols = ["doc_id", "unit_no", "unit"]
         passthrough = tbl.filter(pc.invert(elig)).select(keep_cols)
-        df = tbl.filter(elig).select(keep_cols).to_pandas()
-        df = df.sort_values(["doc_id", "unit_no"], kind="stable")
-        winners = df.drop_duplicates("unit", keep="first")
-        won = pa.Table.from_pandas(winners, preserve_index=False)
+        cand = tbl.filter(elig).select(keep_cols)
+        # Arrow sort + adjacent-compare (NOT pandas drop_duplicates: pandas
+        # object hashing truncates strings at embedded NUL bytes, which
+        # would merge distinct units sharing a pre-NUL prefix — data loss)
+        won = _first_per_sorted_unit(cand)
         return pa.concat_tables([won.cast(passthrough.schema),
                                  passthrough])
 
     kept = parted.groupby("part").map_groups(pick_winners,
                                              batch_format="pyarrow")
-    parted2 = add_hash_partition(kept, ["doc_id"], P)
+    return _reassemble_docs(kept, P, join_delim)
+
+
+def _first_per_sorted_unit(cand: pa.Table) -> pa.Table:
+    """Per distinct ``unit`` string, the row with the lexicographically
+    smallest ``(doc_id, unit_no)`` — pure Arrow (binary-safe string
+    equality), vectorized: one sort, one shifted compare."""
+    import pyarrow.compute as pc
+
+    if cand.num_rows <= 1:
+        return cand
+    idx = pc.sort_indices(cand, sort_keys=[("unit", "ascending"),
+                                           ("doc_id", "ascending"),
+                                           ("unit_no", "ascending")])
+    srt = cand.take(idx)
+    u = srt.column("unit").combine_chunks()
+    n = len(u)
+    neq = pc.not_equal(u.slice(1), u.slice(0, n - 1))
+    if isinstance(neq, pa.ChunkedArray):
+        neq = neq.combine_chunks()
+    first = pa.concat_arrays([pa.array([True]), neq])
+    return srt.filter(first)
+
+
+def _first_unit_occurrence_mask(t: pa.Table, unit_col: str = "unit"):
+    """Boolean keep-mask marking each unit string's FIRST row in current
+    table order — Arrow group_by on a row-index column (binary-safe; the
+    pandas ``duplicated`` idiom truncates at NUL bytes)."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    ids = pa.array(np.arange(n, dtype=np.int64))
+    firsts = (pa.table({"unit": t.column(unit_col), "_i": ids})
+              .group_by(["unit"]).aggregate([("_i", "min")])
+              .column("_i_min"))
+    return pc.is_in(ids, value_set=firsts.combine_chunks())
+
+
+def _reassemble_docs(units, num_parts: int, join_delim: str):
+    """Rebuild (doc_id, text, n_units) from surviving (doc_id, unit_no,
+    unit) rows: ONE doc_id exchange, partition-local sort + group-concat.
+    Documents with zero surviving units disappear (callers that must keep
+    them emit a sentinel unit upstream)."""
+    parted = add_hash_partition(units, ["doc_id"], num_parts)
 
     def reassemble(tbl: pa.Table) -> pa.Table:
         df = tbl.select(["doc_id", "unit_no", "unit"]).to_pandas()
@@ -231,8 +275,8 @@ def _dedup_units(units, num_parts: Optional[int] = None,
             "n_units": pa.array(out["n_units"].to_numpy(), pa.int64()),
         })
 
-    return parted2.groupby("part").map_groups(reassemble,
-                                              batch_format="pyarrow")
+    return parted.groupby("part").map_groups(reassemble,
+                                             batch_format="pyarrow")
 
 
 def _explode_units(batch: pa.Table, splits: pa.ChunkedArray,
@@ -282,11 +326,12 @@ def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
             "unit": flat,
             "elig": elig,
         })
-        # in-batch combiner: rows arrive in (doc_id, unit_no) order, so
-        # keep="first" drops exactly the in-batch lexicographic losers
-        df = t.to_pandas()
-        dup = df["elig"] & df.duplicated("unit", keep="first")
-        return t.filter(pa.array(~dup.to_numpy()))
+        # in-batch combiner: rows arrive in (doc_id, unit_no) order, so the
+        # first occurrence is the in-batch lexicographic winner; Arrow mask
+        # (binary-safe — pandas `duplicated` truncates at NUL bytes)
+        keep = pc.or_(pc.invert(t.column("elig")),
+                      _first_unit_occurrence_mask(t))
+        return t.filter(keep)
 
     units = ds.map_batches(explode, batch_format="pyarrow")
     return _dedup_units(units, num_parts=num_parts, join_delim=delimiter)
@@ -314,13 +359,18 @@ def span_dedup(ds, span_words: int = 8, id_col: str = "doc_id",
         })
         spans = (df.groupby(["doc_id", "span_no"], sort=False)["word"]
                  .agg(" ".join).reset_index())
-        dup = spans.duplicated("word", keep="first")  # in-batch combiner
-        spans = spans[~dup.to_numpy()]
-        return pa.table({
+        t = pa.table({
             "doc_id": pa.array(spans["doc_id"].to_numpy(), pa.int64()),
             "unit_no": pa.array(spans["span_no"].to_numpy(), pa.int64()),
             "unit": pa.array(spans["word"], pa.string()),
-            "elig": pa.array(np.ones(len(spans), dtype=bool)),
+        })
+        # in-batch combiner (Arrow, binary-safe — see line_dedup)
+        t = t.filter(_first_unit_occurrence_mask(t))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "unit_no": t.column("unit_no"),
+            "unit": t.column("unit"),
+            "elig": pa.array(np.ones(t.num_rows, dtype=bool)),
         })
 
     units = ds.map_batches(explode, batch_format="pyarrow")
@@ -1127,3 +1177,122 @@ def weighted_sample(ds, k: int = 50, weight_col: str = "n_chars",
              .head(k).reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(
         cands[[id_col, weight_col]], preserve_index=False))
+
+
+def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
+                      host_col: str = "source", id_col: str = "doc_id",
+                      text_col: str = "text", min_words: int = 1,
+                      num_parts: Optional[int] = None):
+    """CCNet-style per-host boilerplate line removal: a line that appears
+    in >= ``max_frac`` of a host's documents (counting each document once,
+    host having >= ``min_docs`` docs) is site template chrome — nav,
+    cookie banners, footers — and is stripped from EVERY document of that
+    host. Lines with < ``min_words`` words are never eligible (blank
+    separator lines survive). Documents are reassembled from surviving
+    lines in order; a fully-boilerplate document disappears. Returns
+    (doc_id, text, n_units).
+
+    Scale shape: host totals and per-(host, line) document frequencies are
+    partial-agg exchanges (the line-count pass dedups in-doc repeats
+    map-side, so a (host, line, doc) triple ships once); the boilerplate
+    decision table is SMALL (only template lines pass the frequency bar),
+    so the strip itself is a bloom-prefiltered distributed anti-join —
+    the non-boilerplate majority of lines routes AROUND the exchange and
+    only bloom hits pay for it; reassembly is one doc_id exchange. The
+    exploded corpus is intentionally recomputed per pass instead of
+    materialized (two cheap map passes beat holding a corpus-sized
+    intermediate). No reference analog (SURVEY.md §2.8); the rule is the
+    public CCNet/RefinedWeb paragraph-dedup-per-domain recipe."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+
+    P = num_parts or default_num_parts()
+    SEP = "\x00"  # cannot occur inside a line (lines are split on \n)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), "\n")
+        doc_ids, pos, flat = _explode_units(batch, splits, id_col)
+        parent = pc.list_parent_indices(
+            splits if not isinstance(splits, pa.ChunkedArray)
+            else splits.combine_chunks())
+        hosts = pc.take(batch.column(host_col), parent)
+        wc = pc.count_substring_regex(flat, "[^ ]+")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "unit_no": pa.array(pos, pa.int64()),
+            "unit": flat,
+            "host": hosts,
+            "elig": pc.greater_equal(wc, min_words),
+            "hl": pc.binary_join_element_wise(hosts, flat, SEP),
+        })
+
+    def lines_ds():
+        return ds.map_batches(explode, batch_format="pyarrow")
+
+    # host -> total docs (tiny per-batch combiner, one host exchange)
+    def host_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([host_col]).group_by([host_col])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "nd"])
+
+    def host_keys(cols):
+        def fn(batch: pa.Table):
+            from .sketch import _hash64_any
+            return [_hash64_any(batch.column(c)).astype(np.int64)
+                    for c in cols]
+        return fn
+
+    totals = partitioned_group_agg(
+        ds.map_batches(host_partial, batch_format="pyarrow"), ["host"],
+        [("nd", "sum", "nd")], num_parts=P, key_arrays_fn=host_keys(["host"]))
+
+    # (host, line) -> document frequency; in-doc repeats dedup map-side.
+    # Arrow kernels throughout: pandas object hashing TRUNCATES strings at
+    # embedded NUL bytes (khash C strings), which would collide every "hl"
+    # key sharing a host — Arrow group_by hashes full binary values.
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("elig"))
+        dist = (t.select(["doc_id", "hl", "host", "unit"])
+                .group_by(["doc_id", "hl", "host", "unit"]).aggregate([]))
+        g = (dist.group_by(["hl", "host", "unit"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["hl", "host", "unit", "df"])
+
+    freqs = partitioned_group_agg(
+        lines_ds().map_batches(df_partial, batch_format="pyarrow"),
+        ["hl", "host", "unit"], [("df", "sum", "df")], num_parts=P,
+        key_arrays_fn=host_keys(["hl"]))
+
+    # decision: join frequencies with host totals (host-keyed exchange of
+    # the ALREADY-AGGREGATED tables), keep template lines only
+    joined = hash_join(
+        freqs, totals, on="host",
+        left_types={"host": pa.string(), "hl": pa.string(),
+                    "unit": pa.string(), "df": pa.int64()},
+        right_types={"host": pa.string(), "nd": pa.int64()},
+        num_parts=P)
+
+    def decide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "df" not in t.column_names:
+            return pa.table({"hl": pa.array([], pa.string())})
+        nd = t.column("nd").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        df = t.column("df").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = (t.column("nd").to_numpy(zero_copy_only=False) >= min_docs) \
+            & (df >= np.float64(max_frac) * nd)
+        return t.filter(pa.array(keep)).select(["hl"])
+
+    boiler = joined.map_batches(decide, batch_format="pyarrow")
+
+    survivors = hash_join(
+        lines_ds(), boiler, on="hl", how="anti",
+        left_types={"hl": pa.string(), "doc_id": pa.int64(),
+                    "unit_no": pa.int64(), "unit": pa.string()},
+        right_types={"hl": pa.string()},
+        num_parts=P, bloom_prefilter=1 << 20)
+
+    return _reassemble_docs(survivors.map_batches(
+        lambda t: t.select(["doc_id", "unit_no", "unit"]),
+        batch_format="pyarrow"), P, "\n")

@@ -246,3 +246,87 @@ def test_hash_join_semi_empty_right(ray_session):
                     how="semi",
                     right_types={"k": pa.int64()}).to_pandas()
     assert len(out) == 0
+
+
+def test_boilerplate_strip_removes_template_lines(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import boilerplate_strip
+    docs = []
+    for h in ("a.com", "b.com"):
+        for i in range(10):
+            docs.append({"doc_id": len(docs),
+                         "source": h,
+                         "text": f"unique body {h} {i}\nnav menu {h}"})
+    # a host below min_docs keeps everything
+    docs.append({"doc_id": len(docs), "source": "tiny.com",
+                 "text": "only doc\nnav menu tiny.com"})
+    df = pd.DataFrame(docs)
+    out = (boilerplate_strip(rd.from_pandas(df), min_docs=3, max_frac=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(df)
+    big = out[out["doc_id"] < 20]
+    assert not big["text"].str.contains("nav menu").any()
+    assert (big["n_units"] == 1).all()
+    tiny = out[out["doc_id"] == 20]
+    assert tiny["text"].iloc[0] == "only doc\nnav menu tiny.com"
+
+
+def test_boilerplate_strip_frequency_threshold(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import boilerplate_strip
+    # "sometimes" appears in 4/10 docs (< 0.5) -> kept;
+    # "always" in 10/10 -> stripped
+    docs = []
+    for i in range(10):
+        lines = [f"body {i}", "always here"]
+        if i < 4:
+            lines.append("sometimes here")
+        docs.append({"doc_id": i, "source": "h.com",
+                     "text": "\n".join(lines)})
+    out = (boilerplate_strip(rd.from_pandas(pd.DataFrame(docs)),
+                             min_docs=3, max_frac=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not out["text"].str.contains("always here").any()
+    assert out["text"].str.contains("sometimes here").sum() == 4
+
+
+def test_boilerplate_strip_partition_invariant(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import boilerplate_strip
+    rng = np.random.RandomState(9)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "source": [f"h{i % 4}.com" for i in range(60)],
+        "text": [f"line {rng.randint(0, 20)}\nfooter h{i % 4}"
+                 for i in range(60)],
+    })
+    a = (boilerplate_strip(rd.from_pandas(docs), num_parts=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (boilerplate_strip(rd.from_pandas(docs).repartition(7),
+                           num_parts=19)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_line_dedup_nul_bytes_are_distinct(ray_session):
+    # regression: pandas object hashing truncates at NUL, which merged
+    # distinct lines sharing a pre-NUL prefix (silent data loss); the
+    # Arrow combiner/winner path must keep them distinct
+    import ray.data as rd
+    from sift_ray.functions.corpus import line_dedup
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], np.int64),
+        "text": ["shared prefix\x00alpha", "shared prefix\x00beta"],
+    })
+    out = (line_dedup(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 2                      # nothing wrongly deduped
+    assert out["text"].iloc[0] == "shared prefix\x00alpha"
+    assert out["text"].iloc[1] == "shared prefix\x00beta"
+    # and true duplicates still collapse
+    df2 = pd.DataFrame({
+        "doc_id": np.array([1, 2], np.int64),
+        "text": ["same\x00line", "same\x00line"],
+    })
+    out2 = line_dedup(rd.from_pandas(df2).repartition(2)).to_pandas()
+    assert len(out2) == 1 and out2["doc_id"].iloc[0] == 1
