@@ -1426,6 +1426,91 @@ def _q_orders_semi_join(sf_dir: str):
                      right_types={"o_orderkey": pa.int64()})
 
 
+def _q_lineitem_topk_per_order(sf_dir: str):
+    """Distributed per-group top-k at UNBOUNDED group cardinality (one
+    group per order): per-batch local-topk combiner, ONE group-key
+    exchange, partition-local head — exact row_number() semantics with
+    zero driver state (topk_per_group's driver merge only suits bounded
+    keys like segments)."""
+    import ray.data as rd
+    from sift_ray.functions.relational import grouped_topk
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+    return grouped_topk(li, "l_orderkey", "l_extendedprice",
+                        "l_linenumber", k=2)
+
+
+def _q_robots_filter(sf_dir: str):
+    """RFC 9309 robots.txt compliance filter over the pages corpus: a
+    synthetic per-host robots table (disallow the /large and
+    /pathological sections, allow everything else for UA sift) joins to
+    pages on host — ONE host exchange — and rules evaluate map-side with
+    a per-process parse cache. Rows-only (robots evaluation is not
+    SQL-expressible); parser rules are unit-tested against the RFC
+    examples in tests/test_robots.py."""
+    import ray.data as rd
+    from sift_ray.functions.robots import robots_filter
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url"])
+    robots = rd.from_items([{
+        "host": "fixtures.test",
+        "robots": ("User-agent: sift\n"
+                   "Disallow: /large\n"
+                   "Disallow: /pathological\n"
+                   "Allow: /large/000000100$\n"),
+    }])
+    out = robots_filter(pages, robots, user_agent="sift/0.1")
+    return out.select_columns(["url", "host"])
+
+
+def _q_charset_stats(sf_dir: str):
+    """Charset sniffing ladder (BOM > meta declaration > UTF-8 validation
+    > windows-1252 fallback) over the raw binary pages — the decode audit
+    a CC-scale ingest runs before extraction. Map-only, zero shuffle.
+    Rows-only; the ladder is unit-tested per rung in
+    tests/test_charset.py."""
+    import ray.data as rd
+    from sift_ray.functions.charset import charset_stats
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return charset_stats(pages)
+
+
+def _q_anchor_topk(sf_dir: str):
+    """Anchor-text aggregation per link target (the classic web-search /
+    pretraining signal): outlink edges -> per-(dst, anchor) counts via
+    one gram-style exchange -> distributed per-dst top-k. Group count is
+    corpus-sized, so this must be grouped_topk (zero driver state), not
+    a driver merge. Rows-only (edges come from DOM extraction)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import extract_outlinks
+    from sift_ray.functions.relational import grouped_topk
+    from sift_ray.functions.shuffle import partitioned_group_agg
+
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    edges = extract_outlinks(pages)
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        keep = pc.not_equal(t.column("anchor"), "")
+        return t.filter(keep).select(["dst", "anchor"])
+
+    pairs = edges.map_batches(pre, batch_format="pyarrow")
+
+    def key_fn(batch: "pa.Table"):
+        from sift_ray.functions.sketch import _hash64_any
+        import numpy as np
+        return [_hash64_any(batch.column("dst")).astype(np.int64)]
+
+    counts = partitioned_group_agg(
+        pairs, ["dst", "anchor"], [(None, "count_all", "n")],
+        key_arrays_fn=key_fn)
+    return grouped_topk(counts, "dst", "n", "anchor", k=3)
+
+
 def _q_boilerplate_strip(sf_dir: str):
     """CCNet-style per-host template-line removal. The fixture corpus has
     no shared site chrome, so the query plants a per-source footer line on
@@ -1537,6 +1622,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_join": _q_orders_semi_join,
         "kmeans_clusters": _q_kmeans_clusters,
         "boilerplate_strip": _q_boilerplate_strip,
+        "lineitem_topk_per_order": _q_lineitem_topk_per_order,
+        "robots_filter": _q_robots_filter,
+        "charset_stats": _q_charset_stats,
+        "anchor_topk": _q_anchor_topk,
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "pagerank_customers": _q_pagerank_customers,
@@ -2154,6 +2243,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "lineitem_topk_per_order": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       CAST(row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber)
+                            AS BIGINT) AS rank
+                FROM lineitem) WHERE rank <= 2
         """,
         "boilerplate_strip": """
             WITH d AS (SELECT doc_id, source AS host,

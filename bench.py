@@ -210,7 +210,9 @@ def run_bench() -> dict:
         "blocklist_filter", "assign_splits", "embedding_quantize",
         "decode_jpeg", "bpe_token_counts",
         "orders_window_features", "pricing_rollup", "weighted_sample_docs",
-        "orders_semi_join", "kmeans_clusters", "boilerplate_strip")
+        "orders_semi_join", "kmeans_clusters", "boilerplate_strip",
+        "lineitem_topk_per_order", "robots_filter", "charset_stats",
+        "anchor_topk")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

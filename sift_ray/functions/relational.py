@@ -287,3 +287,52 @@ def shipping_priority(lineitem, orders, customer, segment: str = "BUILDING",
         .reset_index(drop=True)[out_schema.names])
     return rd.from_arrow(pa.Table.from_pandas(top, preserve_index=False,
                                               schema=out_schema))
+
+
+def grouped_topk(ds, group_col: str, order_col: str, tiebreak_col: str,
+                 k: int = 3, ascending: bool = False,
+                 num_parts: Optional[int] = None):
+    """Distributed top-k per group for UNBOUNDED group cardinality (per-URL
+    anchor texts, per-order lineitems — billions of groups at corpus
+    scale, where ``topk_per_group``'s driver merge would be corpus-sized).
+
+    Shape: per-batch local top-k combiner (each batch contributes at most
+    k rows per group it contains), ONE group-key exchange, partition-local
+    sort + head — all rows of a group co-locate, so the result is exact
+    and equals SQL ``row_number() OVER (PARTITION BY g ORDER BY ...) <= k``.
+    Driver holds nothing. Returns the input columns plus ``rank`` (1-based
+    within the group)."""
+    import pandas as pd
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+    order = [True, ascending, True]
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values([group_col, order_col, tiebreak_col],
+                            ascending=order, kind="stable")
+        return s.groupby(group_col, sort=False).head(k)
+
+    def key_fn(batch: pa.Table):
+        import numpy as np
+        col = batch.column(group_col)
+        if pa.types.is_integer(col.type):
+            return [col.to_numpy(zero_copy_only=False)]
+        from .sketch import _hash64_any
+        return [_hash64_any(col).astype(np.int64)]
+
+    cands = ds.map_batches(local_topk, batch_format="pandas")
+    parted = add_hash_partition(cands, [group_col], P, key_arrays_fn=key_fn)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.drop_columns("part").to_pandas()
+        s = pdf.sort_values([group_col, order_col, tiebreak_col],
+                            ascending=order, kind="stable")
+        top = s.groupby(group_col, sort=False).head(k).copy()
+        top["rank"] = (top.groupby(group_col, sort=False).cumcount() + 1) \
+            .astype("int64")
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -330,3 +330,24 @@ def test_line_dedup_nul_bytes_are_distinct(ray_session):
     })
     out2 = line_dedup(rd.from_pandas(df2).repartition(2)).to_pandas()
     assert len(out2) == 1 and out2["doc_id"].iloc[0] == 1
+
+
+def test_grouped_topk_matches_pandas_and_is_partition_invariant(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.relational import grouped_topk
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "g": [f"grp{v}" for v in rng.randint(0, 800, 5000)],  # string keys
+        "v": rng.randint(0, 10_000, 5000).astype(np.int64),
+        "tb": np.arange(5000, dtype=np.int64),
+    })
+    out = (grouped_topk(rd.from_pandas(df), "g", "v", "tb", k=3)
+           .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    exp = (df.sort_values(["g", "v", "tb"], ascending=[True, False, True])
+           .groupby("g", sort=True).head(3).reset_index(drop=True))
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (out["tb"].to_numpy() == exp["tb"].to_numpy()).all()
+    out2 = (grouped_topk(rd.from_pandas(df).repartition(13), "g", "v",
+                         "tb", k=3, num_parts=7)
+            .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
