@@ -181,8 +181,14 @@ def build_key_bloom(ds, col: str, mbits: int = 1 << 23):
     rows = (ds.map_batches(fold, batch_format="pyarrow")
             .map_batches(combine, batch_format="pyarrow"))
     acc = np.zeros(nbytes, np.uint8)
-    for b in rows.to_pandas()["bits"]:
-        np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
+    pdf = rows.to_pandas()
+    # a fully-EMPTY ds yields zero blocks (Ray skips map UDFs on empty
+    # blocks, so fold never runs and the frame has no columns); the bloom
+    # of the empty key set is the all-zero bitmap — nothing passes, which
+    # is exactly right for an empty join side
+    if "bits" in pdf.columns:
+        for b in pdf["bits"]:
+            np.bitwise_or(acc, np.frombuffer(b, np.uint8), out=acc)
     return ray.put({"bits": acc, "mbits": mbits})
 
 

@@ -376,9 +376,11 @@ def normalize_text_batch(batch: pa.Table,
     arr = pc.replace_substring_regex(arr, r"\n{3,}", "\n\n")
     arr = pc.utf8_trim(arr, " \t\n\r")
     changed = pc.invert(pc.equal(arr, text))
-    return pa.table({"doc_id": batch.column("doc_id"),
-                     "text": arr,
-                     "changed": changed})
+    # replace text in place, pass every other column through (callers
+    # thread ids/hosts/metadata alongside the text)
+    out = batch.set_column(batch.schema.get_field_index(text_col),
+                           text_col, arr)
+    return out.append_column("changed", changed)
 
 
 def normalize_text(ds, text_col: str = "text"):

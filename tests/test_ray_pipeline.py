@@ -226,3 +226,42 @@ def test_web_corpus_pipeline_end_to_end(ray_session):
     pd1 = out.sort_values("doc_id").reset_index(drop=True)
     pd2 = out2.sort_values("doc_id").reset_index(drop=True)
     assert pd1.equals(pd2)
+
+
+def test_web_corpus_pipeline_with_robots_and_boilerplate(ray_session):
+    """The full hygiene chain: a robots-disallowed page never reaches
+    extraction, and the optional per-host boilerplate stage leaves the
+    shard packing consistent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.pipelines.web_pipeline import web_corpus_pipeline
+    from sift_ray.sources.pages import pages_batch
+
+    pages = rd.from_arrow(pages_batch(list(range(16)))).repartition(3)
+    robots = rd.from_items([{
+        "host": "fixtures.test",
+        "robots": "User-agent: *\nDisallow: /fixture\n",
+    }])
+    plain = web_corpus_pipeline(pages, shard_tokens=500).to_pandas()
+    filtered = web_corpus_pipeline(pages, shard_tokens=500,
+                                   robots=robots).to_pandas()
+    # the corpus has /fixture pages among the first 16 -> fewer docs
+    assert 0 < len(filtered) < len(plain)
+    srt = filtered.sort_values("doc_id").reset_index(drop=True)
+    assert (srt.start_offset.values ==
+            np.concatenate([[0], srt.n_tokens.cumsum().values[:-1]])).all()
+
+    boiled = web_corpus_pipeline(pages, shard_tokens=500,
+                                 strip_boilerplate=True,
+                                 boiler_min_docs=3,
+                                 boiler_max_frac=0.5).to_pandas()
+    assert len(boiled) > 0
+    srt2 = boiled.sort_values("doc_id").reset_index(drop=True)
+    assert (srt2.start_offset.values ==
+            np.concatenate([[0], srt2.n_tokens.cumsum().values[:-1]])).all()
+    # boilerplate stripping can only shrink per-doc token counts
+    j = plain.set_index("doc_id")["n_tokens"]
+    for _, r in srt2.iterrows():
+        if r["doc_id"] in j.index:
+            assert r["n_tokens"] <= j.loc[r["doc_id"]]
