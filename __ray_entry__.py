@@ -1511,6 +1511,54 @@ def _q_anchor_topk(sf_dir: str):
     return grouped_topk(counts, "dst", "n", "anchor", k=3)
 
 
+_EVENTS_HALF_US = 1705363200000000  # 2024-01-16T00:00:00Z in epoch micros
+
+
+def _q_events_user_type_join(sf_dir: str):
+    """MULTI-KEY distributed join: per-(user_id, event_type) event counts
+    from the month's first half FULL-OUTER-joined to the second half's on
+    the composite key — one exchange keyed on both columns, groups seen
+    in only one half survive with exact nullable-int counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join, partitioned_group_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def half(early: bool, out_name: str):
+        def pre(t: "pa.Table") -> "pa.Table":
+            us = pc.cast(t.column("ts"), pa.int64())
+            m = (pc.less(us, _EVENTS_HALF_US) if early
+                 else pc.greater_equal(us, _EVENTS_HALF_US))
+            t = t.filter(m)
+            return pa.table({"user_id": t.column("user_id"),
+                             "event_type": t.column("event_type")})
+        rows = ds.map_batches(pre, batch_format="pyarrow")
+
+        def key_fn(batch: "pa.Table"):
+            import numpy as np
+            from sift_ray.functions.sketch import _hash64_any
+            return [batch.column("user_id").to_numpy(zero_copy_only=False),
+                    _hash64_any(batch.column("event_type"))
+                    .astype(np.int64)]
+
+        return partitioned_group_agg(rows, ["user_id", "event_type"],
+                                     [(None, "count_all", out_name)],
+                                     key_arrays_fn=key_fn)
+
+    early = half(True, "n_early")
+    late = half(False, "n_late")
+    return hash_join(early, late, on=["user_id", "event_type"], how="full",
+                     left_types={"user_id": pa.int64(),
+                                 "event_type": pa.string(),
+                                 "n_early": pa.int64()},
+                     right_types={"user_id": pa.int64(),
+                                  "event_type": pa.string(),
+                                  "n_late": pa.int64()})
+
+
 def _q_boilerplate_strip(sf_dir: str):
     """CCNet-style per-host template-line removal. The fixture corpus has
     no shared site chrome, so the query plants a per-source footer line on
@@ -1623,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "boilerplate_strip": _q_boilerplate_strip,
         "lineitem_topk_per_order": _q_lineitem_topk_per_order,
+        "events_user_type_join": _q_events_user_type_join,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,
         "anchor_topk": _q_anchor_topk,
@@ -2243,6 +2292,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "events_user_type_join": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            a AS (SELECT user_id, event_type,
+                         CAST(count(*) AS BIGINT) AS n_early
+                  FROM e WHERE us < 1705363200000000
+                  GROUP BY user_id, event_type),
+            b AS (SELECT user_id, event_type,
+                         CAST(count(*) AS BIGINT) AS n_late
+                  FROM e WHERE us >= 1705363200000000
+                  GROUP BY user_id, event_type)
+            SELECT user_id, event_type, a.n_early, b.n_late
+            FROM a FULL OUTER JOIN b USING (user_id, event_type)
         """,
         "lineitem_topk_per_order": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, rank FROM (

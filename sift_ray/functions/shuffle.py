@@ -217,7 +217,7 @@ class BloomFilterStage:
         return t.filter(pa.array(keep))
 
 
-def hash_join(left, right, on: str, how: str = "inner",
+def hash_join(left, right, on, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None,
@@ -278,6 +278,11 @@ def hash_join(left, right, on: str, how: str = "inner",
     import pandas as pd
 
     P = num_parts or default_num_parts()
+    ons: List[str] = list(on) if isinstance(on, (list, tuple)) else [on]
+    multi = len(ons) > 1
+    if multi and bloom_prefilter:
+        raise ValueError("bloom_prefilter supports single-key joins only")
+    on = ons[0]  # the single-key fast paths below use `on`
     if salt is not None and salt < 2:
         salt = None
     def _names(ds_, given, types):
@@ -286,10 +291,10 @@ def hash_join(left, right, on: str, how: str = "inner",
         if types is not None:
             return list(types)
         s = ds_.schema()
-        return [on] if s is None else s.names  # empty side: key only
+        return list(ons) if s is None else s.names  # empty side: keys only
 
-    lc = [c for c in _names(left, left_cols, left_types) if c != on]
-    rc = [c for c in _names(right, right_cols, right_types) if c != on]
+    lc = [c for c in _names(left, left_cols, left_types) if c not in ons]
+    rc = [c for c in _names(right, right_cols, right_types) if c not in ons]
     if how in ("anti", "semi"):
         rc = []  # only the right KEYS matter for an anti/semi-join
     overlap = set(lc) & set(rc)
@@ -311,14 +316,16 @@ def hash_join(left, right, on: str, how: str = "inner",
             # a fully EMPTY side reports schema() = None; the join result
             # is then empty too — string-type its columns so the pipeline
             # still produces a well-formed (0-row) table
-            return {n: pa.string() for n in [on] + cols}
+            return {n: pa.string() for n in ons + cols}
         return {n: _as_pa_type(t) for n, t in zip(s.names, s.types)}
 
     l_types = _side_types(left, left_types, lc)
     r_types = _side_types(right, right_types, rc)
     l_empty = left_types is None and left.schema() is None
-    if l_empty and on in r_types:
-        l_types[on] = r_types[on]  # key type comes from the non-empty side
+    if l_empty:
+        for o in ons:  # key types come from the non-empty side
+            if o in r_types:
+                l_types[o] = r_types[o]
     bypass = None
     if bloom_prefilter and how in ("inner", "anti", "semi"):
         if how == "anti" and post is not None:
@@ -340,9 +347,9 @@ def hash_join(left, right, on: str, how: str = "inner",
             TaskStage(BloomFilterStage, state_ref=bref, col=on,
                       mode="pass"), batch_format="pyarrow")
 
-    order = [on] + lc + rc + ["_side"]
+    order = ons + lc + rc + ["_side"]
     tagged_schema = pa.schema(
-        [(on, l_types[on])] + [(c, l_types[c]) for c in lc]
+        [(o, l_types[o]) for o in ons] + [(c, l_types[c]) for c in lc]
         + [(c, r_types[c]) for c in rc] + [("_side", pa.int8())])
 
     def prep_side(own_cols, pad_cols, pad_types, side_val):
@@ -352,7 +359,7 @@ def hash_join(left, right, on: str, how: str = "inner",
             # joins never see a missing field
             if t.num_rows == 0:
                 return tagged_schema.empty_table()
-            t = t.select([on] + own_cols).append_column(
+            t = t.select(ons + own_cols).append_column(
                 "_side", pa.array(np.full(t.num_rows, side_val, np.int8)))
             for name, typ in zip(pad_cols, pad_types):
                 t = t.append_column(name, pa.nulls(t.num_rows, typ))
@@ -382,9 +389,9 @@ def hash_join(left, right, on: str, how: str = "inner",
 
         left_t = left_t.map_batches(salt_left, batch_format="pyarrow")
         right_t = right_t.map_batches(salt_right, batch_format="pyarrow")
-        part_keys = [on, "_salt"]
+        part_keys = ons + ["_salt"]
     else:
-        part_keys = [on]
+        part_keys = list(ons)
 
     both = left_t.union(right_t)
 
@@ -392,51 +399,50 @@ def hash_join(left, right, on: str, how: str = "inner",
         # int keys partition on their value; other key types (url/digest
         # strings) hash to int64 — collisions only co-locate two key
         # groups, the kernel's merge re-groups by the true key
-        col = batch.column(on)
-        if pa.types.is_integer(col.type):
-            keys = col.to_numpy(zero_copy_only=False)
-        else:
-            from .sketch import _hash64_any
-            keys = _hash64_any(col).astype(np.int64)
-        arrs = [keys]
-        for extra in part_keys[1:]:
-            arrs.append(batch.column(extra).to_numpy(zero_copy_only=False))
+        arrs = []
+        for o in ons:
+            col = batch.column(o)
+            if pa.types.is_integer(col.type):
+                arrs.append(col.to_numpy(zero_copy_only=False))
+            else:
+                from .sketch import _hash64_any
+                arrs.append(_hash64_any(col).astype(np.int64))
+        if salt is not None:
+            arrs.append(batch.column("_salt")
+                        .to_numpy(zero_copy_only=False))
         return arrs
 
     parted = add_hash_partition(both, part_keys, P,
                                 key_arrays_fn=join_key_arrays)
 
-    out_fields = [(on, l_types[on])] + [(c, l_types[c]) for c in lc] \
-        + [(c, r_types[c]) for c in rc]
+    out_fields = [(o, l_types[o]) for o in ons] \
+        + [(c, l_types[c]) for c in lc] + [(c, r_types[c]) for c in rc]
     out_schema = pa.schema(out_fields)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         side = tbl.column("_side")
-        if how == "anti":
-            # pure-Arrow anti-join: keep left rows whose key is absent from
-            # this partition's right keys (equal keys co-locate, so the
-            # partition-local check is exact)
-            rkeys = (tbl.filter(pc.equal(side, 1)).column(on)
-                     .combine_chunks())
-            lt = tbl.filter(pc.equal(side, 0)).select([on] + lc)
+        if how in ("anti", "semi"):
+            # pure-Arrow anti/semi: keep left rows whose key is absent
+            # from / present in this partition's right keys (equal keys
+            # co-locate, so the partition-local check is exact). Multi-key
+            # goes through Acero's hash join (binary-safe, typed); single
+            # key keeps the cheaper is_in kernel.
+            lt = tbl.filter(pc.equal(side, 0)).select(ons + lc)
+            rt = tbl.filter(pc.equal(side, 1)).select(ons)
+            if multi:
+                jt = "left semi" if how == "semi" else "left anti"
+                return lt.join(rt, keys=ons, join_type=jt)
+            rkeys = rt.column(on).combine_chunks()
             if len(rkeys) == 0:
-                return lt
-            mask = pc.invert(pc.is_in(lt.column(on), value_set=rkeys))
-            return lt.filter(mask)
-        if how == "semi":
-            # dual of anti: keep left rows whose key IS present on the right
-            rkeys = (tbl.filter(pc.equal(side, 1)).column(on)
-                     .combine_chunks())
-            lt = tbl.filter(pc.equal(side, 0)).select([on] + lc)
-            if len(rkeys) == 0:
-                return lt.schema.empty_table()
-            return lt.filter(pc.is_in(lt.column(on), value_set=rkeys))
+                return lt if how == "anti" else lt.schema.empty_table()
+            hit = pc.is_in(lt.column(on), value_set=rkeys)
+            return lt.filter(hit if how == "semi" else pc.invert(hit))
         # split sides in Arrow BEFORE pandas: the padded null columns are
         # dropped here, so dtypes survive (a combined to_pandas would turn
         # every padded int column into float64)
-        ldf = tbl.filter(pc.equal(side, 0)).select([on] + lc).to_pandas()
-        rdf = tbl.filter(pc.equal(side, 1)).select([on] + rc).to_pandas()
+        ldf = tbl.filter(pc.equal(side, 0)).select(ons + lc).to_pandas()
+        rdf = tbl.filter(pc.equal(side, 1)).select(ons + rc).to_pandas()
         if how in ("left", "full"):
             # unmatched left rows null the right columns; pandas would
             # coerce int64 -> float64 (lossy past 2^53). Nullable Int64
@@ -449,7 +455,7 @@ def hash_join(left, right, on: str, how: str = "inner",
             for c in lc:
                 if pa.types.is_integer(l_types[c]):
                     ldf[c] = ldf[c].astype("Int64")
-        out = ldf.merge(rdf, on=on,
+        out = ldf.merge(rdf, on=ons,
                         how=("outer" if how == "full" else how))
         # rebuild against the declared schema: blocks keep identical dtypes
         # regardless of match pattern / emptiness (from_pandas maps NaN/NA

@@ -351,3 +351,84 @@ def test_grouped_topk_matches_pandas_and_is_partition_invariant(ray_session):
                          "tb", k=3, num_parts=7)
             .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def _multikey_frames():
+    rng = np.random.RandomState(23)
+    left = pd.DataFrame({
+        "k1": rng.randint(0, 12, 400).astype(np.int64),
+        "k2": [f"t{v}" for v in rng.randint(0, 5, 400)],
+        "lv": np.arange(400, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k1": rng.randint(0, 14, 60).astype(np.int64),
+        "k2": [f"t{v}" for v in rng.randint(0, 6, 60)],
+        "rv": (np.arange(60, dtype=np.int64) + 1000),
+    }).drop_duplicates(["k1", "k2"]).reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_hash_join_multikey_merge_modes(ray_session, how):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _multikey_frames()
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on=["k1", "k2"], how=how).to_pandas()
+           .sort_values(["k1", "k2", "lv"], na_position="last")
+           .reset_index(drop=True))
+    exp = (left.merge(right, on=["k1", "k2"],
+                      how=("outer" if how == "full" else how))
+           .sort_values(["k1", "k2", "lv"], na_position="last")
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    for c in ["k1", "lv", "rv"]:
+        a = pd.Series(out[c]).astype("Float64")
+        b = pd.Series(exp[c]).astype("Float64")
+        assert (a.fillna(-1) == b.fillna(-1)).all(), (how, c)
+
+
+@pytest.mark.parametrize("how", ["anti", "semi"])
+def test_hash_join_multikey_anti_semi(ray_session, how):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _multikey_frames()
+    out = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on=["k1", "k2"], how=how).to_pandas()
+           .sort_values("lv").reset_index(drop=True))
+    m = left.merge(right[["k1", "k2"]], on=["k1", "k2"], how="left",
+                   indicator=True)
+    exp = m[m["_merge"] == ("left_only" if how == "anti" else "both")]
+    assert sorted(out["lv"]) == sorted(exp["lv"])
+
+
+def test_hash_join_multikey_nul_strings(ray_session):
+    # Acero path must treat NUL-embedded keys as distinct (the pandas
+    # multi-column hash would not)
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = pd.DataFrame({"k1": np.array([1, 1], np.int64),
+                         "k2": ["p\x00a", "p\x00b"],
+                         "lv": np.array([10, 20], np.int64)})
+    right = pd.DataFrame({"k1": np.array([1], np.int64),
+                          "k2": ["p\x00a"]})
+    semi = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on=["k1", "k2"], how="semi").to_pandas()
+    anti = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on=["k1", "k2"], how="anti").to_pandas()
+    assert list(semi["lv"]) == [10]
+    assert list(anti["lv"]) == [20]
+
+
+def test_hash_join_multikey_partition_invariant(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left, right = _multikey_frames()
+    a = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   on=["k1", "k2"], num_parts=3).to_pandas()
+         .sort_values(["lv"]).reset_index(drop=True))
+    b = (hash_join(rd.from_pandas(left).repartition(7),
+                   rd.from_pandas(right).repartition(5),
+                   on=["k1", "k2"], num_parts=31).to_pandas()
+         .sort_values(["lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
