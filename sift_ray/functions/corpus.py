@@ -1182,6 +1182,7 @@ def weighted_sample(ds, k: int = 50, weight_col: str = "n_chars",
 def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
                       host_col: str = "source", id_col: str = "doc_id",
                       text_col: str = "text", min_words: int = 1,
+                      broadcast_hosts: int = 200_000,
                       num_parts: Optional[int] = None):
     """CCNet-style per-host boilerplate line removal: a line that appears
     in >= ``max_frac`` of a host's documents (counting each document once,
@@ -1192,17 +1193,21 @@ def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
     lines in order; a fully-boilerplate document disappears. Returns
     (doc_id, text, n_units).
 
-    Scale shape: host totals and per-(host, line) document frequencies are
-    partial-agg exchanges (the line-count pass dedups in-doc repeats
-    map-side, so a (host, line, doc) triple ships once); the boilerplate
-    decision table is SMALL (only template lines pass the frequency bar),
-    so the strip itself is a bloom-prefiltered distributed anti-join —
-    the non-boilerplate majority of lines routes AROUND the exchange and
-    only bloom hits pay for it; reassembly is one doc_id exchange. The
-    exploded corpus is intentionally recomputed per pass instead of
-    materialized (two cheap map passes beat holding a corpus-sized
-    intermediate). No reference analog (SURVEY.md §2.8); the rule is the
-    public CCNet/RefinedWeb paragraph-dedup-per-domain recipe."""
+    Scale shape: host totals AND per-(host, line) document frequencies
+    ride ONE corpus scan and ONE exchange (kind-tagged partial rows; the
+    frequency partials dedup in-doc repeats map-side, so a (host, line,
+    doc) triple ships once). The decision applies map-side against
+    broadcast host totals below a cardinality gate, or through a
+    distributed host join above it — either way the boilerplate table is
+    SMALL (only template lines pass the frequency bar) and is
+    materialized once. The strip itself is a bloom-prefiltered
+    distributed anti-join — the non-boilerplate majority of lines routes
+    AROUND the exchange and only bloom hits pay for it (skipped entirely
+    when no line qualifies); reassembly is one doc_id exchange. The
+    exploded corpus is recomputed per pass instead of materialized (cheap
+    map passes beat holding a corpus-sized intermediate). No reference
+    analog (SURVEY.md §2.8); the rule is the public CCNet/RefinedWeb
+    paragraph-dedup-per-domain recipe."""
     import pyarrow.compute as pc
 
     from .shuffle import hash_join
@@ -1230,68 +1235,127 @@ def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
     def lines_ds():
         return ds.map_batches(explode, batch_format="pyarrow")
 
-    # host -> total docs (tiny per-batch combiner, one host exchange)
-    def host_partial(batch: pa.Table) -> pa.Table:
-        g = (batch.select([host_col]).group_by([host_col])
-             .aggregate([([], "count_all")]))
-        return g.rename_columns(["host", "nd"])
-
-    def host_keys(cols):
-        def fn(batch: pa.Table):
-            from .sketch import _hash64_any
-            return [_hash64_any(batch.column(c)).astype(np.int64)
-                    for c in cols]
-        return fn
-
-    totals = partitioned_group_agg(
-        ds.map_batches(host_partial, batch_format="pyarrow"), ["host"],
-        [("nd", "sum", "nd")], num_parts=P, key_arrays_fn=host_keys(["host"]))
-
-    # (host, line) -> document frequency; in-doc repeats dedup map-side.
-    # Arrow kernels throughout: pandas object hashing TRUNCATES strings at
-    # embedded NUL bytes (khash C strings), which would collide every "hl"
-    # key sharing a host — Arrow group_by hashes full binary values.
-    def df_partial(batch: pa.Table) -> pa.Table:
-        t = batch.filter(batch.column("elig"))
+    # ONE corpus pass + ONE exchange computes BOTH aggregates: kind=0
+    # rows are per-(host, line) document-frequency partials (in-doc
+    # repeats deduped map-side — a (host, line, doc) triple ships once);
+    # kind=1 rows are per-host document-count partials (each doc lives in
+    # exactly one batch, so batch-distinct (host, doc) counts sum
+    # exactly). Arrow kernels throughout: pandas MULTI-column hashing
+    # truncates strings at embedded NUL bytes, which would collide every
+    # "hl" key sharing a host — Arrow group_by hashes full binary values.
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        """Raw docs batch -> unified partial rows for both aggregates."""
+        lines = explode(batch)
+        t = lines.filter(lines.column("elig"))
         dist = (t.select(["doc_id", "hl", "host", "unit"])
                 .group_by(["doc_id", "hl", "host", "unit"]).aggregate([]))
         g = (dist.group_by(["hl", "host", "unit"])
-             .aggregate([([], "count_all")]))
-        return g.rename_columns(["hl", "host", "unit", "df"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["hl", "host", "unit", "c"]))
+        # one row per doc in the source batch -> per-host doc counts are
+        # plain row counts (each doc contributes to exactly one batch)
+        hd = (batch.select([host_col])
+              .group_by([host_col]).aggregate([([], "count_all")])
+              .rename_columns(["host", "c"]))
+        n0, n1 = g.num_rows, hd.num_rows
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(n0, np.int8), np.ones(n1, np.int8)])),
+            "hl": pa.concat_arrays([
+                g.column("hl").combine_chunks(),
+                pa.nulls(n1, pa.string())]),
+            "host": pa.concat_arrays([
+                g.column("host").combine_chunks(),
+                hd.column("host").combine_chunks()]),
+            "unit": pa.concat_arrays([
+                g.column("unit").combine_chunks(),
+                pa.nulls(n1, pa.string())]),
+            "c": pa.concat_arrays([
+                pc.cast(g.column("c"), pa.int64()).combine_chunks(),
+                pc.cast(hd.column("c"), pa.int64()).combine_chunks()]),
+        })
 
-    freqs = partitioned_group_agg(
-        lines_ds().map_batches(df_partial, batch_format="pyarrow"),
-        ["hl", "host", "unit"], [("df", "sum", "df")], num_parts=P,
-        key_arrays_fn=host_keys(["hl"]))
+    def stat_keys(batch: pa.Table):
+        from .sketch import _hash64_any
+        kind = batch.column("kind").to_numpy(zero_copy_only=False)
+        hh = _hash64_any(batch.column("hl")).astype(np.int64)
+        hs = _hash64_any(batch.column("host")).astype(np.int64)
+        return [np.where(kind == 0, hh, hs)]
 
-    # decision: join frequencies with host totals (host-keyed exchange of
-    # the ALREADY-AGGREGATED tables), keep template lines only
-    joined = hash_join(
-        freqs, totals, on="host",
-        left_types={"host": pa.string(), "hl": pa.string(),
-                    "unit": pa.string(), "df": pa.int64()},
-        right_types={"host": pa.string(), "nd": pa.int64()},
-        num_parts=P)
+    stats = partitioned_group_agg(
+        ds.map_batches(stat_partials, batch_format="pyarrow"),
+        ["kind", "hl", "host", "unit"], [("c", "sum", "c")], num_parts=P,
+        key_arrays_fn=stat_keys).materialize()
 
-    def decide(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "df" not in t.column_names:
-            return pa.table({"hl": pa.array([], pa.string())})
-        nd = t.column("nd").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        df = t.column("df").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        keep = (t.column("nd").to_numpy(zero_copy_only=False) >= min_docs) \
-            & (df >= np.float64(max_frac) * nd)
+    totals = stats.map_batches(
+        lambda t: (t.filter(pc.equal(t.column("kind"), 1))
+                   .select(["host", "c"]).rename_columns(["host", "nd"])),
+        batch_format="pyarrow")
+    freqs = stats.map_batches(
+        lambda t: (t.filter(pc.equal(t.column("kind"), 0))
+                   .select(["hl", "host", "unit", "c"])
+                   .rename_columns(["hl", "host", "unit", "df"])),
+        batch_format="pyarrow")
+
+    # decision: frequencies meet host totals. Size-gated strategy (the
+    # shipping_priority pattern): host cardinality below the threshold ->
+    # broadcast the totals dict and decide map-side (no join exchange, no
+    # extra stage); above it -> distributed hash_join on host. Both paths
+    # produce identical boiler tables.
+    def decide_kernel(t: pa.Table, nd_arr, df_arr) -> pa.Table:
+        keep = (nd_arr >= min_docs) \
+            & (df_arr.astype(np.float64)
+               >= np.float64(max_frac) * nd_arr.astype(np.float64))
         return t.filter(pa.array(keep)).select(["hl"])
 
-    boiler = joined.map_batches(decide, batch_format="pyarrow")
+    if totals.count() <= broadcast_hosts:
+        import ray as _ray
+        tt = totals.to_pandas()
+        nd_ref = _ray.put(dict(zip(tt["host"], tt["nd"].astype(int))))
 
-    survivors = hash_join(
-        lines_ds(), boiler, on="hl", how="anti",
-        left_types={"hl": pa.string(), "doc_id": pa.int64(),
-                    "unit_no": pa.int64(), "unit": pa.string()},
-        right_types={"hl": pa.string()},
-        num_parts=P, bloom_prefilter=1 << 20)
+        def decide_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "df" not in t.column_names:
+                return pa.table({"hl": pa.array([], pa.string())})
+            lookup = _ray.get(nd_ref)
+            nd = np.array([lookup.get(h, 0)
+                           for h in t.column("host").to_pylist()],
+                          dtype=np.int64)
+            df = t.column("df").to_numpy(zero_copy_only=False)
+            return decide_kernel(t, nd, df)
+
+        boiler = freqs.map_batches(decide_bcast, batch_format="pyarrow")
+    else:
+        def decide(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "df" not in t.column_names:
+                return pa.table({"hl": pa.array([], pa.string())})
+            nd = t.column("nd").to_numpy(zero_copy_only=False)
+            df = t.column("df").to_numpy(zero_copy_only=False)
+            return decide_kernel(t, nd, df)
+
+        boiler = hash_join(
+            freqs, totals, on="host",
+            left_types={"host": pa.string(), "hl": pa.string(),
+                        "unit": pa.string(), "df": pa.int64()},
+            right_types={"host": pa.string(), "nd": pa.int64()},
+            num_parts=P, post=decide)
+
+    # materialize the SMALL decision table: the anti-join's bloom build
+    # and its exchange would otherwise each re-execute the whole
+    # frequency pipeline (the table is template-lines-sized, never
+    # corpus-sized, so holding it is safe at any scale)
+    boiler = boiler.materialize()
+
+    if boiler.count() == 0:
+        # no template lines anywhere: skip the bloom + anti-join stages
+        # entirely (common on small or template-free corpora)
+        survivors = lines_ds()
+    else:
+        survivors = hash_join(
+            lines_ds(), boiler, on="hl", how="anti",
+            left_types={"hl": pa.string(), "doc_id": pa.int64(),
+                        "unit_no": pa.int64(), "unit": pa.string()},
+            right_types={"hl": pa.string()},
+            num_parts=P, bloom_prefilter=1 << 20)
 
     return _reassemble_docs(survivors.map_batches(
         lambda t: t.select(["doc_id", "unit_no", "unit"]),

@@ -432,3 +432,22 @@ def test_hash_join_multikey_partition_invariant(ray_session):
                    on=["k1", "k2"], num_parts=31).to_pandas()
          .sort_values(["lv"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_boilerplate_strip_join_path_matches_broadcast(ray_session):
+    # force the distributed host-join decision path (broadcast gate 0)
+    # and check it produces exactly the broadcast path's output
+    import ray.data as rd
+    from sift_ray.functions.corpus import boilerplate_strip
+    docs = []
+    for h in ("a.com", "b.com", "c.com"):
+        for i in range(8):
+            docs.append({"doc_id": len(docs), "source": h,
+                         "text": f"body {h} {i}\nfooter {h}"})
+    df = pd.DataFrame(docs)
+    a = (boilerplate_strip(rd.from_pandas(df))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (boilerplate_strip(rd.from_pandas(df), broadcast_hosts=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert not a["text"].str.contains("footer").any()
