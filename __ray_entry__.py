@@ -1559,6 +1559,31 @@ def _q_events_user_type_join(sf_dir: str):
                                   "n_late": pa.int64()})
 
 
+def _q_price_quantiles_per_customer(sf_dir: str):
+    """EXACT per-group quantiles at unbounded group cardinality (one
+    group per customer): (group, value) count combiner, ONE group-keyed
+    exchange, vectorized segmented-cumsum readoff — the exact complement
+    to the mergeable-sketch `price_quantiles_by_priority`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_exact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "price_cents": cents})
+
+    base = ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_quantiles_exact(base, "o_custkey", "price_cents",
+                                   qs=(0.25, 0.5, 0.75))
+
+
 def _q_boilerplate_strip(sf_dir: str):
     """CCNet-style per-host template-line removal. The fixture corpus has
     no shared site chrome, so the query plants a per-source footer line on
@@ -1672,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "lineitem_topk_per_order": _q_lineitem_topk_per_order,
         "events_user_type_join": _q_events_user_type_join,
+        "price_quantiles_per_customer": _q_price_quantiles_per_customer,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,
         "anchor_topk": _q_anchor_topk,
@@ -2292,6 +2318,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "price_quantiles_per_customer": """
+            WITH t AS (SELECT o_custkey,
+                              CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                                  AS v FROM orders),
+            h AS (SELECT o_custkey, v, count(*) AS n FROM t
+                  GROUP BY o_custkey, v),
+            c AS (SELECT o_custkey, v,
+                         sum(n) OVER (PARTITION BY o_custkey
+                                      ORDER BY v) AS cum,
+                         sum(n) OVER (PARTITION BY o_custkey) AS tot
+                  FROM h)
+            SELECT o_custkey, q, CAST(min(v) AS BIGINT) AS value
+            FROM c, (VALUES (0.25),(0.5),(0.75)) qs(q)
+            WHERE cum >= ceil(q * tot)
+            GROUP BY o_custkey, q
         """,
         "events_user_type_join": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

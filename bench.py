@@ -212,7 +212,8 @@ def run_bench() -> dict:
         "orders_window_features", "pricing_rollup", "weighted_sample_docs",
         "orders_semi_join", "kmeans_clusters", "boilerplate_strip",
         "lineitem_topk_per_order", "robots_filter", "charset_stats",
-        "anchor_topk", "events_user_type_join")
+        "anchor_topk", "events_user_type_join",
+        "price_quantiles_per_customer")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -208,3 +208,86 @@ def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out.union(total)
+
+
+def grouped_quantiles_exact(ds, group_col: str, value_col: str,
+                            qs: Sequence[float] = (0.25, 0.5, 0.75),
+                            num_parts: Optional[int] = None):
+    """EXACT discrete quantiles per group at unbounded group cardinality
+    (the exact complement to sketch.quantile_sketch_by's bounded-error
+    summaries). Rule per (group, q): the smallest value whose cumulative
+    count >= ceil(q * group_count) — deterministic and engine-agnostic
+    (same rule as corpus.word_count_quantiles).
+
+    Scale shape: per-batch (group, value) count combiner — the exchange
+    moves one row per DISTINCT (group, value) pair per batch, never per
+    input row — then ONE group-keyed exchange; all of a group's histogram
+    lands in one partition, where a vectorized segmented cumsum reads off
+    every quantile. ``value_col`` must be integer (cents upstream).
+    Returns (group, q, value) rows."""
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition
+
+    P = num_parts or default_num_parts()
+    q_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([group_col, value_col])
+             .group_by([group_col, value_col])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([group_col, value_col, "n"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    parted = add_hash_partition(rows, [group_col], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.int64())})
+        # fold same-key partials from different batches, then sort
+        tbl = (tbl.group_by([group_col, value_col])
+               .aggregate([("n", "sum")])
+               .rename_columns([group_col, value_col, "n"]))
+        keys = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = tbl.column("n").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vals, keys))
+        keys, vals, cnts = keys[idx], vals[idx], cnts[idx]
+        n = len(keys)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = keys[1:] != keys[:-1]
+        gstart = np.maximum.accumulate(np.where(starts, pos, 0))
+        incl = np.cumsum(cnts)
+        excl = incl - cnts
+        cum = incl - excl[gstart]                      # per-group cumsum
+        # per-group totals, broadcast back over each group's rows
+        last_mask = np.empty(n, dtype=bool)
+        last_mask[:-1] = starts[1:]
+        last_mask[-1] = True
+        grp_ids = np.cumsum(starts) - 1
+        tot = cum[last_mask][grp_ids]
+
+        out_g, out_q, out_v = [], [], []
+        for q in q_arr:
+            need = np.ceil(q * tot.astype(np.float64))
+            hit = cum >= need
+            # first hit per group: hit AND (group start OR previous not hit)
+            prev_hit = np.empty(n, dtype=bool)
+            prev_hit[0] = False
+            prev_hit[1:] = hit[:-1]
+            first = hit & (starts | ~prev_hit)
+            out_g.append(keys[first])
+            out_v.append(vals[first])
+            out_q.append(np.full(int(first.sum()), q))
+        return pa.table({
+            group_col: pa.array(np.concatenate(out_g), pa.int64()),
+            "q": pa.array(np.concatenate(out_q), pa.float64()),
+            "value": pa.array(np.concatenate(out_v), pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -451,3 +451,41 @@ def test_boilerplate_strip_join_path_matches_broadcast(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert not a["text"].str.contains("footer").any()
+
+
+@pytest.mark.parametrize("num_parts", [1, 17])
+def test_grouped_quantiles_exact_matches_numpy(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_exact
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 150, 6000).astype(np.int64),
+        "v": rng.randint(-100, 100, 6000).astype(np.int64),
+    })
+    out = (grouped_quantiles_exact(rd.from_pandas(df), "g", "v",
+                                   qs=(0.1, 0.5, 0.9),
+                                   num_parts=num_parts)
+           .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+    # reference: smallest value with cumulative count >= ceil(q * n)
+    recs = []
+    for g, grp in df.groupby("g"):
+        vals = np.sort(grp["v"].to_numpy())
+        n = len(vals)
+        for q in (0.1, 0.5, 0.9):
+            need = int(np.ceil(q * n))
+            recs.append((g, q, int(vals[max(need, 1) - 1])))
+    exp = pd.DataFrame(recs, columns=["g", "q", "value"]) \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    assert (out["g"].to_numpy() == exp["g"].to_numpy()).all()
+    assert (out["value"].to_numpy() == exp["value"].to_numpy()).all()
+
+
+def test_grouped_quantiles_exact_single_value_group(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_exact
+    df = pd.DataFrame({"g": np.array([1, 1, 2], np.int64),
+                       "v": np.array([7, 7, -3], np.int64)})
+    out = (grouped_quantiles_exact(rd.from_pandas(df), "g", "v",
+                                   qs=(0.5,)).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert list(out["value"]) == [7, -3]
