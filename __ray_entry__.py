@@ -1584,6 +1584,26 @@ def _q_price_quantiles_per_customer(sf_dir: str):
                                    qs=(0.25, 0.5, 0.75))
 
 
+def _q_customer_status_pivot(sf_dir: str):
+    """Crosstab / PIVOT at unbounded row cardinality (per-customer
+    order-status counts): (row, col) count combiner, ONE row-keyed
+    exchange, partition-local vectorized unstack — SQL
+    count(*) FILTER (WHERE status = v) per declared column."""
+    import ray.data as rd
+    from sift_ray.functions.analytic import pivot_counts
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderstatus"])
+    return pivot_counts(ds, "o_custkey", "o_orderstatus", ["O", "F", "P"])
+
+
+def _q_docs_per_source_sample(sf_dir: str):
+    """Deterministic uniform k-per-group sample (md5-ranked, reproducible
+    on any engine) via the zero-driver-state grouped_topk."""
+    from sift_ray.functions.corpus import grouped_sample
+    return grouped_sample(_docs(sf_dir, ["doc_id", "source"]),
+                          "source", k=3)
+
+
 def _q_boilerplate_strip(sf_dir: str):
     """CCNet-style per-host template-line removal. The fixture corpus has
     no shared site chrome, so the query plants a per-source footer line on
@@ -1698,6 +1718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk_per_order": _q_lineitem_topk_per_order,
         "events_user_type_join": _q_events_user_type_join,
         "price_quantiles_per_customer": _q_price_quantiles_per_customer,
+        "customer_status_pivot": _q_customer_status_pivot,
+        "docs_per_source_sample": _q_docs_per_source_sample,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,
         "anchor_topk": _q_anchor_topk,
@@ -2318,6 +2340,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "customer_status_pivot": """
+            SELECT o_custkey,
+              CAST(count(*) FILTER (o_orderstatus='O') AS BIGINT) AS n_O,
+              CAST(count(*) FILTER (o_orderstatus='F') AS BIGINT) AS n_F,
+              CAST(count(*) FILTER (o_orderstatus='P') AS BIGINT) AS n_P
+            FROM orders GROUP BY o_custkey
+        """,
+        "docs_per_source_sample": """
+            WITH t AS (SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,13))::BIGINT
+                   AS sample_key
+               FROM documents)
+            SELECT doc_id, source, sample_key, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY sample_key, doc_id) AS BIGINT) AS rank FROM t)
+            WHERE rank <= 3
         """,
         "price_quantiles_per_customer": """
             WITH t AS (SELECT o_custkey,

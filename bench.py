@@ -213,7 +213,8 @@ def run_bench() -> dict:
         "orders_semi_join", "kmeans_clusters", "boilerplate_strip",
         "lineitem_topk_per_order", "robots_filter", "charset_stats",
         "anchor_topk", "events_user_type_join",
-        "price_quantiles_per_customer")
+        "price_quantiles_per_customer", "customer_status_pivot",
+        "docs_per_source_sample")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

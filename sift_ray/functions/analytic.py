@@ -291,3 +291,62 @@ def grouped_quantiles_exact(ds, group_col: str, value_col: str,
         })
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_col: str, col_col: str,
+                 col_values: Sequence[str],
+                 num_parts: Optional[int] = None):
+    """Crosstab / PIVOT: one output row per ``row_col`` value with an
+    int64 count column per listed ``col_values`` entry (``n_<value>``) —
+    SQL ``count(*) FILTER (WHERE col = v)``. The column set must be
+    declared (static schema); unlisted column values count into none.
+
+    Scale shape: per-batch (row, col) count combiner, ONE row-keyed
+    exchange (works at unbounded row cardinality — per-customer, per-URL),
+    partition-local vectorized unstack."""
+    import pandas as pd
+
+    from .shuffle import add_hash_partition
+
+    P = num_parts or default_num_parts()
+    cols = list(col_values)
+    out_names = [f"n_{v}" for v in cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([row_col, col_col])
+             .group_by([row_col, col_col])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([row_col, col_col, "n"])
+
+    def key_fn(batch: pa.Table):
+        col = batch.column(row_col)
+        if pa.types.is_integer(col.type):
+            return [col.to_numpy(zero_copy_only=False)]
+        from .sketch import _hash64_any
+        return [_hash64_any(col).astype(np.int64)]
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    parted = add_hash_partition(rows, [row_col], P, key_arrays_fn=key_fn)
+
+    row_type = None  # resolved in the kernel from real data
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        folded = (tbl.group_by([row_col, col_col])
+                  .aggregate([("n", "sum")])
+                  .rename_columns([row_col, col_col, "n"]))
+        pdf = folded.to_pandas()
+        wide = (pdf[pdf[col_col].isin(cols)]
+                .pivot_table(index=row_col, columns=col_col, values="n",
+                             aggfunc="sum", fill_value=0))
+        base = pdf[[row_col]].drop_duplicates().set_index(row_col)
+        wide = wide.reindex(base.index).reindex(columns=cols) \
+            .fillna(0).astype("int64")
+        out = {row_col: pa.Array.from_pandas(
+            wide.index.to_series().reset_index(drop=True),
+            type=folded.schema.field(row_col).type)}
+        for v, name in zip(cols, out_names):
+            out[name] = pa.array(wide[v].to_numpy(), pa.int64())
+        return pa.table(out)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

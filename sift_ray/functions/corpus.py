@@ -1360,3 +1360,26 @@ def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
     return _reassemble_docs(survivors.map_batches(
         lambda t: t.select(["doc_id", "unit_no", "unit"]),
         batch_format="pyarrow"), P, "\n")
+
+
+def grouped_sample(ds, group_col: str, id_col: str = "doc_id", k: int = 3):
+    """Deterministic uniform sample of k rows PER GROUP (per-host spot
+    checks, per-language eval carve-outs): rank rows within each group by
+    the 52-bit integer prefix of md5(id) — a reproducible uniform order
+    any md5-capable engine agrees on — and keep the first k. Built on
+    ``grouped_topk``, so it stays exact at unbounded group cardinality
+    with zero driver state. Returns the input columns + rank."""
+    import hashlib
+
+    from .relational import grouped_topk
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        return batch.append_column("sample_key", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return grouped_topk(keyed, group_col, "sample_key", id_col, k=k,
+                        ascending=True)

@@ -489,3 +489,41 @@ def test_grouped_quantiles_exact_single_value_group(ray_session):
                                    qs=(0.5,)).to_pandas()
            .sort_values("g").reset_index(drop=True))
     assert list(out["value"]) == [7, -3]
+
+
+@pytest.mark.parametrize("num_parts", [1, 9])
+def test_pivot_counts_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.analytic import pivot_counts
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 300, 4000).astype(np.int64),
+        "s": rng.choice(["a", "b", "c", "zz"], 4000),  # zz not declared
+    })
+    out = (pivot_counts(rd.from_pandas(df), "k", "s", ["a", "b", "c"],
+                        num_parts=num_parts)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.assign(n=1).pivot_table(index="k", columns="s", values="n",
+                                      aggfunc="sum", fill_value=0)
+           .reindex(columns=["a", "b", "c"]).fillna(0).astype(int))
+    assert len(out) == df["k"].nunique()
+    for v in ("a", "b", "c"):
+        got = dict(zip(out["k"], out[f"n_{v}"]))
+        for k, row in exp.iterrows():
+            assert got[k] == row[v]
+        assert out[f"n_{v}"].dtype == np.int64
+
+
+def test_grouped_sample_deterministic(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import grouped_sample
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "grp": [f"g{i % 7}" for i in range(500)],
+    })
+    a = (grouped_sample(rd.from_pandas(df), "grp", k=4).to_pandas()
+         .sort_values(["grp", "rank"]).reset_index(drop=True))
+    b = (grouped_sample(rd.from_pandas(df).repartition(11), "grp", k=4)
+         .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("grp").size() == 4).all()
