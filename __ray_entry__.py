@@ -1584,6 +1584,37 @@ def _q_price_quantiles_per_customer(sf_dir: str):
                                    qs=(0.25, 0.5, 0.75))
 
 
+def _q_events_asof_forward(sf_dir: str):
+    """FORWARD AS-OF join (next-scheduled-event enrichment): each event
+    picks the value of the user's EARLIEST purchase at-or-after it —
+    the backward kernel on negated timestamps, one key exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64())}),
+        batch_format="pyarrow")
+
+    def purchases(t: "pa.Table") -> "pa.Table":
+        p = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({"user_id": p.column("user_id"),
+                         "ts_us": pc.cast(p.column("ts"), pa.int64()),
+                         "val": p.column("value")})
+
+    rt = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value", "event_type"]
+                         ).map_batches(purchases, batch_format="pyarrow")
+    return asof_join(ev, rt, key="user_id", ts="ts_us", value_col="val",
+                     direction="forward")
+
+
 def _q_customer_status_pivot(sf_dir: str):
     """Crosstab / PIVOT at unbounded row cardinality (per-customer
     order-status counts): (row, col) count combiner, ONE row-keyed
@@ -1719,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_join": _q_events_user_type_join,
         "price_quantiles_per_customer": _q_price_quantiles_per_customer,
         "customer_status_pivot": _q_customer_status_pivot,
+        "events_asof_forward": _q_events_asof_forward,
         "docs_per_source_sample": _q_docs_per_source_sample,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,
@@ -2340,6 +2372,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "events_asof_forward": """
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events),
+            r AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS val
+                  FROM events WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts_us,
+                   (SELECT r.val FROM r
+                    WHERE r.user_id = l.user_id AND r.ts_us >= l.ts_us
+                    ORDER BY r.ts_us LIMIT 1) AS val
+            FROM l
         """,
         "customer_status_pivot": """
             SELECT o_custkey,

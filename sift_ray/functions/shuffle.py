@@ -477,10 +477,16 @@ def hash_join(left, right, on, how: str = "inner",
 
 
 def asof_join(left, right, key: str, ts: str, value_col: str,
+              direction: str = "backward",
               num_parts: Optional[int] = None):
-    """Distributed backward AS-OF join: for each left row, the ``value_col``
-    of the LATEST right row of the same ``key`` with right.ts <= left.ts
-    (null if none) — the time-series enrichment join Ray Data lacks.
+    """Distributed AS-OF join: for each left row, the ``value_col`` of
+    the LATEST right row of the same ``key`` with right.ts <= left.ts
+    (``direction="backward"``, the default) or the EARLIEST right row
+    with right.ts >= left.ts (``direction="forward"`` — the
+    next-scheduled-event enrichment); ties match in both directions;
+    null if none — the time-series enrichment join Ray Data lacks.
+    Forward reuses the backward kernel on negated timestamps (latest in
+    -t == earliest in t; equality, and hence tie behavior, is preserved).
 
     Shape: tag + union + ONE key-hash exchange (each row moves once); the
     per-partition kernel lexsorts by (key, ts, side) with right rows
@@ -525,9 +531,14 @@ def asof_join(left, right, key: str, ts: str, value_col: str,
 
     parted = add_hash_partition(left_t.union(right_t), [key], P)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+
     def kernel(tbl: pa.Table) -> pa.Table:
         k = tbl.column(key).to_numpy(zero_copy_only=False)
         t = tbl.column(ts).to_numpy(zero_copy_only=False)
+        if direction == "forward":
+            t = -t          # sort only; output rows keep original values
         side = tbl.column("_side").to_numpy(zero_copy_only=False)
         n = len(k)
         order = np.lexsort((side, t, k))  # right (0) before left at tie

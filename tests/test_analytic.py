@@ -527,3 +527,40 @@ def test_grouped_sample_deterministic(ray_session):
          .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert (a.groupby("grp").size() == 4).all()
+
+
+def test_asof_join_forward_semantics(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+    left = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2], np.int64),
+        "t": np.array([5, 10, 20, 7], np.int64),
+        "lid": np.arange(4, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.array([1, 1, 2], np.int64),
+        "t": np.array([10, 15, 3], np.int64),
+        "v": np.array([100, 150, 30], np.int64),
+    })
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key="k", ts="t", value_col="v",
+                     direction="forward").to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    # t=5 -> next right at 10; t=10 -> tie matches (10); t=20 -> none;
+    # k=2 t=7 -> right at 3 is BEFORE, no forward match
+    assert list(out["v"].fillna(-1).astype(int)) == [100, 100, -1, -1]
+    # backward on the same data for contrast
+    back = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="k", ts="t", value_col="v").to_pandas()
+            .sort_values("lid").reset_index(drop=True))
+    assert list(back["v"].fillna(-1).astype(int)) == [-1, 100, 150, 30]
+
+
+def test_asof_join_rejects_bad_direction(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+    df = pd.DataFrame({"k": [1], "t": [1], "v": [1]})
+    with pytest.raises(ValueError):
+        asof_join(rd.from_pandas(df[["k", "t"]]), rd.from_pandas(df),
+                  key="k", ts="t", value_col="v",
+                  direction="sideways").take_all()
