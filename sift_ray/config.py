@@ -37,6 +37,11 @@ class SiftConfig:
     context_units: int = 0          # smart-context unit budget
     use_smart_context: bool = False
     include_all: bool = False       # skip readability + classification
+    sniff_charset: bool = False     # engine extension: decode raw bytes via
+                                    # the BOM/meta/UTF-8/cp1252 ladder
+                                    # (functions/charset.py) instead of the
+                                    # reference's implicit utf-8; off by
+                                    # default so goldens stay byte-identical
 
     def with_(self, **kw) -> "SiftConfig":
         return replace(self, **kw)

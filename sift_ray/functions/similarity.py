@@ -462,25 +462,35 @@ def cosine_topk_ivf(ds, query_ids: List[int], k: int = 10,
                     n_clusters: int = 16, n_probe: int = 4,
                     train_sample: int = 4096, seed: int = 42,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    concurrency: int = 2):
+                    concurrency: int = 2, train: str = "sample"):
     """Approximate top-k via an IVF coarse quantizer — the scale path.
 
-    Train k-means on a bounded sample (driver-side; at 10^12 rows the sample
-    still fits — IVF training cost is O(sample), not O(n)), broadcast
-    centroids + per-query probe lists once, then one map_batches pass scans
-    only probed clusters. Recall depends on n_probe/n_clusters; with
+    ``train="sample"`` (default): k-means on a bounded driver sample
+    (``limit()`` streams only the blocks it needs; training cost is
+    O(sample), not O(n)). ``train="full"``: the distributed fixed-point
+    ``kmeans_fit`` over the WHOLE table — one partial-sum exchange per
+    iteration, deterministic under any partitioning — for corpora whose
+    head sample is unrepresentative. Either way centroids + per-query
+    probe lists broadcast once and one map_batches pass scans only probed
+    clusters. Recall depends on n_probe/n_clusters; with
     n_probe == n_clusters it degenerates to exact brute force.
     """
     import pandas as pd
     import ray
 
-    # bounded training sample: limit() streams only the blocks it needs —
-    # never a full driver-side scan (IVF training is O(sample), not O(n))
-    sample_rows = [list(r[vec_col])
-                   for r in ds.limit(train_sample).take_all()]
     q_ids, q_vecs = _fetch_vectors(ds, query_ids, vec_col, id_col)
-    sample = _normalize(np.asarray(sample_rows, dtype=np.float64))
-    centroids = _kmeans(sample, n_clusters, seed=seed)
+    if train == "full":
+        C_micro, _ = kmeans_fit(ds, n_clusters=n_clusters, n_iter=5,
+                                vec_col=vec_col, id_col=id_col)
+        centroids = _normalize(C_micro.astype(np.float64)
+                               / float(np.int64(1) << 20))
+    elif train == "sample":
+        sample_rows = [list(r[vec_col])
+                       for r in ds.limit(train_sample).take_all()]
+        sample = _normalize(np.asarray(sample_rows, dtype=np.float64))
+        centroids = _kmeans(sample, n_clusters, seed=seed)
+    else:
+        raise ValueError(f"unknown train mode: {train}")
     q_mat = _normalize(np.asarray(q_vecs, dtype=np.float64))
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :n_probe]
     ref = ray.put({"centroids": centroids, "q_ids": q_ids, "q_mat": q_mat,

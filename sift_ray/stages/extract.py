@@ -89,7 +89,11 @@ class ExtractStage:
                 f"content too large: {len(html)} bytes "
                 f"(max {self.max_html_bytes})")
         try:
-            text = html.decode("utf-8", errors="replace")
+            if getattr(self.cfg, "sniff_charset", False):
+                from ..functions.charset import decode_bytes
+                text, _, _ = decode_bytes(html)
+            else:
+                text = html.decode("utf-8", errors="replace")
             base = url if (self.use_url_as_base
                            and url.startswith(("http://", "https://"))) else ""
             md = to_markdown(text, selector=self.cfg.selector,

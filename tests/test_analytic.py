@@ -564,3 +564,24 @@ def test_asof_join_rejects_bad_direction(ray_session):
         asof_join(rd.from_pandas(df[["k", "t"]]), rd.from_pandas(df),
                   key="k", ts="t", value_col="v",
                   direction="sideways").take_all()
+
+
+def test_ivf_full_train_mode(ray_session):
+    # IVF with distributed full-corpus k-means training: valid ranked
+    # output, and full-probe degenerates to exact brute force
+    import ray.data as rd
+    from sift_ray.functions.similarity import cosine_topk_ivf, cosine_topk
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [1, 5]
+    approx = cosine_topk_ivf(ds, qids, k=5, n_clusters=4, n_probe=4,
+                             train="full")
+    exact = cosine_topk(
+        rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        qids, k=5)
+    if hasattr(exact, "to_pandas"):
+        exact = exact.to_pandas()
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a["neighbor_id"]) == list(e["neighbor_id"])
+    with pytest.raises(ValueError):
+        cosine_topk_ivf(ds, qids, train="bogus")

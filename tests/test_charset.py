@@ -87,3 +87,28 @@ def test_decode_stage_and_stats(ray_session):
     assert list(stats.columns) == ["url", "charset", "charset_src",
                                    "n_chars"]
     assert stats["n_chars"].iloc[0] == len("utf-8 déjà")
+
+
+def test_extract_pipeline_sniff_charset_flag(ray_session):
+    """Opt-in charset sniffing in the extract stage: a cp1251-declared
+    page extracts readable text instead of mojibake; the default path is
+    untouched (goldens stay byte-identical)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.config import SiftConfig
+    from sift_ray.pipelines.extract_job import build_extract_pipeline
+
+    body = ('<html><head><meta charset="windows-1251"></head><body>'
+            '<article><p>' + 'Привет мир общего текста. ' * 30 +
+            '</p></article></body></html>')
+    page = pa.table({"url": ["https://ru.test/1"],
+                     "html": pa.array([body.encode("cp1251")],
+                                      pa.binary())})
+    cfg = SiftConfig(max_units=0, sniff_charset=True)
+    out = build_extract_pipeline(rd.from_arrow(page), cfg).to_pandas()
+    assert out["status"].iloc[0] == "ok"
+    assert "Привет мир" in out["extracted_md"].iloc[0]
+    # default (no sniffing) produces replacement chars for cp1251 bytes
+    out2 = build_extract_pipeline(rd.from_arrow(page),
+                                  SiftConfig(max_units=0)).to_pandas()
+    assert "Привет" not in (out2["extracted_md"].iloc[0] or "")
