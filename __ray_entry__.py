@@ -1584,6 +1584,56 @@ def _q_price_quantiles_per_customer(sf_dir: str):
                                    qs=(0.25, 0.5, 0.75))
 
 
+def _q_image_phash_pairs(sf_dir: str):
+    """Image near-dup pairs by DCT perceptual hash over a deterministic
+    synthetic PNG corpus with planted duplicate families (exact re-encode
+    + light noise) and corrupt payloads mixed in — decode (own PNG/BMP
+    codecs) -> pHash map-side, then the shared SimHash banding exchange.
+    Rows-only (DCT hashing is not SQL-expressible); invariance and
+    planted-pair recovery are pinned in tests/test_phash.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.multimodal import make_png
+    from sift_ray.functions.phash import phash_pairs
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 30, "sf0.01": 90, "sf0.1": 300}.get(sf, 90)
+
+    def photo(seed: int) -> "np.ndarray":
+        rng = np.random.RandomState(seed)
+        coarse = rng.randint(0, 256, (5, 7, 3)).astype(np.float64)
+        img = np.zeros((40, 56, 3))
+        for c in range(3):
+            tmp = np.array([np.interp(np.linspace(0, 6, 56), np.arange(7),
+                                      coarse[i, :, c]) for i in range(5)])
+            img[:, :, c] = np.array(
+                [np.interp(np.linspace(0, 4, 40), np.arange(5), tmp[:, j])
+                 for j in range(56)]).T
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    rows = []
+    for i in range(n):
+        if i % 17 == 5:
+            rows.append((i, b"corrupt image payload"))
+            continue
+        fam = i // 3            # three variants per family
+        base = photo(fam)
+        if i % 3 == 1:          # exact content, fresh encode
+            img = base
+        elif i % 3 == 2:        # light noise
+            rng = np.random.RandomState(1000 + i)
+            img = np.clip(base.astype(np.int16)
+                          + rng.randint(-2, 3, base.shape),
+                          0, 255).astype(np.uint8)
+        else:
+            img = base
+        rows.append((i, make_png(img)))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "payload": pa.array([r[1] for r in rows], pa.binary())})
+    return phash_pairs(rd.from_arrow(t).repartition(4), max_hamming=3)
+
+
 def _q_events_asof_forward(sf_dir: str):
     """FORWARD AS-OF join (next-scheduled-event enrichment): each event
     picks the value of the user's EARLIEST purchase at-or-after it —
@@ -1751,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_per_customer": _q_price_quantiles_per_customer,
         "customer_status_pivot": _q_customer_status_pivot,
         "events_asof_forward": _q_events_asof_forward,
+        "image_phash_pairs": _q_image_phash_pairs,
         "docs_per_source_sample": _q_docs_per_source_sample,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,

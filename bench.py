@@ -214,7 +214,8 @@ def run_bench() -> dict:
         "lineitem_topk_per_order", "robots_filter", "charset_stats",
         "anchor_topk", "events_user_type_join",
         "price_quantiles_per_customer", "customer_status_pivot",
-        "docs_per_source_sample", "events_asof_forward")
+        "docs_per_source_sample", "events_asof_forward",
+        "image_phash_pairs")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -77,7 +77,7 @@ class BmpDecodeStage:
         self.id_col = id_col
 
     @staticmethod
-    def decode(payload: bytes) -> dict:
+    def decode(payload: bytes, with_pixels: bool = False) -> dict:
         import struct
 
         import numpy as np
@@ -106,9 +106,12 @@ class BmpDecodeStage:
             px = px[::-1]
         # BMP stores BGR(A)
         means = px[:, :, :3].reshape(-1, 3).mean(axis=0)
-        return {"status": "ok", "width": w, "height": h_abs,
-                "bit_depth": depth, "mean_b": float(means[0]),
-                "mean_g": float(means[1]), "mean_r": float(means[2])}
+        out = {"status": "ok", "width": w, "height": h_abs,
+               "bit_depth": depth, "mean_b": float(means[0]),
+               "mean_g": float(means[1]), "mean_r": float(means[2])}
+        if with_pixels:
+            out["px"] = px[:, :, :3][:, :, ::-1]  # -> RGB
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
@@ -200,7 +203,7 @@ class PngDecodeStage:
         return recon.astype(np.uint8)
 
     @classmethod
-    def decode(cls, payload: bytes) -> dict:
+    def decode(cls, payload: bytes, with_pixels: bool = False) -> dict:
         import struct
         import zlib
 
@@ -260,10 +263,13 @@ class PngDecodeStage:
         else:
             rgb = px[:, :, :3]
         means = rgb.reshape(-1, 3).mean(axis=0)
-        return {"status": "ok", "width": int(w), "height": int(h),
-                "bit_depth": depth * ch,
-                "mean_r": float(means[0]), "mean_g": float(means[1]),
-                "mean_b": float(means[2])}
+        out = {"status": "ok", "width": int(w), "height": int(h),
+               "bit_depth": depth * ch,
+               "mean_r": float(means[0]), "mean_g": float(means[1]),
+               "mean_b": float(means[2])}
+        if with_pixels:
+            out["px"] = rgb
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
