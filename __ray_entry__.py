@@ -1584,6 +1584,17 @@ def _q_price_quantiles_per_customer(sf_dir: str):
                                    qs=(0.25, 0.5, 0.75))
 
 
+def _q_events_json_extract(sf_dir: str):
+    """Semi-structured extraction: parse the events props JSON column and
+    project a typed field (stdlib json, map-only, zero shuffle);
+    malformed rows yield nulls. Oracle: DuckDB json_extract."""
+    import ray.data as rd
+    from sift_ray.functions.textstats import json_extract_cols
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+    return json_extract_cols(ds, "props", [("k", "k_val", "int")])
+
+
 def _q_image_phash_pairs(sf_dir: str):
     """Image near-dup pairs by DCT perceptual hash over a deterministic
     synthetic PNG corpus with planted duplicate families (exact re-encode
@@ -1802,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_status_pivot": _q_customer_status_pivot,
         "events_asof_forward": _q_events_asof_forward,
         "image_phash_pairs": _q_image_phash_pairs,
+        "events_json_extract": _q_events_json_extract,
         "docs_per_source_sample": _q_docs_per_source_sample,
         "robots_filter": _q_robots_filter,
         "charset_stats": _q_charset_stats,
@@ -2423,6 +2435,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
+        """,
+        "events_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+            FROM events
         """,
         "events_asof_forward": """
             WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

@@ -585,3 +585,28 @@ def test_ivf_full_train_mode(ray_session):
     assert list(a["neighbor_id"]) == list(e["neighbor_id"])
     with pytest.raises(ValueError):
         cosine_topk_ivf(ds, qids, train="bogus")
+
+
+def test_json_extract_cols_types_and_malformed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.textstats import json_extract_cols
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "props": pa.array(['{"k": 7, "s": "x", "f": 1.5}',
+                           '{"k": "notint"}',
+                           'not json at all',
+                           None,
+                           '{"s": 12}',          # wrong type -> null
+                           '[1,2,3]'],           # non-object -> nulls
+                          pa.string()),
+    })
+    out = (json_extract_cols(rd.from_arrow(t), "props",
+                             [("k", "k_val", "int"),
+                              ("s", "s_val", "str"),
+                              ("f", "f_val", "float")])
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert list(out["k_val"].fillna(-1).astype(int)) == [7, -1, -1, -1,
+                                                         -1, -1]
+    assert out["s_val"].iloc[0] == "x" and out["s_val"].iloc[4] is None
+    assert out["f_val"].iloc[0] == 1.5
