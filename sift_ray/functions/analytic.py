@@ -181,26 +181,39 @@ def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
         levels.append(lvl.map_batches(pad_nulls(keys[:i]),
                                       batch_format="pyarrow"))
 
-    # grand total: fold the finest aggregate (small) on the driver
-    fin = finest.to_arrow_refs()
-    import ray
-    tbls = [t for t in ray.get(fin) if t.num_rows]
+    # grand total: fold each finest BLOCK to one partial row map-side,
+    # then combine the n_blocks partials on the driver — bounded driver
+    # state even when finest-key cardinality is corpus-scale (pulling the
+    # whole finest aggregate to the driver would not be)
+    def block_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({name: pa.array([], types[name])
+                             for name in out_names})
+        vals = {}
+        for (_, fn, _), name in zip(aggs, out_names):
+            refn = _REFOLD[fn]
+            col = t.column(name)
+            v = (pc.sum(col) if refn == "sum"
+                 else pc.min(col) if refn == "min" else pc.max(col))
+            vals[name] = pa.array([v.as_py()], types[name])
+        return pa.table(vals)
+
+    partials = finest.map_batches(block_fold,
+                                  batch_format="pyarrow").to_pandas()
     total_arrays, total_names = [], []
     for c in keys:
         total_names.append(c)
         total_arrays.append(pa.nulls(1, types[c]))
-    whole = pa.concat_tables([t.select(out_names) for t in tbls]) \
-        if tbls else None
     for (_, fn, _), name in zip(aggs, out_names):
         total_names.append(name)
-        if whole is None or whole.num_rows == 0:
+        if len(partials) == 0:
             total_arrays.append(pa.array([0], types[name]))
             continue
         refn = _REFOLD[fn]
-        col = whole.column(name)
-        v = (pc.sum(col) if refn == "sum"
-             else pc.min(col) if refn == "min" else pc.max(col))
-        total_arrays.append(pa.array([v.as_py()], types[name]))
+        s = partials[name]
+        v = (s.sum() if refn == "sum"
+             else s.min() if refn == "min" else s.max())
+        total_arrays.append(pa.array([v], types[name]))
     import ray.data as rd
     total = rd.from_arrow(pa.table(dict(zip(total_names, total_arrays))))
 
