@@ -24,6 +24,8 @@ corpus size.
 
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 import numpy as np
@@ -38,27 +40,20 @@ def _url_doc_ids(t: pa.Table, url_col: str = "url") -> np.ndarray:
         .astype(np.int64)
 
 
-def web_corpus_pipeline(pages, cfg=None, shard_tokens: int = 2000,
+def build_docs_pipeline(pages, cfg=None,
                         min_visible_ratio: float = 0.05,
                         max_script_tags: int = 500,
-                        dedup_min_words: int = 4,
                         robots=None, user_agent: str = "sift",
-                        strip_boilerplate: bool = False,
-                        boiler_min_docs: int = 3,
-                        boiler_max_frac: float = 0.5,
                         num_parts: Optional[int] = None):
-    """pages (url, html) -> packed shard table (doc_id, n_tokens,
-    start_offset, shard_id). See module docstring for the stage chain.
-
-    ``robots``: optional (host, robots) Dataset — pages from disallowed
-    paths are dropped before any other work (publisher opt-out first).
-    ``strip_boilerplate``: remove per-host template lines (CCNet rule)
-    between normalization and the corpus-wide line dedup."""
+    """Phase 1 (per-page, embarrassingly parallel): pages (url, html) ->
+    normalized docs (doc_id, text, host). Optional robots filter first
+    (publisher opt-out before any other work), then byte triage,
+    readability extraction, and text normalization — all map-only except
+    the robots host join, so the phase checkpoints and resumes at input-
+    partition granularity (see run_web_corpus_job)."""
     import pyarrow.compute as pc
 
     from ..config import default_config
-    from ..functions.corpus import line_dedup
-    from ..functions.sharding import token_shards
     from ..functions.textstats import html_stats_batch, normalize_text
     from ..pipelines.extract_job import build_extract_pipeline
 
@@ -95,17 +90,148 @@ def web_corpus_pipeline(pages, cfg=None, shard_tokens: int = 2000,
         })
 
     docs = extracted.map_batches(to_docs, batch_format="pyarrow")
-    normed = normalize_text(docs).map_batches(
+    return normalize_text(docs).map_batches(
         lambda t: t.select(["doc_id", "text", "host"]),
         batch_format="pyarrow")
+
+
+def build_shards_pipeline(docs, shard_tokens: int = 2000,
+                          dedup_min_words: int = 4,
+                          strip_boilerplate: bool = False,
+                          boiler_min_docs: int = 3,
+                          boiler_max_frac: float = 0.5,
+                          num_parts: Optional[int] = None):
+    """Phase 2 (corpus-wide): normalized docs -> packed shard table
+    (doc_id, n_tokens, start_offset, shard_id). Optional per-host
+    boilerplate strip, then corpus-wide line dedup and token-budget
+    prefix-sum packing — the exchanges live here, downstream of the
+    phase-1 checkpoint, so a failed run re-reads parquet, not raw HTML."""
+    from ..functions.corpus import line_dedup
+    from ..functions.sharding import token_shards
+
     if strip_boilerplate:
         from ..functions.corpus import boilerplate_strip
-        normed = boilerplate_strip(normed, min_docs=boiler_min_docs,
-                                   max_frac=boiler_max_frac,
-                                   host_col="host", num_parts=num_parts)
-    deduped = line_dedup(normed, min_words=dedup_min_words,
+        docs = boilerplate_strip(docs, min_docs=boiler_min_docs,
+                                 max_frac=boiler_max_frac,
+                                 host_col="host", num_parts=num_parts)
+    deduped = line_dedup(docs, min_words=dedup_min_words,
                          num_parts=num_parts)
     deduped_docs = deduped.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
     return token_shards(deduped_docs, shard_tokens=shard_tokens,
                         num_parts=num_parts)
+
+
+def web_corpus_pipeline(pages, cfg=None, shard_tokens: int = 2000,
+                        min_visible_ratio: float = 0.05,
+                        max_script_tags: int = 500,
+                        dedup_min_words: int = 4,
+                        robots=None, user_agent: str = "sift",
+                        strip_boilerplate: bool = False,
+                        boiler_min_docs: int = 3,
+                        boiler_max_frac: float = 0.5,
+                        num_parts: Optional[int] = None):
+    """pages (url, html) -> packed shard table (doc_id, n_tokens,
+    start_offset, shard_id): phase 1 + phase 2 fused as one lazy Dataset
+    (the checkpointed variant is run_web_corpus_job).
+
+    ``robots``: optional (host, robots) Dataset — pages from disallowed
+    paths are dropped before any other work (publisher opt-out first).
+    ``strip_boilerplate``: remove per-host template lines (CCNet rule)
+    between normalization and the corpus-wide line dedup."""
+    docs = build_docs_pipeline(pages, cfg,
+                               min_visible_ratio=min_visible_ratio,
+                               max_script_tags=max_script_tags,
+                               robots=robots, user_agent=user_agent,
+                               num_parts=num_parts)
+    return build_shards_pipeline(docs, shard_tokens=shard_tokens,
+                                 dedup_min_words=dedup_min_words,
+                                 strip_boilerplate=strip_boilerplate,
+                                 boiler_min_docs=boiler_min_docs,
+                                 boiler_max_frac=boiler_max_frac,
+                                 num_parts=num_parts)
+
+
+def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
+                       group_size: int = 64, shard_tokens: int = 2000,
+                       dedup_min_words: int = 4,
+                       robots=None, user_agent: str = "sift",
+                       strip_boilerplate: bool = False,
+                       num_parts: Optional[int] = None) -> dict:
+    """Run (or RESUME) the end-to-end web pipeline with checkpoints.
+
+    Phase 1 is per-partition (map-only), so it reuses run_extract_job's
+    manifest protocol: each group of input shards writes an atomic docs
+    partition under ``out_dir/docs`` and commits a manifest row; a
+    restart skips committed partitions — raw HTML is never re-extracted.
+    Phase 2 (the corpus-wide exchanges) reads the docs checkpoint and
+    writes the final shard table under ``out_dir/shards`` as one
+    manifest-committed partition; on restart a committed phase 2 returns
+    instantly, and an interrupted one re-runs from the docs parquet
+    (minutes), not from raw pages (hours at 100 TB).
+
+    Returns {"docs": <manifest summary>, "shards": <manifest summary>}.
+    """
+    import time as _time
+
+    import ray.data as rd
+
+    from ..state.manifest import Manifest
+    from .extract_job import _default_read_concurrency, _list_parquet_files
+
+    def _stats(part_dir: str) -> dict:
+        import glob as _glob
+
+        import pyarrow.dataset as pads
+        dataset = pads.dataset(part_dir, format="parquet")
+        bytes_out = sum(
+            os.path.getsize(f)
+            for f in _glob.glob(os.path.join(part_dir, "**", "*.parquet"),
+                                recursive=True))
+        return {"row_count": dataset.count_rows(), "bytes_out": bytes_out}
+
+    files = _list_parquet_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    partitions = [files[i:i + group_size]
+                  for i in range(0, len(files), group_size)]
+
+    docs_dir = os.path.join(out_dir, "docs")
+    docs_manifest = Manifest(docs_dir)
+    for pid, part_files in enumerate(partitions):
+        if docs_manifest.is_done(pid):
+            continue
+        docs_manifest.cleanup_tmp(pid)
+        t0 = _time.time()
+        pages = rd.read_parquet(part_files, columns=["url", "html"],
+                                concurrency=_default_read_concurrency())
+        docs = build_docs_pipeline(pages, cfg, robots=robots,
+                                   user_agent=user_agent,
+                                   num_parts=num_parts)
+        tmp_dir = docs_manifest.tmp_partition_dir(pid)
+        docs.write_parquet(tmp_dir)
+        stats = _stats(tmp_dir)
+        stats.update({"input_files": part_files,
+                      "wall_s": _time.time() - t0})
+        docs_manifest.commit_partition(pid, stats)
+
+    shards_dir = os.path.join(out_dir, "shards")
+    shards_manifest = Manifest(shards_dir)
+    if not shards_manifest.is_done(0):
+        shards_manifest.cleanup_tmp(0)
+        t0 = _time.time()
+        docs = rd.read_parquet(docs_dir,
+                               columns=["doc_id", "text", "host"],
+                               concurrency=_default_read_concurrency())
+        shards = build_shards_pipeline(
+            docs, shard_tokens=shard_tokens,
+            dedup_min_words=dedup_min_words,
+            strip_boilerplate=strip_boilerplate, num_parts=num_parts)
+        tmp_dir = shards_manifest.tmp_partition_dir(0)
+        shards.write_parquet(tmp_dir)
+        stats = _stats(tmp_dir)
+        stats["wall_s"] = _time.time() - t0
+        shards_manifest.commit_partition(0, stats)
+
+    return {"docs": docs_manifest.summary(),
+            "shards": shards_manifest.summary()}

@@ -265,3 +265,47 @@ def test_web_corpus_pipeline_with_robots_and_boilerplate(ray_session):
     for _, r in srt2.iterrows():
         if r["doc_id"] in j.index:
             assert r["n_tokens"] <= j.loc[r["doc_id"]]
+
+
+def test_run_web_corpus_job_and_resume(ray_session, tmp_path):
+    """Checkpointed end-to-end web job: phase 1 resumes at partition
+    granularity, phase 2 at the shards manifest; results match the
+    unchunked pipeline."""
+    import shutil
+    import time as _t
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.sources.pages import write_pages_corpus
+    from sift_ray.pipelines.web_pipeline import (run_web_corpus_job,
+                                                 web_corpus_pipeline)
+
+    corpus = write_pages_corpus(str(tmp_path / "pages"), 60, 42,
+                                num_blocks=6)
+    out_dir = str(tmp_path / "web_job")
+    res = run_web_corpus_job(corpus, out_dir, group_size=2,
+                             shard_tokens=500)
+    assert res["docs"]["partitions_done"] >= 3 \
+        if "partitions_done" in res["docs"] else True
+    shards = rd.read_parquet(out_dir + "/shards").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(shards) > 0
+
+    # full resume: second call must be near-instant (everything committed)
+    t0 = _t.time()
+    run_web_corpus_job(corpus, out_dir, group_size=2, shard_tokens=500)
+    assert _t.time() - t0 < 5.0
+
+    # phase-2-only restart: drop the shards output, keep the docs
+    # checkpoint; the rerun must NOT touch raw pages and must reproduce
+    # the exact same shard table
+    shutil.rmtree(out_dir + "/shards")
+    run_web_corpus_job(corpus, out_dir, group_size=2, shard_tokens=500)
+    shards2 = rd.read_parquet(out_dir + "/shards").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(shards, shards2)
+
+    # equivalence with the one-shot lazy pipeline
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    oneshot = web_corpus_pipeline(pages, shard_tokens=500).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(shards[oneshot.columns], oneshot)
