@@ -752,6 +752,15 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_exactsubstr_dedup(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2021): every 50-char window occurring
+    more than once corpus-wide is cut from all but its first (doc_id, pos)
+    occurrence; overlapping cuts merge. Two exchanges: 128-bit rolling-hash
+    window keys, then doc_id reassembly."""
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    return exactsubstr_dedup(_docs(sf_dir, ["doc_id", "text"]), min_len=50)
+
+
 def _q_doc_freq_topk(sf_dir: str):
     """Top-100 words by DOCUMENT frequency (IDF building block): per-batch
     per-doc-distinct combiner -> one word-hash exchange -> local-topk."""
@@ -1798,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
+        "exactsubstr_dedup": _q_exactsubstr_dedup,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
@@ -2395,6 +2405,66 @@ def oracle_sql() -> dict[str, str]:
                        AS text,
                    CAST(count(*) AS BIGINT) AS n_units
             FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "exactsubstr_dedup": """
+            WITH pos AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, length(text) - 49)) AS i,
+                       text
+                FROM documents WHERE length(text) >= 50
+            ),
+            grams AS (SELECT doc_id, i, substr(text, i, 50) AS g FROM pos),
+            marked AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i,
+                           row_number() OVER (PARTITION BY g
+                                              ORDER BY doc_id, i) AS rn
+                    FROM grams) WHERE rn > 1
+            ),
+            islands AS (
+                SELECT doc_id, i AS s, i + 50 AS e,
+                       CASE WHEN i > coalesce(max(i + 50) OVER (
+                            PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM marked
+            ),
+            spans AS (
+                SELECT doc_id, min(s) AS s, max(e) AS e
+                FROM (SELECT *, sum(brk) OVER (PARTITION BY doc_id
+                                               ORDER BY s) AS isl
+                      FROM islands)
+                GROUP BY doc_id, isl
+            ),
+            keep AS (
+                SELECT doc_id,
+                       coalesce(lag(e) OVER (PARTITION BY doc_id
+                                             ORDER BY s), 1) AS ks,
+                       s AS ke
+                FROM spans
+                UNION ALL
+                SELECT sp.doc_id, max(sp.e) AS ks,
+                       length(d.text) + 1 AS ke
+                FROM spans sp JOIN documents d USING (doc_id)
+                GROUP BY sp.doc_id, length(d.text)
+            ),
+            cleaned AS (
+                SELECT k.doc_id,
+                       string_agg(substr(d.text, k.ks, k.ke - k.ks),
+                                  '' ORDER BY k.ks) AS text
+                FROM keep k JOIN documents d USING (doc_id)
+                WHERE k.ke > k.ks
+                GROUP BY k.doc_id
+            )
+            SELECT c.doc_id, c.text,
+                   CAST(length(d.text) - length(c.text) AS BIGINT)
+                       AS n_removed
+            FROM cleaned c JOIN documents d USING (doc_id)
+            UNION ALL
+            SELECT doc_id, text, CAST(0 AS BIGINT) AS n_removed
+            FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM marked)
         """,
         "orders_window_features": """
             WITH t AS (SELECT o_custkey, o_orderkey,

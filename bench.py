@@ -200,7 +200,8 @@ def run_bench() -> dict:
         "bm25_corpus_topk", "global_rank_by_length", "decode_wav",
         "decode_gif",
         "per_source_cap", "word_count_quantiles",
-        "span_dedup", "line_dedup", "pii_scrub", "repetition_stats",
+        "span_dedup", "line_dedup", "exactsubstr_dedup", "pii_scrub",
+        "repetition_stats",
         "shipping_priority", "price_quantiles", "heavy_hitter_users",
         "price_quantiles_by_priority", "pagerank_customers",
         "page_outlinks", "url_dedup", "normalize_text", "html_stats",

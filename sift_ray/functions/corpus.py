@@ -377,6 +377,211 @@ def span_dedup(ds, span_words: int = 8, id_col: str = "doc_id",
     return _dedup_units(units, num_parts=num_parts, join_delim=" ")
 
 
+# odd 64-bit multipliers (golden-ratio / xxhash constants) and their exact
+# modular inverses mod 2**64 — odd, so invertible; wrapping uint64 math
+# makes the rolling hash exact and order-free
+_ES_B1 = 0x9E3779B97F4A7C15
+_ES_B2 = 0xC2B2AE3D27D4EB4F
+_ES_B1_INV = pow(_ES_B1, -1, 1 << 64)
+_ES_B2_INV = pow(_ES_B2, -1, 1 << 64)
+
+
+def _rolling_window_hashes(cp: np.ndarray, L: int, base: int,
+                           base_inv: int) -> np.ndarray:
+    """64-bit polynomial hash of every length-``L`` window of the uint64
+    code-point array ``cp``: h[g] = sum_j cp[g+j] * base_inv**j (wrapping
+    uint64 arithmetic). Equal windows hash equal; three O(n) vectorized
+    scans (two power accumulates + one prefix sum), no per-window loop."""
+    n = len(cp)
+    m = n - L + 1
+    if m <= 0:
+        return np.empty(0, np.uint64)
+    powi = np.full(n, np.uint64(base_inv), np.uint64)
+    powi[0] = np.uint64(1)
+    np.multiply.accumulate(powi, out=powi)          # base_inv ** i
+    poww = np.full(m, np.uint64(base), np.uint64)
+    poww[0] = np.uint64(1)
+    np.multiply.accumulate(poww, out=poww)          # base ** g
+    s = np.zeros(n + 1, np.uint64)
+    np.cumsum(cp * powi, out=s[1:])                 # prefix of cp[i]/B^i
+    # (S[g+L] - S[g]) * B^g  ==  sum_j cp[g+j] * B^-j
+    return (s[L:L + m] - s[:m]) * poww
+
+
+def _avalanche64(x: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer: decorrelate rolling-hash low bits before the
+    ``% num_parts`` routing (the hash VALUES stay the grouping key; this
+    only spreads partition assignment)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x.view(np.int64)
+
+
+_ES_POS_SCHEMA = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                            ("doc_id", pa.int64()), ("pos", pa.int64())])
+
+
+def exactsubstr_dedup(ds, min_len: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      num_parts: Optional[int] = None):
+    """ExactSubstr deduplication (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every length-``min_len`` CHARACTER
+    window that occurs more than once corpus-wide is removed from every
+    occurrence except the lexicographically first ``(doc_id, pos)``;
+    overlapping removed windows merge into spans, and each document is
+    re-emitted with its duplicated spans cut out. Documents shorter than
+    ``min_len`` pass through; a document whose whole text is duplicated
+    disappears. Returns (doc_id, text, n_removed) with ``n_removed`` =
+    characters cut.
+
+    Distributed shape (the suffix-array build of the paper re-expressed as
+    two exchanges): (1) a map pass emits one (h1, h2, doc_id, pos) row per
+    window start — the two independent 64-bit rolling polynomial hashes
+    make a 128-bit window key, computed for a whole batch in a handful of
+    vectorized scans over the concatenated code-point array (utf-32 view,
+    so positions are exact CHARACTER offsets matching SQL substr). The
+    rows ride ONE h1-routed exchange; each partition sorts by (h1, h2,
+    doc_id, pos) and emits every row that is not its group's first —
+    that IS the "duplicated, and not the kept occurrence" set, with hot
+    windows costing O(occurrences log) locally, never O(occurrences^2).
+    (2) marked (doc_id, pos) rows and the documents tag-union through one
+    doc_id exchange (marks are dup-proportional; each doc's text moves
+    once); the partition kernel merges each doc's constant-width intervals
+    vectorized and slices the text. Index volume is one 32-byte row per
+    character — the same ~10-30x-corpus working set the paper's suffix
+    array pays, but streamed through the exchange instead of held as one
+    array, so it spills instead of OOMing. 128-bit window keys make a
+    false merge a ~2^-128-per-pair event (same pragmatics as the repo's
+    digest-keyed exact dedup). No reference analog (SURVEY.md §2.8)."""
+    import pyarrow.compute as pc
+
+    P = num_parts or default_num_parts()
+    L = int(min_len)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        blob = "".join(texts)
+        cp = np.frombuffer(blob.encode("utf-32-le"), np.uint32) \
+            .astype(np.uint64)
+        n = len(cp)
+        if n < L:
+            return _ES_POS_SCHEMA.empty_table()
+        lens = np.fromiter((len(t) for t in texts), np.int64,
+                           count=len(texts))
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        h1 = _rolling_window_hashes(cp, L, _ES_B1, _ES_B1_INV)
+        h2 = _rolling_window_hashes(cp, L, _ES_B2, _ES_B2_INV)
+        g = np.arange(len(h1), dtype=np.int64)
+        di = np.searchsorted(ends, g, side="right")
+        valid = g + L <= ends[di]          # window stays inside its doc
+        g, di = g[valid], di[valid]
+        return pa.table({
+            "h1": pa.array(h1[valid].view(np.int64), pa.int64()),
+            "h2": pa.array(h2[valid].view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[di], pa.int64()),
+            "pos": pa.array(g - starts[di], pa.int64()),
+        })
+
+    def route(batch: pa.Table):
+        return [_avalanche64(
+            batch.column("h1").to_numpy(zero_copy_only=False))]
+
+    def mark_kernel(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("h1", "ascending"), ("h2", "ascending"),
+            ("doc_id", "ascending"), ("pos", "ascending")])
+        srt = tbl.take(idx)
+        a1 = srt.column("h1").to_numpy(zero_copy_only=False)
+        a2 = srt.column("h2").to_numpy(zero_copy_only=False)
+        loser = np.zeros(len(a1), bool)
+        loser[1:] = (a1[1:] == a1[:-1]) & (a2[1:] == a2[:-1])
+        return srt.filter(pa.array(loser)).select(["doc_id", "pos"])
+
+    positions = ds.map_batches(emit, batch_format="pyarrow")
+    parted = add_hash_partition(positions, ["h1"], P, key_arrays_fn=route)
+    marks = parted.groupby("part").map_groups(mark_kernel,
+                                              batch_format="pyarrow")
+
+    # tag-union: doc rows carry pos = -1 (a mark pos is always >= 0)
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "pos": pa.array(np.full(nrows, -1, np.int64), pa.int64()),
+            "text": batch.column(text_col).cast(pa.string()),
+        })
+
+    def mark_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pos": t.column("pos"),
+            "text": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        marks.map_batches(mark_rows, batch_format="pyarrow"))
+    parted2 = add_hash_partition(both, ["doc_id"], P)
+
+    def cut_kernel(tbl: pa.Table) -> pa.Table:
+        is_doc = pc.equal(tbl.column("pos"), -1)
+        docs = tbl.filter(is_doc)
+        mk = tbl.filter(pc.invert(is_doc))
+        ids = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = docs.column("text").to_pylist()
+        if mk.num_rows:
+            mid = mk.column("doc_id").to_numpy(zero_copy_only=False)
+            mpos = mk.column("pos").to_numpy(zero_copy_only=False)
+            order = np.lexsort((mpos, mid))
+            mid, mpos = mid[order], mpos[order]
+        else:
+            mid = mpos = np.empty(0, np.int64)
+        lo = np.searchsorted(mid, ids, side="left")
+        hi = np.searchsorted(mid, ids, side="right")
+        out_id: list = []
+        out_txt: list = []
+        out_rm: list = []
+        for j in range(len(ids)):
+            txt = texts[j]
+            if lo[j] == hi[j]:
+                out_id.append(int(ids[j]))
+                out_txt.append(txt)
+                out_rm.append(0)
+                continue
+            ps = mpos[lo[j]:hi[j]]
+            es = ps + L                       # ascending (constant width)
+            starts_i = np.flatnonzero(
+                np.concatenate(([True], ps[1:] > es[:-1])))
+            ends_i = np.concatenate((starts_i[1:], [len(ps)])) - 1
+            kept = []
+            prev = 0
+            for a, b in zip(ps[starts_i], es[ends_i]):
+                if a > prev:
+                    kept.append(txt[prev:a])
+                prev = b
+            if prev < len(txt):
+                kept.append(txt[prev:])
+            new = "".join(kept)
+            if new:
+                out_id.append(int(ids[j]))
+                out_txt.append(new)
+                out_rm.append(len(txt) - len(new))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    return parted2.groupby("part").map_groups(cut_kernel,
+                                              batch_format="pyarrow")
+
+
 def bench_kgrams(bench_rows: Sequence[Tuple[int, str]],
                  k: int = 4) -> List[Tuple[str, List[int]]]:
     """All word k-grams of the benchmark docs as (gram, owner_ids),

@@ -650,6 +650,91 @@ def test_span_dedup_partial_overlap_keeps_tail(ray_session):
     assert list(out.n_units) == [2, 1]
 
 
+def test_exactsubstr_cut_and_winner(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["abcdefghijKLMNOPQRSTuvwxyz0123",   # all windows unique
+                 "abcdefghijZZZZZZZZZZ",  # pos 0 duplicates doc 1's pos 0
+                 "abcdefghijKLMNOPQRSTuvwxyz0123",   # identical to doc 1
+                 "tiny"],                             # shorter than L
+    })
+    out = (exactsubstr_dedup(rd.from_pandas(df), min_len=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 1 wins every window (lowest doc_id); doc 3 vanishes entirely
+    assert list(out.doc_id) == [1, 2, 4]
+    assert out.text[0] == "abcdefghijKLMNOPQRSTuvwxyz0123"
+    assert out.text[1] == "ZZZZZZZZZZ"
+    assert out.text[2] == "tiny"
+    assert list(out.n_removed) == [0, 10, 0]
+
+
+def test_exactsubstr_overlapping_windows_merge(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    base = "abcdefghijklmnopqrstuvwxyz0123"          # 30 unique chars
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [base, base[:25] + "WWVVU"],
+    })
+    out = (exactsubstr_dedup(rd.from_pandas(df), min_len=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 2 windows 0..15 all duplicate doc 1 -> one merged [0, 25) cut
+    assert list(out.doc_id) == [1, 2]
+    assert out.text[1] == "WWVVU"
+    assert list(out.n_removed) == [0, 25]
+
+
+def test_exactsubstr_in_doc_self_duplicate(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    df = pd.DataFrame({
+        "doc_id": [9],
+        "text": ["0123456789MIDDL0123456789"],  # window repeats at pos 15
+    })
+    out = exactsubstr_dedup(rd.from_pandas(df), min_len=10).to_pandas()
+    assert list(out.text) == ["0123456789MIDDL"]
+    assert list(out.n_removed) == [10]
+
+
+def test_exactsubstr_unicode_positions(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    greek = "αβγδεζηθικλμνξοπρστυ"                   # 20 distinct chars
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [greek, greek[:10] + "QRSTUVWXYZ"],
+    })
+    out = (exactsubstr_dedup(rd.from_pandas(df), min_len=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # positions are CHARACTER offsets: the 10-char greek prefix is cut
+    assert out.text[1] == "QRSTUVWXYZ"
+    assert list(out.n_removed) == [0, 10]
+
+
+def test_exactsubstr_partition_invariance(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import exactsubstr_dedup
+    rng = np.random.default_rng(7)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    texts = ["".join(rng.choice(letters, size=80)) for _ in range(40)]
+    texts[20] = texts[3]                   # planted full duplicate
+    tail = "".join(chr(0x391 + i) for i in range(40))   # distinct chars
+    texts[25] = texts[5][:40] + tail       # planted shared prefix
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    outs = []
+    for p in (3, 17):
+        o = (exactsubstr_dedup(rd.from_pandas(df), min_len=20,
+                               num_parts=p).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        outs.append(o)
+    assert outs[0].equals(outs[1])
+    assert 20 not in set(outs[0].doc_id)   # full dup vanished
+    got25 = outs[0][outs[0].doc_id == 25]
+    assert got25.text.iloc[0] == tail and int(got25.n_removed) == 40
+
+
 def test_pii_scrub_patterns_and_order():
     import pyarrow as pa
     from sift_ray.functions.textstats import pii_scrub_batch
