@@ -1346,6 +1346,32 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_events_rank_features(sf_dir: str):
+    """Per-user ranking window functions (rank / dense_rank / percent_rank
+    / ntile(4) / first_value / last_value) on integer cents with real
+    ties — ONE user_id exchange, vectorized tie-run segment arithmetic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import keyed_rank_calcs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "value"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("value"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "value_cents": cents,
+        })
+
+    return keyed_rank_calcs(ds.map_batches(pre, batch_format="pyarrow"),
+                            "user_id", "value_cents", "event_id", q=4)
+
+
 def _q_orders_window_features(sf_dir: str):
     """Per-customer ordered window functions (row_number / lag / running
     sum / 3-row moving sum) over integer cents — ONE custkey exchange,
@@ -1812,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "orders_window_features": _q_orders_window_features,
+        "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
         "weighted_sample_docs": _q_weighted_sample,
         "orders_semi_join": _q_orders_semi_join,
@@ -2483,6 +2510,30 @@ def oracle_sql() -> dict[str, str]:
                    SUM(price_cents) OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate_us, o_orderkey
                        ROWS 2 PRECEDING) AS mov
+            FROM t
+        """,
+        "events_rank_features": """
+            WITH t AS (SELECT user_id, event_id,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                  AS value_cents
+                       FROM events)
+            SELECT user_id, event_id, value_cents,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY value_cents) AS rnk,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY value_cents) AS drnk,
+                   PERCENT_RANK() OVER (PARTITION BY user_id
+                                        ORDER BY value_cents) AS prnk,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY value_cents, event_id) AS nt,
+                   FIRST_VALUE(value_cents) OVER (
+                       PARTITION BY user_id
+                       ORDER BY value_cents, event_id) AS fv,
+                   LAST_VALUE(value_cents) OVER (
+                       PARTITION BY user_id
+                       ORDER BY value_cents, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS lv
             FROM t
         """,
         "pricing_rollup": """

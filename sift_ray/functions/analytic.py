@@ -109,6 +109,91 @@ def keyed_window_calcs(ds, key_col: str, order_cols: Sequence[str],
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
+def keyed_rank_calcs(ds, key_col: str, rank_col: str, tiebreak_col: str,
+                     q: int = 4, num_parts: Optional[int] = None):
+    """Per-key ranking window functions in one exchange — the tie-aware
+    complement to ``keyed_window_calcs`` (which assumes a total order).
+    Within each ``key_col`` group, ranking on ``rank_col`` (int64; ties
+    share ranks) with ``tiebreak_col`` completing the total order where
+    one is needed, computes:
+
+      rnk   — RANK()          (ties share, gaps after)
+      drnk  — DENSE_RANK()    (ties share, no gaps)
+      prnk  — PERCENT_RANK()  = (rnk-1)/(n-1), 0.0 for a 1-row group
+      nt    — NTILE(q) over (rank, tiebreak): earlier buckets get the
+              remainder rows, exactly the SQL rule
+      fv/lv — FIRST_VALUE/LAST_VALUE of ``rank_col`` over the full group
+
+    Scale shape: identical to keyed_window_calcs — ONE key-hash exchange,
+    partition-local lexsort, fully vectorized segment arithmetic (the
+    tie-run starts are one shifted compare; bucket math is closed-form in
+    rn and group size). ``prnk`` is one IEEE division in both engines, so
+    it compares exact. Same hot-key caveat: one key's rows must fit a
+    partition."""
+    P = num_parts or default_num_parts()
+    nq = int(q)
+    if nq < 1:
+        raise ValueError("q must be >= 1")
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        n = tbl.num_rows
+        if n == 0:
+            out = tbl
+            for name, typ in (("rnk", pa.int64()), ("drnk", pa.int64()),
+                              ("prnk", pa.float64()), ("nt", pa.int64()),
+                              ("fv", pa.int64()), ("lv", pa.int64())):
+                out = out.append_column(name, pa.array([], typ))
+            return out
+        key = _int64_col(tbl, key_col)
+        rank = _int64_col(tbl, rank_col)
+        tie = _int64_col(tbl, tiebreak_col)
+        idx = np.lexsort((tie, rank, key))
+        tbl = tbl.take(pa.array(idx))
+        key, rank = key[idx], rank[idx]
+
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = key[1:] != key[:-1]
+        gstart = np.maximum.accumulate(np.where(starts, pos, 0))
+        rn = pos - gstart + 1
+
+        newval = starts.copy()
+        newval[1:] |= rank[1:] != rank[:-1]
+        vstart = np.maximum.accumulate(np.where(newval, pos, 0))
+        rnk = vstart - gstart + 1
+        cums = np.cumsum(newval)
+        drnk = cums - cums[gstart] + 1
+
+        glen = np.diff(np.append(np.flatnonzero(starts), n))
+        gsize = np.repeat(glen, glen)
+        prnk = np.where(gsize > 1,
+                        (rnk - 1) / np.maximum(gsize - 1, 1), 0.0)
+
+        base = gsize // nq
+        rem = gsize % nq
+        thresh = rem * (base + 1)
+        base_safe = np.maximum(base, 1)   # rn > thresh implies base >= 1
+        nt = np.where(rn <= thresh,
+                      (rn - 1) // (base + 1) + 1,
+                      rem + (rn - thresh - 1) // base_safe + 1)
+
+        fv = rank[gstart]
+        lv = rank[gstart + gsize - 1]
+        return (tbl
+                .append_column("rnk", pa.array(rnk, pa.int64()))
+                .append_column("drnk", pa.array(drnk, pa.int64()))
+                .append_column("prnk", pa.array(prnk, pa.float64()))
+                .append_column("nt", pa.array(nt, pa.int64()))
+                .append_column("fv", pa.array(fv, pa.int64()))
+                .append_column("lv", pa.array(lv, pa.int64())))
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(ds, [key_col], P)
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
 _REFOLD = {"sum": "sum", "count": "sum", "count_all": "sum",
            "min": "min", "max": "max"}
 

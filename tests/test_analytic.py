@@ -610,3 +610,26 @@ def test_json_extract_cols_types_and_malformed(ray_session):
                                                          -1, -1]
     assert out["s_val"].iloc[0] == "x" and out["s_val"].iloc[4] is None
     assert out["f_val"].iloc[0] == 1.5
+
+
+def test_keyed_rank_calcs_ties_and_ntile(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.analytic import keyed_rank_calcs
+    # key 1: values 5,5,7,9,9 (ties); key 2: one row
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2],
+        "id": [10, 11, 12, 13, 14, 20],
+        "v": [5, 5, 7, 9, 9, 3],
+    })
+    out = (keyed_rank_calcs(rd.from_pandas(df), "k", "v", "id", q=2)
+           .to_pandas().sort_values(["k", "v", "id"])
+           .reset_index(drop=True))
+    assert list(out.rnk) == [1, 1, 3, 4, 4, 1]
+    assert list(out.drnk) == [1, 1, 2, 3, 3, 1]
+    # percent_rank = (rnk-1)/(n-1); single-row group -> 0.0
+    assert list(out.prnk) == [0.0, 0.0, 0.5, 0.75, 0.75, 0.0]
+    # ntile(2) over 5 rows: buckets of 3 then 2; 1-row group -> bucket 1
+    assert list(out.nt) == [1, 1, 1, 2, 2, 1]
+    assert list(out.fv) == [5, 5, 5, 5, 5, 3]
+    assert list(out.lv) == [9, 9, 9, 9, 9, 3]
