@@ -202,20 +202,51 @@ def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
            num_parts: Optional[int] = None):
     """GROUP BY ROLLUP(key1, key2, ...): aggregates at every prefix level
     of the key hierarchy plus the grand total, rolled-up key columns null.
+    A thin wrapper over :func:`grouping_sets` with the prefix lattice."""
+    keys = list(key_cols)
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets(ds, keys, aggs, sets, num_parts=num_parts)
+
+
+def cube(ds, key_cols: Sequence[str], aggs: List[AggSpec],
+         num_parts: Optional[int] = None):
+    """GROUP BY CUBE(key1, key2, ...): aggregates at EVERY subset of the
+    key columns plus the grand total — the full data-cube lattice (Gray
+    et al., 1997). A thin wrapper over :func:`grouping_sets` with all
+    2^k subsets, ordered full set first, grand total last (matching
+    DuckDB's CUBE expansion order; the oracle compare sorts anyway)."""
+    from itertools import combinations
+    keys = list(key_cols)
+    sets = []
+    for r in range(len(keys), -1, -1):
+        sets.extend(combinations(keys, r))
+    return grouping_sets(ds, keys, aggs, sets, num_parts=num_parts)
+
+
+def grouping_sets(ds, key_cols: Sequence[str], aggs: List[AggSpec],
+                  sets: Sequence[Sequence[str]],
+                  num_parts: Optional[int] = None):
+    """GROUP BY GROUPING SETS: one aggregate table per requested key
+    subset, absent key columns typed-null (the SQL convention).
 
     Only distributive aggregates are accepted (sum / count / count_all /
     min / max) because every coarser level is re-folded FROM the finest
-    aggregate: the corpus crosses the exchange exactly once (the finest
-    group-by); levels above it reduce the already-aggregated table, whose
-    size is bounded by finest-group cardinality, not corpus rows. This is
-    the textbook distributive-rollup plan (Gray et al., Data Cube, 1997).
-    """
+    aggregate: the corpus crosses the exchange exactly once (the
+    full-key group-by); every requested set reduces the already-
+    aggregated table, whose size is bounded by finest-group cardinality,
+    not corpus rows. The empty set (grand total) folds each finest BLOCK
+    to one partial row map-side and combines the n_blocks partials on
+    the driver — bounded driver state at unbounded key cardinality."""
     keys = list(key_cols)
     if not keys:
-        raise ValueError("rollup needs at least one key column")
+        raise ValueError("grouping_sets needs at least one key column")
     for _, fn, _ in aggs:
         if fn not in _REFOLD:
-            raise ValueError(f"non-distributive agg {fn!r} in rollup")
+            raise ValueError(f"non-distributive agg {fn!r} in grouping_sets")
+    set_lists = [list(s) for s in sets]
+    for s in set_lists:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of {keys!r}")
     out_names = [name for *_, name in aggs]
 
     def key_hashes(cols: List[str]):
@@ -258,13 +289,26 @@ def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
             return pa.table(dict(zip(names, arrays)))
         return fn
 
-    levels = [finest.map_batches(pad_nulls(keys), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = partitioned_group_agg(finest, keys[:i], refold,
-                                    num_parts=num_parts,
-                                    key_arrays_fn=key_hashes(keys[:i]))
-        levels.append(lvl.map_batches(pad_nulls(keys[:i]),
+    levels = []
+    n_total = 0                     # empty sets → grand-total rows, last
+    for s in set_lists:
+        if not s:
+            n_total += 1
+            continue
+        if s == keys:
+            lvl = finest
+        else:
+            lvl = partitioned_group_agg(finest, s, refold,
+                                        num_parts=num_parts,
+                                        key_arrays_fn=key_hashes(s))
+        levels.append(lvl.map_batches(pad_nulls(s),
                                       batch_format="pyarrow"))
+
+    if n_total == 0:
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.union(lvl)
+        return out
 
     # grand total: fold each finest BLOCK to one partial row map-side,
     # then combine the n_blocks partials on the driver — bounded driver
@@ -302,10 +346,15 @@ def rollup(ds, key_cols: Sequence[str], aggs: List[AggSpec],
     import ray.data as rd
     total = rd.from_arrow(pa.table(dict(zip(total_names, total_arrays))))
 
+    totals = total
+    for _ in range(n_total - 1):
+        totals = totals.union(total)
+    if not levels:
+        return totals
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
-    return out.union(total)
+    return out.union(totals)
 
 
 def grouped_quantiles_exact(ds, group_col: str, value_col: str,

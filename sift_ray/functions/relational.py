@@ -10,8 +10,9 @@ same rule the windows module follows.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -334,5 +335,70 @@ def grouped_topk(ds, group_col: str, order_col: str, tiebreak_col: str,
             .astype("int64")
         return pa.Table.from_pandas(top.reset_index(drop=True),
                                     preserve_index=False)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def set_op(left, right, cols: List[str], op: str,
+           num_parts: Optional[int] = None):
+    """Distributed SQL set operations with DISTINCT semantics:
+    ``op`` in {"except", "intersect", "union"} equals the SQL
+    ``left EXCEPT / INTERSECT / UNION right`` over the projected
+    ``cols`` tuple. NULL keys compare equal (SQL set-op semantics —
+    Arrow group_by groups nulls together, matching).
+
+    Scale shape: per-batch DISTINCT combiner first (the exchange moves
+    one row per distinct tuple per batch with two presence flags, never
+    per input row), then ONE tuple-hash exchange; the kernel re-groups
+    by the TRUE columns and filters on per-side presence. Any-type keys
+    (strings hash map-side via blake2b; hash collisions only co-locate,
+    the kernel's true-key group-by keeps results exact). No driver
+    state; no reference analog (sift has no relational ops,
+    SURVEY.md §2.8)."""
+    from .shuffle import add_hash_partition, default_num_parts
+    if op not in ("except", "intersect", "union"):
+        raise ValueError(f"unknown set op {op!r}")
+    P = num_parts or default_num_parts()
+    cols = list(cols)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            g = (t.select(cols).group_by(cols)
+                 .aggregate([([], "count_all")]).drop_columns("count_all"))
+            n = g.num_rows
+            ones = pa.array(np.ones(n, dtype=np.int8))
+            zeros = pa.array(np.zeros(n, dtype=np.int8))
+            return (g.append_column("in_l", zeros if side else ones)
+                     .append_column("in_r", ones if side else zeros))
+        return fn
+
+    tagged = (left.map_batches(tag(0), batch_format="pyarrow")
+              .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def key_fn(batch: pa.Table):
+        from .sketch import _hash64_any
+        arrs = []
+        for c in cols:
+            col = batch.column(c)
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                arrs.append(col.to_numpy(zero_copy_only=False))
+            else:
+                arrs.append(_hash64_any(col).astype(np.int64))
+        return arrs
+
+    parted = add_hash_partition(tagged, cols, P, key_arrays_fn=key_fn)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        g = (tbl.drop_columns("part").group_by(cols)
+             .aggregate([("in_l", "max"), ("in_r", "max")]))
+        in_l = g.column("in_l_max")
+        in_r = g.column("in_r_max")
+        if op == "except":
+            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 0))
+        elif op == "intersect":
+            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 1))
+        else:
+            keep = pa.array(np.ones(g.num_rows, dtype=bool))
+        return g.filter(keep).select(cols)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

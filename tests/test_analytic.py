@@ -633,3 +633,96 @@ def test_keyed_rank_calcs_ties_and_ntile(ray_session):
     assert list(out.nt) == [1, 1, 1, 2, 2, 1]
     assert list(out.fv) == [5, 5, 5, 5, 5, 3]
     assert list(out.lv) == [9, 9, 9, 9, 9, 3]
+
+
+@pytest.mark.parametrize("num_parts", [1, 16])
+def test_cube_matches_pandas(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.analytic import cube
+    df = _rollup_df()
+    out = cube(rd.from_pandas(df), ["a", "b"],
+               [("v", "sum", "sv"), (None, "count_all", "n")],
+               num_parts=num_parts).to_pandas()
+    fin = df.groupby(["a", "b"]).agg(sv=("v", "sum"), n=("v", "size"))
+    by_a = df.groupby("a").agg(sv=("v", "sum"), n=("v", "size"))
+    by_b = df.groupby("b").agg(sv=("v", "sum"), n=("v", "size"))
+    assert len(out) == len(fin) + len(by_a) + len(by_b) + 1
+    o_fin = out.dropna(subset=["a", "b"]).set_index(["a", "b"])
+    for idx, row in fin.iterrows():
+        assert o_fin.loc[idx, "sv"] == row["sv"]
+    o_b = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    for idx, row in by_b.iterrows():
+        assert o_b.loc[idx, "sv"] == row["sv"]
+        assert o_b.loc[idx, "n"] == row["n"]
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert len(total) == 1 and total["sv"].iloc[0] == df["v"].sum()
+
+
+def test_grouping_sets_explicit(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouping_sets
+    df = _rollup_df()
+    # (b) and () only — neither the finest nor the prefix lattice
+    out = grouping_sets(rd.from_pandas(df), ["a", "b"],
+                        [("v", "sum", "sv")], [("b",), ()]).to_pandas()
+    by_b = df.groupby("b")["v"].sum()
+    assert len(out) == len(by_b) + 1
+    o_b = out[out["b"].notna()].set_index("b")
+    for idx, v in by_b.items():
+        assert o_b.loc[idx, "sv"] == v
+    assert out["a"].isna().all()
+    total = out[out["b"].isna()]
+    assert total["sv"].iloc[0] == df["v"].sum()
+
+
+def test_grouping_sets_rejects_non_subset():
+    from sift_ray.functions.analytic import grouping_sets
+    with pytest.raises(ValueError):
+        grouping_sets(None, ["a"], [("v", "sum", "s")], [("zz",)])
+
+
+@pytest.mark.parametrize("op,expect", [
+    ("except", {(1, "x"), (4, "w")}),
+    ("intersect", {(2, "y"), (3, "z")}),
+    ("union", {(1, "x"), (2, "y"), (3, "z"), (4, "w"), (5, "v"), (9, "x")}),
+])
+def test_set_op_semantics(ray_session, op, expect):
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 2, 1],
+                         "s": ["x", "y", "z", "w", "y", "x"]})
+    right = pd.DataFrame({"k": [2, 3, 5, 9, 3],
+                          "s": ["y", "z", "v", "x", "z"]})
+    out = set_op(rd.from_pandas(left), rd.from_pandas(right),
+                 ["k", "s"], op, num_parts=4).to_pandas()
+    got = set(zip(out["k"].astype(int), out["s"]))
+    assert got == expect
+    assert len(out) == len(got)  # DISTINCT: no duplicate tuples
+
+
+def test_set_op_null_keys_compare_equal(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+    left = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64")})
+    right = pd.DataFrame({"k": pd.array([None, 2], dtype="Int64")})
+    inter = set_op(rd.from_pandas(left), rd.from_pandas(right),
+                   ["k"], "intersect", num_parts=3).to_pandas()
+    # SQL INTERSECT treats NULL = NULL: both the null row and 2 survive
+    assert len(inter) == 2
+    assert inter["k"].isna().sum() == 1
+    exc = set_op(rd.from_pandas(left), rd.from_pandas(right),
+                 ["k"], "except", num_parts=3).to_pandas()
+    assert list(exc["k"].dropna().astype(int)) == [1]
+
+
+@pytest.mark.parametrize("num_parts", [1, 7])
+def test_set_op_partition_invariant(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({"k": rng.randint(0, 300, 2000).astype(np.int64)})
+    right = pd.DataFrame({"k": rng.randint(100, 400, 2000).astype(np.int64)})
+    out = set_op(rd.from_pandas(left), rd.from_pandas(right),
+                 ["k"], "except", num_parts=num_parts).to_pandas()
+    exp = np.setdiff1d(left["k"].unique(), right["k"].unique())
+    assert sorted(out["k"].tolist()) == sorted(exp.tolist())
