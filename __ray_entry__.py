@@ -1426,6 +1426,80 @@ def _q_pricing_rollup(sf_dir: str):
                   [("qty", "sum", "sum_qty"), (None, "count_all", "n_rows")])
 
 
+def _q_pricing_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the full data-cube
+    lattice through grouping_sets — corpus crosses the exchange once at
+    the finest level; every other subset re-folds that aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import cube
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(t.column("l_quantity"), pa.int64())})
+
+    base = ds.map_batches(pre, batch_format="pyarrow")
+    return cube(base, ["l_returnflag", "l_linestatus"],
+                [("qty", "sum", "sum_qty"), (None, "count_all", "n_rows")])
+
+
+def _q_customers_f_only(sf_dir: str):
+    """Distributed SQL EXCEPT (DISTINCT): customers whose orders are all
+    finished — keys with an 'F'-status order and no 'O'-status order.
+    Per-batch distinct combiner, ONE tuple-hash exchange, no driver
+    state — the anti-join expressed as a set operation."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_orderstatus"])
+
+    def of_status(status: str):
+        def pre(t: "pa.Table") -> "pa.Table":
+            m = pc.equal(t.column("o_orderstatus"), status)
+            return pa.table({"custkey": t.filter(m).column("o_custkey")})
+        return pre
+
+    return set_op(orders.map_batches(of_status("F"),
+                                     batch_format="pyarrow"),
+                  orders.map_batches(of_status("O"),
+                                     batch_format="pyarrow"),
+                  ["custkey"], "except")
+
+
+def _q_purchase_click_users(sf_dir: str):
+    """Distributed SQL INTERSECT (DISTINCT): users that both clicked and
+    purchased — the cross-behavior cohort. Map-side distinct per batch,
+    one exchange, presence-flag kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def of_type(etype: str):
+        def pre(t: "pa.Table") -> "pa.Table":
+            m = pc.equal(t.column("event_type"), etype)
+            return pa.table({"user_id": t.filter(m).column("user_id")})
+        return pre
+
+    return set_op(ds.map_batches(of_type("purchase"),
+                                 batch_format="pyarrow"),
+                  ds.map_batches(of_type("click"), batch_format="pyarrow"),
+                  ["user_id"], "intersect")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-Res order
     by ln(md5-uniform)/weight): zero shuffle — per-batch top-k combiner,
@@ -1840,6 +1914,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_window_features": _q_orders_window_features,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
+        "pricing_cube": _q_pricing_cube,
+        "customers_f_only": _q_customers_f_only,
+        "purchase_click_users": _q_purchase_click_users,
         "weighted_sample_docs": _q_weighted_sample,
         "orders_semi_join": _q_orders_semi_join,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2541,6 +2618,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "customers_f_only": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderstatus = 'O'
+        """,
+        "purchase_click_users": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click'
         """,
         "weighted_sample_docs": """
             WITH t AS (SELECT doc_id, n_chars,
