@@ -1573,6 +1573,33 @@ def _q_robots_filter(sf_dir: str):
     return out.select_columns(["url", "host"])
 
 
+def _q_page_metadata(sf_dir: str):
+    """Head-metadata extraction (title / descriptions / canonical / lang /
+    published) over the raw pages — map-only, zero shuffle, quarantine
+    statuses. Rows-only (DOM field rules are not SQL-expressible; each
+    rule is unit-tested in tests/test_metadata.py)."""
+    import ray.data as rd
+    from sift_ray.functions.metadata import page_metadata
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return page_metadata(pages)
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table: one corpus pass of
+    second-moment partials, ONE idx-keyed exchange, driver receives
+    d(d+3)/2 + 1 floats, eigh on the d x d covariance. Rows-only
+    (eigendecomposition is not SQL-expressible; checked against numpy
+    on the full matrix in tests/test_metadata.py)."""
+    import os as _os
+    import ray.data as rd
+    from sift_ray.functions.similarity import pca_fit
+    ds = rd.read_parquet(_os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["embedding"])
+    loadings, _ = pca_fit(ds, k=4)
+    return loadings
+
+
 def _q_charset_stats(sf_dir: str):
     """Charset sniffing ladder (BOM > meta declaration > UTF-8 validation
     > windows-1252 fallback) over the raw binary pages — the decode audit
@@ -1967,6 +1994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        "page_metadata": _q_page_metadata,
+        "embedding_pca": _q_embedding_pca,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "chunk_stats": _q_chunk_stats,

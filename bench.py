@@ -217,7 +217,9 @@ def run_bench() -> dict:
         "anchor_topk", "events_user_type_join",
         "price_quantiles_per_customer", "customer_status_pivot",
         "docs_per_source_sample", "events_asof_forward",
-        "image_phash_pairs", "events_json_extract")
+        "image_phash_pairs", "events_json_extract",
+        "pricing_cube", "customers_f_only", "purchase_click_users",
+        "page_metadata", "embedding_pca")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -687,3 +687,105 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
 
     stats = rd.from_pandas(stats_pdf.reset_index(drop=True))
     return C, stats
+
+
+def pca_fit(ds, k: int = 8, vec_col: str = "embedding",
+            num_parts: Optional[int] = None, decimals: int = 9):
+    """Distributed PCA over the FULL embedding table: the dimensionality
+    reduction step before ANN indexing / visualization / whitening at
+    corpus scale.
+
+    Phase 1 (the only corpus pass): each batch folds its vectors into
+    second-moment partials — the upper triangle of X^T X plus the column
+    sums and the row count, d(d+3)/2 + 1 scalars per BATCH regardless of
+    rows — then ONE idx-keyed exchange sums the partials and the driver
+    receives exactly d(d+3)/2 + 1 rows (kilobytes for typical embedding
+    dims; never corpus rows). Phase 2 is driver-side: assemble the d x d
+    covariance, `np.linalg.eigh`, keep the top-k eigenpairs. The
+    covariance is rounded to ``decimals`` before eigh so summation-order
+    float noise cannot flip near-tied eigenvectors across partitionings;
+    each component's sign is fixed by making its largest-|loading| entry
+    positive (ties -> lowest dim), the standard reproducibility
+    convention.
+
+    Returns ``(loadings_ds, model)``: one row per (component, dim) with
+    the loading, the component eigenvalue and explained-variance ratio;
+    ``model`` carries the numpy mean / components for
+    :func:`pca_project`. No reference analog (sift has no cross-document
+    operators, SURVEY.md §2.8)."""
+    import ray.data as rd
+
+    from .shuffle import partitioned_group_agg
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        m = _to_matrix(t.column(vec_col))
+        d = m.shape[1]
+        iu = np.triu_indices(d)
+        gram = (m.T @ m)[iu]                      # d(d+1)/2 values
+        s = m.sum(axis=0)                         # d values
+        vals = np.concatenate([gram, s, [float(m.shape[0])]])
+        return pa.table({"idx": pa.array(np.arange(len(vals)), pa.int64()),
+                         "val": pa.array(vals, pa.float64())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow")
+    agg = partitioned_group_agg(rows, ["idx"], [("val", "sum", "val")],
+                                num_parts=num_parts).to_pandas()
+    agg = agg.sort_values("idx").reset_index(drop=True)
+    vals = agg["val"].to_numpy()
+    # solve d(d+1)/2 + d + 1 == len(vals) for d
+    d = int(round((-3 + np.sqrt(9 + 8 * (len(vals) - 1))) / 2))
+    t_len = d * (d + 1) // 2
+    iu = np.triu_indices(d)
+    gram = np.zeros((d, d))
+    gram[iu] = vals[:t_len]
+    gram = gram + gram.T - np.diag(np.diag(gram))
+    s = vals[t_len:t_len + d]
+    n = vals[-1]
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    cov = (gram - np.outer(s, s) / n) / (n - 1.0)
+    cov = np.round(cov, decimals)
+    evals, evecs = np.linalg.eigh(cov)            # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = evals[order]
+    comps = evecs[:, order].T                     # (k, d)
+    for i in range(comps.shape[0]):               # sign convention
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    trace = float(np.trace(cov)) or 1.0
+    kk = comps.shape[0]
+    out = pa.table({
+        "component": pa.array(np.repeat(np.arange(kk), d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(d), kk), pa.int64()),
+        "loading": pa.array(comps.ravel(), pa.float64()),
+        "eigenvalue": pa.array(np.repeat(evals_k, d), pa.float64()),
+        "explained_var_ratio": pa.array(np.repeat(evals_k / trace, d),
+                                        pa.float64()),
+    })
+    model = {"mean": s / n, "components": comps}
+    return rd.from_arrow(out), model
+
+
+def pca_project(ds, model: dict, vec_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Project embeddings onto fitted principal components: zero-shuffle
+    map stage — the (k x d) component matrix rides the task closure
+    (kilobytes), each batch is one centered matmul."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.list_(pa.float64()))})
+        m = _to_matrix(t.column(vec_col))
+        p = (m - mean) @ comps.T
+        return pa.table({id_col: t.column(id_col),
+                         "proj": pa.array(list(p),
+                                          pa.list_(pa.float64()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")
