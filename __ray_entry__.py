@@ -1500,6 +1500,55 @@ def _q_purchase_click_users(sf_dir: str):
                   ["user_id"], "intersect")
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-document TF-IDF keyword extraction with corpus DF: one
+    term-keyed exchange computes df and scores in place, one doc-keyed
+    grouped_topk picks each document's top terms; integer micro-unit
+    scores make the ln() doubles value-exact cross-engine."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import keywords_tfidf
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    n = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).count()
+    return keywords_tfidf(ds, k=5, n_docs=n)
+
+
+def _q_event_funnel(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase) with strict min-ts
+    chaining: map-side type filter, ONE user exchange, vectorized
+    per-partition chaining, k-row partial fold."""
+    import ray.data as rd
+    from sift_ray.functions.windows import funnel_counts
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+def _q_qty_price_corr(sf_dir: str):
+    """Pearson correlation of lineitem quantity and price cents from
+    EXACT distributed integer moments (overflow-safe hi/lo split sums,
+    arbitrary-precision driver reconstruction, the same double ops
+    DuckDB performs on its HUGEINT sums)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import exact_corr
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64())})
+
+    return exact_corr(ds.map_batches(pre, batch_format="pyarrow"),
+                      "qty", "cents")
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-Res order
     by ln(md5-uniform)/weight): zero shuffle — per-batch top-k combiner,
@@ -1942,6 +1991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
+        "doc_keywords": _q_doc_keywords,
+        "event_funnel": _q_event_funnel,
+        "qty_price_corr": _q_qty_price_corr,
         "customers_f_only": _q_customers_f_only,
         "purchase_click_users": _q_purchase_click_users,
         "weighted_sample_docs": _q_weighted_sample,
@@ -2653,6 +2705,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "doc_keywords": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM words GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       CAST(round(tf.tf * ln(n.n / df.df) * 1000000)
+                            AS BIGINT) AS score_micro
+                FROM tf JOIN df USING (term), n)
+            SELECT doc_id, term, tf, score_micro,
+                   CAST(rn AS BIGINT) AS rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_micro DESC, term) AS rn
+                FROM scored) WHERE rn <= 5
+        """,
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY 1)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                       CAST(count(*) AS BIGINT) AS n_users FROM s1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click',
+                       CAST(count(*) AS BIGINT) FROM s2
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase',
+                       CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "qty_price_corr": """
+            WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS y
+                       FROM lineitem),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx,
+                         sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(y AS HUGEINT) * y) AS syy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM t)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         9) AS corr
+            FROM m
         """,
         "customers_f_only": """
             SELECT o_custkey AS custkey FROM orders

@@ -219,7 +219,8 @@ def run_bench() -> dict:
         "docs_per_source_sample", "events_asof_forward",
         "image_phash_pairs", "events_json_extract",
         "pricing_cube", "customers_f_only", "purchase_click_users",
-        "page_metadata", "embedding_pca")
+        "page_metadata", "embedding_pca",
+        "doc_keywords", "event_funnel", "qty_price_corr")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

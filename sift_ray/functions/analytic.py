@@ -497,3 +497,72 @@ def pivot_counts(ds, row_col: str, col_col: str,
         return pa.table(out)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
+    """Pearson correlation of two INTEGER columns with exact distributed
+    moments: per-batch partial sums of (n, x, y, x^2, y^2, xy) are
+    computed overflow-safely by splitting each value at 2^20
+    (hi*2^20 + lo) so every component sum stays far inside int64 even
+    for cent-scale values at billions of rows; the driver reconstructs
+    the true moments in arbitrary-precision Python ints (one partial row
+    per BLOCK — driver volume O(blocks)) and evaluates
+
+        r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+
+    with exactly the double operations an ANSI-SQL engine performs on
+    its exact HUGEINT sums — so the result is value-exact cross-engine
+    (rounded to ``decimals`` to pin the final representation).
+
+    Returns a 1-row Dataset (n, corr). Integer inputs are the caller's
+    contract (cast money to cents upstream, the repo-wide convention)."""
+    import ray.data as rd
+
+    B = np.int64(1) << 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = ["n", "sx", "sy",
+                 "xx_hh", "xx_hl", "xx_ll",
+                 "yy_hh", "yy_hl", "yy_ll",
+                 "xy_hh", "xy_hl", "xy_lh", "xy_ll"]
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in names})
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        xh, xl = x // B, x % B
+        yh, yl = y // B, y % B
+        vals = [len(x), x.sum(), y.sum(),
+                (xh * xh).sum(), (xh * xl).sum(), (xl * xl).sum(),
+                (yh * yh).sum(), (yh * yl).sum(), (yl * yl).sum(),
+                (xh * yh).sum(), (xh * yl).sum(), (xl * yh).sum(),
+                (xl * yl).sum()]
+        return pa.table({k: pa.array([int(v)], pa.int64())
+                         for k, v in zip(names, vals)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(rows) == 0 or rows["n"].sum() < 2:
+        raise ValueError("exact_corr needs at least 2 rows")
+    g = {k: [int(v) for v in rows[k]] for k in rows.columns}
+
+    def tot(name):
+        return sum(g[name])           # python ints: no overflow
+
+    Bi = 1 << 20
+    n = tot("n")
+    sx, sy = tot("sx"), tot("sy")
+    sxx = tot("xx_hh") * Bi * Bi + 2 * tot("xx_hl") * Bi + tot("xx_ll")
+    syy = tot("yy_hh") * Bi * Bi + 2 * tot("yy_hl") * Bi + tot("yy_ll")
+    sxy = (tot("xy_hh") * Bi * Bi + (tot("xy_hl") + tot("xy_lh")) * Bi
+           + tot("xy_ll"))
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 <= 0 or d2 <= 0:
+        corr = float("nan")
+    else:
+        import math
+        corr = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    out = pa.table({"n": pa.array([n], pa.int64()),
+                    "corr": pa.array([round(corr, decimals)],
+                                     pa.float64())})
+    return rd.from_arrow(out)

@@ -1588,3 +1588,92 @@ def grouped_sample(ds, group_col: str, id_col: str = "doc_id", k: int = 3):
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     return grouped_topk(keyed, group_col, "sample_key", id_col, k=k,
                         ascending=True)
+
+
+def keywords_tfidf(ds, k: int = 5, n_docs: Optional[int] = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_parts: Optional[int] = None):
+    """Per-document keyword extraction by corpus-IDF-weighted term
+    frequency: the top-k terms of every document under
+    ``score = tf * ln(N / df)`` (classic TF-IDF, natural log, raw tf) —
+    the topic-labeling / search-snippet pass of a training-data corpus.
+
+    Tokens are lowercase alnum runs (the Jaccard family's oracle
+    tokenization). Scale shape: per-batch (doc, term, tf) rows via a
+    vectorized pandas hash group-by; ONE term-keyed exchange computes
+    each term's document frequency AND annotates the co-located rows in
+    the same kernel (no separate DF join — every (doc, term) row is
+    distinct, so df = rows per term in its partition); scoring is a map;
+    the per-doc top-k is :func:`grouped_topk` (ONE doc-keyed exchange,
+    zero driver state). ``n_docs`` (corpus size) must be supplied or is
+    counted with ``ds.count()`` (metadata-only on parquet sources).
+
+    Scores are quantized to integer MICRO-units
+    (``round(tf * ln(N/df) * 1e6)`` -> ``score_micro``), the repo's
+    standard cross-engine determinism convention (unigram_logprob /
+    bm25_topk): last-ulp ln() differences between libms vanish in the
+    rounding, so ordering and values are value-exact against the SQL
+    oracle. Ordering ties break on term ASC."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .relational import grouped_topk
+    from .shuffle import add_hash_partition
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+    if n_docs is None:
+        n_docs = ds.count()
+    N = float(n_docs)
+
+    def doc_term_tf(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.coalesce(batch.column(text_col), ""))
+        words = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pdf = pd.DataFrame({
+            "doc_id": ids[parent[keep]],
+            "term": flat.filter(pa.array(keep)).to_pandas()})
+        g = (pdf.groupby(["doc_id", "term"], sort=False)
+             .size().reset_index(name="tf"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64())})
+
+    rows = ds.map_batches(doc_term_tf, batch_format="pyarrow")
+
+    def term_keys(batch: pa.Table):
+        return [_hash64_any(batch.column("term")).astype(np.int64)]
+
+    parted = add_hash_partition(rows, ["term"], P, key_arrays_fn=term_keys)
+
+    def attach_df(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.drop_columns("part").to_pandas()
+        if len(pdf) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        # combine per-batch partial tf rows for the same (doc, term),
+        # then df = distinct docs per term among the combined rows
+        pdf = (pdf.groupby(["doc_id", "term"], sort=False)["tf"]
+               .sum().reset_index())
+        df = pdf.groupby("term", sort=False)["term"].transform("size")
+        score = np.round(pdf["tf"].to_numpy() * np.log(
+            N / df.to_numpy().astype(np.float64)) * 1e6).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(pdf["term"], pa.string()),
+            "tf": pa.array(pdf["tf"].to_numpy(), pa.int64()),
+            "score_micro": pa.array(score, pa.int64())})
+
+    scored = parted.groupby("part").map_groups(attach_df,
+                                               batch_format="pyarrow")
+    return grouped_topk(scored, "doc_id", "score_micro", "term", k=k,
+                        num_parts=num_parts)

@@ -251,3 +251,76 @@ def session_windows(ds, gap_s: int = 1800, split_s: Optional[int] = None):
     return (parted2.groupby("part")
             .map_groups(_session_merge_kernel(gap_us),
                         batch_format="pyarrow"))
+
+
+def funnel_counts(ds, steps, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  num_parts: Optional[int] = None):
+    """Ordered funnel analysis: for each prefix of ``steps`` (event-type
+    names), the number of users who performed the steps IN ORDER — step
+    i+1 strictly after the user's earliest valid completion of step i
+    (the standard min-chaining funnel semantics, so the result is
+    reproducible and SQL-mirrorable with chained ``min(ts)`` CTEs).
+
+    Scale shape: map-side filter to the funnel's event types (the
+    corpus's other events never move), projection to (user, step, ts)
+    ints, ONE user-keyed exchange; each partition chains per-user min
+    timestamps with vectorized pandas joins (k small); per-partition
+    (step, n_users) partials — k rows each — fold through a tiny final
+    exchange. Driver holds nothing. Skewed users are naturally bounded:
+    a user's rows co-locate once and the per-step reduction is min().
+
+    Returns (step 1-based, event_type, n_users)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .shuffle import (add_hash_partition, default_num_parts,
+                          partitioned_group_agg)
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    P = num_parts or default_num_parts()
+
+    def pre(t: pa.Table) -> pa.Table:
+        et = t.column(type_col)
+        keep = pc.is_in(et, value_set=pa.array(steps))
+        t = t.filter(keep)
+        et = t.column(type_col)
+        step_idx = np.full(t.num_rows, -1, dtype=np.int8)
+        for i, s in enumerate(steps):
+            step_idx[pc.equal(et, s).to_numpy(zero_copy_only=False)] = i
+        return pa.table({
+            "u": t.column(user_col),
+            "step": pa.array(step_idx, pa.int8()),
+            "t": pc.cast(t.column(ts_col), pa.int64())})
+
+    rows = ds.map_batches(pre, batch_format="pyarrow")
+    parted = add_hash_partition(rows, ["u"], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.drop_columns("part").to_pandas()
+        counts = []
+        cur = None                     # Series: user -> completion ts
+        for i in range(len(steps)):
+            mine = pdf[pdf["step"] == i]
+            if cur is not None:
+                prev = mine["u"].map(cur)
+                mine = mine[mine["t"] > prev.fillna(np.inf)]
+            cur = mine.groupby("u")["t"].min()
+            counts.append(len(cur))
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(steps, pa.string()),
+            "n_users": pa.array(np.asarray(counts, np.int64), pa.int64())})
+
+    partials = parted.groupby("part").map_groups(kernel,
+                                                 batch_format="pyarrow")
+
+    def step_keys(batch: pa.Table):
+        return [batch.column("step").to_numpy(zero_copy_only=False)]
+
+    return partitioned_group_agg(partials, ["step", "event_type"],
+                                 [("n_users", "sum", "n_users")],
+                                 num_parts=min(P, len(steps)),
+                                 key_arrays_fn=step_keys)

@@ -1521,3 +1521,83 @@ def test_jpeg_decode_stage_over_dataset(ray_session):
     assert out.loc[1, "status"] == "ok" and out.loc[1, "width"] == 40
     assert out.loc[2, "status"] == "not_jpeg"
     assert out.loc[3, "status"] == "ok" and out.loc[3, "mean_b"] > 250
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_keywords_tfidf_known_corpus(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.corpus import keywords_tfidf
+    # "cat" appears in 1 of 4 docs (high idf); "the" in all (idf = 0)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat cat sat", "the dog sat", "the bird sat",
+                 "the fish swam"]})
+    out = keywords_tfidf(rd.from_pandas(df), k=2,
+                         num_parts=num_parts).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    assert list(d1["term"]) == ["cat", "sat"]
+    # score_micro = round(tf * ln(N/df) * 1e6): cat tf=2 df=1 N=4
+    assert d1["score_micro"].iloc[0] == round(2 * np.log(4 / 1) * 1e6)
+    # sat: tf=1 df=3
+    assert d1["score_micro"].iloc[1] == round(np.log(4 / 3) * 1e6)
+    # "the" (idf=0, score 0) loses to every positive-score term
+    assert "the" not in set(out[out["rank"] == 1]["term"])
+    assert (out.groupby("doc_id").size() == 2).all()
+
+
+def test_exact_corr_matches_numpy(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import exact_corr
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 10_000_000, 5000).astype(np.int64)  # cent-scale
+    y = (x // 3 + rng.randint(0, 1_000_000, 5000)).astype(np.int64)
+    df = pd.DataFrame({"x": x, "y": y})
+    out = exact_corr(rd.from_pandas(df).repartition(7),
+                     "x", "y").to_pandas()
+    assert out["n"].iloc[0] == 5000
+    ref = np.corrcoef(x, y)[0, 1]
+    assert abs(out["corr"].iloc[0] - ref) < 1e-9
+
+
+def test_exact_corr_perfect_and_constant(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import exact_corr
+    df = pd.DataFrame({"x": np.arange(100, dtype=np.int64),
+                       "y": np.arange(100, dtype=np.int64) * 7 + 3,
+                       "c": np.full(100, 5, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(3)
+    assert exact_corr(ds, "x", "y").to_pandas()["corr"].iloc[0] == 1.0
+    assert np.isnan(exact_corr(ds, "x", "c").to_pandas()["corr"].iloc[0])
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_funnel_counts_ordering_semantics(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.windows import funnel_counts
+    # u1: full ordered funnel; u2: click BEFORE view (must not count past
+    # view); u3: view only; u4: view+purchase but no click
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 30),
+        (3, "view", 10),
+        (4, "view", 10), (4, "purchase", 30),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="s")
+    out = funnel_counts(rd.from_pandas(df[["user_id", "event_type",
+                                           "ts"]]),
+                        ["view", "click", "purchase"],
+                        num_parts=num_parts).to_pandas()
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {1: 4, 2: 1, 3: 1}
+
+
+def test_funnel_strictly_after(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.windows import funnel_counts
+    # equal timestamps do NOT advance the funnel (strict >)
+    df = pd.DataFrame({"user_id": [1, 1], "event_type": ["a", "b"],
+                       "ts": pd.to_datetime([100, 100], unit="s")})
+    out = funnel_counts(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {1: 1, 2: 0}
