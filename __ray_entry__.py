@@ -1549,6 +1549,30 @@ def _q_qty_price_corr(sf_dir: str):
                       "qty", "cents")
 
 
+def _q_source_fields(sf_dir: str):
+    """RE2 named-group field extraction from the docs source column —
+    vectorized pc.extract_regex (the same regex engine as DuckDB's
+    regexp_extract), zero shuffle, nulls for non-matches."""
+    import ray.data as rd
+    from sift_ray.functions.textstats import regex_extract_cols
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return regex_extract_cols(ds, "source",
+                              r"(?P<src_prefix>[a-z]+)(?P<src_num>\d+)")
+
+
+def _q_exact_distinct_users(sf_dir: str):
+    """EXACT global COUNT(DISTINCT user_id): per-batch distinct combiner,
+    ONE tuple-hash exchange, per-partition counts summed (each distinct
+    value lives in exactly one partition) — the exact complement to
+    approx_distinct_users' HLL."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import exact_distinct
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return exact_distinct(ds, ["user_id"])
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (A-Res order
     by ln(md5-uniform)/weight): zero shuffle — per-batch top-k combiner,
@@ -1994,6 +2018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "event_funnel": _q_event_funnel,
         "qty_price_corr": _q_qty_price_corr,
+        "source_fields": _q_source_fields,
+        "exact_distinct_users": _q_exact_distinct_users,
         "customers_f_only": _q_customers_f_only,
         "purchase_click_users": _q_purchase_click_users,
         "weighted_sample_docs": _q_weighted_sample,
@@ -2748,6 +2774,22 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "source_fields": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(source, '([a-z]+)([0-9]+)')
+                        THEN regexp_extract(source,
+                                            '([a-z]+)([0-9]+)', 1)
+                        END AS src_prefix,
+                   CASE WHEN regexp_matches(source, '([a-z]+)([0-9]+)')
+                        THEN regexp_extract(source,
+                                            '([a-z]+)([0-9]+)', 2)
+                        END AS src_num
+            FROM documents
+        """,
+        "exact_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
         """,
         "qty_price_corr": """
             WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,

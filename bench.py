@@ -220,7 +220,8 @@ def run_bench() -> dict:
         "image_phash_pairs", "events_json_extract",
         "pricing_cube", "customers_f_only", "purchase_click_users",
         "page_metadata", "embedding_pca",
-        "doc_keywords", "event_funnel", "qty_price_corr")
+        "doc_keywords", "event_funnel", "qty_price_corr",
+        "source_fields", "exact_distinct_users")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -581,3 +581,53 @@ def histogram(ds, col: str, lo: float, hi: float, bins: int = 100,
     rows = ds.map_batches(partial, batch_format="pyarrow")
     return partitioned_group_agg(rows, ["bucket"], [("n", "sum", "n")],
                                  num_parts=num_parts)
+
+
+def exact_distinct(ds, cols, num_parts: Optional[int] = None):
+    """EXACT global COUNT(DISTINCT cols) — the exact complement to
+    :func:`approx_distinct` for when the answer must be right, not
+    estimated. NULL tuples count once (one extra distinct value), unlike
+    single-column SQL COUNT(DISTINCT x) which ignores NULLs — pass
+    ``drop_null_single=True`` semantics by pre-filtering upstream, or
+    use the per-column convention documented in the oracle.
+
+    Scale shape: per-batch DISTINCT combiner (the exchange moves one row
+    per distinct tuple per batch, never per input row), ONE tuple-hash
+    exchange, per-partition distinct count (each distinct tuple lives in
+    exactly one partition, so partition counts sum exactly), and a
+    bounded P-row fold. Driver volume O(P) integers."""
+    import ray.data as rd
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    cols = list(cols)
+    P = num_parts or default_num_parts()
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return (t.select(cols).group_by(cols)
+                .aggregate([([], "count_all")]).drop_columns("count_all"))
+
+    dedup = ds.map_batches(distinct, batch_format="pyarrow")
+
+    def key_fn(batch: pa.Table):
+        arrs = []
+        for c in cols:
+            col = batch.column(c)
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                arrs.append(col.to_numpy(zero_copy_only=False))
+            else:
+                arrs.append(_hash64_any(col).astype(np.int64))
+        return arrs
+
+    parted = add_hash_partition(dedup, cols, P, key_arrays_fn=key_fn)
+
+    def count_kernel(tbl: pa.Table) -> pa.Table:
+        g = tbl.drop_columns("part").group_by(cols).aggregate(
+            [([], "count_all")])
+        return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+    partials = parted.groupby("part").map_groups(count_kernel,
+                                                 batch_format="pyarrow")
+    total = int(sum(r["n"] for r in partials.take_all()))
+    return rd.from_arrow(pa.table({"n_distinct": pa.array([total],
+                                                          pa.int64())}))

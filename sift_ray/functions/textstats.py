@@ -531,3 +531,30 @@ def json_extract_cols(ds, json_col: str, fields, id_col: str = "event_id"):
         return pa.table(out)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def regex_extract_cols(ds, source_col: str, pattern: str,
+                       id_col: str = "doc_id"):
+    """Typed field extraction from a semi-structured string column via an
+    RE2 pattern with NAMED GROUPS — the log/identifier-parsing companion
+    to :func:`json_extract_cols`. One output column per named group;
+    non-matching (or null) rows yield null fields.
+
+    Fully vectorized: ``pc.extract_regex`` runs RE2 over the Arrow
+    buffer (the same regex engine DuckDB's ``regexp_extract`` uses, so
+    cross-engine semantics match by construction). Zero shuffle."""
+    import re as _re
+
+    group_names = list(_re.compile(pattern).groupindex)
+    if not group_names:
+        raise ValueError("pattern needs at least one (?P<name>...) group")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(source_col)
+        st = pc.extract_regex(col, pattern)
+        out = {id_col: batch.column(id_col)}
+        for name in group_names:
+            out[name] = pc.struct_field(st, name)
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

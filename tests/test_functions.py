@@ -1601,3 +1601,40 @@ def test_funnel_strictly_after(ray_session):
     out = funnel_counts(rd.from_pandas(df), ["a", "b"]).to_pandas()
     got = dict(zip(out["step"], out["n_users"]))
     assert got == {1: 1, 2: 0}
+
+
+def test_regex_extract_cols(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.textstats import regex_extract_cols
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["src42", "feed7", "nomatch!", None]})
+    out = regex_extract_cols(
+        rd.from_pandas(df), "source",
+        r"(?P<src_prefix>[a-z]+)(?P<src_num>\d+)").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["src_prefix"][:2]) == ["src", "feed"]
+    assert list(out["src_num"][:2]) == ["42", "7"]
+    assert out["src_prefix"].isna().tolist() == [False, False, True, True]
+
+
+def test_regex_extract_requires_named_groups():
+    from sift_ray.functions.textstats import regex_extract_cols
+    with pytest.raises(ValueError):
+        regex_extract_cols(None, "s", r"[a-z]+(\d+)")
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_exact_distinct(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.sketch import exact_distinct
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"k": rng.randint(0, 500, 5000).astype(np.int64),
+                       "s": rng.choice(["a", "b", "c"], 5000)})
+    out = exact_distinct(rd.from_pandas(df).repartition(6), ["k", "s"],
+                         num_parts=num_parts).to_pandas()
+    exp = len(df.drop_duplicates(["k", "s"]))
+    assert out["n_distinct"].iloc[0] == exp
+    one = exact_distinct(rd.from_pandas(df), ["k"],
+                         num_parts=num_parts).to_pandas()
+    assert one["n_distinct"].iloc[0] == df["k"].nunique()
