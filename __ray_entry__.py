@@ -1549,6 +1549,18 @@ def _q_qty_price_corr(sf_dir: str):
                       "qty", "cents")
 
 
+def _q_source_quality_gate(sf_dir: str):
+    """Group-level quality gate (CCNet host-filter shape): keep documents
+    whose SOURCE's mean length clears the bar — integer sum >= bar *
+    count decision per group, broadcast keep-set below a cardinality
+    gate, distributed semi-join above it."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import group_mean_gate
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source", "n_chars"])
+    return group_mean_gate(ds, "source", "n_chars", min_avg=300)
+
+
 def _q_source_fields(sf_dir: str):
     """RE2 named-group field extraction from the docs source column —
     vectorized pc.extract_regex (the same regex engine as DuckDB's
@@ -2019,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "qty_price_corr": _q_qty_price_corr,
         "source_fields": _q_source_fields,
+        "source_quality_gate": _q_source_quality_gate,
         "exact_distinct_users": _q_exact_distinct_users,
         "customers_f_only": _q_customers_f_only,
         "purchase_click_users": _q_purchase_click_users,
@@ -2774,6 +2787,12 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "source_quality_gate": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source IN (
+                SELECT source FROM documents GROUP BY source
+                HAVING sum(n_chars) >= 300 * count(*))
         """,
         "source_fields": """
             SELECT doc_id,

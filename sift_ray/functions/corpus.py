@@ -1677,3 +1677,87 @@ def keywords_tfidf(ds, k: int = 5, n_docs: Optional[int] = None,
                                                batch_format="pyarrow")
     return grouped_topk(scored, "doc_id", "score_micro", "term", k=k,
                         num_parts=num_parts)
+
+
+def group_mean_gate(ds, group_col: str, value_col: str, min_avg: int,
+                    broadcast_max_groups: int = 100_000,
+                    num_parts: Optional[int] = None):
+    """Group-level quality gate (the CCNet/RefinedWeb host-filter shape):
+    keep every row whose GROUP's mean ``value_col`` clears ``min_avg`` —
+    e.g. drop all documents from hosts whose average document length is
+    boilerplate-short, regardless of each document's own length.
+
+    The decision is the INTEGER comparison ``sum(value) >= min_avg *
+    count(*)`` per group (never a float mean), so it is exact and
+    engine-reproducible. Scale shape: per-batch (group, sum, count)
+    partials -> ONE group-keyed exchange builds the group stats table
+    (group-cardinality-sized, NOT corpus-sized); if the group count is
+    within ``broadcast_max_groups`` the passing-group set broadcasts via
+    ``ray.put`` and the corpus never shuffles (the common case — web
+    hosts are ~10^7 at 10^12 docs, a few hundred MB of keys at most, and
+    the gate guards it); past the gate the corpus anti-joins the FAILING
+    groups through :func:`shuffle.hash_join` (how="semi" on passing
+    groups), one corpus exchange. Both paths produce identical rows
+    (equality-tested)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, value_col]).group_by(group_col).aggregate(
+            [(value_col, "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "s", "n"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+
+    def gkeys(batch: pa.Table):
+        col = batch.column(group_col)
+        if pa.types.is_integer(col.type) and col.null_count == 0:
+            return [col.to_numpy(zero_copy_only=False)]
+        return [_hash64_any(col).astype(np.int64)]
+
+    stats = partitioned_group_agg(rows, [group_col],
+                                  [("s", "sum", "s"), ("n", "sum", "n")],
+                                  num_parts=P, key_arrays_fn=gkeys)
+
+    def decide(t: pa.Table) -> pa.Table:
+        ok = pc.greater_equal(
+            t.column("s"),
+            pc.multiply(t.column("n"), pa.scalar(min_avg,
+                                                 t.column("n").type)))
+        return t.filter(ok).select([group_col])
+
+    passing = stats.map_batches(decide, batch_format="pyarrow")
+
+    n_groups = passing.count()
+    if n_groups <= broadcast_max_groups:
+        import ray
+        keep_ref = ray.put(set(
+            r[group_col] for b in passing.iter_batches(
+                batch_format="pyarrow") for r in b.to_pylist()))
+
+        class GateStage:
+            def __init__(self, ref):
+                import ray as _r
+                self.keep_vals = sorted(_r.get(ref))
+                self.keep = None        # typed lazily from the first batch
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                col = t.column(group_col)
+                if self.keep is None:   # empty keep-set must still be typed
+                    self.keep = pa.array(self.keep_vals, type=col.type)
+                mask = pc.is_in(col, value_set=self.keep)
+                return t.filter(mask)
+
+        from .shuffle import TaskStage
+        return ds.map_batches(TaskStage(GateStage, ref=keep_ref),
+                              batch_format="pyarrow")
+
+    schema = dict(zip(ds.schema().names, ds.schema().types))
+    return hash_join(ds, passing, on=group_col, how="semi",
+                     left_types=schema,
+                     right_types={group_col: schema[group_col]},
+                     num_parts=P)

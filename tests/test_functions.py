@@ -1638,3 +1638,34 @@ def test_exact_distinct(ray_session, num_parts):
     one = exact_distinct(rd.from_pandas(df), ["k"],
                          num_parts=num_parts).to_pandas()
     assert one["n_distinct"].iloc[0] == df["k"].nunique()
+
+
+@pytest.mark.parametrize("bmax", [100_000, 0])  # broadcast path vs join path
+def test_group_mean_gate_paths_equal(ray_session, bmax):
+    import ray.data as rd
+    from sift_ray.functions.corpus import group_mean_gate
+    rng = np.random.RandomState(9)
+    hosts = rng.choice(["a.test", "b.test", "c.test", "d.test"], 400)
+    # per-host offsets make two hosts clear the mean-100 bar
+    bump = {"a.test": 150, "b.test": 40, "c.test": 120, "d.test": 60}
+    vals = np.array([bump[h] for h in hosts]) + rng.randint(-20, 21, 400)
+    df = pd.DataFrame({"doc_id": np.arange(400), "host": hosts,
+                       "n_chars": vals.astype(np.int64)})
+    out = group_mean_gate(rd.from_pandas(df).repartition(5), "host",
+                          "n_chars", min_avg=100,
+                          broadcast_max_groups=bmax).to_pandas()
+    means = df.groupby("host")["n_chars"].agg(["sum", "size"])
+    ok_hosts = set(means[means["sum"] >= 100 * means["size"]].index)
+    exp = df[df["host"].isin(ok_hosts)]
+    assert sorted(out["doc_id"]) == sorted(exp["doc_id"])
+    assert set(out["host"]) == ok_hosts
+
+
+def test_group_mean_gate_empty_keepset(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import group_mean_gate
+    df = pd.DataFrame({"doc_id": [1, 2], "host": ["a", "b"],
+                       "n_chars": np.array([10, 20], dtype=np.int64)})
+    out = group_mean_gate(rd.from_pandas(df), "host", "n_chars",
+                          min_avg=10_000).to_pandas()
+    assert len(out) == 0
