@@ -1561,6 +1561,28 @@ def _q_source_quality_gate(sf_dir: str):
     return group_mean_gate(ds, "source", "n_chars", min_avg=300)
 
 
+def _q_length_lang_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (Mann-Whitney with tie-averaged ranks)
+    of document length predicting lang == 'en': distinct-score histogram
+    exchange + two-pass prefix ranks; integer until one final division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import auc_exact
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "n_chars"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "score": pc.cast(t.column("n_chars"), pa.int64()),
+            "label": pc.cast(pc.equal(t.column("lang"), "en"),
+                             pa.int64())})
+
+    return auc_exact(ds.map_batches(pre, batch_format="pyarrow"),
+                     "label", "score")
+
+
 def _q_source_fields(sf_dir: str):
     """RE2 named-group field extraction from the docs source column —
     vectorized pc.extract_regex (the same regex engine as DuckDB's
@@ -2032,6 +2054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": _q_qty_price_corr,
         "source_fields": _q_source_fields,
         "source_quality_gate": _q_source_quality_gate,
+        "length_lang_auc": _q_length_lang_auc,
         "exact_distinct_users": _q_exact_distinct_users,
         "customers_f_only": _q_customers_f_only,
         "purchase_click_users": _q_purchase_click_users,
@@ -2787,6 +2810,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "length_lang_auc": """
+            WITH t AS (SELECT CAST(n_chars AS BIGINT) AS s,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents),
+            r AS (SELECT y,
+                         RANK() OVER (ORDER BY s) AS rk,
+                         count(*) OVER (PARTITION BY s) AS cnt
+                  FROM t),
+            agg AS (SELECT sum(CASE WHEN y = 1
+                                    THEN 2 * rk + cnt - 1 END) AS two_rpos,
+                           sum(y) AS npos, count(*) AS n FROM r)
+            SELECT round(CAST(two_rpos - npos * (npos + 1) AS DOUBLE)
+                         / CAST(2 * npos * (n - npos) AS DOUBLE), 9)
+                       AS auc,
+                   CAST(npos AS BIGINT) AS n_pos,
+                   CAST(n - npos AS BIGINT) AS n_neg
+            FROM agg
         """,
         "source_quality_gate": """
             SELECT doc_id, source, n_chars FROM documents

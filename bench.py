@@ -221,7 +221,8 @@ def run_bench() -> dict:
         "pricing_cube", "customers_f_only", "purchase_click_users",
         "page_metadata", "embedding_pca",
         "doc_keywords", "event_funnel", "qty_price_corr",
-        "source_fields", "exact_distinct_users", "source_quality_gate")
+        "source_fields", "exact_distinct_users", "source_quality_gate",
+        "length_lang_auc")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -726,3 +726,42 @@ def test_set_op_partition_invariant(ray_session, num_parts):
                  ["k"], "except", num_parts=num_parts).to_pandas()
     exp = np.setdiff1d(left["k"].unique(), right["k"].unique())
     assert sorted(out["k"].tolist()) == sorted(exp.tolist())
+
+
+@pytest.mark.parametrize("num_parts", [1, 9])
+def test_auc_exact_matches_sklearn_formula(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.analytic import auc_exact
+    rng = np.random.RandomState(4)
+    # heavy ties: scores in a small range
+    s = rng.randint(0, 40, 3000).astype(np.int64)
+    y = (rng.rand(3000) < 1 / (1 + np.exp(-(s - 20) / 5.0))).astype(np.int64)
+    df = pd.DataFrame({"score": s, "label": y})
+    out = auc_exact(rd.from_pandas(df).repartition(5), "label", "score",
+                    num_parts=num_parts).to_pandas()
+    # reference: Mann-Whitney with scipy-style average ranks
+    import pandas as _pd
+    ranks = _pd.Series(s).rank(method="average")
+    r_pos = ranks[y == 1].sum()
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    ref = (r_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert abs(out["auc"].iloc[0] - ref) < 1e-9
+    assert out["n_pos"].iloc[0] == n_pos
+    assert out["n_neg"].iloc[0] == n_neg
+
+
+def test_auc_exact_extremes(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import auc_exact
+    # perfectly separable -> AUC 1; anti-separable -> 0
+    df = pd.DataFrame({"score": np.arange(100, dtype=np.int64),
+                       "label": (np.arange(100) >= 50).astype(np.int64)})
+    assert auc_exact(rd.from_pandas(df), "label",
+                     "score").to_pandas()["auc"].iloc[0] == 1.0
+    df["label"] = 1 - df["label"]
+    assert auc_exact(rd.from_pandas(df), "label",
+                     "score").to_pandas()["auc"].iloc[0] == 0.0
+    with pytest.raises(Exception):
+        one = pd.DataFrame({"score": np.arange(10, dtype=np.int64),
+                            "label": np.ones(10, dtype=np.int64)})
+        auc_exact(rd.from_pandas(one), "label", "score").to_pandas()
