@@ -1583,6 +1583,33 @@ def _q_length_lang_auc(sf_dir: str):
                      "label", "score")
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Distributed hashed bag-of-words logistic regression (the
+    CCNet/WebText quality-filter trainer): label = (lang == 'en'),
+    full-batch GD with integer-micro gradient exchanges — weights
+    bit-identical under any partitioning (tests pin an exact local
+    replica) — then a zero-shuffle scoring pass over the corpus.
+    Rows-only (iterative learned model, not SQL-expressible)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.classifier import logreg_fit, logreg_predict
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "label": pc.cast(pc.equal(t.column("lang"), "en"),
+                             pa.int64())})
+
+    labeled = ds.map_batches(pre, batch_format="pyarrow")
+    _, model = logreg_fit(labeled, hash_bits=14, n_iter=5)
+    return logreg_predict(labeled, model)
+
+
 def _q_source_fields(sf_dir: str):
     """RE2 named-group field extraction from the docs source column —
     vectorized pc.extract_regex (the same regex engine as DuckDB's
@@ -2055,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_fields": _q_source_fields,
         "source_quality_gate": _q_source_quality_gate,
         "length_lang_auc": _q_length_lang_auc,
+        "quality_classifier": _q_quality_classifier,
         "exact_distinct_users": _q_exact_distinct_users,
         "customers_f_only": _q_customers_f_only,
         "purchase_click_users": _q_purchase_click_users,
