@@ -1289,6 +1289,25 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(li, od, cu)
 
 
+def _q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5 shape: three chained distributed hash joins over the
+    fact path (orders -> customer -> lineitem -> supplier) with the tiny
+    nation x region dimensions broadcast, same-nation filter map-side,
+    integer 1e-4-dollar revenue, <= 25-key final exchange."""
+    import ray.data as rd
+    from sift_ray.functions.relational import regional_revenue
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet"), columns=cols)
+    return regional_revenue(
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rp("region", ["r_regionkey", "r_name"]))
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4s / phone-like numbers -> placeholders,
     with per-doc counts). The fixture corpus carries no PII, so the query
@@ -2072,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
+        "regional_revenue": _q_regional_revenue,
         "orders_window_features": _q_orders_window_features,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
@@ -2838,6 +2858,25 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_e4
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "length_lang_auc": """
             WITH t AS (SELECT CAST(n_chars AS BIGINT) AS s,

@@ -402,3 +402,119 @@ def set_op(left, right, cols: List[str], op: str,
         return g.filter(keep).select(cols)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def regional_revenue(lineitem, orders, customer, supplier, nation, region,
+                     region_name: str = "ASIA",
+                     date_lo_us: int = 820454400000000,
+                     date_hi_us: int = 852076800000000,
+                     num_parts: Optional[int] = None):
+    """TPC-H-Q5-shaped composition: revenue per nation from lineitems
+    whose customer AND supplier sit in the same nation of one region,
+    within a one-year order-date window — the canonical star-schema
+    multi-join (fact table x 3 key joins x 2 broadcast dimensions).
+
+    Plan: nation x region are dimension tables, bounded by definition
+    (25 x 5 in TPC-H) — collected once driver-side and broadcast as a
+    key set / name map (the broadcast-dimension convention). The fact
+    path is THREE distributed hash joins with map-side reduction first:
+    orders date-filter -> join customers of the region's nations (keys
+    projected map-side) -> join lineitem (which enters pre-projected to
+    (orderkey, suppkey, integer revenue)) -> join supplier keys -> the
+    same-nation requirement filters map-side after the supplier join.
+    The final per-nation aggregate is a per-batch combiner plus ONE tiny
+    exchange over <= 25 keys. Revenue is summed in integer 1e-4-dollar
+    units (cents x (100 - discount%)): distributed float sums are
+    order-dependent, integer sums are exact — value-identical to the
+    DuckDB oracle. Default window = calendar 1996."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join, partitioned_group_agg
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    rkeys = set(reg[reg["r_name"] == region_name]["r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    names = {int(k): str(v) for k, v in zip(nat["n_nationkey"],
+                                            nat["n_name"])}
+    nkeys = pa.array(sorted(names), pa.int64())
+
+    cust = customer.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t.column("c_custkey"),
+            "c_nationkey": t.column("c_nationkey")}).filter(
+                pc.is_in(t.column("c_nationkey"), value_set=nkeys)),
+        batch_format="pyarrow")
+
+    def orders_pre(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+                     pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, date_lo_us),
+                       pc.less(ts, date_hi_us))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "l_orderkey": t.column("o_orderkey")}).filter(keep)
+
+    ords = orders.map_batches(orders_pre, batch_format="pyarrow")
+    j1 = hash_join(
+        ords, cust, on="o_custkey", how="inner",
+        left_types={"o_custkey": pa.int64(), "l_orderkey": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "c_nationkey": pa.int64()},
+        num_parts=num_parts)
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "rev_e4": rev})
+
+    li = lineitem.map_batches(li_pre, batch_format="pyarrow")
+    j2 = hash_join(
+        li, j1, on="l_orderkey", how="inner",
+        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "rev_e4": pa.int64()},
+        right_types={"l_orderkey": pa.int64(), "o_custkey": pa.int64(),
+                     "c_nationkey": pa.int64()},
+        num_parts=num_parts)
+
+    supp = supplier.map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t.column("s_suppkey"),
+            "s_nationkey": t.column("s_nationkey")}).filter(
+                pc.is_in(t.column("s_nationkey"), value_set=nkeys)),
+        batch_format="pyarrow")
+    j3 = hash_join(
+        j2, supp, on="l_suppkey", how="inner",
+        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                    "rev_e4": pa.int64(), "o_custkey": pa.int64(),
+                    "c_nationkey": pa.int64()},
+        right_types={"l_suppkey": pa.int64(), "s_nationkey": pa.int64()},
+        num_parts=num_parts)
+
+    def same_nation_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nationkey"),
+                              t.column("s_nationkey")))
+        g = t.select(["c_nationkey", "rev_e4"]).group_by(
+            "c_nationkey").aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["c_nationkey", "revenue_e4"])
+
+    partials = j3.map_batches(same_nation_partial, batch_format="pyarrow")
+    agg = partitioned_group_agg(partials, ["c_nationkey"],
+                                [("revenue_e4", "sum", "revenue_e4")],
+                                num_parts=min(num_parts or 8, 8))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 and "revenue_e4" not in t.column_names:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "revenue_e4": pa.array([], pa.int64())})
+        nk = t.column("c_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in nk], pa.string()),
+            "revenue_e4": t.column("revenue_e4")})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
