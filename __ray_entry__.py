@@ -1289,6 +1289,17 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(li, od, cu)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix over events: distinct (user, week) rows
+    through ONE user exchange, cohort = min week per co-located user,
+    weeks^2-bounded output."""
+    import ray.data as rd
+    from sift_ray.functions.windows import retention_cohorts
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
 def _q_regional_revenue(sf_dir: str):
     """TPC-H-Q5 shape: three chained distributed hash joins over the
     fact path (orders -> customer -> lineitem -> supplier) with the tiny
@@ -2092,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
+        "retention_cohorts": _q_retention_cohorts,
         "orders_window_features": _q_orders_window_features,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
@@ -2858,6 +2870,17 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "retention_cohorts": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch_us(ts) / 604800000000)
+                                   AS BIGINT) AS wk
+                       FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort_w FROM w GROUP BY 1)
+            SELECT c.cohort_w, w.wk AS active_w,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "regional_revenue": """
             SELECT n_name,

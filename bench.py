@@ -222,7 +222,8 @@ def run_bench() -> dict:
         "page_metadata", "embedding_pca",
         "doc_keywords", "event_funnel", "qty_price_corr",
         "source_fields", "exact_distinct_users", "source_quality_gate",
-        "length_lang_auc", "quality_classifier", "regional_revenue")
+        "length_lang_auc", "quality_classifier", "regional_revenue",
+        "retention_cohorts")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

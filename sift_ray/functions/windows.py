@@ -324,3 +324,57 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
                                  [("n_users", "sum", "n_users")],
                                  num_parts=min(P, len(steps)),
                                  key_arrays_fn=step_keys)
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      week_us: int = 7 * 86400 * 1_000_000,
+                      num_parts: Optional[int] = None):
+    """Retention cohort matrix: users grouped by first-seen week
+    (epoch-aligned integer weeks), counted per (cohort_week,
+    active_week) — the standard engagement-retention triangle.
+
+    Scale shape: map-side projection to per-batch DISTINCT (user, week)
+    int rows (the exchange moves at most one row per user-week per
+    batch, never per event); ONE user-keyed exchange; the partition
+    kernel derives each co-located user's cohort (min week) and its
+    distinct active weeks vectorized, pre-aggregating to (cohort, week,
+    n) partials; a tiny second exchange folds partials (output is
+    weeks^2-bounded, independent of corpus size). Zero driver state."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = _ts_us(t.column(ts_col))
+        wk = pc.divide(us, pa.scalar(week_us, pa.int64()))
+        g = (pa.table({"u": t.column(user_col), "wk": wk})
+             .group_by(["u", "wk"]).aggregate([([], "count_all")])
+             .drop_columns("count_all"))
+        return g
+
+    rows = ds.map_batches(pre, batch_format="pyarrow")
+    parted = add_hash_partition(rows, ["u"], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        pdf = (tbl.drop_columns("part").to_pandas()
+               .drop_duplicates(["u", "wk"]))
+        if len(pdf) == 0:
+            return pa.table({"cohort_w": pa.array([], pa.int64()),
+                             "active_w": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        pdf["cohort_w"] = pdf.groupby("u")["wk"].transform("min")
+        g = (pdf.groupby(["cohort_w", "wk"]).size()
+             .reset_index(name="n_users"))
+        return pa.table({
+            "cohort_w": pa.array(g["cohort_w"].to_numpy(), pa.int64()),
+            "active_w": pa.array(g["wk"].to_numpy(), pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(), pa.int64())})
+
+    partials = parted.groupby("part").map_groups(kernel,
+                                                 batch_format="pyarrow")
+    return partitioned_group_agg(partials, ["cohort_w", "active_w"],
+                                 [("n_users", "sum", "n_users")],
+                                 num_parts=min(P, 8))

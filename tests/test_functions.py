@@ -1669,3 +1669,20 @@ def test_group_mean_gate_empty_keepset(ray_session):
     out = group_mean_gate(rd.from_pandas(df), "host", "n_chars",
                           min_avg=10_000).to_pandas()
     assert len(out) == 0
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_retention_cohorts(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.windows import retention_cohorts
+    wk = 7 * 86400
+    # u1 first week 0, active weeks 0 and 2; u2 first week 1, active 1;
+    # u3 first week 0, active 0 only (duplicate events collapse)
+    rows = [(1, 0), (1, wk * 2 + 5), (2, wk + 1), (3, 10), (3, 11)]
+    df = pd.DataFrame(rows, columns=["user_id", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    out = retention_cohorts(rd.from_pandas(df[["user_id", "ts"]]),
+                            num_parts=num_parts).to_pandas()
+    got = {(r.cohort_w, r.active_w): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 1): 1}
