@@ -529,6 +529,12 @@ def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
             return pa.table({k: pa.array([], pa.int64()) for k in names})
         x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
         y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # overflow-safety contract: |v| < 2^40 keeps every hi/lo component
+        # sum below 2^60 even at 2^20-row batches (cents/quantities are
+        # ~2^23; rescale upstream if a column ever exceeds this)
+        lim = np.int64(1) << 40
+        if len(x) and (np.abs(x).max() >= lim or np.abs(y).max() >= lim):
+            raise ValueError("exact_corr inputs must satisfy |v| < 2^40")
         xh, xl = x // B, x % B
         yh, yl = y // B, y % B
         vals = [len(x), x.sum(), y.sum(),

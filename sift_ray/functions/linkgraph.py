@@ -255,13 +255,29 @@ def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
         return rd.from_arrow(pa.schema([("node", i64),
                                         ("rank", i64)]).empty_table())
 
+    # materialize the int edge table ONCE: it feeds every iteration, and a
+    # lazy dataset would re-execute the whole upstream lineage (read +
+    # edge derivation) per iteration — 6 reads for 6 iterations
     edges64 = edges.map_batches(
         lambda t: (pa.table({"src": pa.array([], i64),
                              "dst": pa.array([], i64)})
                    if t.num_rows == 0 or "src" not in t.column_names
                    else pa.table({"src": pc.cast(t.column("src"), i64),
                                   "dst": pc.cast(t.column("dst"), i64)})),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    n_edges = edges64.count()
+
+    # size-aware partition count: each exchange/materialize schedules
+    # O(blocks) tasks PER ITERATION and per map stage, so at small graphs
+    # fixed task overhead dominates (measured: the sf0.1 15k-node graph
+    # spends ~8 s/iteration when the 64-block parquet read layout rides
+    # through every iteration). Integer arithmetic is partition-invariant
+    # (tested), so shrinking P never changes the result; large graphs
+    # keep the cluster-sized default. The edge table's block count is
+    # capped to P once — it feeds 2 map stages per iteration.
+    P = min(P, max(4, (max(n_edges, n) + 131_071) // 131_072))
+    edges64 = edges64.repartition(P).materialize()
+    state = state.repartition(P).materialize()
 
     partial_schema = pa.schema([("dst", i64), ("a", i64)])
 
