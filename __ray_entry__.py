@@ -1289,6 +1289,17 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(li, od, cu)
 
 
+def _q_events_gap_fill(sf_dir: str):
+    """Per-user regularized time grid: every 300 s window between a
+    user's first and last event, empty windows n_events = 0 — the
+    tumbling combiner + ONE user exchange + vectorized span expansion."""
+    import ray.data as rd
+    from sift_ray.functions.windows import gap_fill
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    return gap_fill(ds, window_s=300)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Retention cohort matrix over events: distinct (user, week) rows
     through ONE user exchange, cohort = min week per co-located user,
@@ -2104,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
         "retention_cohorts": _q_retention_cohorts,
+        "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
@@ -2870,6 +2882,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT CAST(3 AS BIGINT), 'purchase',
                        CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "events_gap_fill": """
+            WITH w AS (SELECT user_id,
+                              CAST(floor(epoch_us(ts) / 300000000)
+                                   AS BIGINT) AS win,
+                              value
+                       FROM events),
+            a AS (SELECT user_id, win, CAST(count(*) AS BIGINT) AS n,
+                         min(value) AS min_value, max(value) AS max_value
+                  FROM w GROUP BY 1, 2),
+            s AS (SELECT user_id, min(win) AS lo, max(win) AS hi
+                  FROM a GROUP BY 1),
+            g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS win
+                  FROM s)
+            SELECT g.user_id, g.win,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+                   a.min_value, a.max_value
+            FROM g LEFT JOIN a USING (user_id, win)
         """,
         "retention_cohorts": """
             WITH w AS (SELECT DISTINCT user_id,

@@ -223,7 +223,7 @@ def run_bench() -> dict:
         "doc_keywords", "event_funnel", "qty_price_corr",
         "source_fields", "exact_distinct_users", "source_quality_gate",
         "length_lang_auc", "quality_classifier", "regional_revenue",
-        "retention_cohorts")
+        "retention_cohorts", "events_gap_fill")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -378,3 +378,77 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
     return partitioned_group_agg(partials, ["cohort_w", "active_w"],
                                  [("n_users", "sum", "n_users")],
                                  num_parts=min(P, 8))
+
+
+def gap_fill(ds, window_s: int = 300, user_col: str = "user_id",
+             ts_col: str = "ts", value_col: str = "value",
+             num_parts: Optional[int] = None):
+    """Regularized per-user time series: one row per (user, window) for
+    EVERY window between the user's first and last event — empty windows
+    emitted with n_events = 0 (the gap-fill / resample step before
+    time-series feature extraction; SQL's generate_series LEFT JOIN).
+
+    Scale shape: the tumbling-window combiner first (per-batch (user,
+    win, n, min, max) partials — the exchange never moves raw events),
+    ONE user-keyed exchange; the partition kernel derives each
+    co-located user's [min_win, max_win] span and emits the missing
+    windows vectorized (output is span-bounded: a user's row count is
+    its active duration / window, which the downstream consumer asked
+    for by definition). Zero driver state."""
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    window_us = window_s * 1_000_000
+    P = num_parts or default_num_parts()
+
+    def pre(t: pa.Table) -> pa.Table:
+        win = pc.divide(_ts_us(t.column(ts_col)),
+                        pa.scalar(window_us, pa.int64()))
+        g = (pa.table({"user_id": t.column(user_col), "win": win,
+                       "value": t.column(value_col)})
+             .group_by(["user_id", "win"])
+             .aggregate([([], "count_all"), ("value", "min"),
+                         ("value", "max")]))
+        return g.rename_columns(["user_id", "win", "n_events",
+                                 "min_value", "max_value"])
+
+    rows = ds.map_batches(pre, batch_format="pyarrow")
+    parted = add_hash_partition(rows, ["user_id"], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        pdf = tbl.drop_columns("part").to_pandas()
+        if len(pdf) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "min_value": pa.array([], pa.float64()),
+                             "max_value": pa.array([], pa.float64())})
+        # combine per-batch partials for the same (user, win)
+        pdf = (pdf.groupby(["user_id", "win"], sort=False)
+               .agg(n_events=("n_events", "sum"),
+                    min_value=("min_value", "min"),
+                    max_value=("max_value", "max")).reset_index())
+        span = (pdf.groupby("user_id")["win"].agg(["min", "max"])
+                .reset_index())
+        counts = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+        uid = np.repeat(span["user_id"].to_numpy(), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        win = np.repeat(span["min"].to_numpy(), counts) + offs
+        grid = pd.DataFrame({"user_id": uid, "win": win})
+        out = grid.merge(pdf, on=["user_id", "win"], how="left")
+        n = out["n_events"].fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+            "win": pa.array(out["win"].to_numpy(), pa.int64()),
+            "n_events": pa.array(n, pa.int64()),
+            # from_pandas=True: the gap rows' NaN must become SQL NULL
+            "min_value": pa.array(out["min_value"], type=pa.float64(),
+                                  from_pandas=True),
+            "max_value": pa.array(out["max_value"], type=pa.float64(),
+                                  from_pandas=True)})
+
+    return parted.groupby("part").map_groups(kernel,
+                                             batch_format="pyarrow")

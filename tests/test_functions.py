@@ -1686,3 +1686,24 @@ def test_retention_cohorts(ray_session, num_parts):
     got = {(r.cohort_w, r.active_w): r.n_users
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 1): 1}
+
+
+@pytest.mark.parametrize("num_parts", [1, 8])
+def test_gap_fill(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.windows import gap_fill
+    # u1 active in windows 0 and 3 (gaps 1, 2); u2 in window 5 only
+    rows = [(1, 10, 2.0), (1, 20, 4.0), (1, 3 * 300 + 1, 9.0),
+            (2, 5 * 300 + 7, 1.5)]
+    df = pd.DataFrame(rows, columns=["user_id", "sec", "value"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    out = gap_fill(rd.from_pandas(df[["user_id", "ts", "value"]]),
+                   window_s=300, num_parts=num_parts).to_pandas()
+    out = out.sort_values(["user_id", "win"]).reset_index(drop=True)
+    assert list(out[out.user_id == 1]["win"]) == [0, 1, 2, 3]
+    assert list(out[out.user_id == 1]["n_events"]) == [2, 0, 0, 1]
+    u1w0 = out[(out.user_id == 1) & (out.win == 0)].iloc[0]
+    assert u1w0.min_value == 2.0 and u1w0.max_value == 4.0
+    gaps = out[out.n_events == 0]
+    assert gaps["min_value"].isna().all()
+    assert list(out[out.user_id == 2]["win"]) == [5]
