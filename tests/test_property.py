@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the core exchange primitives:
+random frames with duplicate keys, nulls, negative values, and string
+keys, checked against pandas/python-set semantics. Examples are capped
+(each example executes real Ray pipelines)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(max_examples=8, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                      HealthCheck.too_slow])
+
+keys = st.lists(st.integers(min_value=-5, max_value=8),
+                min_size=0, max_size=40)
+vals = st.integers(min_value=-10**6, max_value=10**6)
+
+
+def _frame(ks, seed):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "k": np.asarray(ks, dtype=np.int64),
+        "v": rng.randint(-1000, 1000, len(ks)).astype(np.int64)})
+
+
+@pytest.mark.parametrize("how", ["inner", "anti", "semi"])
+@SET
+@given(lk=keys, rk=keys, seed=st.integers(0, 99))
+def test_hash_join_matches_pandas(ray_session, how, lk, rk, seed):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import hash_join
+    left = _frame(lk, seed)
+    right = _frame(rk, seed + 1).rename(columns={"v": "w"})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how=how,
+        left_types={"k": pa.int64(), "v": pa.int64()},
+        right_types={"k": pa.int64(), "w": pa.int64()},
+        num_parts=3).to_pandas()
+    if how == "inner":
+        exp, cols = left.merge(right, on="k", how="inner"), ["k", "v", "w"]
+    elif how == "anti":
+        exp, cols = left[~left["k"].isin(right["k"])], ["k", "v"]
+    else:  # semi
+        exp, cols = left[left["k"].isin(right["k"])], ["k", "v"]
+    if len(exp) == 0:
+        # Ray quirk: to_pandas() of an empty dataset is 0-column
+        assert len(out) == 0
+        return
+    assert sorted(map(tuple, out[cols].to_numpy())) == \
+        sorted(map(tuple, exp[cols].to_numpy()))
+
+
+@pytest.mark.parametrize("op", ["except", "intersect", "union"])
+@SET
+@given(lk=keys, rk=keys)
+def test_set_op_matches_python_sets(ray_session, op, lk, rk):
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+    left = pd.DataFrame({"k": np.asarray(lk, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.asarray(rk, dtype=np.int64)})
+    out = set_op(rd.from_pandas(left), rd.from_pandas(right), ["k"], op,
+                 num_parts=3).to_pandas()
+    ls, rs = set(lk), set(rk)
+    exp = {"except": ls - rs, "intersect": ls & rs,
+           "union": ls | rs}[op]
+    if len(exp) == 0:
+        assert len(out) == 0
+        return
+    assert set(out["k"].tolist()) == exp
+    assert len(out) == len(exp)
+
+
+@SET
+@given(ks=keys, seed=st.integers(0, 99))
+def test_partitioned_group_agg_matches_pandas(ray_session, ks, seed):
+    import ray.data as rd
+    from sift_ray.functions.shuffle import partitioned_group_agg
+    df = _frame(ks, seed)
+    if len(df) == 0:
+        return
+    out = partitioned_group_agg(
+        rd.from_pandas(df).repartition(3), ["k"],
+        [("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi"),
+         (None, "count_all", "n")], num_parts=4).to_pandas()
+    exp = df.groupby("k")["v"].agg(["sum", "min", "max", "size"])
+    got = out.set_index("k").sort_index()
+    assert list(got.index) == list(exp.index)
+    assert got["s"].tolist() == exp["sum"].tolist()
+    assert got["lo"].tolist() == exp["min"].tolist()
+    assert got["hi"].tolist() == exp["max"].tolist()
+    assert got["n"].tolist() == exp["size"].tolist()
+
+
+@SET
+@given(ks=keys, seed=st.integers(0, 99), k=st.integers(1, 4))
+def test_grouped_topk_matches_pandas(ray_session, ks, seed, k):
+    import ray.data as rd
+    from sift_ray.functions.relational import grouped_topk
+    df = _frame(ks, seed)
+    df["tb"] = np.arange(len(df), dtype=np.int64)  # unique tiebreak
+    if len(df) == 0:
+        return
+    out = grouped_topk(rd.from_pandas(df).repartition(3), "k", "v", "tb",
+                       k=k, num_parts=3).to_pandas()
+    exp = (df.sort_values(["k", "v", "tb"],
+                          ascending=[True, False, True], kind="stable")
+           .groupby("k").head(k))
+    if len(exp) == 0:
+        assert len(out) == 0
+        return
+    assert sorted(map(tuple, out[["k", "v", "tb"]].to_numpy())) == \
+        sorted(map(tuple, exp[["k", "v", "tb"]].to_numpy()))
