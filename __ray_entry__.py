@@ -2307,7 +2307,8 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    octet_length(encode(text)) % 640 + 1 AS width,
                    (octet_length(encode(text)) // 640) % 480 + 1 AS height,
-                   octet_length(encode(text)) % 7 + 1 AS n_frames
+                   octet_length(encode(text)) % 7 + 1 AS n_frames,
+                   'ok' AS status
             FROM documents
         """,
         "pricing_summary": """

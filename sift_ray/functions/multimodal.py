@@ -1,8 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 General image/audio/video decode libraries are NOT present in this
-container, so the generic decode kernel is a clearly-marked stub:
-``DecodeStage(real=True)`` raises NotImplementedError; the default
+container — and are no longer needed: ``DecodeStage(real=True)`` sniffs
+each payload's magic bytes and routes to the repo's own from-scratch
+decoders (BMP / PNG / GIF / baseline JPEG / PCM WAV), emitting unified
+(width, height, n_frames, status) metadata; the default
 deterministic fake derives metadata from the payload bytes. Two REAL
 decoders ship alongside it — uncompressed 24/32-bit BMP
 (``BmpDecodeStage``) and 8-bit PNG with full scanline unfiltering
@@ -25,39 +27,85 @@ import pyarrow as pa
 class DecodeStage:
     """Actor-pool 'decode' of a binary payload column.
 
-    real=True is the integration point for an actual decoder (PIL/ffmpeg):
-    it raises NotImplementedError in this environment. The deterministic
-    fake emits plausible typed metadata derived only from the bytes.
+    real=True routes each payload by magic bytes to the repo's OWN
+    from-scratch decoders (BMP / PNG / GIF / baseline JPEG / PCM WAV —
+    no image libraries exist in this container, and none are needed) and
+    emits unified metadata: width/height for images (null for audio),
+    n_frames (GIF frame count, WAV sample-frame count, 1 for stills),
+    and a status column (unknown magic -> "unknown_format", decoder
+    rejects -> that decoder's quarantine status; never a task failure).
+    The deterministic fake (default) emits metadata derived only from
+    the byte length — kept for plumbing tests that want no decode cost.
     """
 
     def __init__(self, payload_col: str = "payload", id_col: str = "doc_id",
                  real: bool = False):
-        if real:
-            raise NotImplementedError(
-                "real image/audio decode requires PIL/ffmpeg, absent in this "
-                "container — wire the decoder here; the Ray plumbing is ready")
         self.payload_col = payload_col
         self.id_col = id_col
+        self.real = real
 
     @staticmethod
     def fake_decode(payload: bytes) -> dict:
         n = len(payload)
         return {
+            "status": "ok",
             "n_bytes": n,
             "width": n % 640 + 1,
             "height": (n // 640) % 480 + 1,
             "n_frames": n % 7 + 1,
         }
 
+    @staticmethod
+    def real_decode(payload: bytes) -> dict:
+        out = {"status": "unknown_format", "n_bytes": len(payload),
+               "width": None, "height": None, "n_frames": None}
+        if len(payload) < 8:
+            return out
+        if payload[:2] == b"BM":
+            m = BmpDecodeStage.decode(payload)
+            frames = 1
+        elif payload[:8] == PngDecodeStage._SIG:
+            m = PngDecodeStage.decode(payload)
+            frames = 1
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            m = GifDecodeStage.decode(payload)
+            frames = m.get("n_frames")
+        elif payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+            m = decode_jpeg(payload)
+            frames = 1
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            m = WavDecodeStage.decode(payload)
+            frames = m.get("n_frames")
+        else:
+            return out
+        out["status"] = m.get("status", "error")
+        if out["status"] == "ok":
+            out["width"] = m.get("width")
+            out["height"] = m.get("height")
+            out["n_frames"] = frames if frames is not None else 1
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        metas = [self.fake_decode(p or b"") for p in payloads]
+        fn = self.real_decode if self.real else self.fake_decode
+        metas = []
+        for p in payloads:
+            try:
+                metas.append(fn(p or b""))
+            except Exception:
+                metas.append({"status": "error", "n_bytes": len(p or b""),
+                              "width": None, "height": None,
+                              "n_frames": None})
         return pa.table({
             "doc_id": batch.column(self.id_col),
             "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
-            "width": pa.array([m["width"] for m in metas], pa.int64()),
-            "height": pa.array([m["height"] for m in metas], pa.int64()),
-            "n_frames": pa.array([m["n_frames"] for m in metas], pa.int64()),
+            "width": pa.array([m.get("width") for m in metas], pa.int64()),
+            "height": pa.array([m.get("height") for m in metas],
+                               pa.int64()),
+            "n_frames": pa.array([m.get("n_frames") for m in metas],
+                                 pa.int64()),
+            "status": pa.array([m["status"] for m in metas], pa.string()),
         })
 
 

@@ -1707,3 +1707,40 @@ def test_gap_fill(ray_session, num_parts):
     gaps = out[out.n_events == 0]
     assert gaps["min_value"].isna().all()
     assert list(out[out.user_id == 2]["win"]) == [5]
+
+
+def test_decode_stage_real_routes_all_formats(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.jpeg import make_jpeg
+    from sift_ray.functions.multimodal import (DecodeStage, make_bmp,
+                                               make_gif, make_png,
+                                               make_wav)
+    px = np.full((8, 6, 3), 128, dtype=np.uint8)
+    payloads = {
+        "bmp": make_bmp(5, 4, rgb=(10, 20, 30)),
+        "png": make_png(px),
+        "gif": make_gif([np.zeros((4, 4), np.uint8),
+                         np.ones((4, 4), np.uint8)],
+                        palette=[(0, 0, 0), (255, 255, 255)]),
+        "jpeg": make_jpeg(px),
+        "wav": make_wav(duration_s=0.01),
+        "junk": b"\x00" * 64,
+    }
+    tbl = pa.table({"doc_id": pa.array(range(len(payloads)), pa.int64()),
+                    "payload": pa.array(list(payloads.values()),
+                                        pa.binary())})
+    out = (rd.from_arrow(tbl)
+           .map_batches(DecodeStage(real=True), batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id"))
+    st = dict(zip(payloads.keys(), out["status"]))
+    assert st == {"bmp": "ok", "png": "ok", "gif": "ok", "jpeg": "ok",
+                  "wav": "ok", "junk": "unknown_format"}
+    by = dict(zip(payloads.keys(), out.itertuples()))
+    assert (by["bmp"].width, by["bmp"].height) == (5, 4)
+    assert (by["png"].width, by["png"].height) == (6, 8)
+    assert by["gif"].n_frames == 2
+    assert (by["jpeg"].width, by["jpeg"].height) == (6, 8)
+    assert by["wav"].n_frames > 0 and pd.isna(by["wav"].width)
+    assert pd.isna(by["junk"].width)
