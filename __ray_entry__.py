@@ -670,6 +670,20 @@ def _q_unigram_logprob(sf_dir: str):
                            top_n=50000)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Stupid-backoff bigram-LM scores (Brants et al. 2007) — the rung
+    above the unigram perplexity filter: S(w|prev) = c(prev w)/c(prev)
+    when the pruned model knows the bigram, else alpha * S_uni(w).
+    Unigram + bigram counts ride ONE gram-hash exchange (bigram keys are
+    "w1 w2" strings — unigrams never contain a space); the pruned model
+    broadcasts as sorted-hash micro-nat tables; scoring is one adjacent
+    pair-hash combine + two binary searches per batch. Integer micro-nat
+    sums -> oracle-exact vs a DuckDB lag()-window mirror."""
+    from sift_ray.functions.corpus import bigram_logprob
+    return bigram_logprob(_docs(sf_dir, ["doc_id", "text"]),
+                          top_uni=50000, top_bi=100000)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Rebalance languages to a 40/30/30 en/zh/es target mixture:
     per-group counts (one tiny exchange) -> data-derived md5-prefix
@@ -2104,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "mixture_sample": _q_mixture_sample,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
@@ -2634,6 +2649,53 @@ def oracle_sql() -> dict[str, str]:
                    sum(coalesce(lp.lp, oov.lp)) AS logprob_micro
             FROM words_f wf LEFT JOIN lp ON wf.w = lp.w CROSS JOIN oov
             GROUP BY wf.doc_id
+        """,
+        "bigram_logprob": """
+            WITH words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ),
+            c AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            utop AS (SELECT w, n FROM c
+                     QUALIFY row_number()
+                         OVER (ORDER BY n DESC, w ASC) <= 50000),
+            pairs AS (SELECT doc_id, pos, w,
+                             lag(w) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS pw
+                      FROM words),
+            bc AS (SELECT pw AS w1, w AS w2, count(*) AS n12 FROM pairs
+                   WHERE pw IS NOT NULL GROUP BY 1, 2),
+            btop AS (SELECT w1, w2, n12
+                     FROM bc JOIN utop u1 ON u1.w = bc.w1
+                     QUALIFY row_number()
+                         OVER (ORDER BY n12 DESC,
+                               w1 || ' ' || w2 ASC) <= 100000),
+            scored AS (
+                SELECT p.doc_id,
+                       CASE
+                           WHEN p.pw IS NULL THEN
+                               CAST(round(ln(coalesce(u.n, 0.5) / t.total)
+                                          * 1000000) AS BIGINT)
+                           WHEN b.n12 IS NOT NULL THEN
+                               CAST(round(ln(b.n12 / u1.n)
+                                          * 1000000) AS BIGINT)
+                           ELSE
+                               CAST(round(ln(0.4 * coalesce(u.n, 0.5)
+                                             / t.total)
+                                          * 1000000) AS BIGINT)
+                       END AS lp
+                FROM pairs p CROSS JOIN t
+                LEFT JOIN utop u ON u.w = p.w
+                LEFT JOIN btop b ON b.w1 = p.pw AND b.w2 = p.w
+                LEFT JOIN utop u1 ON u1.w = p.pw)
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(lp) AS logprob_micro
+            FROM scored GROUP BY doc_id
         """,
         "mixture_sample": """
             WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.3),

@@ -1018,6 +1018,249 @@ def unigram_logprob(ds, top_n: int = 50000, text_col: str = "text",
         batch_format="pyarrow")
 
 
+class _BigramScoreStage:
+    """Per-batch stupid-backoff bigram scoring against broadcast sorted
+    (hash -> micro-nat) tables: split, hash, one adjacent-pair hash
+    combine, two binary searches, segment-sum — no token-level Python."""
+
+    def __init__(self, state_ref, text_col: str, id_col: str):
+        import ray
+        st = ray.get(state_ref)
+        self.uh, self.lp_first, self.lp_back = (st["uh"], st["lp_first"],
+                                                st["lp_back"])
+        self.bh, self.lp_bi = st["bh"], st["lp_bi"]
+        self.lp_oov_first = st["lp_oov_first"]
+        self.lp_oov_back = st["lp_oov_back"]
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def _lookup(sorted_h: np.ndarray, vals: np.ndarray,
+                h: np.ndarray):
+        """(hit_mask, value_at_hit) for each h against the sorted table."""
+        if len(sorted_h) == 0 or len(h) == 0:
+            return np.zeros(len(h), bool), np.zeros(len(h), np.int64)
+        pos = np.searchsorted(sorted_h, h)
+        pos_c = np.minimum(pos, len(sorted_h) - 1)
+        hit = sorted_h[pos_c] == h
+        return hit, vals[pos_c]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "logprob_micro": pa.array([], pa.int64())})
+        splits = pc.split_pattern(batch.column(self.text_col), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        n_rows, n = batch.num_rows, len(parent)
+        if n == 0:
+            return empty
+        wh = _hash_word_array(flat)
+        uni_hit, uni_val_first = self._lookup(self.uh, self.lp_first, wh)
+        _, uni_val_back = self._lookup(self.uh, self.lp_back, wh)
+        # token i (i>=1, same doc as i-1) is conditioned on token i-1
+        first = np.ones(n, bool)
+        first[1:] = parent[1:] != parent[:-1]
+        lp = np.where(uni_hit, uni_val_back,
+                      self.lp_oov_back).astype(np.float64)
+        lp[first] = np.where(uni_hit[first], uni_val_first[first],
+                             self.lp_oov_first)
+        if n > 1:
+            gh = _gram_hashes(wh, 2)          # pair (i, i+1) at index i
+            bi_hit, bi_val = self._lookup(self.bh, self.lp_bi, gh)
+            tgt = ~first
+            tgt_idx = np.nonzero(tgt)[0]
+            hit_here = bi_hit[tgt_idx - 1]
+            lp[tgt_idx[hit_here]] = bi_val[tgt_idx - 1][hit_here]
+        sums = np.bincount(parent, weights=lp, minlength=n_rows)
+        toks = np.bincount(parent, minlength=n_rows)
+        nz = toks > 0
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_tokens": pa.array(toks[nz].astype(np.int64), pa.int64()),
+            "logprob_micro": pa.array(sums[nz].astype(np.int64),
+                                      pa.int64()),
+        })
+
+
+def bigram_logprob(ds, top_uni: int = 50000, top_bi: int = 100000,
+                   alpha: float = 0.4, oov_count: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_parts: Optional[int] = None):
+    """Per-document bigram language-model score with STUPID BACKOFF —
+    the next quality-filter rung above ``unigram_logprob`` (CCNet trains
+    a KenLM n-gram model; stupid backoff is the web-scale variant from
+    Brants et al. 2007, "Large Language Models in Machine Translation"):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram known
+                         = alpha * S_uni(w_i)            otherwise
+        S_uni(w) = c(w)/total if w in vocab else oov_count/total
+        first token of a document scores S_uni without the alpha penalty
+
+    Pass 1 trains in ONE corpus scan: per-batch value_counts of both
+    unigrams and adjacent-pair bigram strings ("w1 w2" — unigrams never
+    contain a space, so one gram key space holds both kinds) ride ONE
+    gram-hash exchange; the model is then pruned exactly as a production
+    backoff LM is shipped — the ``top_uni`` unigrams and the ``top_bi``
+    bigrams whose left word stayed in vocab (count DESC, gram ASC
+    tiebreaks), selected by per-partition local-topk combiners so the
+    driver merges <= num_parts * k candidate rows. Pass 2 broadcasts the
+    pruned (sorted hash -> micro-nat) tables via ``ray.put`` and scores
+    every batch vectorized. Log-probs are quantized to integer
+    MICRO-NATS exactly like ``unigram_logprob``, so per-document sums
+    are order-free exact integers and the whole operator is
+    oracle-comparable against a DuckDB window-SQL mirror. Returns
+    (doc_id, n_tokens, logprob_micro).
+
+    ``ds`` is executed twice (train + score) — pass a re-readable
+    Dataset or materialize upstream.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from .shuffle import TaskStage
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "logprob_micro": pa.array([], pa.int64())})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep)), parent[keep]
+        grams, kinds, ns = [], [], []
+        vc = flat.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        grams.append(vc.field("values"))
+        kinds.append(np.zeros(len(vc), np.int8))
+        ns.append(pc.cast(vc.field("counts"), pa.int64()))
+        if len(parent) > 1:
+            adj = parent[1:] == parent[:-1]
+            if adj.any():
+                m = pa.array(adj)
+                left = flat.slice(0, len(flat) - 1).filter(m)
+                right = flat.slice(1).filter(m)
+                bi = pc.binary_join_element_wise(left, right, " ")
+                bvc = bi.value_counts()
+                if isinstance(bvc, pa.ChunkedArray):
+                    bvc = bvc.combine_chunks()
+                grams.append(bvc.field("values"))
+                kinds.append(np.ones(len(bvc), np.int8))
+                ns.append(pc.cast(bvc.field("counts"), pa.int64()))
+        return pa.table({
+            "gram": pa.concat_arrays([g.combine_chunks()
+                                      if isinstance(g, pa.ChunkedArray)
+                                      else g for g in grams]),
+            "kind": pa.array(np.concatenate(kinds), pa.int8()),
+            "n": pa.concat_arrays([x.combine_chunks()
+                                   if isinstance(x, pa.ChunkedArray)
+                                   else x for x in ns]),
+        })
+
+    def gram_keys(batch: pa.Table):
+        import polars as pl
+        h = pl.from_arrow(batch.column("gram")).hash(seed=0)
+        return [h.to_numpy().view(np.int64)]
+
+    counts = partitioned_group_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["gram", "kind"], [("n", "sum", "n")], num_parts=num_parts,
+        key_arrays_fn=gram_keys).materialize()
+
+    def uni_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), 0))
+
+    total = (counts.map_batches(uni_only, batch_format="pyarrow")
+             .sum("n") or 0)
+    if total == 0:
+        return rd.from_arrow(empty)
+
+    def local_topk_uni(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf.kind == 0]
+        return pdf.sort_values(["n", "gram"],
+                               ascending=[False, True]).head(top_uni)
+
+    utop = (counts.map_batches(local_topk_uni, batch_format="pandas")
+            .to_pandas().sort_values(["n", "gram"],
+                                     ascending=[False, True])
+            .head(top_uni).reset_index(drop=True))
+    uh_raw = _hash_word_array(pa.array(utop["gram"].tolist(), pa.string()))
+    uh_set = np.sort(uh_raw)
+
+    _cand_schema = pa.schema([("gram", pa.string()), ("kind", pa.int8()),
+                              ("n", pa.int64())])
+
+    def local_topk_bi(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl.column("kind"), 1))
+        if tbl.num_rows == 0:
+            return _cand_schema.empty_table()
+        pdf = tbl.to_pandas()
+        w1 = pdf["gram"].str.split(" ", n=1).str[0]
+        h1 = _hash_word_array(pa.array(w1.tolist(), pa.string()))
+        pos = np.searchsorted(uh_set, h1)
+        pos_c = np.minimum(pos, max(len(uh_set) - 1, 0))
+        in_vocab = (len(uh_set) > 0) & (uh_set[pos_c] == h1)
+        pdf = pdf[in_vocab].sort_values(
+            ["n", "gram"], ascending=[False, True]).head(top_bi)
+        return pa.Table.from_pandas(pdf, schema=_cand_schema,
+                                    preserve_index=False)
+
+    btop = (counts.map_batches(local_topk_bi, batch_format="pyarrow")
+            .to_pandas().sort_values(["n", "gram"],
+                                     ascending=[False, True])
+            .head(top_bi).reset_index(drop=True))
+
+    ftotal = float(total)
+    un = utop["n"].to_numpy(np.float64)
+    lp_first = np.round(np.log(un / ftotal) * 1e6).astype(np.int64)
+    lp_back = np.round(np.log(alpha * un / ftotal) * 1e6).astype(np.int64)
+    order = np.argsort(uh_raw, kind="stable")
+    uni_count = dict(zip(utop["gram"], utop["n"]))
+
+    if len(btop):
+        parts = btop["gram"].str.split(" ", n=1)
+        w1 = pa.array(parts.str[0].tolist(), pa.string())
+        w2 = pa.array(parts.str[1].tolist(), pa.string())
+        bh_raw = (_hash_word_array(w1) * _GRAM_MIX) ^ _hash_word_array(w2)
+        c1 = np.array([uni_count[g] for g in parts.str[0]], np.float64)
+        lp_bi = np.round(np.log(btop["n"].to_numpy(np.float64) / c1)
+                         * 1e6).astype(np.int64)
+        border = np.argsort(bh_raw, kind="stable")
+        bh_sorted, lp_bi_sorted = bh_raw[border], lp_bi[border]
+    else:
+        bh_sorted = np.empty(0, np.uint64)
+        lp_bi_sorted = np.empty(0, np.int64)
+
+    state = {
+        "uh": uh_raw[order], "lp_first": lp_first[order],
+        "lp_back": lp_back[order],
+        "bh": bh_sorted, "lp_bi": lp_bi_sorted,
+        "lp_oov_first": np.int64(round(
+            float(np.log(oov_count / ftotal)) * 1e6)),
+        "lp_oov_back": np.int64(round(
+            float(np.log(alpha * oov_count / ftotal)) * 1e6)),
+    }
+    ref = ray.put(state)
+    return ds.map_batches(
+        TaskStage(_BigramScoreStage, state_ref=ref, text_col=text_col,
+                  id_col=id_col),
+        batch_format="pyarrow")
+
+
 def bm25_topk(ds, query_terms: Sequence[str], k: int = 20,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id"):

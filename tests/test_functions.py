@@ -1054,6 +1054,74 @@ def test_unigram_logprob_partition_invariant(ray_session):
     assert a.equals(b)
 
 
+def test_bigram_logprob_backoff_and_pruning(ray_session):
+    """Stupid-backoff scoring against a direct python replica: known
+    bigrams score c12/c1, unknown bigrams back off to alpha * unigram,
+    OOV words take the alpha * oov mass, first tokens score unigram
+    without alpha, and the prune caps (top_uni / top_bi with count DESC
+    gram ASC tiebreaks, bigram left word must stay in vocab) apply."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import bigram_logprob
+
+    texts = {1: "a b a b c", 2: "a b x", 3: "c a b", 4: "", 5: "q"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = (bigram_logprob(ds, top_uni=3, top_bi=2, alpha=0.4,
+                          oov_count=0.5, num_parts=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # unigrams: a=4, b=4, c=2, x=1, q=1, total=12; top3 = a, b, c.
+    # bigrams with w1 in {a,b,c}: "a b"=4 (docs 1x2 + 2 + 3), "b a"=1,
+    # "b c"=1, "b x"=1, "c a"=1; top2 by (n DESC, gram ASC) = "a b",
+    # "b a".
+    total = 12.0
+    uni = {"a": 4, "b": 4, "c": 2}
+    bi = {("a", "b"): (4, 4), ("b", "a"): (1, 4)}  # (c12, c1)
+    def lp_uni(w, first):
+        p = (uni[w] if w in uni else 0.5) / total
+        if not first:
+            p *= 0.4
+        return round(math.log(p) * 1e6)
+    def score(t):
+        ws = [w for w in t.split(" ") if w]
+        s, prev = 0, None
+        for i, w in enumerate(ws):
+            if i == 0:
+                s += lp_uni(w, True)
+            elif (prev, w) in bi:
+                c12, c1 = bi[(prev, w)]
+                s += round(math.log(c12 / c1) * 1e6)
+            else:
+                s += lp_uni(w, False)
+            prev = w
+        return len(ws), s
+    assert list(got["doc_id"]) == [1, 2, 3, 5]  # empty doc 4 -> no row
+    for _, row in got.iterrows():
+        n, s = score(texts[row["doc_id"]])
+        assert row["n_tokens"] == n and row["logprob_micro"] == s
+
+
+def test_bigram_logprob_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import bigram_logprob
+
+    rng = np.random.default_rng(13)
+    texts = [" ".join(f"w{rng.integers(0, 120)}" for _ in range(25))
+             for _ in range(300)]
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    a = (bigram_logprob(rd.from_arrow(tbl), top_uni=100, top_bi=400)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_logprob(rd.from_arrow(tbl).repartition(13), top_uni=100,
+                        top_bi=400, num_parts=7)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+
+
 def test_bm25_topk_matches_reference(ray_session):
     """Distributed BM25 vs a direct python computation, including rare
     vs common term idf contrast and the (score, doc_id) tiebreak."""
