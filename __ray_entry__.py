@@ -1580,6 +1580,18 @@ def _q_event_funnel(sf_dir: str):
     return funnel_counts(ds, ["view", "click", "purchase"])
 
 
+def _q_orders_profile(sf_dir: str):
+    """Distributed table profiler (ANALYZE/describe): per column — row
+    count, null count, EXACT distinct count, typed min/max. One corpus
+    scan with a map-side distinct combiner; everything rides ONE
+    (col, value)-hash exchange; the driver merges num_parts x C partial
+    rows. Oracle-exact vs per-column UNION ALL SQL."""
+    import ray.data as rd
+    from sift_ray.functions.analytic import profile_table
+    return profile_table(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet")))
+
+
 def _q_qty_price_corr(sf_dir: str):
     """Pearson correlation of lineitem quantity and price cents from
     EXACT distributed integer moments (overflow-safe hi/lo split sums,
@@ -2138,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "event_funnel": _q_event_funnel,
         "qty_price_corr": _q_qty_price_corr,
+        "orders_profile": _q_orders_profile,
         "source_fields": _q_source_fields,
         "source_quality_gate": _q_source_quality_gate,
         "length_lang_auc": _q_length_lang_auc,
@@ -3033,6 +3046,53 @@ def oracle_sql() -> dict[str, str]:
         "exact_distinct_users": """
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events
+        """,
+        "orders_profile": """
+            SELECT 'o_custkey' AS col, count(*) AS n_rows,
+                   count(*) - count(o_custkey) AS n_nulls,
+                   count(DISTINCT o_custkey) AS n_distinct,
+                   CAST(min(o_custkey) AS DOUBLE) AS min_num,
+                   CAST(max(o_custkey) AS DOUBLE) AS max_num,
+                   NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+                   CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+                   NULL::VARCHAR, NULL::VARCHAR
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*),
+                   count(*) - count(o_orderkey),
+                   count(DISTINCT o_orderkey),
+                   CAST(min(o_orderkey) AS DOUBLE),
+                   CAST(max(o_orderkey) AS DOUBLE),
+                   NULL::VARCHAR, NULL::VARCHAR
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   NULL::DOUBLE, NULL::DOUBLE,
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   NULL::DOUBLE, NULL::DOUBLE,
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS DOUBLE),
+                   CAST(max(o_totalprice) AS DOUBLE),
+                   NULL::VARCHAR, NULL::VARCHAR
+            FROM orders
         """,
         "qty_price_corr": """
             WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,

@@ -670,3 +670,160 @@ def auc_exact(ds, label_col: str, score_col: str,
         "auc": pa.array([auc], pa.float64()),
         "n_pos": pa.array([n_pos], pa.int64()),
         "n_neg": pa.array([n_neg], pa.int64())}))
+
+
+_PROFILE_SCHEMA = pa.schema([
+    ("col", pa.string()), ("kind", pa.int8()), ("v", pa.string()),
+    ("n", pa.int64()), ("n_nulls", pa.int64()),
+    ("min_num", pa.float64()), ("max_num", pa.float64()),
+    ("min_str", pa.string()), ("max_str", pa.string()),
+])
+
+_PROFILE_OUT = pa.schema([
+    ("col", pa.string()), ("n_rows", pa.int64()), ("n_nulls", pa.int64()),
+    ("n_distinct", pa.int64()), ("min_num", pa.float64()),
+    ("max_num", pa.float64()), ("min_str", pa.string()),
+    ("max_str", pa.string()),
+])
+
+
+def _norm_to_string(col):
+    """Injective per-column-type normalization of values to strings for
+    exact distinct counting (Arrow's float formatting is shortest
+    round-trippable, so doubles stay injective; timestamps go through
+    their int64 micros; binary through hex). Caveat shared with any
+    repr-based distinct: -0.0 vs 0.0 and NaN payloads count as distinct
+    where SQL's value equality would merge them."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return col
+    if pa.types.is_timestamp(t):
+        col = pc.cast(col, pa.int64())
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.array([None if v is None else v.hex()
+                         for v in col.to_pylist()], pa.string())
+    return pc.cast(col, pa.string())
+
+
+def profile_table(ds, cols: Optional[Sequence[str]] = None,
+                  num_parts: Optional[int] = None):
+    """One-pass distributed table profiler (the engine's ANALYZE /
+    ``describe``): per column — row count, null count, EXACT distinct
+    count, and min/max (numeric columns in ``min_num``/``max_num``,
+    timestamps as epoch micros; string columns in ``min_str``/
+    ``max_str``).
+
+    Scale shape: a single corpus scan emits, per batch, C stat partial
+    rows (counts + min/max — tree-foldable constants) plus the batch's
+    per-column DISTINCT values normalized to strings (the map-side
+    distinct combiner, so duplicated values never leave the batch). All
+    rows ride ONE (col, value)-hash exchange; each partition folds its
+    stat partials and counts its globally-unique (col, value) pairs, so
+    the driver merges only num_parts x C partial rows. Distinct
+    counting never holds more than a partition's unique values in
+    memory — there is no driver-side value set.
+
+    No reference analog (chriscorrea/sift has no table statistics,
+    SURVEY.md §2.8); this is the standard profiling step before
+    corpus-prep decisions (mixture weights, cap thresholds, skew
+    checks). Oracle-exact vs per-column UNION ALL SQL.
+    """
+    import polars as pl
+    import ray.data as rd
+
+    from .shuffle import add_hash_partition
+
+    names = list(cols) if cols is not None else list(ds.schema().names)
+    P = num_parts or default_num_parts()
+
+    def partials(tbl: pa.Table) -> pa.Table:
+        out_cols = {f.name: [] for f in _PROFILE_SCHEMA}
+        for name in names:
+            col = tbl.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n, nn = len(col), col.null_count
+            row = dict(col=name, kind=0, v=None, n=n, n_nulls=nn,
+                       min_num=None, max_num=None, min_str=None,
+                       max_str=None)
+            if n - nn > 0:
+                t = col.type
+                if pa.types.is_string(t) or pa.types.is_large_string(t):
+                    mm = pc.min_max(col)
+                    row["min_str"] = mm["min"].as_py()
+                    row["max_str"] = mm["max"].as_py()
+                elif not (pa.types.is_binary(t)
+                          or pa.types.is_large_binary(t)):
+                    num = (pc.cast(col, pa.int64())
+                           if pa.types.is_timestamp(t) else col)
+                    mm = pc.min_max(num)
+                    row["min_num"] = float(mm["min"].as_py())
+                    row["max_num"] = float(mm["max"].as_py())
+            for k, lst in out_cols.items():
+                lst.append(row[k])
+            uniq = _norm_to_string(col).drop_null().unique()
+            for u in uniq.to_pylist():
+                out_cols["col"].append(name)
+                out_cols["kind"].append(1)
+                out_cols["v"].append(u)
+                for k in ("n", "n_nulls", "min_num", "max_num",
+                          "min_str", "max_str"):
+                    out_cols[k].append(None)
+        return pa.Table.from_pydict(out_cols, schema=_PROFILE_SCHEMA)
+
+    def keys(batch: pa.Table):
+        h = pl.from_arrow(
+            batch.column("v").fill_null("\x00<stat>")).hash(seed=0)
+        hc = pl.from_arrow(batch.column("col")).hash(seed=1)
+        return [h.to_numpy().view(np.int64),
+                hc.to_numpy().view(np.int64)]
+
+    parted = add_hash_partition(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["col", "v"], P, key_arrays_fn=keys)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        stats = tbl.filter(pc.equal(tbl.column("kind"), 0))
+        dv = tbl.filter(pc.equal(tbl.column("kind"), 1))
+        agg = (stats.select(["col", "n", "n_nulls", "min_num", "max_num",
+                             "min_str", "max_str"])
+               .group_by("col")
+               .aggregate([("n", "sum"), ("n_nulls", "sum"),
+                           ("min_num", "min"), ("max_num", "max"),
+                           ("min_str", "min"), ("max_str", "max")]))
+        nd = (dv.select(["col", "v"]).group_by("col")
+              .aggregate([("v", "count_distinct")]))
+        out = agg.join(nd, "col", join_type="full outer",
+                       right_suffix="_r")
+        return pa.table({
+            "col": out.column("col"),
+            "n_rows": pc.coalesce(out.column("n_sum"), 0),
+            "n_nulls": pc.coalesce(out.column("n_nulls_sum"), 0),
+            "n_distinct": pc.coalesce(
+                pc.cast(out.column("v_count_distinct"), pa.int64()), 0),
+            "min_num": out.column("min_num_min"),
+            "max_num": out.column("max_num_max"),
+            "min_str": out.column("min_str_min"),
+            "max_str": out.column("max_str_max"),
+        })
+
+    parts = (parted.groupby("part")
+             .map_groups(lambda t: fold(t.drop_columns("part")),
+                         batch_format="pyarrow")
+             .to_arrow_refs())
+    import ray
+    folded = pa.concat_tables(
+        [t for t in ray.get(parts) if t.num_rows > 0])
+    if folded.num_rows == 0:
+        return rd.from_arrow(_PROFILE_OUT.empty_table())
+    final = (folded.group_by("col")
+             .aggregate([("n_rows", "sum"), ("n_nulls", "sum"),
+                         ("n_distinct", "sum"), ("min_num", "min"),
+                         ("max_num", "max"), ("min_str", "min"),
+                         ("max_str", "max")])
+             .rename_columns(["col", "n_rows", "n_nulls", "n_distinct",
+                              "min_num", "max_num", "min_str",
+                              "max_str"]))
+    final = final.take(
+        pc.sort_indices(final.column("col")))
+    return rd.from_arrow(final.cast(_PROFILE_OUT))

@@ -765,3 +765,57 @@ def test_auc_exact_extremes(ray_session):
         one = pd.DataFrame({"score": np.arange(10, dtype=np.int64),
                             "label": np.ones(10, dtype=np.int64)})
         auc_exact(rd.from_pandas(one), "label", "score").to_pandas()
+
+
+def test_profile_table_stats_and_distinct(ray_session):
+    """Counts, nulls, exact distinct, typed min/max against a direct
+    computation — including a null-bearing int column, a double column,
+    a timestamp (epoch-micros min/max), a string column, and a binary
+    column (distinct via hex, no min/max)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.analytic import profile_table
+
+    tbl = pa.table({
+        "i": pa.array([1, None, 2, 2, None, 3], pa.int64()),
+        "f": pa.array([0.5, 0.5, 1.25, None, 2.0, 2.0], pa.float64()),
+        "s": pa.array(["b", "a", None, "a", "c", "c"], pa.string()),
+        "t": pa.array([10, 20, 20, None, 30, 30], pa.timestamp("us")),
+        "b": pa.array([b"\x00\x01", b"\x00\x01", None, b"\xff", b"",
+                       b"\xff"], pa.binary()),
+    })
+    out = (profile_table(rd.from_arrow(tbl).repartition(3), num_parts=5)
+           .to_pandas().set_index("col"))
+    assert list(out.index) == ["b", "f", "i", "s", "t"]
+    assert (out["n_rows"] == 6).all()
+    assert out.loc["i", "n_nulls"] == 2 and out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_num"] == 1.0 and out.loc["i", "max_num"] == 3.0
+    assert out.loc["f", "n_distinct"] == 3
+    assert out.loc["f", "min_num"] == 0.5 and out.loc["f", "max_num"] == 2.0
+    assert out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "c"
+    assert pd.isna(out.loc["s", "min_num"])
+    assert out.loc["t", "n_distinct"] == 3
+    assert out.loc["t", "min_num"] == 10.0 and out.loc["t", "max_num"] == 30.0
+    assert out.loc["b", "n_distinct"] == 3 and out.loc["b", "n_nulls"] == 1
+    assert pd.isna(out.loc["b", "min_num"]) and pd.isna(out.loc["b", "min_str"])
+
+
+def test_profile_table_partition_invariant_and_all_null(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.analytic import profile_table
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 50, 500), pa.int64()),
+        "v": pa.array(rng.random(500), pa.float64()),
+        "z": pa.array([None] * 500, pa.string()),
+    })
+    a = profile_table(rd.from_arrow(tbl), num_parts=4).to_pandas()
+    b = (profile_table(rd.from_arrow(tbl).repartition(9), num_parts=11)
+         .to_pandas())
+    assert a.equals(b)
+    z = a.set_index("col").loc["z"]
+    assert z["n_nulls"] == 500 and z["n_distinct"] == 0
+    assert pd.isna(z["min_str"])
