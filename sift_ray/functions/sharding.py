@@ -181,3 +181,101 @@ def global_rank(ds, value_col: str, id_col: str = "doc_id",
         })
 
     return parted.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
+def write_shard_files(docs, shards, out_dir: str, groups: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_parts: Optional[int] = None):
+    """Materialize packed training shards as PHYSICAL parquet files —
+    the step after ``token_shards`` assigns (doc_id, shard_id): a
+    trainer streams ``out_dir/part-{g:05d}/shard-{id:012d}.parquet``
+    files, each holding its shard's documents in pack order.
+
+    Scale shape: the docs table joins the shard-assignment table on
+    doc_id through the distributed ``hash_join`` (ONE key exchange),
+    then rows ride one more exchange keyed on ``shard_id % groups`` so
+    every output group is written by exactly one task. Each group task
+    sorts its rows by (shard_id, start_offset), writes one parquet file
+    per shard into the group's temp dir, and COMMITS the group through
+    the manifest protocol (atomic dir rename + manifest row) — so a
+    restarted job skips committed groups map-side before the join
+    exchange, and a retried task observes the commit and no-ops.
+    Commit-by-rename assumes the shared filesystem / object store the
+    whole manifest protocol targets (same as ``run_extract_job``).
+
+    Returns the manifest summary dict (plus per-group rows under
+    ``"groups"``). Deterministic: file contents are a pure function of
+    the input tables, independent of partitioning.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import Manifest
+    from .shuffle import hash_join
+
+    manifest = Manifest(out_dir)
+    done = np.array(sorted(g for g in range(groups)
+                           if manifest.is_done(g)), dtype=np.int64)
+
+    if len(done) < groups:
+        joined = hash_join(docs, shards, on=id_col, how="inner",
+                           num_parts=num_parts)
+
+        def add_group(t: pa.Table) -> pa.Table:
+            g = (t.column("shard_id").to_numpy(zero_copy_only=False)
+                 % np.int64(groups)).astype(np.int64)
+            keep = ~np.isin(g, done)
+            t = t.append_column("part", pa.array(g, pa.int64()))
+            return t.filter(pa.array(keep))
+
+        def write_group(t: pa.Table) -> pa.Table:
+            g = int(t.column("part")[0].as_py())
+            stats_schema = pa.schema([
+                ("grp", pa.int64()), ("n_shards", pa.int64()),
+                ("n_docs", pa.int64()), ("n_tokens", pa.int64())])
+            m = Manifest(out_dir)
+            if m.is_done(g):  # task retry after commit: no-op
+                return stats_schema.empty_table()
+            m.cleanup_tmp(g)
+            tmp = m.tmp_partition_dir(g)
+            os.makedirs(tmp, exist_ok=True)
+            t = t.drop_columns("part")
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[("shard_id", "ascending"),
+                              ("start_offset", "ascending")]))
+            sid = t.column("shard_id").to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.diff(sid)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(sid)]))
+            for s, e in zip(starts, ends):
+                shard = t.slice(s, e - s)
+                pq.write_table(
+                    shard,
+                    os.path.join(tmp, f"shard-{int(sid[s]):012d}.parquet"))
+            n_tok = int(pc.sum(t.column("n_tokens")).as_py() or 0)
+            m.commit_partition(g, {
+                "n_shards": int(len(starts)), "n_docs": t.num_rows,
+                "n_tokens": n_tok})
+            return pa.table({
+                "grp": pa.array([g], pa.int64()),
+                "n_shards": pa.array([len(starts)], pa.int64()),
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_tokens": pa.array([n_tok], pa.int64())},
+                schema=stats_schema)
+
+        (joined.map_batches(add_group, batch_format="pyarrow")
+         .groupby("part").map_groups(write_group, batch_format="pyarrow")
+         .materialize())
+
+        # groups that received no shards never ran a task: commit them
+        # empty so the next call is a pure manifest read (instant resume)
+        for g in range(groups):
+            if not manifest.is_done(g):
+                os.makedirs(manifest.tmp_partition_dir(g), exist_ok=True)
+                manifest.commit_partition(
+                    g, {"n_shards": 0, "n_docs": 0, "n_tokens": 0})
+
+    out = manifest.summary()
+    out["groups"] = manifest.records()
+    return out

@@ -95,6 +95,27 @@ def build_docs_pipeline(pages, cfg=None,
         batch_format="pyarrow")
 
 
+def clean_docs_pipeline(docs, dedup_min_words: int = 4,
+                        strip_boilerplate: bool = False,
+                        boiler_min_docs: int = 3,
+                        boiler_max_frac: float = 0.5,
+                        num_parts: Optional[int] = None):
+    """The corpus-wide cleaning half of phase 2: optional per-host
+    boilerplate strip, then corpus-wide line dedup; returns the cleaned
+    (doc_id, text) docs whose text is what actually lands in shards."""
+    from ..functions.corpus import line_dedup
+
+    if strip_boilerplate:
+        from ..functions.corpus import boilerplate_strip
+        docs = boilerplate_strip(docs, min_docs=boiler_min_docs,
+                                 max_frac=boiler_max_frac,
+                                 host_col="host", num_parts=num_parts)
+    deduped = line_dedup(docs, min_words=dedup_min_words,
+                         num_parts=num_parts)
+    return deduped.map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+
+
 def build_shards_pipeline(docs, shard_tokens: int = 2000,
                           dedup_min_words: int = 4,
                           strip_boilerplate: bool = False,
@@ -106,19 +127,14 @@ def build_shards_pipeline(docs, shard_tokens: int = 2000,
     boilerplate strip, then corpus-wide line dedup and token-budget
     prefix-sum packing — the exchanges live here, downstream of the
     phase-1 checkpoint, so a failed run re-reads parquet, not raw HTML."""
-    from ..functions.corpus import line_dedup
     from ..functions.sharding import token_shards
 
-    if strip_boilerplate:
-        from ..functions.corpus import boilerplate_strip
-        docs = boilerplate_strip(docs, min_docs=boiler_min_docs,
-                                 max_frac=boiler_max_frac,
-                                 host_col="host", num_parts=num_parts)
-    deduped = line_dedup(docs, min_words=dedup_min_words,
-                         num_parts=num_parts)
-    deduped_docs = deduped.map_batches(
-        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
-    return token_shards(deduped_docs, shard_tokens=shard_tokens,
+    cleaned = clean_docs_pipeline(
+        docs, dedup_min_words=dedup_min_words,
+        strip_boilerplate=strip_boilerplate,
+        boiler_min_docs=boiler_min_docs, boiler_max_frac=boiler_max_frac,
+        num_parts=num_parts)
+    return token_shards(cleaned, shard_tokens=shard_tokens,
                         num_parts=num_parts)
 
 
@@ -157,6 +173,7 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
                        dedup_min_words: int = 4,
                        robots=None, user_agent: str = "sift",
                        strip_boilerplate: bool = False,
+                       write_files: bool = False, shard_groups: int = 16,
                        num_parts: Optional[int] = None) -> dict:
     """Run (or RESUME) the end-to-end web pipeline with checkpoints.
 
@@ -170,7 +187,17 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
     instantly, and an interrupted one re-runs from the docs parquet
     (minutes), not from raw pages (hours at 100 TB).
 
-    Returns {"docs": <manifest summary>, "shards": <manifest summary>}.
+    ``write_files=True`` additionally MATERIALIZES the physical training
+    shards: phase 2 then checkpoints the cleaned (post-boilerplate,
+    post-line-dedup) docs under ``out_dir/clean_docs`` — shard files
+    must carry the deduped text, not the raw extraction — computes the
+    shard table from that checkpoint, and phase 3 writes one parquet
+    file per shard under ``out_dir/shard_files/part-*/`` through
+    ``sharding.write_shard_files`` (resumable at shard-group
+    granularity, ``shard_groups`` groups).
+
+    Returns {"docs": ..., "shards": ...} manifest summaries (plus
+    "clean_docs" / "shard_files" when ``write_files``).
     """
     import time as _time
 
@@ -215,23 +242,62 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
                       "wall_s": _time.time() - t0})
         docs_manifest.commit_partition(pid, stats)
 
+    def _read_docs():
+        return rd.read_parquet(docs_dir,
+                               columns=["doc_id", "text", "host"],
+                               concurrency=_default_read_concurrency())
+
+    clean_manifest = None
+    if write_files:
+        # phase 2a: checkpoint the CLEANED docs — shard files must carry
+        # the post-dedup text, so it has to persist, not just flow
+        clean_dir = os.path.join(out_dir, "clean_docs")
+        clean_manifest = Manifest(clean_dir)
+        if not clean_manifest.is_done(0):
+            clean_manifest.cleanup_tmp(0)
+            t0 = _time.time()
+            cleaned = clean_docs_pipeline(
+                _read_docs(), dedup_min_words=dedup_min_words,
+                strip_boilerplate=strip_boilerplate, num_parts=num_parts)
+            tmp_dir = clean_manifest.tmp_partition_dir(0)
+            cleaned.write_parquet(tmp_dir)
+            stats = _stats(tmp_dir)
+            stats["wall_s"] = _time.time() - t0
+            clean_manifest.commit_partition(0, stats)
+
     shards_dir = os.path.join(out_dir, "shards")
     shards_manifest = Manifest(shards_dir)
     if not shards_manifest.is_done(0):
         shards_manifest.cleanup_tmp(0)
         t0 = _time.time()
-        docs = rd.read_parquet(docs_dir,
-                               columns=["doc_id", "text", "host"],
-                               concurrency=_default_read_concurrency())
-        shards = build_shards_pipeline(
-            docs, shard_tokens=shard_tokens,
-            dedup_min_words=dedup_min_words,
-            strip_boilerplate=strip_boilerplate, num_parts=num_parts)
+        if write_files:
+            from ..functions.sharding import token_shards
+            shards = token_shards(
+                rd.read_parquet(clean_dir,
+                                concurrency=_default_read_concurrency()),
+                shard_tokens=shard_tokens, num_parts=num_parts)
+        else:
+            shards = build_shards_pipeline(
+                _read_docs(), shard_tokens=shard_tokens,
+                dedup_min_words=dedup_min_words,
+                strip_boilerplate=strip_boilerplate, num_parts=num_parts)
         tmp_dir = shards_manifest.tmp_partition_dir(0)
         shards.write_parquet(tmp_dir)
         stats = _stats(tmp_dir)
         stats["wall_s"] = _time.time() - t0
         shards_manifest.commit_partition(0, stats)
 
-    return {"docs": docs_manifest.summary(),
-            "shards": shards_manifest.summary()}
+    out = {"docs": docs_manifest.summary(),
+           "shards": shards_manifest.summary()}
+    if write_files:
+        from ..functions.sharding import write_shard_files
+        files_summary = write_shard_files(
+            rd.read_parquet(clean_dir,
+                            concurrency=_default_read_concurrency()),
+            rd.read_parquet(os.path.join(out_dir, "shards"),
+                            concurrency=_default_read_concurrency()),
+            os.path.join(out_dir, "shard_files"), groups=shard_groups,
+            num_parts=num_parts)
+        out["clean_docs"] = clean_manifest.summary()
+        out["shard_files"] = files_summary
+    return out

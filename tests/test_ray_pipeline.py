@@ -309,3 +309,56 @@ def test_run_web_corpus_job_and_resume(ray_session, tmp_path):
     oneshot = web_corpus_pipeline(pages, shard_tokens=500).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(shards[oneshot.columns], oneshot)
+
+
+def test_run_web_corpus_job_write_files(ray_session, tmp_path):
+    """write_files=True materializes physical shard parquet files whose
+    content is the CLEANED (post-line-dedup) text, reconstructs exactly
+    the shard table of the plain path, and resumes instantly."""
+    import os
+    import time as _t
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from sift_ray.pipelines.web_pipeline import run_web_corpus_job
+    from sift_ray.sources.pages import write_pages_corpus
+
+    corpus = write_pages_corpus(str(tmp_path / "pages"), 60, 42,
+                                num_blocks=6)
+    plain_dir = str(tmp_path / "web_plain")
+    run_web_corpus_job(corpus, plain_dir, group_size=2, shard_tokens=500)
+    plain = (rd.read_parquet(plain_dir + "/shards").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+
+    out_dir = str(tmp_path / "web_files")
+    res = run_web_corpus_job(corpus, out_dir, group_size=2,
+                             shard_tokens=500, write_files=True,
+                             shard_groups=4)
+    assert res["shard_files"]["partitions"] == 4
+    withf = (rd.read_parquet(out_dir + "/shards").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, withf)
+
+    # every shard file's rows: correct shard, pack order, deduped text
+    clean = (rd.read_parquet(out_dir + "/clean_docs").to_pandas()
+             .set_index("doc_id")["text"])
+    fdir = out_dir + "/shard_files"
+    seen = []
+    for part in sorted(os.listdir(fdir)):
+        if not part.startswith("part-"):
+            continue
+        for f in sorted(os.listdir(os.path.join(fdir, part))):
+            t = pq.read_table(os.path.join(fdir, part, f)).to_pandas()
+            sid = int(f.split("-")[1].split(".")[0])
+            assert (t["shard_id"] == sid).all()
+            assert t["start_offset"].is_monotonic_increasing
+            for _, r in t.iterrows():
+                assert r["text"] == clean.loc[r["doc_id"]]
+            seen.extend(t["doc_id"].tolist())
+    assert sorted(seen) == sorted(plain["doc_id"].tolist())
+
+    t0 = _t.time()
+    run_web_corpus_job(corpus, out_dir, group_size=2, shard_tokens=500,
+                       write_files=True, shard_groups=4)
+    assert _t.time() - t0 < 5.0

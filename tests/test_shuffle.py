@@ -823,3 +823,66 @@ def test_interval_join_salted_equals_plain(ray_session):
             .reset_index(drop=True))
 
     assert run(salt=4).equals(run())
+
+
+def test_write_shard_files_pack_order_and_resume(ray_session, tmp_path):
+    """Physical shard materialization: one parquet file per shard in
+    (shard_id, start_offset) pack order, resumable at group granularity
+    (a completed run resumes instantly; a group whose commit is removed
+    is rewritten byte-identically), partition-layout invariant."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from sift_ray.functions.sharding import token_shards, write_shard_files
+
+    texts = [f"doc {i} " + " ".join(f"w{j}" for j in range(i % 7 + 2))
+             for i in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    docs = rd.from_arrow(tbl)
+    shards = token_shards(docs, shard_tokens=25).materialize()
+    out_dir = str(tmp_path / "shards_out")
+    s1 = write_shard_files(docs.repartition(5), shards, out_dir,
+                           groups=4, num_parts=6)
+    assert s1["partitions"] == 4
+
+    def read_all(d):
+        files = {}
+        for part in sorted(os.listdir(d)):
+            if not part.startswith("part-"):
+                continue
+            for f in sorted(os.listdir(os.path.join(d, part))):
+                files[f] = pq.read_table(os.path.join(d, part, f))
+        return files
+
+    files = read_all(out_dir)
+    exp = shards.to_pandas()
+    assert len(files) == exp["shard_id"].nunique()
+    all_docs = []
+    for name, t in files.items():
+        sid = int(name.split("-")[1].split(".")[0])
+        assert (t.column("shard_id").to_numpy() == sid).all()
+        offs = t.column("start_offset").to_numpy()
+        assert (np.diff(offs) > 0).all() if len(offs) > 1 else True
+        all_docs.extend(t.column("doc_id").to_pylist())
+    assert sorted(all_docs) == list(range(40))
+
+    # full resume: no group re-executes (pure manifest read)
+    s2 = write_shard_files(docs, shards, out_dir, groups=4)
+    assert s2["partitions"] == 4
+
+    # knock out one group's commit: only it is rewritten, byte-identical
+    import json
+    import shutil
+    victim = os.path.join(out_dir, "_manifest", "part-00002.json")
+    os.remove(victim)
+    shutil.rmtree(os.path.join(out_dir, "part-00002"))
+    s3 = write_shard_files(docs.repartition(3), shards, out_dir,
+                           groups=4, num_parts=3)
+    assert s3["partitions"] == 4
+    files2 = read_all(out_dir)
+    assert set(files2) == set(files)
+    for name in files:
+        assert files2[name].equals(files[name])
