@@ -684,6 +684,45 @@ def _q_bigram_logprob(sf_dir: str):
                           top_uni=50000, top_bi=100000)
 
 
+def _target_texts(sf_dir: str) -> list:
+    """The DSIR 'target domain' sample: documents with doc_id % 53 == 0
+    (a deterministic stand-in for a benchmark/domain corpus; target sets
+    are small by definition, so a driver-side collect is bounded)."""
+    import numpy as np
+
+    def pick(t):
+        import pyarrow as _pa
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(ids % 53 == 0))
+
+    t = (_docs(sf_dir, ["doc_id", "text"])
+         .map_batches(pick, batch_format="pyarrow").to_pandas())
+    return t.sort_values("doc_id")["text"].tolist()
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio of
+    target vs source hashed-ngram (uni+bi, md5-bucketed) distributions
+    with add-one smoothing, in integer micro-nats. Source distribution =
+    one corpus scan of per-batch bincounts over ONE bounded (<= B
+    groups) exchange; the B-int delta table broadcasts; the score pass
+    is zero-shuffle. Oracle-exact vs the same recurrence in SQL."""
+    from sift_ray.functions.corpus import dsir_logratio
+    return dsir_logratio(_docs(sf_dir, ["doc_id", "text"]),
+                         _target_texts(sf_dir), buckets=8192)
+
+
+def _q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling via Gumbel-top-k: key = logratio +
+    Gumbel(md5-uniform(doc_id)); the k largest keys are an exact sample
+    without replacement proportional to exp(logratio). Deterministic,
+    engine-reproducible, zero shuffle (per-batch top-k combiner)."""
+    from sift_ray.functions.corpus import dsir_logratio, dsir_sample
+    w = dsir_logratio(_docs(sf_dir, ["doc_id", "text"]),
+                      _target_texts(sf_dir), buckets=8192)
+    return dsir_sample(w, k=50)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Rebalance languages to a 40/30/30 en/zh/es target mixture:
     per-group counts (one tiny exchange) -> data-derived md5-prefix
@@ -2131,6 +2170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_sample": _q_dsir_sample,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
@@ -2709,6 +2750,144 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    sum(lp) AS logprob_micro
             FROM scored GROUP BY doc_id
+        """,
+        "dsir_weights": """
+            WITH src_words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ),
+            src_grams AS (
+                SELECT doc_id, w AS g FROM src_words
+                UNION ALL
+                SELECT doc_id, pw || ' ' || w FROM
+                    (SELECT doc_id, w,
+                            lag(w) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS pw
+                     FROM src_words)
+                WHERE pw IS NOT NULL
+            ),
+            src_b AS (SELECT doc_id,
+                             ('0x' || substr(md5(g), 1, 13))::BIGINT
+                                 % 8192 AS b
+                      FROM src_grams),
+            tgt_words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents WHERE doc_id % 53 = 0)
+            ),
+            tgt_grams AS (
+                SELECT w AS g FROM tgt_words
+                UNION ALL
+                SELECT pw || ' ' || w FROM
+                    (SELECT doc_id, w,
+                            lag(w) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS pw
+                     FROM tgt_words)
+                WHERE pw IS NOT NULL
+            ),
+            tgt_b AS (SELECT ('0x' || substr(md5(g), 1, 13))::BIGINT
+                                 % 8192 AS b
+                      FROM tgt_grams),
+            r AS (SELECT unnest(range(0, 8192)) AS b),
+            sc AS (SELECT b, count(*) AS n FROM src_b GROUP BY b),
+            tc AS (SELECT b, count(*) AS n FROM tgt_b GROUP BY b),
+            ns AS (SELECT count(*) AS n FROM src_b),
+            nt AS (SELECT count(*) AS n FROM tgt_b),
+            delta AS (
+                SELECT r.b,
+                       CAST(round(ln((coalesce(tc.n, 0) + 1)
+                                     / (nt.n + 8192)) * 1000000)
+                            AS BIGINT)
+                     - CAST(round(ln((coalesce(sc.n, 0) + 1)
+                                     / (ns.n + 8192)) * 1000000)
+                            AS BIGINT) AS d
+                FROM r LEFT JOIN sc ON sc.b = r.b
+                LEFT JOIN tc ON tc.b = r.b
+                CROSS JOIN ns CROSS JOIN nt)
+            SELECT doc_id, count(*) AS n_grams,
+                   sum(d) AS logratio_micro
+            FROM src_b JOIN delta ON delta.b = src_b.b
+            GROUP BY doc_id
+        """,
+        "dsir_sample": """
+            WITH src_words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ),
+            src_grams AS (
+                SELECT doc_id, w AS g FROM src_words
+                UNION ALL
+                SELECT doc_id, pw || ' ' || w FROM
+                    (SELECT doc_id, w,
+                            lag(w) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS pw
+                     FROM src_words)
+                WHERE pw IS NOT NULL
+            ),
+            src_b AS (SELECT doc_id,
+                             ('0x' || substr(md5(g), 1, 13))::BIGINT
+                                 % 8192 AS b
+                      FROM src_grams),
+            tgt_words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents WHERE doc_id % 53 = 0)
+            ),
+            tgt_grams AS (
+                SELECT w AS g FROM tgt_words
+                UNION ALL
+                SELECT pw || ' ' || w FROM
+                    (SELECT doc_id, w,
+                            lag(w) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS pw
+                     FROM tgt_words)
+                WHERE pw IS NOT NULL
+            ),
+            tgt_b AS (SELECT ('0x' || substr(md5(g), 1, 13))::BIGINT
+                                 % 8192 AS b
+                      FROM tgt_grams),
+            r AS (SELECT unnest(range(0, 8192)) AS b),
+            sc AS (SELECT b, count(*) AS n FROM src_b GROUP BY b),
+            tc AS (SELECT b, count(*) AS n FROM tgt_b GROUP BY b),
+            ns AS (SELECT count(*) AS n FROM src_b),
+            nt AS (SELECT count(*) AS n FROM tgt_b),
+            delta AS (
+                SELECT r.b,
+                       CAST(round(ln((coalesce(tc.n, 0) + 1)
+                                     / (nt.n + 8192)) * 1000000)
+                            AS BIGINT)
+                     - CAST(round(ln((coalesce(sc.n, 0) + 1)
+                                     / (ns.n + 8192)) * 1000000)
+                            AS BIGINT) AS d
+                FROM r LEFT JOIN sc ON sc.b = r.b
+                LEFT JOIN tc ON tc.b = r.b
+                CROSS JOIN ns CROSS JOIN nt),
+            weights AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(d) AS logratio_micro
+                FROM src_b JOIN delta ON delta.b = src_b.b
+                GROUP BY doc_id)
+            SELECT doc_id, logratio_micro,
+                   logratio_micro / 1000000.0
+                   - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 13))::BIGINT + 0.5)
+                            / 4503599627370496.0)) AS key
+            FROM weights
+            ORDER BY key DESC, doc_id LIMIT 50
         """,
         "mixture_sample": """
             WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.3),

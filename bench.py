@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "token_counts", "pricing_summary", "customers_per_nation",
         "vocab_topk", "stratified_sample", "decontaminate",
         "decontaminate_grams", "mixture_sample", "unigram_logprob",
+        "bigram_logprob", "orders_profile", "dsir_weights",
         "bm25_corpus_topk", "global_rank_by_length", "decode_wav",
         "decode_gif",
         "per_source_cap", "word_count_quantiles",

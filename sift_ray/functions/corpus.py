@@ -2004,3 +2004,170 @@ def group_mean_gate(ds, group_col: str, value_col: str, min_avg: int,
                      left_types=schema,
                      right_types={group_col: schema[group_col]},
                      num_parts=P)
+
+
+def _dsir_gram_buckets(texts, B: int):
+    """Hashed-ngram feature extraction for DSIR: word unigrams + adjacent
+    bigrams ("w1 w2"), bucketed by md5 (the engine-reproducible hash the
+    sampling family uses: bucket = int(md5(gram)[:13 hex], 16) % B, the
+    SQL mirror is ('0x' || substr(md5(g),1,13))::BIGINT % B). ``texts``
+    is a pyarrow string array; returns (bucket_ids, gram_parent_row).
+    md5 runs once per batch-unique gram, vectorized back via np.unique's
+    inverse index."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    splits = pc.split_pattern(texts, " ")
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = pc.list_flatten(splits)
+    parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat, parent = flat.filter(pa.array(keep)), parent[keep]
+    grams = [flat.to_numpy(zero_copy_only=False)]
+    parents = [parent]
+    if len(parent) > 1:
+        adj = parent[1:] == parent[:-1]
+        if adj.any():
+            m = pa.array(adj)
+            bi = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 1).filter(m),
+                flat.slice(1).filter(m), " ")
+            grams.append(bi.to_numpy(zero_copy_only=False))
+            parents.append(parent[1:][adj])
+    g = np.concatenate(grams) if grams else np.empty(0, object)
+    p = np.concatenate(parents) if parents else np.empty(0, np.int64)
+    if len(g) == 0:
+        return np.empty(0, np.int64), p
+    uniq, inv = np.unique(g, return_inverse=True)
+    hb = np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:13], 16) % B
+         for s in uniq), dtype=np.int64, count=len(uniq))
+    return hb[inv], p
+
+
+def dsir_logratio(ds, target_texts: Sequence[str], buckets: int = 8192,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_parts: Optional[int] = None):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the log
+    importance ratio of a TARGET hashed-ngram distribution over the
+    SOURCE (raw-corpus) distribution —
+
+        logratio(doc) = sum over grams g of
+            ln p_target(bucket(g)) - ln p_source(bucket(g))
+
+    with word unigram+bigram features hashed into ``buckets`` buckets
+    and add-one smoothing: p(b) = (c[b]+1) / (N+B). Documents are then
+    importance-RESAMPLED proportional to exp(logratio) (see
+    ``dsir_sample``) to shift the corpus toward the target domain.
+
+    Scale shape: the source distribution is ONE corpus scan of
+    per-batch bincounts emitted as sparse (bucket, n) rows over one
+    bounded exchange (<= B groups); the target side is tiny by
+    definition (a benchmark/domain sample) and counts driver-side. The
+    per-bucket micro-nat delta table (B int64s) broadcasts by closure;
+    the score pass is zero-shuffle vectorized take + segment-sum.
+
+    Both ln() terms quantize to integer micro-nats separately, so
+    per-document sums are order-free exact integers and the operator is
+    oracle-comparable. Returns (doc_id, n_grams, logratio_micro);
+    documents with zero grams emit no row."""
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_grams": pa.array([], pa.int64()),
+                      "logratio_micro": pa.array([], pa.int64())})
+    B = int(buckets)
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        hb, _ = _dsir_gram_buckets(batch.column(text_col), B)
+        if len(hb) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        counts = np.bincount(hb, minlength=B)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    src_rows = (partitioned_group_agg(
+        ds.map_batches(src_partial, batch_format="pyarrow"),
+        ["bucket"], [("n", "sum", "n")], num_parts=num_parts)
+        .to_pandas())
+    cs = np.zeros(B, np.int64)
+    if len(src_rows):
+        cs[src_rows["bucket"].to_numpy()] = src_rows["n"].to_numpy()
+    Ns = int(cs.sum())
+    if Ns == 0:
+        return rd.from_arrow(empty)
+
+    tb, _ = _dsir_gram_buckets(
+        pa.array(list(target_texts), pa.string()), B)
+    ct = np.bincount(tb, minlength=B) if len(tb) else np.zeros(B, np.int64)
+    Nt = int(ct.sum())
+
+    lp_t = np.round(np.log((ct + 1.0) / float(Nt + B)) * 1e6)
+    lp_s = np.round(np.log((cs + 1.0) / float(Ns + B)) * 1e6)
+    delta = (lp_t - lp_s).astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        hb, p = _dsir_gram_buckets(batch.column(text_col), B)
+        n_rows = batch.num_rows
+        if len(hb) == 0:
+            return empty
+        sums = np.bincount(p, weights=delta[hb].astype(np.float64),
+                           minlength=n_rows)
+        ng = np.bincount(p, minlength=n_rows)
+        nz = ng > 0
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nz], pa.int64()),
+            "n_grams": pa.array(ng[nz].astype(np.int64), pa.int64()),
+            "logratio_micro": pa.array(sums[nz].astype(np.int64),
+                                       pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_sample(weights, k: int = 100, id_col: str = "doc_id",
+                weight_col: str = "logratio_micro"):
+    """Importance RESAMPLING over DSIR log-weights: the Gumbel-top-k
+    trick — key_i = logratio_i + Gumbel(md5-uniform(id_i)) and the k
+    largest keys are an exact sample without replacement proportional
+    to exp(logratio_i). Deterministic and engine-reproducible (the
+    md5-uniform rule of weighted_sample / stratified_sample; the SQL
+    mirror computes the same doubles), zero shuffle: per-batch local
+    top-k combiner, driver merges n_batches x k candidates. Ties break
+    by id ASC. Returns (id, weight_col, key)."""
+    import hashlib
+
+    import ray.data as rd
+
+    TWO52 = np.float64(4503599627370496.0)  # 2^52 = 16^13
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lw = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64) / 1e6
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        # +0.5 keeps u strictly inside (0,1): u=1 would make the
+        # Gumbel term ln(-ln(u)) = ln(0) explode (h+0.5 and the divide
+        # are still exact float64 ops, so SQL mirrors bit-for-bit)
+        u = (h.astype(np.float64) + 0.5) / TWO52
+        key = lw - np.log(-np.log(u))
+        t = pa.table({id_col: batch.column(id_col),
+                      weight_col: batch.column(weight_col),
+                      "key": pa.array(key, pa.float64())})
+        pdf = t.to_pandas().sort_values(
+            ["key", id_col], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    cands = (weights.map_batches(local_topk, batch_format="pyarrow")
+             .to_pandas())
+    top = (cands.sort_values(["key", id_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return rd.from_pandas(top)

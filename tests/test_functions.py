@@ -1812,3 +1812,73 @@ def test_decode_stage_real_routes_all_formats(ray_session):
     assert (by["jpeg"].width, by["jpeg"].height) == (6, 8)
     assert by["wav"].n_frames > 0 and pd.isna(by["wav"].width)
     assert pd.isna(by["junk"].width)
+
+
+def test_dsir_logratio_direct_replica(ray_session):
+    """DSIR hashed-ngram importance weights against a direct python
+    replica (independent md5 bucketing + add-one smoothing), including
+    empty docs (no row), bucket collisions at a tiny B, and partition
+    invariance."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import dsir_logratio
+
+    target = ["the proof of the theorem", "we derive the equation"]
+    texts = {0: "click here to buy", 1: "the proof is complete",
+             2: "", 3: "theorem of the proof", 4: "x"}
+    B = 32
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+
+    def grams(t):
+        ws = [w for w in t.split(" ") if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % B
+
+    cs, ct = [0] * B, [0] * B
+    for t in texts.values():
+        for g in grams(t):
+            cs[bucket(g)] += 1
+    for t in target:
+        for g in grams(t):
+            ct[bucket(g)] += 1
+    Ns, Nt = sum(cs), sum(ct)
+    delta = [round(math.log((ct[b] + 1) / (Nt + B)) * 1e6)
+             - round(math.log((cs[b] + 1) / (Ns + B)) * 1e6)
+             for b in range(B)]
+
+    for layout in (ds, ds.repartition(3)):
+        out = (dsir_logratio(layout, target, buckets=B, num_parts=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["doc_id"]) == [0, 1, 3, 4]  # doc 2 empty -> no row
+        for _, row in out.iterrows():
+            gs = grams(texts[row["doc_id"]])
+            assert row["n_grams"] == len(gs)
+            assert row["logratio_micro"] == sum(
+                delta[bucket(g)] for g in gs)
+
+
+def test_dsir_sample_gumbel_topk(ray_session):
+    """Gumbel-top-k resampling is deterministic, engine-reproducible,
+    and tilts toward high-logratio docs; a huge-logratio doc is always
+    chosen."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.corpus import dsir_sample
+
+    w = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "logratio_micro": pa.array(
+            [50_000_000 if i == 7 else -i * 100_000 for i in range(50)],
+            pa.int64())})
+    a = dsir_sample(rd.from_arrow(w), k=5).to_pandas()
+    b = dsir_sample(rd.from_arrow(w).repartition(7), k=5).to_pandas()
+    assert a.equals(b)
+    assert 7 in set(a["doc_id"])
+    assert len(a) == 5 and a["key"].is_monotonic_decreasing
