@@ -557,6 +557,80 @@ def _q_events_asof_join(sf_dir: str):
                      value_col="last_high_value")
 
 
+def _q_events_asof_tolerance(sf_dir: str):
+    """AS-OF join with a staleness bound (pandas merge_asof tolerance):
+    the most recent HIGH event only enriches events within 1 hour —
+    farther matches go null. Same one-exchange kernel plus a vectorized
+    distance check; oracle = a bounded correlated subquery."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "t": pc.cast(ts, pa.int64()),
+                         "value": batch.column("value")})
+
+    left = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "ts", "value"]).map_batches(
+        to_us, batch_format="pyarrow")
+    right = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts", "value"])
+             .map_batches(to_us, batch_format="pyarrow")
+             .map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("value"), 0.9))
+                   .rename_columns(["user_id", "t", "last_high_value"]),
+        batch_format="pyarrow"))
+    return asof_join(left, right, key="user_id", ts="t",
+                     value_col="last_high_value",
+                     tolerance=3_600_000_000)
+
+
+def _q_clicks_minus_purchases_all(sf_dir: str):
+    """EXCEPT ALL (bag semantics): click user occurrences minus purchase
+    user occurrences — multiplicity preserved, so a user with 5 clicks
+    and 2 purchases appears 3 times. Per-batch count combiner, ONE
+    tuple-hash exchange, count-difference replication in the kernel."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+
+    ev = lambda t: rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), t))
+                   .select(["user_id"]), batch_format="pyarrow")
+    return set_op(ev("click"), ev("purchase"), ["user_id"], "except",
+                  all_rows=True)
+
+
+def _q_user_event_concat(sf_dir: str):
+    """Distributed string_agg: each user's event-type sequence in
+    event_id order — ONE group-key exchange, partition-local lexsort +
+    per-group join; oracle-exact vs string_agg(... ORDER BY)."""
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_string_agg
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id"])
+    return grouped_string_agg(ev, "user_id", "event_type", "event_id",
+                              sep="|")
+
+
+def _q_events_ohlc(sf_dir: str):
+    """OHLC resample bars per (user, 5-min window): open/close picked by
+    (ts, event_id) order, low/high/n exact. Per-batch lexsort combiner,
+    one (user, win) exchange merging carried order keys."""
+    import ray.data as rd
+    from sift_ray.functions.windows import ohlc_window
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    return ohlc_window(ev, window_s=300)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 1/16 content-hash sample (md5 hex starts with '0') —
     the reproducible sampling primitive for eval-split carving."""
@@ -2155,7 +2229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
         "events_asof_join": _q_events_asof_join,
+        "events_asof_tolerance": _q_events_asof_tolerance,
         "events_interval_join": _q_events_interval_join,
+        "clicks_minus_purchases_all": _q_clicks_minus_purchases_all,
+        "user_event_concat": _q_user_event_concat,
+        "events_ohlc": _q_events_ohlc,
         "token_shards": _q_token_shards,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
@@ -2496,6 +2574,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.t, e.value, hi.last_high_value
             FROM e ASOF LEFT JOIN hi
               ON e.user_id = hi.user_id AND e.t >= hi.t
+        """,
+        "events_asof_tolerance": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, value
+                       FROM events)
+            SELECT e.user_id, e.t, e.value,
+                   (SELECT hi.value FROM e hi
+                    WHERE hi.user_id = e.user_id AND hi.value >= 0.9
+                      AND hi.t <= e.t AND e.t - hi.t <= 3600000000
+                    ORDER BY hi.t DESC LIMIT 1) AS last_high_value
+            FROM e
+        """,
+        "clicks_minus_purchases_all": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "user_event_concat": """
+            SELECT user_id,
+                   string_agg(event_type, '|' ORDER BY event_id) AS agg
+            FROM events GROUP BY user_id
+        """,
+        "events_ohlc": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 300000000 AS win,
+                              value, epoch_us(ts) AS tus, event_id
+                       FROM events),
+            w AS (SELECT user_id, win, value,
+                  first_value(value) OVER
+                      (PARTITION BY user_id, win
+                       ORDER BY tus, event_id) AS open,
+                  last_value(value) OVER
+                      (PARTITION BY user_id, win
+                       ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS close
+                  FROM e)
+            SELECT user_id, win, any_value(open) AS open,
+                   any_value(close) AS close, min(value) AS low,
+                   max(value) AS high, count(*) AS n_events
+            FROM w GROUP BY user_id, win
         """,
         "orders_customer_join": """
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,

@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "vocab_topk", "stratified_sample", "decontaminate",
         "decontaminate_grams", "mixture_sample", "unigram_logprob",
         "bigram_logprob", "orders_profile", "dsir_weights",
+        "events_ohlc", "user_event_concat",
         "bm25_corpus_topk", "global_rank_by_length", "decode_wav",
         "decode_gif",
         "per_source_cap", "word_count_quantiles",

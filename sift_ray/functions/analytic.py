@@ -827,3 +827,47 @@ def profile_table(ds, cols: Optional[Sequence[str]] = None,
     final = final.take(
         pc.sort_indices(final.column("col")))
     return rd.from_arrow(final.cast(_PROFILE_OUT))
+
+
+def grouped_string_agg(ds, group_col: str, value_col: str,
+                       order_col: str, sep: str = "\n",
+                       num_parts: Optional[int] = None):
+    """Distributed ``string_agg(value, sep ORDER BY order_col)`` per
+    group at unbounded group cardinality — the SQL list/concat rollup
+    (and the generalization of the doc-reassembly step the unit-dedup
+    family uses internally). ``order_col`` must totally order rows
+    within a group (unique per group) so the result is deterministic
+    and engine-reproducible.
+
+    Scale shape: ONE group-key exchange; each partition lexsorts its
+    rows by (group, order) and joins per group — no driver state.
+    Returns (group_col, agg). NULL values render as empty strings
+    (document that divergence from SQL string_agg, which SKIPS nulls —
+    pass pre-filtered input for exact SQL parity)."""
+    from .shuffle import add_hash_partition
+
+    P = num_parts or default_num_parts()
+
+    def keys(batch: pa.Table):
+        col = batch.column(group_col)
+        if pa.types.is_integer(col.type) and col.null_count == 0:
+            return [col.to_numpy(zero_copy_only=False)]
+        from .sketch import _hash64_any
+        return [_hash64_any(col).astype(np.int64)]
+
+    proj = ds.map_batches(
+        lambda t: t.select([group_col, value_col, order_col]),
+        batch_format="pyarrow")
+    parted = add_hash_partition(proj, [group_col], P, key_arrays_fn=keys)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        pdf = tbl.drop_columns("part").to_pandas()
+        pdf = pdf.sort_values([group_col, order_col], kind="stable")
+        agg = (pdf.groupby(group_col, sort=True, dropna=False)[value_col]
+               .agg(lambda s: sep.join("" if v is None else str(v)
+                                       for v in s)))
+        out = agg.reset_index()
+        out.columns = [group_col, "agg"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -340,36 +340,41 @@ def grouped_topk(ds, group_col: str, order_col: str, tiebreak_col: str,
 
 
 def set_op(left, right, cols: List[str], op: str,
-           num_parts: Optional[int] = None):
-    """Distributed SQL set operations with DISTINCT semantics:
-    ``op`` in {"except", "intersect", "union"} equals the SQL
-    ``left EXCEPT / INTERSECT / UNION right`` over the projected
-    ``cols`` tuple. NULL keys compare equal (SQL set-op semantics —
-    Arrow group_by groups nulls together, matching).
+           all_rows: bool = False, num_parts: Optional[int] = None):
+    """Distributed SQL set operations: ``op`` in {"except", "intersect",
+    "union"} equals ``left EXCEPT / INTERSECT / UNION right`` over the
+    projected ``cols`` tuple. ``all_rows=True`` switches EXCEPT and
+    INTERSECT to BAG (ALL) semantics — each output tuple is replicated
+    max(cl - cr, 0) resp. min(cl, cr) times, matching SQL ``EXCEPT ALL``
+    / ``INTERSECT ALL`` (``UNION ALL`` needs no operator: it is plain
+    ``left.union(right)``, zero shuffle). NULL keys compare equal (SQL
+    set-op semantics — Arrow group_by groups nulls together, matching).
 
-    Scale shape: per-batch DISTINCT combiner first (the exchange moves
-    one row per distinct tuple per batch with two presence flags, never
+    Scale shape: per-batch count combiner first (the exchange moves one
+    row per distinct tuple per batch with two per-side counts, never
     per input row), then ONE tuple-hash exchange; the kernel re-groups
-    by the TRUE columns and filters on per-side presence. Any-type keys
-    (strings hash map-side via blake2b; hash collisions only co-locate,
-    the kernel's true-key group-by keeps results exact). No driver
-    state; no reference analog (sift has no relational ops,
-    SURVEY.md §2.8)."""
+    by the TRUE columns, sums counts, and filters (DISTINCT) or
+    replicates (ALL). Any-type keys (strings hash map-side via blake2b;
+    hash collisions only co-locate, the kernel's true-key group-by
+    keeps results exact). No driver state; no reference analog (sift
+    has no relational ops, SURVEY.md §2.8)."""
     from .shuffle import add_hash_partition, default_num_parts
     if op not in ("except", "intersect", "union"):
         raise ValueError(f"unknown set op {op!r}")
+    if all_rows and op == "union":
+        raise ValueError("UNION ALL is plain Dataset.union — no exchange")
     P = num_parts or default_num_parts()
     cols = list(cols)
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             g = (t.select(cols).group_by(cols)
-                 .aggregate([([], "count_all")]).drop_columns("count_all"))
-            n = g.num_rows
-            ones = pa.array(np.ones(n, dtype=np.int8))
-            zeros = pa.array(np.zeros(n, dtype=np.int8))
-            return (g.append_column("in_l", zeros if side else ones)
-                     .append_column("in_r", ones if side else zeros))
+                 .aggregate([([], "count_all")]))
+            n = pc.cast(g.column("count_all"), pa.int64())
+            g = g.drop_columns("count_all")
+            zeros = pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            return (g.append_column("cl", zeros if side else n)
+                     .append_column("cr", n if side else zeros))
         return fn
 
     tagged = (left.map_batches(tag(0), batch_format="pyarrow")
@@ -390,16 +395,21 @@ def set_op(left, right, cols: List[str], op: str,
 
     def kernel(tbl: pa.Table) -> pa.Table:
         g = (tbl.drop_columns("part").group_by(cols)
-             .aggregate([("in_l", "max"), ("in_r", "max")]))
-        in_l = g.column("in_l_max")
-        in_r = g.column("in_r_max")
+             .aggregate([("cl", "sum"), ("cr", "sum")]))
+        cl = g.column("cl_sum").to_numpy(zero_copy_only=False)
+        cr = g.column("cr_sum").to_numpy(zero_copy_only=False)
+        if all_rows:
+            m = (np.maximum(cl - cr, 0) if op == "except"
+                 else np.minimum(cl, cr))
+            idx = np.repeat(np.arange(len(m)), m)
+            return g.take(pa.array(idx, pa.int64())).select(cols)
         if op == "except":
-            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 0))
+            keep = (cl > 0) & (cr == 0)
         elif op == "intersect":
-            keep = pc.and_(pc.equal(in_l, 1), pc.equal(in_r, 1))
+            keep = (cl > 0) & (cr > 0)
         else:
-            keep = pa.array(np.ones(g.num_rows, dtype=bool))
-        return g.filter(keep).select(cols)
+            keep = np.ones(g.num_rows, dtype=bool)
+        return g.filter(pa.array(keep)).select(cols)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 

@@ -478,6 +478,7 @@ def hash_join(left, right, on, how: str = "inner",
 
 def asof_join(left, right, key: str, ts: str, value_col: str,
               direction: str = "backward",
+              tolerance: Optional[int] = None,
               num_parts: Optional[int] = None):
     """Distributed AS-OF join: for each left row, the ``value_col`` of
     the LATEST right row of the same ``key`` with right.ts <= left.ts
@@ -487,6 +488,12 @@ def asof_join(left, right, key: str, ts: str, value_col: str,
     null if none — the time-series enrichment join Ray Data lacks.
     Forward reuses the backward kernel on negated timestamps (latest in
     -t == earliest in t; equality, and hence tie behavior, is preserved).
+
+    ``tolerance`` (same int unit as ``ts``): a match farther than this
+    from the left timestamp becomes null — pandas ``merge_asof``'s
+    tolerance semantics (a stale quote stops enriching trades after N
+    seconds). Applied per row after the forward-fill, so it costs one
+    vectorized subtract.
 
     Shape: tag + union + ONE key-hash exchange (each row moves once); the
     per-partition kernel lexsorts by (key, ts, side) with right rows
@@ -557,6 +564,14 @@ def asof_join(left, right, key: str, ts: str, value_col: str,
         lmask = sides == 1
         lrows = order[lmask]
         match = np.where(valid[lmask], last_r[lmask], -1)
+        if tolerance is not None:
+            # distance in the (possibly negated) sort domain is
+            # left.ts - right.ts (backward) / right.ts - left.ts
+            # (forward) — >= 0 by construction for real matches
+            m_orig = order[np.maximum(match, 0)]
+            dist = t[lrows] - t[m_orig]
+            match = np.where((match >= 0) & (dist <= tolerance),
+                             match, -1)
         vals = tbl.column(value_col).take(
             pa.array(np.where(match >= 0, order[np.maximum(match, 0)], 0),
                      pa.int64()))

@@ -452,3 +452,88 @@ def gap_fill(ds, window_s: int = 300, user_col: str = "user_id",
 
     return parted.groupby("part").map_groups(kernel,
                                              batch_format="pyarrow")
+
+
+def ohlc_window(ds, window_s: int = 300,
+                num_parts: Optional[int] = None):
+    """OHLC (open/high/low/close) per (user_id, tumbling window) — the
+    time-series resample bar: open = value of the FIRST event in the
+    window, close = value of the LAST, ordered by (ts, event_id) so
+    ties are deterministic; low/high/n_events as in tumbling_window.
+
+    Scale shape: per-batch combiner first — each batch lexsorts by
+    (user, win, ts, event_id) once and emits ONE partial row per
+    (user, win) carrying (open, its order key, close, its order key,
+    low, high, n) — then one (user, win)-hash exchange merges partials
+    with the same boundary trick (argmin/argmax are associative over
+    the carried order keys). Values are picked, never summed, so
+    doubles stay exact and the result is partition-invariant and
+    oracle-comparable against first_value/last_value window SQL."""
+    from .shuffle import add_hash_partition, default_num_parts
+
+    window_us = window_s * 1_000_000
+
+    def _fold(tbl: pa.Table, o_ts, o_eid, c_ts, c_eid, val_open,
+              val_close, low, high, n) -> pa.Table:
+        """lexsort + segment boundaries: one output row per (user, win)."""
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        win = tbl.column("win").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o_eid, o_ts, win, uid))
+        uid_s, win_s = uid[order], win[order]
+        new = np.ones(len(uid_s), dtype=bool)
+        if len(uid_s) > 1:
+            new[1:] = (uid_s[1:] != uid_s[:-1]) | (win_s[1:] != win_s[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(uid_s))
+        first_idx = order[starts]
+        # close: independent sort by the close key, take segment LAST
+        order_c = np.lexsort((c_eid, c_ts, win, uid))
+        last_idx = order_c[ends - 1]
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        inv = np.empty_like(seg)
+        inv[order] = seg  # original row index -> segment id
+        lo = np.full(len(starts), np.inf)
+        hi = np.full(len(starts), -np.inf)
+        np.minimum.at(lo, inv, low)
+        np.maximum.at(hi, inv, high)
+        cnt = np.zeros(len(starts), np.int64)
+        np.add.at(cnt, inv, n)
+        return pa.table({
+            "user_id": pa.array(uid[first_idx], pa.int64()),
+            "win": pa.array(win[first_idx], pa.int64()),
+            "o_ts": pa.array(o_ts[first_idx], pa.int64()),
+            "o_eid": pa.array(o_eid[first_idx], pa.int64()),
+            "open": pa.array(val_open[first_idx], pa.float64()),
+            "c_ts": pa.array(c_ts[last_idx], pa.int64()),
+            "c_eid": pa.array(c_eid[last_idx], pa.int64()),
+            "close": pa.array(val_close[last_idx], pa.float64()),
+            "low": pa.array(lo, pa.float64()),
+            "high": pa.array(hi, pa.float64()),
+            "n_events": pa.array(cnt, pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = add_window(batch, window_us)
+        tus = _ts_us(t.column("ts")).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return _fold(t, tus, eid, tus, eid, val, val, val, val,
+                     np.ones(len(tus), np.int64))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        g = lambda c: tbl.column(c).to_numpy(zero_copy_only=False)
+        return _fold(tbl, g("o_ts"), g("o_eid"), g("c_ts"), g("c_eid"),
+                     g("open"), g("close"), g("low"), g("high"),
+                     g("n_events"))
+
+    P = num_parts or default_num_parts()
+    parted = add_hash_partition(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "win"], P)
+    merged = parted.groupby("part").map_groups(kernel,
+                                               batch_format="pyarrow")
+    return merged.map_batches(
+        lambda t: t.drop_columns(["o_ts", "o_eid", "c_ts", "c_eid"]),
+        batch_format="pyarrow")

@@ -819,3 +819,87 @@ def test_profile_table_partition_invariant_and_all_null(ray_session):
     z = a.set_index("col").loc["z"]
     assert z["n_nulls"] == 500 and z["n_distinct"] == 0
     assert pd.isna(z["min_str"])
+
+
+def test_set_op_all_bag_semantics(ray_session):
+    """EXCEPT ALL / INTERSECT ALL replicate by count difference/minimum,
+    NULL keys compare equal, and results are partition invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.relational import set_op
+
+    l = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3, None], pa.int64())})
+    r = pa.table({"k": pa.array([1, 2, 2, 2, 4, None, None], pa.int64())})
+    for parts in (1, 3):
+        ex = (set_op(rd.from_arrow(l).repartition(parts), rd.from_arrow(r),
+                     ["k"], "except", all_rows=True, num_parts=4)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+        # l counts {1:3, 2:2, 3:1, null:1}; r {1:1, 2:3, 4:1, null:2}
+        assert ex["k"].tolist() == [1.0, 1.0, 3.0]
+        it = (set_op(rd.from_arrow(l).repartition(parts), rd.from_arrow(r),
+                     ["k"], "intersect", all_rows=True, num_parts=4)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+        vals = it["k"].tolist()
+        assert vals[:3] == [1.0, 2.0, 2.0] and pd.isna(vals[3])
+    with pytest.raises(ValueError):
+        set_op(rd.from_arrow(l), rd.from_arrow(r), ["k"], "union",
+               all_rows=True)
+
+
+def test_grouped_string_agg(ray_session):
+    """string_agg per group at distributed scale: within-group order by
+    order_col, deterministic, partition invariant; string group keys."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_string_agg
+
+    t = pa.table({"g": pa.array(["b", "a", "a", "b", "a", "c"]),
+                  "v": pa.array(["2", "x", "y", "1", "z", "q"]),
+                  "o": pa.array([2, 1, 2, 1, 3, 1], pa.int64())})
+    a = (grouped_string_agg(rd.from_arrow(t), "g", "v", "o", sep="|",
+                            num_parts=3).to_pandas()
+         .sort_values("g").reset_index(drop=True))
+    b = (grouped_string_agg(rd.from_arrow(t).repartition(4), "g", "v",
+                            "o", sep="|", num_parts=5).to_pandas()
+         .sort_values("g").reset_index(drop=True))
+    assert a.equals(b)
+    assert dict(zip(a["g"], a["agg"])) == {"a": "x|y|z", "b": "1|2",
+                                           "c": "q"}
+
+
+def test_ohlc_window_matches_pandas(ray_session):
+    """OHLC bars against a pandas replica: open/close by (ts, event_id)
+    order incl. timestamp ties, low/high/n exact, partition invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.windows import ohlc_window
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ts = rng.integers(0, 900_000, n) * 1_000_000  # us; many win ties
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "value": np.round(rng.random(n) * 100, 3),
+    })
+    out = (ohlc_window(rd.from_pandas(ev).repartition(6), window_s=300,
+                       num_parts=5).to_pandas()
+           .sort_values(["user_id", "win"]).reset_index(drop=True))
+    out2 = (ohlc_window(rd.from_pandas(ev), window_s=300, num_parts=9)
+            .to_pandas().sort_values(["user_id", "win"])
+            .reset_index(drop=True))
+    assert out.equals(out2)
+    ref = ev.copy()
+    ref["tus"] = ts
+    ref["win"] = ref["tus"] // 300_000_000
+    ref = ref.sort_values(["user_id", "win", "tus", "event_id"])
+    g = ref.groupby(["user_id", "win"])
+    exp = pd.DataFrame({
+        "open": g["value"].first(), "close": g["value"].last(),
+        "low": g["value"].min(), "high": g["value"].max(),
+        "n_events": g["value"].size().astype("int64")}).reset_index()
+    merged = out.merge(exp, on=["user_id", "win"], suffixes=("", "_e"))
+    assert len(merged) == len(exp) == len(out)
+    for c in ("open", "close", "low", "high", "n_events"):
+        assert (merged[c] == merged[c + "_e"]).all(), c

@@ -886,3 +886,34 @@ def test_write_shard_files_pack_order_and_resume(ray_session, tmp_path):
     assert set(files2) == set(files)
     for name in files:
         assert files2[name].equals(files[name])
+
+
+def test_asof_join_tolerance(ray_session):
+    """merge_asof-style tolerance: matches farther than the bound go
+    null, in both directions, ties still match at distance 0."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.shuffle import asof_join
+
+    lt = pd.DataFrame({"key": [1, 1, 1, 2], "ts": [10, 25, 100, 5],
+                       "lid": [0, 1, 2, 3]})
+    rt = pd.DataFrame({"key": [1, 1, 2], "ts": [8, 20, 50],
+                       "price": [1.0, 2.0, 3.0]})
+    out = (asof_join(rd.from_pandas(lt), rd.from_pandas(rt), "key", "ts",
+                     "price", tolerance=10, num_parts=3).to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    assert out["price"].tolist()[:2] == [1.0, 2.0]
+    assert pd.isna(out["price"][2]) and pd.isna(out["price"][3])
+    fwd = (asof_join(rd.from_pandas(lt), rd.from_pandas(rt), "key", "ts",
+                     "price", direction="forward", tolerance=10,
+                     num_parts=3).to_pandas()
+           .sort_values("lid").reset_index(drop=True))
+    assert fwd["price"][0] == 2.0
+    assert pd.isna(fwd["price"][1]) and pd.isna(fwd["price"][3])
+    # tolerance=0: only exact-timestamp ties match
+    tie = (asof_join(rd.from_pandas(pd.DataFrame(
+               {"key": [1, 1], "ts": [8, 9], "lid": [0, 1]})),
+           rd.from_pandas(rt), "key", "ts", "price", tolerance=0,
+           num_parts=2).to_pandas().sort_values("lid")
+           .reset_index(drop=True))
+    assert tie["price"][0] == 1.0 and pd.isna(tie["price"][1])
