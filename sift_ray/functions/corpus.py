@@ -1189,12 +1189,19 @@ def bigram_logprob(ds, top_uni: int = 50000, top_bi: int = 100000,
     if total == 0:
         return rd.from_arrow(empty)
 
-    def local_topk_uni(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf[pdf.kind == 0]
-        return pdf.sort_values(["n", "gram"],
-                               ascending=[False, True]).head(top_uni)
+    _cand_schema0 = pa.schema([("gram", pa.string()), ("kind", pa.int8()),
+                               ("n", pa.int64())])
 
-    utop = (counts.map_batches(local_topk_uni, batch_format="pandas")
+    def local_topk_uni(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl.column("kind"), 0))
+        if tbl.num_rows == 0:
+            return _cand_schema0.empty_table()
+        pdf = tbl.to_pandas().sort_values(
+            ["n", "gram"], ascending=[False, True]).head(top_uni)
+        return pa.Table.from_pandas(pdf, schema=_cand_schema0,
+                                    preserve_index=False)
+
+    utop = (counts.map_batches(local_topk_uni, batch_format="pyarrow")
             .to_pandas().sort_values(["n", "gram"],
                                      ascending=[False, True])
             .head(top_uni).reset_index(drop=True))
