@@ -64,6 +64,23 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="extract actor pool size (default: cpus - cpus//8)")
     ex.add_argument("--batch-size", type=int, default=None)
 
+    wj = sub.add_parser("web-job",
+                        help="run (or resume) the end-to-end web corpus "
+                             "job: pages -> extract -> clean -> shard "
+                             "table (and optional physical shard files)")
+    wj.add_argument("--input", required=True,
+                    help="parquet file or directory of the pages table")
+    wj.add_argument("--output", required=True,
+                    help="output dir (docs/, shards/ + manifests)")
+    wj.add_argument("--group-size", type=int, default=64)
+    wj.add_argument("--shard-tokens", type=int, default=2000)
+    wj.add_argument("--strip-boilerplate", action="store_true",
+                    help="CCNet per-host template-line removal")
+    wj.add_argument("--write-files", action="store_true",
+                    help="materialize one parquet file per shard "
+                         "(resumable at shard-group granularity)")
+    wj.add_argument("--shard-groups", type=int, default=16)
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -142,6 +159,15 @@ def main(argv=None) -> int:
                 args.input, args.output, _config_from_args(args),
                 group_size=args.group_size, concurrency=args.concurrency,
                 batch_size=args.batch_size, bucketed=args.bucketed)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "web-job":
+            from .pipelines.web_pipeline import run_web_corpus_job
+            summary = run_web_corpus_job(
+                args.input, args.output, group_size=args.group_size,
+                shard_tokens=args.shard_tokens,
+                strip_boilerplate=args.strip_boilerplate,
+                write_files=args.write_files,
+                shard_groups=args.shard_groups)
             print(json.dumps(summary, default=str))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus
