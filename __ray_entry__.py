@@ -817,6 +817,40 @@ def _q_per_source_cap(sf_dir: str):
                           ascending=True)
 
 
+def _q_in_doc_line_dedup(sf_dir: str):
+    """IN-document exact line dedup (RefinedWeb in-doc repetition rule):
+    within each document, a line with >= 3 words keeps only its first
+    occurrence; docs reassembled in order. ZERO shuffle — the dedup scope
+    is one document, so the whole operator is a single map_batches kernel
+    (lines minted by turning ' the ' into newlines in BOTH engines)."""
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import in_doc_line_dedup
+
+    def to_lines(batch):
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.replace_substring(batch.column("text"), " the ", "\n"))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_lines, batch_format="pyarrow")
+    return in_doc_line_dedup(ds, delimiter="\n", min_words=3)
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clustering (distributed
+    fixed-point kmeans_fit) + intra-cluster pairwise cosine pruning
+    — one cluster-keyed exchange, tiled integer-exact matmuls per
+    cluster. Returns kept (vec_id, cluster). Threshold 0.45 sits at the
+    synthetic table's p99 neighbor cosine, so the check is non-vacuous
+    (a real corpus would use ~0.95 with its genuinely duplicated
+    embeddings)."""
+    import ray.data as rd
+    from sift_ray.functions.similarity import semdedup
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds, n_clusters=8, threshold=0.45, n_iter=3)
+
+
 def _q_knn_join(sf_dir: str):
     """Exact 3-NN cosine self-join over the embeddings table (tiled
     broadcast right side, integer rank output)."""
@@ -2322,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
+        "in_doc_line_dedup": _q_in_doc_line_dedup,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
         "cosine_topk": _q_cosine_topk,
@@ -2336,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "chunk_stats": _q_chunk_stats,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "semdedup_keep": _q_semdedup,
         "cosine_topk_ivf": _q_cosine_topk_ivf,
         "tfidf_best_chunk": _q_tfidf_best_chunk,
     }
@@ -3093,6 +3129,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, line_no, line, elig,
                        row_number() OVER (PARTITION BY elig, line
                                           ORDER BY doc_id, line_no) AS rn
+                FROM marked
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+                       AS text,
+                   CAST(count(*) AS BIGINT) AS n_units
+            FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "in_doc_line_dedup": """
+            WITH lined AS (
+                SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS line_no
+                FROM lined
+            ), marked AS (
+                SELECT doc_id, line_no, line,
+                       length(regexp_extract_all(line, '[^ ]+')) >= 3
+                           AS elig
+                FROM lines
+            ), ranked AS (
+                SELECT doc_id, line_no, line, elig,
+                       row_number() OVER (PARTITION BY doc_id, elig, line
+                                          ORDER BY line_no) AS rn
                 FROM marked
             )
             SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)

@@ -225,7 +225,10 @@ def run_bench() -> dict:
         "doc_keywords", "event_funnel", "qty_price_corr",
         "source_fields", "exact_distinct_users", "source_quality_gate",
         "length_lang_auc", "quality_classifier", "regional_revenue",
-        "retention_cohorts", "events_gap_fill")
+        "retention_cohorts", "events_gap_fill",
+        "in_doc_line_dedup", "semdedup_keep", "dsir_sample",
+        "events_asof_tolerance", "clicks_minus_purchases_all",
+        "knn_join")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -337,6 +337,64 @@ def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
     return _dedup_units(units, num_parts=num_parts, join_delim=delimiter)
 
 
+def in_doc_line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """IN-document exact line deduplication (the RefinedWeb/MassiveText
+    in-doc repetition rule): within EACH document, a line with >=
+    ``min_words`` words survives only at its first occurrence; shorter
+    lines are always kept; documents are reassembled in original line
+    order. Returns (doc_id, text, n_units).
+
+    Scale shape: ZERO shuffle — the dedup scope is a single document, which
+    never straddles a batch, so the whole operator is one ``map_batches``
+    kernel: Arrow split/explode, one binary-safe group-by for the
+    first-occurrence mask, numpy-boundary reassembly. The corpus-wide
+    complement is ``line_dedup``. No reference analog (SURVEY.md §2.8)."""
+    import pyarrow.compute as pc
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(batch.column(text_col), delimiter)
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        n = len(flat)
+        row_no = pa.array(np.arange(n, dtype=np.int64))
+        wc = pc.count_substring_regex(flat, "[^ ]+")
+        elig = pc.greater_equal(wc, min_words).combine_chunks() \
+            if isinstance(wc, pa.ChunkedArray) \
+            else pc.greater_equal(wc, min_words)
+        # first occurrence per (document, line): Arrow group-by keyed on
+        # the in-batch parent row index + the line string (binary-safe)
+        firsts = (pa.table({"p": pa.array(parent, pa.int64()),
+                            "unit": flat, "_i": row_no})
+                  .group_by(["p", "unit"]).aggregate([("_i", "min")])
+                  .column("_i_min"))
+        keep_mask = pc.or_(pc.invert(elig),
+                           pc.is_in(row_no,
+                                    value_set=firsts.combine_chunks()))
+        keep = keep_mask.to_numpy(zero_copy_only=False)
+        lines = flat.to_pylist()
+        n_docs = batch.num_rows
+        # per-doc reassembly via exploded-row boundaries (rows are in
+        # (doc, line_no) order by construction)
+        bounds = np.searchsorted(parent, np.arange(n_docs + 1))
+        texts, counts = [], np.zeros(n_docs, dtype=np.int64)
+        for i in range(n_docs):
+            s, e = bounds[i], bounds[i + 1]
+            kept = [lines[j] for j in range(s, e) if keep[j]]
+            texts.append(delimiter.join(kept))
+            counts[i] = len(kept)
+        return pa.table({
+            "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_units": pa.array(counts, pa.int64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def span_dedup(ds, span_words: int = 8, id_col: str = "doc_id",
                text_col: str = "text", num_parts: Optional[int] = None):
     """Corpus-wide exact dedup of fixed-size word spans: each document's

@@ -789,3 +789,104 @@ def pca_project(ds, model: dict, vec_col: str = "embedding",
                                           pa.list_(pa.float64()))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def semdedup(ds, n_clusters: int = 8, threshold: float = 0.95,
+             n_iter: int = 5, vec_col: str = "embedding",
+             id_col: str = "vec_id", num_parts: Optional[int] = None,
+             scale_bits: int = 20, tile: int = 512):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    clustering + intra-cluster pairwise cosine pruning. A vector is DROPPED
+    when any lower-id vector in its cluster has cosine similarity >=
+    ``threshold`` (the same keep-lowest pairwise rule as
+    ``near_dedup_docs``). Returns the kept (vec_id, cluster) Dataset.
+
+    Scale shape: clustering is the distributed fixed-point ``kmeans_fit``
+    (bit-identical under any partitioning); assignment is a zero-shuffle
+    map with the centroid matrix riding the task closure (k x d ints);
+    the pairwise check is ONE cluster-keyed exchange, each cluster handled
+    whole inside its partition with tiled integer-exact matmuls (memory
+    O(tile x cluster), never the full cosine matrix). Per-cluster cost is
+    O(|c|^2 d) — size ``n_clusters`` ~ corpus / target_cluster_size so a
+    cluster fits a worker (the paper's own lever; it uses k = 50k for
+    LAION-440M). Skewed (degenerate) clusters therefore bound at
+    target_cluster_size^2, not corpus^2.
+
+    Determinism: vectors quantize to int64 micros once; dots and squared
+    norms are EXACT integer matmuls, so each pair's cosine is the same
+    float64 on any engine, tile layout, or partitioning (pinned by a
+    repartition-invariance test and a single-process numpy replica).
+    """
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition, default_num_parts
+
+    P = num_parts or default_num_parts()
+    S = np.int64(1) << scale_bits
+    C, _ = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
+                      vec_col=vec_col, id_col=id_col, num_parts=num_parts,
+                      scale_bits=scale_bits)
+    k = C.shape[0]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch.column(vec_col))
+        if mat.size == 0:
+            return pa.table({
+                "cluster": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                vec_col: pa.array([], pa.list_(pa.float64()))})
+        xq = np.round(mat * S).astype(np.int64)
+        d2 = np.empty((xq.shape[0], k), dtype=np.int64)
+        for c in range(k):
+            diff = xq - C[c]
+            d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+        # embedding column passes through unchanged (zero-copy float32 —
+        # half the exchange bytes of a float64 conversion)
+        return pa.table({
+            "cluster": pa.array(np.argmin(d2, axis=1), pa.int64()),
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            vec_col: batch.column(vec_col),
+        })
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        cl = tbl.column("cluster").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s = cl[order], ids[order]
+        mat = _to_matrix(tbl.column(vec_col))[order]
+        xq = np.round(mat * S).astype(np.int64)
+        n = len(order)
+        starts = np.flatnonzero(np.r_[True, cl_s[1:] != cl_s[:-1]]).tolist()
+        starts.append(n)
+        keep_ids, keep_cl = [], []
+        for bi in range(len(starts) - 1):
+            s, e = starts[bi], starts[bi + 1]
+            X = xq[s:e]
+            m = e - s
+            n2 = np.einsum("ij,ij->i", X, X).astype(np.float64)
+            n2[n2 == 0] = 1.0
+            dropped = np.zeros(m, dtype=bool)
+            for t0 in range(1, m, tile):
+                t1 = min(t0 + tile, m)
+                dots = X[t0:t1] @ X[:t1].T          # exact int64
+                cos = dots / np.sqrt(np.outer(n2[t0:t1], n2[:t1]))
+                rows = np.arange(t0, t1)[:, None]
+                cols = np.arange(t1)[None, :]
+                hit = (cos >= threshold) & (cols < rows)
+                dropped[t0:t1] = hit.any(axis=1)
+            kept = ~dropped
+            keep_ids.append(ids_s[s:e][kept])
+            keep_cl.append(cl_s[s:e][kept])
+        if not keep_ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(keep_ids), pa.int64()),
+            "cluster": pa.array(np.concatenate(keep_cl), pa.int64()),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    parted = add_hash_partition(assigned, ["cluster"], P)
+    return parted.groupby("part").map_groups(kernel,
+                                             batch_format="pyarrow")
+

@@ -6,6 +6,7 @@ import sys
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -1882,3 +1883,97 @@ def test_dsir_sample_gumbel_topk(ray_session):
     assert a.equals(b)
     assert 7 in set(a["doc_id"])
     assert len(a) == 5 and a["key"].is_monotonic_decreasing
+
+
+def test_in_doc_line_dedup_scope_is_per_document(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import in_doc_line_dedup
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma\nshort\nalpha beta gamma\nlast line q",
+                 "alpha beta gamma",          # cross-doc copy must SURVIVE
+                 "short\nshort\nshort"],      # ineligible lines always kept
+    })
+    out = (in_doc_line_dedup(rd.from_pandas(df), min_words=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.text[0] == "alpha beta gamma\nshort\nlast line q"
+    assert out.text[1] == "alpha beta gamma"
+    assert out.text[2] == "short\nshort\nshort"
+    assert list(out.n_units) == [3, 1, 3]
+
+
+def test_in_doc_line_dedup_nul_bytes_are_distinct(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import in_doc_line_dedup
+    # pandas multi-key hashing truncates at NUL — the Arrow group-by must
+    # keep lines that differ only AFTER an embedded NUL byte
+    a, b = "pre\x00fix one A", "pre\x00fix one B"
+    df = pd.DataFrame({"doc_id": [1], "text": [f"{a}\n{b}\n{a}"]})
+    out = in_doc_line_dedup(rd.from_pandas(df), min_words=3).to_pandas()
+    assert out.text[0] == f"{a}\n{b}"
+
+
+def test_semdedup_planted_duplicates_and_invariance(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.similarity import semdedup
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float32)
+    vecs = [v for v in base]
+    ids = list(range(40))
+    for j in range(5):  # near-copies of vec 0, higher ids -> all dropped
+        vecs.append(base[0] + rng.randn(16).astype(np.float32) * 1e-4)
+        ids.append(100 + j)
+    vecs.append(base[5].copy())  # exact copy of vec 5
+    ids.append(200)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    kept = set(semdedup(ds, n_clusters=4, threshold=0.99)
+               .to_pandas().vec_id)
+    assert 0 in kept and 5 in kept
+    assert all(100 + j not in kept for j in range(5))
+    assert 200 not in kept
+    assert all(i in kept for i in range(40))  # non-dups untouched
+    kept2 = set(semdedup(ds.repartition(7), n_clusters=4, threshold=0.99)
+                .to_pandas().vec_id)
+    assert kept2 == kept  # partition-invariant
+
+
+def test_semdedup_matches_single_process_replica(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.similarity import kmeans_fit, semdedup
+    rng = np.random.RandomState(11)
+    M = rng.randn(60, 8).astype(np.float32)
+    M[30:] = M[:30] + rng.randn(30, 8).astype(np.float32) * 0.05
+    ids = np.arange(60, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in M],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    thr = 0.9
+    kept = set(semdedup(ds, n_clusters=3, threshold=thr, n_iter=4)
+               .to_pandas().vec_id)
+    # replica: same fixed-point kmeans, same integer-exact cosine rule
+    C, _ = kmeans_fit(ds, n_clusters=3, n_iter=4)
+    S = np.int64(1) << 20
+    xq = np.round(M.astype(np.float64) * S).astype(np.int64)
+    d2 = np.stack([np.einsum("ij,ij->i", xq - C[c], xq - C[c])
+                   for c in range(3)], 1)
+    asg = np.argmin(d2, 1)
+    want = set()
+    for c in range(3):
+        sel = np.where(asg == c)[0]
+        sel = sel[np.argsort(ids[sel])]
+        X = xq[sel]
+        n2 = np.einsum("ij,ij->i", X, X).astype(np.float64)
+        n2[n2 == 0] = 1.0
+        for i in range(len(sel)):
+            if not any(float(X[i] @ X[j]) / np.sqrt(n2[i] * n2[j]) >= thr
+                       for j in range(i)):
+                want.add(int(ids[sel[i]]))
+    assert kept == want
