@@ -418,25 +418,38 @@ def regional_revenue(lineitem, orders, customer, supplier, nation, region,
                      region_name: str = "ASIA",
                      date_lo_us: int = 820454400000000,
                      date_hi_us: int = 852076800000000,
-                     num_parts: Optional[int] = None):
+                     num_parts: Optional[int] = None,
+                     broadcast_dims: int = 2_000_000,
+                     broadcast_orders: int = 2_000_000):
     """TPC-H-Q5-shaped composition: revenue per nation from lineitems
     whose customer AND supplier sit in the same nation of one region,
     within a one-year order-date window — the canonical star-schema
-    multi-join (fact table x 3 key joins x 2 broadcast dimensions).
+    multi-join (fact table x key joins x broadcast dimensions).
 
-    Plan: nation x region are dimension tables, bounded by definition
-    (25 x 5 in TPC-H) — collected once driver-side and broadcast as a
-    key set / name map (the broadcast-dimension convention). The fact
-    path is THREE distributed hash joins with map-side reduction first:
-    orders date-filter -> join customers of the region's nations (keys
-    projected map-side) -> join lineitem (which enters pre-projected to
-    (orderkey, suppkey, integer revenue)) -> join supplier keys -> the
-    same-nation requirement filters map-side after the supplier join.
-    The final per-nation aggregate is a per-batch combiner plus ONE tiny
-    exchange over <= 25 keys. Revenue is summed in integer 1e-4-dollar
-    units (cents x (100 - discount%)): distributed float sums are
-    order-dependent, integer sums are exact — value-identical to the
-    DuckDB oracle. Default window = calendar 1996."""
+    Strategy is size-gated per side (the shipping_priority pattern; both
+    paths equality-tested):
+
+    * nation x region are bounded by definition (25 x 5 in TPC-H) —
+      collected driver-side, always.
+    * customer/supplier of the region: if the filtered projection has
+      <= ``broadcast_dims`` rows, it rides the task closure as sorted
+      (key, nationkey) arrays and the join is a map-side vectorized
+      ``searchsorted`` — ZERO exchange. Else a distributed ``hash_join``.
+    * the (orderkey -> customer nation) result of the date filter + region
+      semi-join: if <= ``broadcast_orders`` rows (a one-year window of one
+      region is a small slice of the order table), lineitem is reduced in
+      ONE map-only pass — per batch: two searchsorted lookups, the
+      same-nation filter, and a <= 25-row per-nation partial — so the only
+      exchange in the whole query is the <= 25-key final sum. Else: two
+      distributed hash joins (orderkey, then suppkey) with the same-nation
+      filter + combiner folded map-side after the last join.
+
+    Revenue is summed in integer 1e-4-dollar units (cents x (100 -
+    discount%)): distributed float sums are order-dependent, integer sums
+    are exact — value-identical to the DuckDB oracle. Default window =
+    calendar 1996. Dimension nationkeys are int32 in TPC-H parquet; both
+    paths cast them to int64 MAP-SIDE so exchange blocks never mix widths.
+    """
     import pyarrow.compute as pc
 
     from .shuffle import hash_join, partitioned_group_agg
@@ -447,13 +460,22 @@ def regional_revenue(lineitem, orders, customer, supplier, nation, region,
     nat = nat[nat["n_regionkey"].isin(rkeys)]
     names = {int(k): str(v) for k, v in zip(nat["n_nationkey"],
                                             nat["n_name"])}
-    nkeys = pa.array(sorted(names), pa.int64())
+    nkeys = pa.array(sorted(names), pa.int32())
+
+    def dim_pre(key_col: str, nk_col: str, out_key: str):
+        def pre(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t.column(nk_col), value_set=nkeys)
+            sub = t.filter(keep)
+            return pa.table({
+                out_key: pc.cast(sub.column(key_col), pa.int64()),
+                nk_col: pc.cast(sub.column(nk_col), pa.int64())})
+        return pre
 
     cust = customer.map_batches(
-        lambda t: pa.table({
-            "o_custkey": t.column("c_custkey"),
-            "c_nationkey": t.column("c_nationkey")}).filter(
-                pc.is_in(t.column("c_nationkey"), value_set=nkeys)),
+        dim_pre("c_custkey", "c_nationkey", "o_custkey"),
+        batch_format="pyarrow")
+    supp = supplier.map_batches(
+        dim_pre("s_suppkey", "s_nationkey", "l_suppkey"),
         batch_format="pyarrow")
 
     def orders_pre(t: pa.Table) -> pa.Table:
@@ -465,55 +487,134 @@ def regional_revenue(lineitem, orders, customer, supplier, nation, region,
                          "l_orderkey": t.column("o_orderkey")}).filter(keep)
 
     ords = orders.map_batches(orders_pre, batch_format="pyarrow")
-    j1 = hash_join(
-        ords, cust, on="o_custkey", how="inner",
-        left_types={"o_custkey": pa.int64(), "l_orderkey": pa.int64()},
-        right_types={"o_custkey": pa.int64(), "c_nationkey": pa.int64()},
-        num_parts=num_parts)
 
-    def li_pre(t: pa.Table) -> pa.Table:
+    def _sorted_map_capped(ds_small, key: str, val: str, cap: int):
+        """ONE capped execution that is both the size gate and the
+        collect: stream (key, val) batches into sorted numpy lookup
+        arrays, or return None the moment the cap is crossed (caller
+        falls back to the distributed join) — no separate count() pass."""
+        empty = pa.schema([(key, pa.int64()),
+                           (val, pa.int64())]).empty_table()
+        tables, n = [empty], 0
+        for b in ds_small.iter_batches(batch_size=1 << 18,
+                                       batch_format="pyarrow"):
+            tables.append(b)
+            n += b.num_rows
+            if n > cap:
+                return None
+        tbl = pa.concat_tables(tables)
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        v = tbl.column(val).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    def _lookup(keys_sorted, vals, probe):
+        """Vectorized inner-join lookup: (values, found_mask)."""
+        if len(keys_sorted) == 0:
+            return (np.zeros(len(probe), dtype=np.int64),
+                    np.zeros(len(probe), dtype=bool))
+        idx = np.minimum(np.searchsorted(keys_sorted, probe),
+                         len(keys_sorted) - 1)
+        found = keys_sorted[idx] == probe
+        return vals[idx], found
+
+    cmap = _sorted_map_capped(cust, "o_custkey", "c_nationkey",
+                              broadcast_dims)
+    if cmap is not None:
+        ck, cn = cmap
+
+        def ord_join(t: pa.Table) -> pa.Table:
+            probe = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            natv, found = _lookup(ck, cn, probe)
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey").filter(pa.array(found)),
+                "c_nationkey": pa.array(natv[found], pa.int64())})
+
+        j1 = ords.map_batches(ord_join, batch_format="pyarrow")
+    else:
+        j1 = hash_join(
+            ords, cust, on="o_custkey", how="inner",
+            left_types={"o_custkey": pa.int64(), "l_orderkey": pa.int64()},
+            right_types={"o_custkey": pa.int64(),
+                         "c_nationkey": pa.int64()},
+            num_parts=num_parts).map_batches(
+            lambda t: t.select(["l_orderkey", "c_nationkey"]),
+            batch_format="pyarrow")
+
+    def li_rev(t: pa.Table):
         cents = pc.cast(pc.floor(pc.add(pc.multiply(
             t.column("l_extendedprice"), pa.scalar(100.0)),
             pa.scalar(0.5))), pa.int64())
         disc = pc.cast(pc.round(pc.multiply(
             t.column("l_discount"), pa.scalar(100.0))), pa.int64())
-        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
-                                             disc))
-        return pa.table({"l_orderkey": t.column("l_orderkey"),
-                         "l_suppkey": t.column("l_suppkey"),
-                         "rev_e4": rev})
+        return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                              disc))
 
-    li = lineitem.map_batches(li_pre, batch_format="pyarrow")
-    j2 = hash_join(
-        li, j1, on="l_orderkey", how="inner",
-        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
-                    "rev_e4": pa.int64()},
-        right_types={"l_orderkey": pa.int64(), "o_custkey": pa.int64(),
-                     "c_nationkey": pa.int64()},
-        num_parts=num_parts)
+    smap = _sorted_map_capped(supp, "l_suppkey", "s_nationkey",
+                              broadcast_dims)
+    omap = (_sorted_map_capped(j1, "l_orderkey", "c_nationkey",
+                               broadcast_orders)
+            if smap is not None else None)
 
-    supp = supplier.map_batches(
-        lambda t: pa.table({
-            "l_suppkey": t.column("s_suppkey"),
-            "s_nationkey": t.column("s_nationkey")}).filter(
-                pc.is_in(t.column("s_nationkey"), value_set=nkeys)),
-        batch_format="pyarrow")
-    j3 = hash_join(
-        j2, supp, on="l_suppkey", how="inner",
-        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
-                    "rev_e4": pa.int64(), "o_custkey": pa.int64(),
-                    "c_nationkey": pa.int64()},
-        right_types={"l_suppkey": pa.int64(), "s_nationkey": pa.int64()},
-        num_parts=num_parts)
+    if smap is not None and omap is not None:
+        # map-only fact pass: the entire query is ONE lineitem scan plus a
+        # <= 25-key exchange of per-batch nation partials
+        ok, on = omap
+        sk, sn = smap
 
-    def same_nation_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("c_nationkey"),
-                              t.column("s_nationkey")))
-        g = t.select(["c_nationkey", "rev_e4"]).group_by(
-            "c_nationkey").aggregate([("rev_e4", "sum")])
-        return g.rename_columns(["c_nationkey", "revenue_e4"])
+        def li_partial(t: pa.Table) -> pa.Table:
+            okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            cnat, f1 = _lookup(ok, on, okey)
+            skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            snat, f2 = _lookup(sk, sn, skey)
+            keep = f1 & f2 & (cnat == snat)
+            rev = li_rev(t).to_numpy(zero_copy_only=False)[keep]
+            nk = cnat[keep]
+            if not len(nk):
+                return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                                 "revenue_e4": pa.array([], pa.int64())})
+            sums = np.zeros(len(names) or 1, dtype=np.int64)
+            keys_sorted = np.array(sorted(names), dtype=np.int64)
+            pos = np.searchsorted(keys_sorted, nk)
+            np.add.at(sums, pos, rev)
+            nz = sums != 0
+            return pa.table({
+                "c_nationkey": pa.array(keys_sorted[nz], pa.int64()),
+                "revenue_e4": pa.array(sums[nz], pa.int64())})
 
-    partials = j3.map_batches(same_nation_partial, batch_format="pyarrow")
+        partials = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        def li_pre(t: pa.Table) -> pa.Table:
+            return pa.table({"l_orderkey": t.column("l_orderkey"),
+                             "l_suppkey": t.column("l_suppkey"),
+                             "rev_e4": li_rev(t)})
+
+        li = lineitem.map_batches(li_pre, batch_format="pyarrow")
+        j2 = hash_join(
+            li, j1.materialize(), on="l_orderkey", how="inner",
+            left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                        "rev_e4": pa.int64()},
+            right_types={"l_orderkey": pa.int64(),
+                         "c_nationkey": pa.int64()},
+            num_parts=num_parts)
+        j3 = hash_join(
+            j2, supp, on="l_suppkey", how="inner",
+            left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64(),
+                        "rev_e4": pa.int64(), "c_nationkey": pa.int64()},
+            right_types={"l_suppkey": pa.int64(),
+                         "s_nationkey": pa.int64()},
+            num_parts=num_parts)
+
+        def same_nation_partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("c_nationkey"),
+                                  t.column("s_nationkey")))
+            g = t.select(["c_nationkey", "rev_e4"]).group_by(
+                "c_nationkey").aggregate([("rev_e4", "sum")])
+            return g.rename_columns(["c_nationkey", "revenue_e4"])
+
+        partials = j3.map_batches(same_nation_partial,
+                                  batch_format="pyarrow")
+
     agg = partitioned_group_agg(partials, ["c_nationkey"],
                                 [("revenue_e4", "sum", "revenue_e4")],
                                 num_parts=min(num_parts or 8, 8))

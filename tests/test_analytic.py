@@ -903,3 +903,27 @@ def test_ohlc_window_matches_pandas(ray_session):
     assert len(merged) == len(exp) == len(out)
     for c in ("open", "close", "low", "high", "n_events"):
         assert (merged[c] == merged[c + "_e"]).all(), c
+
+
+def test_regional_revenue_paths_agree(ray_session):
+    import os
+    import ray.data as rd
+    from sift_ray.functions.relational import regional_revenue
+    sf = "/root/testdata/sf0.001"
+    rp = lambda t, cols: rd.read_parquet(  # noqa: E731
+        os.path.join(sf, f"{t}.parquet"), columns=cols)
+    args = lambda: (  # noqa: E731
+        rp("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        rp("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        rp("customer", ["c_custkey", "c_nationkey"]),
+        rp("supplier", ["s_suppkey", "s_nationkey"]),
+        rp("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        rp("region", ["r_regionkey", "r_name"]))
+    fast = (regional_revenue(*args()).to_pandas()
+            .sort_values("n_name").reset_index(drop=True))
+    # gates forced to 0: every join takes the distributed hash_join route
+    slow = (regional_revenue(*args(), broadcast_dims=0, broadcast_orders=0)
+            .to_pandas().sort_values("n_name").reset_index(drop=True))
+    assert len(fast) > 0  # non-vacuous: some ASIA-1996 revenue exists
+    assert fast.equals(slow)
