@@ -504,6 +504,15 @@ def _q_token_shards(sf_dir: str):
     return token_shards(_docs(sf_dir, ["doc_id", "text"]), shard_tokens=5000)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: concatenate whitespace tokens + EOS per
+    doc in doc_id order and emit exact 256-token training sequences
+    (functions/sharding.py pack_sequences — two exchanges, zero driver
+    data)."""
+    from sift_ray.functions.sharding import pack_sequences
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=256)
+
+
 def _q_orders_customer_join(sf_dir: str):
     """Distributed hash join (general two-big-sides join; Ray Data has no
     join API — see shuffle.hash_join): every order row joined with its
@@ -2272,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_concat": _q_user_event_concat,
         "events_ohlc": _q_events_ohlc,
         "token_shards": _q_token_shards,
+        "pack_sequences": _q_pack_sequences,
         "approx_distinct_users": _q_approx_distinct_users,
         "corpus_prep_shards": _q_corpus_prep,
         "corpus_prep_shards_ckpt": _q_corpus_prep_ckpt,
@@ -2605,6 +2615,29 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000
                         AS BIGINT) AS shard_id
             FROM t
+        """,
+        "pack_sequences": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_extract_all(text,
+                           '[^ ' || chr(9) || chr(10) || chr(13) || chr(12)
+                           || chr(11) || ']+') AS w
+                FROM documents),
+            pos AS (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w))) AS i
+                    FROM docs WHERE len(w) >= 1),
+            toks AS (SELECT doc_id, i, w[i] AS tok FROM pos),
+            eos AS (SELECT doc_id, len(w) + 1 AS i, '</s>' AS tok
+                    FROM docs),
+            allt AS (SELECT * FROM toks UNION ALL SELECT * FROM eos),
+            numbered AS (SELECT tok,
+                                row_number() OVER (ORDER BY doc_id, i) - 1
+                                    AS gpos
+                         FROM allt)
+            SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY gpos) AS text
+            FROM numbered GROUP BY 1 HAVING count(*) = 256
         """,
         "events_asof_join": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),

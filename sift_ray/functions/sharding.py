@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .shuffle import default_num_parts
+from .shuffle import add_hash_partition, default_num_parts
 
 # whitespace-delimited token counting, identical to the SQL oracle's
 # len(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) and to textstats
@@ -105,6 +105,149 @@ def token_shards(ds, shard_tokens: int = 100_000, text_col: str = "text",
         })
 
     return parted.groupby("part").map_groups(scan, batch_format="pyarrow")
+
+
+def pack_sequences(ds, seq_len: int = 256, eos: str = "</s>",
+                   text_col: str = "text", id_col: str = "doc_id",
+                   num_parts: Optional[int] = None,
+                   drop_partial: bool = True):
+    """GPT-style sequence packing: concatenate every document's whitespace
+    tokens (plus one ``eos`` token per document) in ``id_col`` order and cut
+    the stream into fixed ``seq_len``-token training sequences. Returns
+    (seq_id, n_tokens, text) with text = the sequence's tokens joined by
+    single spaces; the trailing partial sequence is dropped unless
+    ``drop_partial=False``.
+
+    Scale shape — the packer is inherently a repartition-by-position op, done
+    in two exchanges and zero driver data:
+    1. a cheap int-only pass counts tokens per doc (+1 EOS) and the
+       two-pass ordered prefix sum (same machinery as ``token_shards``)
+       yields each range partition's global token offset — the driver
+       holds P integers;
+    2. docs ride ONE range exchange (part increases with doc_id); each
+       partition walks its docs in id order and slices them into
+       sequence-aligned FRAGMENTS (a doc spanning a boundary splits),
+       emitting (seq_id, pos, frag_text, n) rows;
+    3. fragments ride ONE hash exchange keyed on seq_id; each partition
+       stitches its sequences (sort by pos, join with ' ').
+    Token text moves exactly twice; no stage holds more than a partition.
+    """
+    import re
+
+    import ray.data as rd
+
+    tok_re = re.compile(_WORD_PATTERN)
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch.column(text_col),
+                                             _WORD_PATTERN), pa.int64())
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pc.add(n, 1)})  # +1 = the EOS token
+
+    counted = ds.map_batches(count_tokens,
+                             batch_format="pyarrow").materialize()
+    max_id = counted.max(id_col)
+    empty = pa.table({"seq_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    if max_id is None:
+        return rd.from_arrow(empty)
+    P = num_parts or default_num_parts()
+    range_size = max(1, (int(max_id) + P) // P)
+
+    def add_part_ints(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids // range_size).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    # pass 1: P per-partition token sums -> driver exclusive prefix
+    sums: dict = {}
+    for batch in (counted.map_batches(add_part_ints, batch_format="pyarrow")
+                  .map_batches(
+                      lambda t: t.select(["part", "n_tokens"])
+                                 .group_by(["part"])
+                                 .aggregate([("n_tokens", "sum")]),
+                      batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        for p, s in zip(batch.column("part").to_pylist(),
+                        batch.column("n_tokens_sum").to_pylist()):
+            sums[p] = sums.get(p, 0) + s
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+
+    def add_part_docs(batch: pa.Table) -> pa.Table:
+        sub = batch.select([id_col, text_col])
+        ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids // range_size).astype(np.int64)
+        return sub.append_column("part", pa.array(part, pa.int64()))
+
+    parted = ds.map_batches(add_part_docs, batch_format="pyarrow")
+
+    frag_schema = pa.schema([("seq_id", pa.int64()), ("pos", pa.int64()),
+                             ("frag", pa.string()), ("n", pa.int64())])
+
+    def frag_kernel(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        texts = tbl.column(text_col).to_pylist()
+        part = int(tbl.column("part")[0].as_py())
+        order = np.argsort(ids, kind="stable")
+        pos = int(offsets.get(part, 0))
+        out_seq: list = []
+        out_pos: list = []
+        out_txt: list = []
+        out_n: list = []
+        for i in order.tolist():
+            toks = tok_re.findall(texts[i] or "")
+            toks.append(eos)
+            n = len(toks)
+            s = 0
+            while s < n:
+                seq_id = (pos + s) // seq_len
+                e = min(n, (seq_id + 1) * seq_len - pos)
+                out_seq.append(seq_id)
+                out_pos.append(pos + s)
+                out_txt.append(" ".join(toks[s:e]))
+                out_n.append(e - s)
+                s = e
+            pos += n
+        return pa.table({"seq_id": pa.array(out_seq, pa.int64()),
+                         "pos": pa.array(out_pos, pa.int64()),
+                         "frag": pa.array(out_txt, pa.string()),
+                         "n": pa.array(out_n, pa.int64())},
+                        schema=frag_schema)
+
+    frags = parted.groupby("part").map_groups(frag_kernel,
+                                              batch_format="pyarrow")
+    total = acc  # stream length in tokens (exact, from pass 1)
+
+    def assemble(tbl: pa.Table) -> pa.Table:
+        t = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("seq_id", "ascending"), ("pos", "ascending")]))
+        sid = t.column("seq_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        txt = t.column("frag").to_pylist()
+        bounds = np.flatnonzero(np.diff(sid)) + 1
+        starts = np.concatenate(([0], bounds)).astype(np.int64)
+        ends = np.concatenate((bounds, [len(sid)])).astype(np.int64)
+        out_id, out_n, out_txt = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ntok = int(n[s:e].sum())
+            if drop_partial and ntok < seq_len:
+                continue
+            out_id.append(int(sid[s]))
+            out_n.append(ntok)
+            out_txt.append(" ".join(txt[s:e]))
+        return pa.table({"seq_id": pa.array(out_id, pa.int64()),
+                         "n_tokens": pa.array(out_n, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    if total < seq_len and drop_partial:
+        return rd.from_arrow(empty)
+    return (add_hash_partition(frags, ["seq_id"], P)
+            .groupby("part").map_groups(assemble, batch_format="pyarrow"))
 
 
 def global_rank(ds, value_col: str, id_col: str = "doc_id",

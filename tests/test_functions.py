@@ -1264,6 +1264,60 @@ def test_global_rank_empty(ray_session):
     assert len(global_rank(ds, "v").to_pandas()) == 0
 
 
+def test_pack_sequences_exact_and_invariant(ray_session):
+    """pack_sequences == the serial concat-and-chunk reference, invariant
+    to input partitioning and num_parts; tail sequence dropped/kept per
+    drop_partial."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sharding import pack_sequences
+
+    rng = np.random.RandomState(11)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(words, rng.randint(0, 25)).tolist())
+             for _ in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    stream: list = []
+    for t in texts:
+        stream.extend(re.findall(r"[^ \t\n\r\f\v]+", t))
+        stream.append("</s>")
+    full = [(i, 32, " ".join(stream[i * 32:(i + 1) * 32]))
+            for i in range(len(stream) // 32)]
+
+    for nparts, rep in ((3, 7), (9, 2)):
+        got = (pack_sequences(rd.from_arrow(tbl).repartition(rep),
+                              seq_len=32, num_parts=nparts)
+               .to_pandas().sort_values("seq_id").reset_index(drop=True))
+        assert len(got) == len(full)
+        assert list(got["text"]) == [t for _, _, t in full]
+        assert (got["n_tokens"] == 32).all()
+
+    # tail partial kept when drop_partial=False
+    tail = len(stream) % 32
+    got = (pack_sequences(rd.from_arrow(tbl), seq_len=32,
+                          drop_partial=False)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    assert len(got) == len(full) + (1 if tail else 0)
+    if tail:
+        assert got["n_tokens"].iloc[-1] == tail
+        assert got["text"].iloc[-1] == " ".join(stream[-tail:])
+
+
+def test_pack_sequences_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sharding import pack_sequences
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    assert len(pack_sequences(ds).to_pandas()) == 0
+
+
 def test_gif_decode_roundtrip_multiframe():
     from sift_ray.functions.multimodal import GifDecodeStage, make_gif
 
