@@ -192,7 +192,7 @@ def run_bench() -> dict:
         "events_tumbling_window", "events_session_windows",
         "events_hopping_window", "embedding_near_dup_lsh",
         "orders_customer_join", "events_asof_join",
-        "events_interval_join", "token_shards",
+        "events_interval_join", "token_shards", "pack_sequences",
         "corpus_prep_shards",
         "token_counts", "pricing_summary", "customers_per_nation",
         "vocab_topk", "stratified_sample", "decontaminate",

@@ -807,13 +807,17 @@ def profile_table(ds, cols: Optional[Sequence[str]] = None,
             "max_str": out.column("max_str_max"),
         })
 
-    parts = (parted.groupby("part")
-             .map_groups(lambda t: fold(t.drop_columns("part")),
-                         batch_format="pyarrow")
-             .to_arrow_refs())
-    import ray
-    folded = pa.concat_tables(
-        [t for t in ray.get(parts) if t.num_rows > 0])
+    # iter_batches, NOT to_arrow_refs: to_arrow_refs() issues a
+    # schema(fetch_if_missing=True) probe after consuming, which re-executes
+    # the ENTIRE non-materialized plan (scan + exchange) a second time
+    folded_parts = [
+        t for t in (parted.groupby("part")
+                    .map_groups(lambda t: fold(t.drop_columns("part")),
+                                batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow"))
+        if t.num_rows > 0]
+    folded = (pa.concat_tables(folded_parts) if folded_parts
+              else _PROFILE_OUT.empty_table())
     if folded.num_rows == 0:
         return rd.from_arrow(_PROFILE_OUT.empty_table())
     final = (folded.group_by("col")

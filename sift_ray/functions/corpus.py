@@ -1526,6 +1526,28 @@ def ngram_counts(ds, n: int = 3, min_count: int = 2,
     return counts.map_batches(having, batch_format="pyarrow")
 
 
+class _PmiVocabJoin:
+    """Map-side candidate-bigram x vocab join against a broadcast (word, c)
+    table — fetched once per worker process, joined per batch with Arrow's
+    in-process hash join (vectorized). Used only under the broadcast gate."""
+
+    def __init__(self, uni_ref):
+        import ray
+        self.uni: pa.Table = ray.get(uni_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64())})
+        t = batch.join(self.uni.rename_columns(["x", "cx"]), keys="x",
+                       join_type="inner")
+        t = t.join(self.uni.rename_columns(["y", "cy"]), keys="y",
+                   join_type="inner")
+        return t.select(["gram", "cnt", "cx", "cy"])
+
+
 def pmi_topk(ds, k: int = 50, min_count: int = 5,
              num_parts: Optional[int] = None):
     """Top-k word-bigram collocations by pointwise mutual information —
@@ -1534,39 +1556,74 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
     association order, so the result is value-exact against the SQL
     oracle (same convention as unigram_logprob).
 
-    Shape: bigram and unigram count tables are the ngram/vocab exchanges
-    (materialized once — the totals and the joins both consume them);
-    each bigram row joins its two word counts through TWO string-key
-    hash_joins; scoring is a map; the top-k is a per-batch local-topk
-    combiner + bounded driver merge. Driver volume: two ints (corpus
-    totals) + num_batches x k candidate rows."""
+    Shape: ONE corpus scan emits per-batch value_counts partials for
+    unigrams AND bigrams together (a bigram always contains a space and a
+    unigram never does, so the two count tables share one gram-hash
+    exchange and split apart afterwards with a vectorized substring
+    filter); the candidate bigrams then pick up their two word counts
+    either map-side against a broadcast vocab table (vocab small enough —
+    one Arrow hash join per batch, zero extra exchanges) or through TWO
+    string-key hash_joins above the gate; scoring is a map; the top-k is
+    a per-batch local-topk combiner + bounded driver merge. Driver
+    volume: two ints (corpus totals) + num_batches x k candidate rows
+    (+ the vocab table only when it is under the broadcast gate)."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray.data as rd
 
     from .shuffle import hash_join
+    from .sketch import _hash64_any
 
     P = num_parts or default_num_parts()
-    bigrams = ngram_counts(ds, n=2, min_count=1, num_parts=P).materialize()
 
-    def upartial(batch: pa.Table) -> pa.Table:
+    def fused_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
         low = pc.utf8_lower(pc.coalesce(batch.column("text"), ""))
         words = pc.split_pattern_regex(low, "[^a-z0-9]+")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         flat = pc.list_flatten(words)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        if len(flat) == 0:
-            return pa.table({"word": pa.array([], pa.string()),
-                             "c": pa.array([], pa.int64())})
-        vc = flat.value_counts()
-        return pa.table({"word": vc.field("values"),
-                         "c": pc.cast(vc.field("counts"), pa.int64())})
+        parent = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        parent = parent[keep]
+        if len(w) == 0:
+            return empty
+        uvc = pa.array(w, pa.string()).value_counts()
+        tables = [pa.table({"gram": uvc.field("values"),
+                            "cnt": pc.cast(uvc.field("counts"),
+                                           pa.int64())})]
+        if len(w) >= 2:
+            m = len(w) - 1
+            grams = w[:m] + " "
+            grams = grams + w[1:m + 1]
+            valid = parent[:m] == parent[1:1 + m]
+            if valid.any():
+                bvc = pa.array(grams[valid], pa.string()).value_counts()
+                tables.append(pa.table({
+                    "gram": bvc.field("values"),
+                    "cnt": pc.cast(bvc.field("counts"), pa.int64())}))
+        return pa.concat_tables(tables)
 
-    uni = partitioned_group_agg(
-        ds.map_batches(upartial, batch_format="pyarrow"),
-        ["word"], [("c", "sum", "c")], num_parts=P,
-        key_arrays_fn=_word_hash_keys).materialize()
+    def gram_hash(batch: pa.Table):
+        return [_hash64_any(batch.column("gram")).astype(np.int64)]
+
+    counts = partitioned_group_agg(
+        ds.map_batches(fused_partial, batch_format="pyarrow"),
+        ["gram"], [("cnt", "sum", "cnt")], num_parts=P,
+        key_arrays_fn=gram_hash).materialize()
+
+    def _is_bigram(t: pa.Table):
+        return pc.match_substring(t.column("gram"), " ")
+
+    bigrams = counts.map_batches(
+        lambda t: t.filter(_is_bigram(t)), batch_format="pyarrow")
+    uni = counts.map_batches(
+        lambda t: t.filter(pc.invert(_is_bigram(t)))
+                   .rename_columns(["word", "c"]),
+        batch_format="pyarrow").materialize()
 
     n_w = int(uni.sum("c") or 0)
     n_b = int(bigrams.sum("cnt") or 0)
@@ -1599,18 +1656,36 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
             return t.rename_columns([col, f"c{col}"])
         return fn
 
+    # size-gated vocab attach: below the gate the (word, c) table is
+    # broadcast once (ray.put; fetched once per worker process) and each
+    # candidate batch picks up cx/cy with TWO in-process Arrow hash joins —
+    # zero extra exchanges. Above the gate (vocab no longer driver-safe)
+    # fall back to the distributed string-key hash_joins.
+    BROADCAST_VOCAB_ROWS = 2_000_000
     s, i64 = pa.string(), pa.int64()
-    jx = hash_join(b2, uni.map_batches(rename_uni("x"),
-                                       batch_format="pyarrow"),
-                   on="x", num_parts=P,
-                   left_types={"x": s, "y": s, "gram": s, "cnt": i64},
-                   right_types={"x": s, "cx": i64})
-    jy = hash_join(jx, uni.map_batches(rename_uni("y"),
-                                       batch_format="pyarrow"),
-                   on="y", num_parts=P,
-                   left_types={"y": s, "x": s, "gram": s, "cnt": i64,
-                               "cx": i64},
-                   right_types={"y": s, "cy": i64})
+    if uni.count() <= BROADCAST_VOCAB_ROWS:
+        import ray
+
+        from .shuffle import TaskStage
+        uni_tbl = pa.concat_tables(
+            [pa.table({"word": pa.array([], s), "c": pa.array([], i64)})]
+            + list(uni.iter_batches(batch_size=1 << 18,
+                                    batch_format="pyarrow"))).combine_chunks()
+        uref = ray.put(uni_tbl)
+        jy = b2.map_batches(TaskStage(_PmiVocabJoin, uni_ref=uref),
+                            batch_format="pyarrow")
+    else:
+        jx = hash_join(b2, uni.map_batches(rename_uni("x"),
+                                           batch_format="pyarrow"),
+                       on="x", num_parts=P,
+                       left_types={"x": s, "y": s, "gram": s, "cnt": i64},
+                       right_types={"x": s, "cx": i64})
+        jy = hash_join(jx, uni.map_batches(rename_uni("y"),
+                                           batch_format="pyarrow"),
+                       on="y", num_parts=P,
+                       left_types={"y": s, "x": s, "gram": s, "cnt": i64,
+                                   "cx": i64},
+                       right_types={"y": s, "cy": i64})
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cnt" not in t.column_names:
