@@ -355,6 +355,86 @@ def _q_decode_gif(sf_dir: str):
     return decode_gifs(rd.from_pandas(pd.DataFrame(rows)))
 
 
+def _q_resize_images(sf_dir: str):
+    """Real image resize (area-average resample via phash overlap
+    matrices, BMP re-encode) over a mixed synthetic BMP/PNG corpus with
+    quarantine rows — the thumbnail/normalize stage of an image training
+    pipeline (functions/multimodal.py ResizeStage)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import (make_bmp, make_png,
+                                               resize_images)
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        if i % 19 == 4:
+            payload = b"GIF8 not an image"
+        elif i % 2:
+            payload = make_bmp(8 + i % 40, 6 + i % 25,
+                               rgb=(i % 256, (i * 7) % 256, (i * 13) % 256))
+        else:
+            h, w = 5 + i % 23, 7 + i % 31
+            px = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3)) % 256) \
+                .astype(np.uint8).reshape(h, w, 3)
+            payload = make_png(px)
+        rows.append({"doc_id": i, "payload": payload})
+    return resize_images(rd.from_pandas(pd.DataFrame(rows)),
+                         out_w=16, out_h=16)
+
+
+def _q_sample_frames(sf_dir: str):
+    """Video-style frame sampling: every-2nd frame of each synthetic
+    animated GIF as its own row (per-frame channel means + BMP payload) —
+    the frame-sample plumbing a video pipeline plugs a codec into
+    (functions/multimodal.py FrameSampleStage)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import make_gif, sample_frames
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 250}.get(sf, 80)
+    pal = [(i, 255 - i, (i * 3) % 256) for i in range(0, 256, 32)]
+    rows = []
+    for i in range(n):
+        if i % 23 == 7:
+            payload = b"\x89PNG not a gif"
+        else:
+            frames = [np.full((2 + i % 5, 3 + i % 4), (i + f) % len(pal),
+                              dtype=np.uint8)
+                      for f in range(1 + i % 6)]
+            payload = make_gif(frames, pal)
+        rows.append({"doc_id": i, "payload": payload})
+    return sample_frames(rd.from_pandas(pd.DataFrame(rows)), every_n=2)
+
+
+def _q_audio_features(sf_dir: str):
+    """Real audio feature extraction (Hann-windowed rfft: RMS energy,
+    zero-crossing rate, spectral centroid per window) over a synthetic
+    PCM tone corpus with quarantine rows (functions/multimodal.py
+    AudioFeatureStage)."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.multimodal import audio_features, make_wav
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        if i % 17 == 5:
+            payload = b"OggS not a wav"
+        else:
+            payload = make_wav(110.0 * (1 + i % 8), 0.05 + (i % 4) * 0.02,
+                               8000 if i % 2 else 16000,
+                               channels=1 + i % 2,
+                               bits=8 if i % 5 == 0 else 16)
+        rows.append({"doc_id": i, "payload": payload})
+    return audio_features(rd.from_pandas(pd.DataFrame(rows)))
+
+
 def _q_decode_png(sf_dir: str):
     """Real PNG decode (stdlib zlib + numpy, all five scanline filters)
     over a deterministic synthetic image corpus with quarantine rows."""
@@ -2267,6 +2347,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_png": _q_decode_png,
         "decode_wav": _q_decode_wav,
         "decode_gif": _q_decode_gif,
+        "resize_images": _q_resize_images,
+        "sample_frames": _q_sample_frames,
+        "audio_features": _q_audio_features,
         "events_tumbling_window": _q_events_window,
         "events_session_windows": _q_session_windows,
         "events_hopping_window": _q_hopping_windows,

@@ -774,3 +774,362 @@ def decode_gifs(ds, payload_col: str = "payload", id_col: str = "doc_id",
                                "id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+def encode_bmp(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP (BI_RGB,
+    bottom-up, rows padded to 4 bytes) — round-trips exactly through
+    ``BmpDecodeStage.decode``."""
+    import struct
+
+    import numpy as np
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    bgr = rgb[:, :, ::-1]
+    zeros = b"\x00" * pad
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + zeros
+    size = 14 + 40 + len(body)
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+            + bytes(body))
+
+
+class ResizeStage:
+    """REAL image resize as an actor-pool batch stage: magic-sniffed
+    decode (repo BMP/PNG decoders), exact area-average (antialiased)
+    resample to (out_w, out_h) via the phash row-stochastic overlap
+    matrices, re-encode as BMP. Undecodable payloads become quarantine
+    status rows, never task failures. Weight matrices are cached per
+    (src, dst) pair per actor."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32,
+                 payload_col: str = "payload", id_col: str = "doc_id"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._wcache: dict = {}
+
+    def _weights(self, src: int, dst: int):
+        key = (src, dst)
+        if key not in self._wcache:
+            from .phash import _area_weights
+            self._wcache[key] = _area_weights(src, dst)
+        return self._wcache[key]
+
+    def resize(self, rgb):
+        import numpy as np
+        h, w, _ = rgb.shape
+        wy = self._weights(h, self.out_h)
+        wx = self._weights(w, self.out_w)
+        out = np.einsum("oh,hwc,pw->opc", wy, rgb.astype(np.float64), wx,
+                        optimize=True)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .phash import decode_image_pixels
+        ids = batch.column(self.id_col)
+        out_status, out_iw, out_ih, out_payload = [], [], [], []
+        for p in batch.column(self.payload_col).to_pylist():
+            px, err = decode_image_pixels(p)
+            if px is None:
+                out_status.append(err)
+                out_iw.append(0)
+                out_ih.append(0)
+                out_payload.append(b"")
+                continue
+            small = self.resize(px)
+            out_status.append("ok")
+            out_ih.append(px.shape[0])
+            out_iw.append(px.shape[1])
+            out_payload.append(encode_bmp(small))
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": ids,
+            "status": pa.array(out_status, pa.string()),
+            "in_w": pa.array(out_iw, pa.int64()),
+            "in_h": pa.array(out_ih, pa.int64()),
+            "out_w": pa.array([self.out_w] * n, pa.int64()),
+            "out_h": pa.array([self.out_h] * n, pa.int64()),
+            "payload": pa.array(out_payload, pa.binary()),
+        })
+
+
+def resize_images(ds, out_w: int = 32, out_h: int = 32,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  concurrency: int = 2, batch_size: int = 64):
+    """Dataset with an image binary column -> area-resampled BMP thumbnails
+    (doc_id, status, in_w, in_h, out_w, out_h, payload). Actor pool;
+    small batches bound heap for large payloads (the multimodal rule)."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
+                               "payload_col": payload_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def decode_gif_frames(payload: bytes, every_n: int = 1,
+                      max_frames: int = 64):
+    """Full multi-frame GIF decode: list of (frame_idx, (h, w, 3) uint8
+    RGB) for every ``every_n``-th frame (up to ``max_frames`` sampled),
+    or (None, status). Palette-composited per frame; frames keep their
+    own local palette when present. No disposal compositing (each frame
+    rendered standalone) — documented divergence, fine for sampling."""
+    import struct
+
+    import numpy as np
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None, "not_gif"
+    _w, _h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 7))
+        gct = payload[pos:pos + n]
+        pos += n
+    frames = []
+    idx_no = 0
+    try:
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:
+                _l, _t, fw, fh, lflags = struct.unpack_from(
+                    "<HHHHB", payload, pos + 1)
+                pos += 10
+                pal = gct
+                if lflags & 0x80:
+                    n = 3 * (2 << (lflags & 7))
+                    pal = payload[pos:pos + n]
+                    pos += n
+                if lflags & 0x40:
+                    return None, "unsupported"
+                min_size = payload[pos]
+                pos += 1
+                chunks = []
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    chunks.append(payload[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1
+                take = (idx_no % every_n == 0
+                        and len(frames) < max_frames)
+                if take:
+                    idx = _lzw_decode(min_size, b"".join(chunks), fw * fh)
+                    if idx is None or len(idx) < fw * fh or pal is None:
+                        return None, "corrupt"
+                    p = np.frombuffer(pal, dtype=np.uint8)
+                    rgb = p[:len(p) // 3 * 3].reshape(-1, 3)
+                    px = rgb[np.minimum(np.asarray(idx[:fw * fh]),
+                                        len(rgb) - 1)]
+                    frames.append((idx_no, px.reshape(fh, fw, 3)))
+                idx_no += 1
+            else:
+                return None, "corrupt"
+    except (IndexError, struct.error):
+        return None, "truncated"
+    if not frames:
+        return None, "corrupt"
+    return frames, ""
+
+
+class FrameSampleStage:
+    """Video-style frame sampling over animated GIF payloads: decode,
+    keep every ``every_n``-th frame, emit ONE ROW PER SAMPLED FRAME with
+    per-frame channel means and the frame re-encoded as BMP — the
+    flat_map-shaped stage a video pipeline plugs a real codec into.
+    Undecodable payloads emit one quarantine row."""
+
+    def __init__(self, every_n: int = 2, max_frames: int = 16,
+                 payload_col: str = "payload", id_col: str = "doc_id"):
+        self.every_n = max(1, every_n)
+        self.max_frames = max_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = batch.column(self.id_col).to_pylist()
+        cols = {"doc_id": [], "frame_idx": [], "status": [],
+                "w": [], "h": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "payload": []}
+        for doc_id, p in zip(ids, batch.column(self.payload_col)
+                             .to_pylist()):
+            frames, err = decode_gif_frames(p or b"", self.every_n,
+                                            self.max_frames)
+            if frames is None:
+                cols["doc_id"].append(doc_id)
+                cols["frame_idx"].append(-1)
+                cols["status"].append(err)
+                cols["w"].append(0)
+                cols["h"].append(0)
+                cols["mean_r"].append(0.0)
+                cols["mean_g"].append(0.0)
+                cols["mean_b"].append(0.0)
+                cols["payload"].append(b"")
+                continue
+            for fi, rgb in frames:
+                m = rgb.reshape(-1, 3).mean(axis=0)
+                cols["doc_id"].append(doc_id)
+                cols["frame_idx"].append(fi)
+                cols["status"].append("ok")
+                cols["h"].append(rgb.shape[0])
+                cols["w"].append(rgb.shape[1])
+                cols["mean_r"].append(float(m[0]))
+                cols["mean_g"].append(float(m[1]))
+                cols["mean_b"].append(float(m[2]))
+                cols["payload"].append(encode_bmp(rgb))
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+            "status": pa.array(cols["status"], pa.string()),
+            "w": pa.array(cols["w"], pa.int64()),
+            "h": pa.array(cols["h"], pa.int64()),
+            "mean_r": pa.array(cols["mean_r"], pa.float64()),
+            "mean_g": pa.array(cols["mean_g"], pa.float64()),
+            "mean_b": pa.array(cols["mean_b"], pa.float64()),
+            "payload": pa.array(cols["payload"], pa.binary()),
+        })
+
+
+def sample_frames(ds, every_n: int = 2, max_frames: int = 16,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  concurrency: int = 2, batch_size: int = 32):
+    """Dataset with an animated-GIF binary column -> one row per sampled
+    frame (every_n-th, capped). The video frame-sample plumbing with a
+    real in-repo decoder standing in for the codec."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n": every_n,
+                               "max_frames": max_frames,
+                               "payload_col": payload_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)
+
+
+def _wav_mono_samples(payload: bytes):
+    """(mono float64 samples in [-1, 1], sample_rate) or (None, status) —
+    same RIFF walk as ``WavDecodeStage.decode`` but returning the channel-
+    averaged sample stream for feature extraction."""
+    import struct
+
+    import numpy as np
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        return None, "not_wav"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            return None, "truncated"
+        if cid == b"fmt ":
+            fmt = payload[pos + 8:pos + 8 + size]
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None, "unsupported"
+    audio_fmt, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits not in (8, 16) or ch < 1 or sr == 0:
+        return None, "unsupported"
+    if bits == 16:
+        n = len(data) // 2 * 2
+        x = (np.frombuffer(data, dtype="<i2", count=n // 2)
+             .astype(np.float64) / 32768.0)
+    else:
+        x = ((np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+              - 128.0) / 128.0)
+    frames = len(x) // ch
+    if frames == 0:
+        return None, "empty"
+    mono = x[:frames * ch].reshape(frames, ch).mean(axis=1)
+    return (mono, int(sr))
+
+
+class AudioFeatureStage:
+    """REAL audio feature extraction (numpy-only DSP) as an actor-pool
+    batch stage: windowed RMS energy, zero-crossing rate, and spectral
+    centroid (vectorized rfft over all windows at once) per document.
+    On a pure sine tone the centroid recovers the tone frequency and
+    ZCR ~ 2f/sr — pinned by tests. Undecodable payloads quarantine."""
+
+    def __init__(self, frame_len: int = 256,
+                 payload_col: str = "payload", id_col: str = "doc_id"):
+        self.frame_len = frame_len
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def features(self, payload: bytes) -> dict:
+        import numpy as np
+        res = _wav_mono_samples(payload)
+        if res[0] is None:
+            return {"status": res[1]}
+        mono, sr = res
+        L = self.frame_len
+        nwin = len(mono) // L
+        if nwin == 0:
+            return {"status": "too_short"}
+        w = mono[:nwin * L].reshape(nwin, L)
+        rms = np.sqrt((w * w).mean(axis=1))
+        zcr = (np.signbit(w[:, 1:]) != np.signbit(w[:, :-1])) \
+            .mean(axis=1) * sr
+        # Hann window + power-spectrum weighting: a rectangular window's
+        # sidelobe leakage drags a pure tone's centroid far upward
+        hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(L) / L)
+        spec = np.abs(np.fft.rfft(w * hann, axis=1)) ** 2
+        freqs = np.fft.rfftfreq(L, d=1.0 / sr)
+        power = spec.sum(axis=1)
+        centroid = (spec @ freqs) / np.where(power > 0, power, 1.0)
+        return {"status": "ok", "sample_rate": sr, "n_windows": int(nwin),
+                "rms_mean": float(rms.mean()),
+                "rms_max": float(rms.max()),
+                "zcr_hz_mean": float(zcr.mean()),
+                "centroid_hz_mean": float(centroid.mean())}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self.features(p or b"")
+                 for p in batch.column(self.payload_col).to_pylist()]
+
+        def col(name, default, typ):
+            return pa.array([m.get(name, default) for m in metas], typ)
+
+        return pa.table({
+            "doc_id": batch.column(self.id_col),
+            "status": col("status", "error", pa.string()),
+            "sample_rate": col("sample_rate", 0, pa.int64()),
+            "n_windows": col("n_windows", 0, pa.int64()),
+            "rms_mean": col("rms_mean", 0.0, pa.float64()),
+            "rms_max": col("rms_max", 0.0, pa.float64()),
+            "zcr_hz_mean": col("zcr_hz_mean", 0.0, pa.float64()),
+            "centroid_hz_mean": col("centroid_hz_mean", 0.0, pa.float64()),
+        })
+
+
+def audio_features(ds, frame_len: int = 256,
+                   payload_col: str = "payload", id_col: str = "doc_id",
+                   concurrency: int = 2, batch_size: int = 64):
+    """Dataset with a PCM-WAV binary column -> windowed RMS / zero-crossing
+    / spectral-centroid features per document (numpy rfft, vectorized
+    across windows)."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"frame_len": frame_len,
+                               "payload_col": payload_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

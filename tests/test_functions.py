@@ -1318,6 +1318,82 @@ def test_pack_sequences_empty(ray_session):
     assert len(pack_sequences(ds).to_pandas()) == 0
 
 
+def test_encode_bmp_roundtrip():
+    import numpy as np
+    from sift_ray.functions.multimodal import BmpDecodeStage, encode_bmp
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    m = BmpDecodeStage.decode(encode_bmp(img), with_pixels=True)
+    assert m["status"] == "ok"
+    assert np.array_equal(m["px"], img)
+
+
+def test_resize_area_average_exact():
+    """Constant stays constant; a clean 2x downscale equals the 2x2
+    block mean exactly (the area-resample invariant)."""
+    import numpy as np
+    import pyarrow as pa
+    from sift_ray.functions.multimodal import ResizeStage, encode_bmp
+
+    st = ResizeStage(out_w=8, out_h=6)
+    const = np.full((24, 32, 3), 77, np.uint8)
+    out = st.resize(const)
+    assert out.shape == (6, 8, 3) and (out == 77).all()
+
+    grad = (np.arange(16 * 16 * 3, dtype=np.float64)
+            .reshape(16, 16, 3) % 251)
+    got = ResizeStage(out_w=8, out_h=8).resize(grad.astype(np.uint8))
+    blockmean = grad.reshape(8, 2, 8, 2, 3).mean(axis=(1, 3))
+    assert np.allclose(got, np.clip(np.rint(blockmean), 0, 255))
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_bmp(const), b"nope"], pa.binary())})
+    t = ResizeStage(out_w=4, out_h=4)(batch)
+    assert t.column("status").to_pylist() == ["ok", "empty"]
+
+
+def test_sample_frames_every_n_and_quarantine():
+    import numpy as np
+    import pyarrow as pa
+    from sift_ray.functions.multimodal import (BmpDecodeStage,
+                                               FrameSampleStage,
+                                               decode_gif_frames, make_gif)
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [np.full((4, 5), i % 4, dtype=np.uint8) for i in range(6)]
+    gif = make_gif([f.tolist() for f in frames], pal)
+    fr, err = decode_gif_frames(gif, every_n=2)
+    assert err == "" and [i for i, _ in fr] == [0, 2, 4]
+    for i, rgb in fr:
+        assert (rgb.reshape(-1, 3) == np.array(pal[i % 4])).all()
+
+    t = FrameSampleStage(every_n=2)(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "payload": pa.array([gif, b"bad"], pa.binary())}))
+    assert t.column("frame_idx").to_pylist() == [0, 2, 4, -1]
+    assert t.column("status").to_pylist() == ["ok", "ok", "ok", "not_gif"]
+    m = BmpDecodeStage.decode(t.column("payload")[0].as_py(),
+                              with_pixels=True)
+    assert m["status"] == "ok" and m["px"].shape == (4, 5, 3)
+
+
+def test_audio_features_sine_invariants():
+    """On a pure 440 Hz tone: spectral centroid recovers the frequency,
+    ZCR ~ 2f, RMS = amplitude/sqrt(2)."""
+    import numpy as np
+    from sift_ray.functions.multimodal import AudioFeatureStage, make_wav
+
+    wav = make_wav(440.0, 0.5, 8000)
+    f = AudioFeatureStage(frame_len=256).features(wav)
+    assert f["status"] == "ok"
+    assert abs(f["centroid_hz_mean"] - 440) < 30
+    assert abs(f["zcr_hz_mean"] - 880) < 40
+    assert abs(f["rms_mean"] - 0.5 / np.sqrt(2)) < 0.01
+    assert AudioFeatureStage().features(b"junk")["status"] == "not_wav"
+
+
 def test_gif_decode_roundtrip_multiframe():
     from sift_ray.functions.multimodal import GifDecodeStage, make_gif
 
