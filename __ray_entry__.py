@@ -863,6 +863,39 @@ def _target_texts(sf_dir: str) -> list:
     return t.sort_values("doc_id")["text"].tolist()
 
 
+def _q_ppl_terciles(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing: per-token stupid-
+    backoff bigram-LM score per document (functions/corpus.py
+    bigram_logprob), then an exact distributed NTILE(3) ordered by score
+    descending (functions/sharding.py ntile_assign — global_rank's
+    two-pass range-partitioned prefix count; driver holds P ints).
+    tercile 1 = head (least perplex)."""
+    import numpy as np
+    import pyarrow as pa
+    from sift_ray.functions.corpus import bigram_logprob
+    from sift_ray.functions.sharding import ntile_assign
+
+    scores = bigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
+
+    def per_tok(t: "pa.Table") -> "pa.Table":
+        lp = t.column("logprob_micro").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        a = lp * 1000
+        # truncating division (SQL // truncates toward zero; numpy floors)
+        q = np.sign(a) * (np.abs(a) // n)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lp_nano_per_tok": pa.array(q.astype(np.int64), pa.int64()),
+        })
+
+    per = scores.map_batches(per_tok, batch_format="pyarrow")
+    out = ntile_assign(per, "lp_nano_per_tok", n_tiles=3)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "lp_nano_per_tok",
+                                    "tercile"]),
+        batch_format="pyarrow")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc log ratio of
     target vs source hashed-ngram (uni+bi, md5-bucketed) distributions
@@ -2378,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "ppl_terciles": _q_ppl_terciles,
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
@@ -2469,6 +2503,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_best_chunk": _q_tfidf_best_chunk,
     }
 
+
+_BIGRAM_CTE = """
+            WITH words AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS ws
+                      FROM documents)
+            ),
+            c AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            utop AS (SELECT w, n FROM c
+                     QUALIFY row_number()
+                         OVER (ORDER BY n DESC, w ASC) <= 50000),
+            pairs AS (SELECT doc_id, pos, w,
+                             lag(w) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS pw
+                      FROM words),
+            bc AS (SELECT pw AS w1, w AS w2, count(*) AS n12 FROM pairs
+                   WHERE pw IS NOT NULL GROUP BY 1, 2),
+            btop AS (SELECT w1, w2, n12
+                     FROM bc JOIN utop u1 ON u1.w = bc.w1
+                     QUALIFY row_number()
+                         OVER (ORDER BY n12 DESC,
+                               w1 || ' ' || w2 ASC) <= 100000),
+            scored AS (
+                SELECT p.doc_id,
+                       CASE
+                           WHEN p.pw IS NULL THEN
+                               CAST(round(ln(coalesce(u.n, 0.5) / t.total)
+                                          * 1000000) AS BIGINT)
+                           WHEN b.n12 IS NOT NULL THEN
+                               CAST(round(ln(b.n12 / u1.n)
+                                          * 1000000) AS BIGINT)
+                           ELSE
+                               CAST(round(ln(0.4 * coalesce(u.n, 0.5)
+                                             / t.total)
+                                          * 1000000) AS BIGINT)
+                       END AS lp
+                FROM pairs p CROSS JOIN t
+                LEFT JOIN utop u ON u.w = p.w
+                LEFT JOIN btop b ON b.w1 = p.pw AND b.w2 = p.w
+                LEFT JOIN utop u1 ON u1.w = p.pw)
+"""
 
 _NGRAM_CTE = """
             WITH words AS (
@@ -2976,52 +3055,23 @@ def oracle_sql() -> dict[str, str]:
             FROM words_f wf LEFT JOIN lp ON wf.w = lp.w CROSS JOIN oov
             GROUP BY wf.doc_id
         """,
-        "bigram_logprob": """
-            WITH words AS (
-                SELECT doc_id, unnest(ws) AS w,
-                       unnest(range(1, len(ws) + 1)) AS pos
-                FROM (SELECT doc_id,
-                             list_filter(string_split(text, ' '),
-                                         x -> x <> '') AS ws
-                      FROM documents)
-            ),
-            c AS (SELECT w, count(*) AS n FROM words GROUP BY w),
-            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
-            utop AS (SELECT w, n FROM c
-                     QUALIFY row_number()
-                         OVER (ORDER BY n DESC, w ASC) <= 50000),
-            pairs AS (SELECT doc_id, pos, w,
-                             lag(w) OVER (PARTITION BY doc_id
-                                          ORDER BY pos) AS pw
-                      FROM words),
-            bc AS (SELECT pw AS w1, w AS w2, count(*) AS n12 FROM pairs
-                   WHERE pw IS NOT NULL GROUP BY 1, 2),
-            btop AS (SELECT w1, w2, n12
-                     FROM bc JOIN utop u1 ON u1.w = bc.w1
-                     QUALIFY row_number()
-                         OVER (ORDER BY n12 DESC,
-                               w1 || ' ' || w2 ASC) <= 100000),
-            scored AS (
-                SELECT p.doc_id,
-                       CASE
-                           WHEN p.pw IS NULL THEN
-                               CAST(round(ln(coalesce(u.n, 0.5) / t.total)
-                                          * 1000000) AS BIGINT)
-                           WHEN b.n12 IS NOT NULL THEN
-                               CAST(round(ln(b.n12 / u1.n)
-                                          * 1000000) AS BIGINT)
-                           ELSE
-                               CAST(round(ln(0.4 * coalesce(u.n, 0.5)
-                                             / t.total)
-                                          * 1000000) AS BIGINT)
-                       END AS lp
-                FROM pairs p CROSS JOIN t
-                LEFT JOIN utop u ON u.w = p.w
-                LEFT JOIN btop b ON b.w1 = p.pw AND b.w2 = p.w
-                LEFT JOIN utop u1 ON u1.w = p.pw)
+        "bigram_logprob": _BIGRAM_CTE + """
             SELECT doc_id, count(*) AS n_tokens,
                    sum(lp) AS logprob_micro
             FROM scored GROUP BY doc_id
+        """,
+        "ppl_terciles": _BIGRAM_CTE + """
+            , agg AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(lp) AS logprob_micro
+                    FROM scored GROUP BY doc_id),
+            per AS (SELECT doc_id,
+                           CAST((logprob_micro * 1000) // n_tokens
+                                AS BIGINT) AS lp_nano_per_tok
+                    FROM agg)
+            SELECT doc_id, lp_nano_per_tok,
+                   CAST(ntile(3) OVER (ORDER BY lp_nano_per_tok DESC,
+                                       doc_id ASC) AS BIGINT) AS tercile
+            FROM per
         """,
         "dsir_weights": """
             WITH src_words AS (

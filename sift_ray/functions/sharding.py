@@ -326,6 +326,48 @@ def global_rank(ds, value_col: str, id_col: str = "doc_id",
     return parted.groupby("part").map_groups(scan, batch_format="pyarrow")
 
 
+def ntile_assign(ds, value_col: str, n_tiles: int = 3,
+                 id_col: str = "doc_id", descending: bool = True,
+                 num_parts: Optional[int] = None):
+    """Exact distributed SQL ``NTILE(n) OVER (ORDER BY value [DESC],
+    id ASC)`` — the equi-depth bucketing step (CCNet head/middle/tail
+    perplexity buckets, equi-depth histograms, curriculum cuts).
+
+    Built on ``global_rank`` (two-pass range-partitioned prefix count;
+    driver holds P integers plus one row count); tiles follow the SQL
+    rule exactly — N = q*n + r rows gives the first r tiles q+1 rows and
+    the rest q. Returns (id, value, tile) with tile in 1..n_tiles.
+    """
+    ranked = global_rank(ds, value_col, id_col=id_col,
+                         descending=descending,
+                         num_parts=num_parts).materialize()
+    N = ranked.count()
+    if N == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "tile": pa.array([], pa.int64())}))
+    q, r = divmod(N, n_tiles)
+    big = r * (q + 1)  # ranks 1..big live in the q+1-sized tiles
+
+    def tile(batch: pa.Table) -> pa.Table:
+        rank = batch.column("global_rank").to_numpy(zero_copy_only=False)
+        if q == 0:  # fewer rows than tiles: NTILE gives tile == rank
+            t = rank
+        else:
+            in_big = rank <= big
+            t = np.where(in_big, (rank - 1) // (q + 1) + 1,
+                         r + (rank - 1 - big) // max(q, 1) + 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            value_col: batch.column(value_col),
+            "tile": pa.array(t.astype(np.int64), pa.int64()),
+        })
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
 def write_shard_files(docs, shards, out_dir: str, groups: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_parts: Optional[int] = None):

@@ -1308,6 +1308,32 @@ def test_pack_sequences_exact_and_invariant(ray_session):
         assert got["text"].iloc[-1] == " ".join(stream[-tail:])
 
 
+def test_ntile_assign_matches_sql_ntile(ray_session):
+    """Exact SQL NTILE parity including the remainder rule (first r tiles
+    get the extra row) and the N < n_tiles edge, under repartitioning."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sharding import ntile_assign
+
+    rng = np.random.RandomState(5)
+    for n_rows, n_tiles in ((101, 3), (12, 5), (4, 7), (60, 6)):
+        v = rng.randint(-50, 50, n_rows).astype(np.int64)
+        tbl = pa.table({"doc_id": pa.array(range(n_rows), pa.int64()),
+                        "v": pa.array(v, pa.int64())})
+        got = (ntile_assign(rd.from_arrow(tbl).repartition(7), "v",
+                            n_tiles=n_tiles)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", tbl)
+        exp = con.execute(
+            f"SELECT doc_id, v, ntile({n_tiles}) OVER "
+            "(ORDER BY v DESC, doc_id ASC) AS tile FROM t "
+            "ORDER BY doc_id").df()
+        assert list(got["tile"]) == list(exp["tile"]), (n_rows, n_tiles)
+
+
 def test_pack_sequences_empty(ray_session):
     import pyarrow as pa
     import ray.data as rd
