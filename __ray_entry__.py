@@ -554,6 +554,22 @@ def _q_corpus_prep_ckpt(sf_dir: str):
         shard_tokens=5000, k=3, threshold=0.5)
 
 
+def _q_export_jsonl(sf_dir: str):
+    """Gzip-JSONL sink round-trip (sources/jsonl.py): documents ride one
+    id-keyed exchange into per-group rows.jsonl.gz files (manifest resume,
+    byte-identical reruns), then stream back through Ray's parallel JSON
+    reader — checked value-exact against the identity SQL, so the sink AND
+    source are both oracle-gated."""
+    import tempfile
+
+    import ray.data as rd
+    from sift_ray.sources.jsonl import read_jsonl_shards, write_jsonl_shards
+
+    out = tempfile.mkdtemp(prefix="sift_jsonl_q_")
+    write_jsonl_shards(_docs(sf_dir, ["doc_id", "text"]), out, groups=8)
+    return read_jsonl_shards(out)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct (functions/sketch.py) vs the exact
     distinct computed distributed — one row with both and the rel error
@@ -2399,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": _q_token_shards,
         "pack_sequences": _q_pack_sequences,
         "approx_distinct_users": _q_approx_distinct_users,
+        "export_jsonl": _q_export_jsonl,
         "corpus_prep_shards": _q_corpus_prep,
         "corpus_prep_shards_ckpt": _q_corpus_prep_ckpt,
         "approx_distinct_by_priority": _q_approx_distinct_by_priority,
@@ -2777,6 +2794,9 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000
                         AS BIGINT) AS shard_id
             FROM t
+        """,
+        "export_jsonl": """
+            SELECT doc_id, text FROM documents
         """,
         "pack_sequences": """
             WITH docs AS (
