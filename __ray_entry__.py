@@ -1525,6 +1525,22 @@ def _q_host_graph(sf_dir: str):
     return host_edges(extract_outlinks(pages))
 
 
+def _q_host_rank(sf_dir: str):
+    """Host-reputation PageRank over the REAL extracted link graph:
+    outlinks from the pages corpus -> host edges -> string-keyed
+    PageRank (functions/linkgraph.py pagerank_hosts — hosts dictionary-
+    encode to int63 hashes map-side, exchanges move 16-byte rows, ranks
+    join host names back through one exchange). Rows-only (HTML link
+    extraction is not SQL-expressible); the integer recurrence is pinned
+    exactly in tests/test_linkgraph.py."""
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import (extract_outlinks, host_edges,
+                                              pagerank_hosts)
+    corpus = _pages_corpus_for(sf_dir)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    return pagerank_hosts(host_edges(extract_outlinks(pages)), iters=4)
+
+
 def _q_events_interval_join(sf_dir: str):
     """Distributed RANGE join (no equi-key): every event paired with
     every 1-hour incident window it falls in (windows = every 50th
@@ -2497,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
+        "host_rank": _q_host_rank,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,

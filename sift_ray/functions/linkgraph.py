@@ -360,3 +360,76 @@ def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
         return pa.table({"node": t.column("node"), "rank": t.column("r")})
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def pagerank_hosts(host_edges_ds, iters: int = 6,
+                   num_parts: Optional[int] = None):
+    """PageRank over a STRING-keyed host graph (src_host, dst_host[, n])
+    — the host-reputation signal a web-curation pipeline feeds into its
+    quality gate. Returns (host, rank) with the same exact int64
+    fixed-point semantics as ``pagerank``.
+
+    Hosts are dictionary-encoded map-side to 63-bit content hashes (the
+    exchanges move 16-byte int rows, never host strings); ranks join back
+    to host names through one hash-keyed exchange over the DISTINCT
+    (hash, host) pairs. A 63-bit hash collision would merge two hosts'
+    ranks — odds ~n^2/2^63 (≈0.5% at 10^8 hosts), the standard
+    dictionary-encode trade at this scale; swap in an exact distinct-rank
+    encoding if a run ever demands zero collisions. Edge multiplicity
+    (the ``n`` column) is ignored: standard unweighted PageRank over the
+    distinct host pairs."""
+    import pyarrow.compute as pc
+
+    from .shuffle import default_num_parts, hash_join, partitioned_group_agg
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+    i64 = pa.int64()
+
+    def to_int_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src_host" not in t.column_names:
+            return pa.table({"src": pa.array([], i64),
+                             "dst": pa.array([], i64)})
+        # >> 1: keep hashes non-negative int63 (mix64 shifts stay defined)
+        sh = (_hash64_any(t.column("src_host")) >> np.uint64(1)) \
+            .astype(np.int64)
+        dh = (_hash64_any(t.column("dst_host")) >> np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(sh, i64),
+                         "dst": pa.array(dh, i64)})
+
+    int_edges = host_edges_ds.map_batches(to_int_edges,
+                                          batch_format="pyarrow")
+    ranks = pagerank(int_edges, iters=iters, num_parts=P).materialize()
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src_host" not in t.column_names:
+            return pa.table({"node": pa.array([], i64),
+                             "host": pa.array([], pa.string())})
+        out = []
+        for col in ("src_host", "dst_host"):
+            h = (_hash64_any(t.column(col)) >> np.uint64(1)) \
+                .astype(np.int64)
+            out.append(pa.table({
+                "node": pa.array(h, i64),
+                "host": pc.cast(t.column(col), pa.string())}))
+        return pa.concat_tables(out)
+
+    def node_key(batch: pa.Table):
+        # node IS the host's content hash — keying on it alone co-locates
+        # every (node, host) pair; the kernel still groups by both columns
+        return [batch.column("node").to_numpy(zero_copy_only=False)]
+
+    names = partitioned_group_agg(
+        host_edges_ds.map_batches(name_rows, batch_format="pyarrow"),
+        ["node", "host"], [(None, "count", "_c")],
+        num_parts=P, key_arrays_fn=node_key).map_batches(
+        lambda t: t.select(["node", "host"]), batch_format="pyarrow")
+
+    joined = hash_join(ranks, names, on="node", num_parts=P,
+                       left_types={"node": i64, "rank": i64},
+                       right_types={"node": i64, "host": pa.string()})
+    return joined.map_batches(
+        lambda t: pa.table({"host": t.column("host"),
+                            "rank": pc.cast(t.column("rank"), i64)}),
+        batch_format="pyarrow")

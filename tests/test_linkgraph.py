@@ -132,3 +132,48 @@ def test_outlinks_nofollow_flag():
                    out.column("nofollow").to_pylist()))
     assert got == {"http://a.com/x": True, "http://a.com/y": True,
                    "http://a.com/z": False}
+
+
+def test_pagerank_hosts_matches_integer_reference(ray_session):
+    """String-keyed host PageRank == the serial int64 fixed-point
+    recurrence on the same graph (dictionary-encode + two-exchange name
+    join preserve exact values)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import pagerank_hosts
+
+    hosts = [f"h{i}.example.com" for i in range(12)]
+    rng = np.random.RandomState(4)
+    pairs = set()
+    while len(pairs) < 30:
+        a, b = rng.randint(0, 12, 2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+    edges = pa.table({
+        "src_host": pa.array([hosts[a] for a, _ in pairs]),
+        "dst_host": pa.array([hosts[b] for _, b in pairs]),
+        "n": pa.array([1] * len(pairs), pa.int64())})
+    got = (pagerank_hosts(rd.from_arrow(edges).repartition(5), iters=6)
+           .to_pandas().sort_values("host").reset_index(drop=True))
+
+    scale, d_num, d_den = 10 ** 12, 85, 100
+    nodes = sorted({hosts[a] for a, _ in pairs}
+                   | {hosts[b] for _, b in pairs})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n, np.int64)
+    for a, _ in pairs:
+        out[idx[hosts[a]]] += 1
+    r = np.full(n, scale, np.int64)
+    for _ in range(6):
+        contrib = np.zeros(n, np.int64)
+        for a, b in pairs:
+            contrib[idx[hosts[b]]] += r[idx[hosts[a]]] // out[idx[hosts[a]]]
+        dangling = r[out == 0].sum()
+        r = ((d_den - d_num) * scale
+             + d_num * (contrib + dangling // n)) // d_den
+    assert len(got) == n
+    for _, row in got.iterrows():
+        assert int(r[idx[row["host"]]]) == row["rank"], row["host"]
