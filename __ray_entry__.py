@@ -630,6 +630,41 @@ def _q_orders_customer_join(sf_dir: str):
     return hash_join(orders, cust, on="custkey", how="inner")
 
 
+def _q_orders_join_bucketed(sf_dir: str):
+    """EXCHANGE-FREE join over co-partitioned storage (sources/
+    bucketed.py): orders and customers are each written ONCE as
+    key-bucketed parquet (hash(custkey) % B, manifest-committed), then
+    the join is per-bucket-pair map tasks with zero shuffle — the
+    pay-the-exchange-once pattern a 100 TB fact pipeline lives on. Same
+    oracle as orders_customer_join: co-partitioning must not change a
+    value."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.sources.bucketed import join_bucketed, write_bucketed
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "custkey",
+                                    "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    od = tempfile.mkdtemp(prefix="sift_bkt_o_")
+    cd = tempfile.mkdtemp(prefix="sift_bkt_c_")
+    write_bucketed(orders, od, key="custkey", buckets=16)
+    write_bucketed(cust, cd, key="custkey", buckets=16)
+    return join_bucketed(od, cd, on="custkey").map_batches(
+        lambda t: t.select(["custkey", "o_orderkey", "o_totalprice",
+                            "c_mktsegment"]),
+        batch_format="pyarrow")
+
+
 def _q_events_asof_join(sf_dir: str):
     """Distributed backward AS-OF join (shuffle.asof_join): every event is
     enriched with the value of the user's most recent HIGH event (value >=
@@ -1525,20 +1560,46 @@ def _q_host_graph(sf_dir: str):
     return host_edges(extract_outlinks(pages))
 
 
-def _q_host_rank(sf_dir: str):
-    """Host-reputation PageRank over the REAL extracted link graph:
-    outlinks from the pages corpus -> host edges -> string-keyed
-    PageRank (functions/linkgraph.py pagerank_hosts — hosts dictionary-
+def _q_url_rank(sf_dir: str):
+    """Page-reputation PageRank over the REAL extracted link graph:
+    outlinks from the pages corpus -> distinct url edges -> string-keyed
+    PageRank (functions/linkgraph.py pagerank_hosts — keys dictionary-
     encode to int63 hashes map-side, exchanges move 16-byte rows, ranks
-    join host names back through one exchange). Rows-only (HTML link
-    extraction is not SQL-expressible); the integer recurrence is pinned
-    exactly in tests/test_linkgraph.py."""
+    join names back through one exchange). The fixture corpus is
+    single-host, so the url-level graph (~corpus-sized, genuinely
+    multi-node) is the non-vacuous variant; the host-level rollup is the
+    same call over host_edges. Rows-only (HTML link extraction is not
+    SQL-expressible); the integer recurrence is pinned exactly in
+    tests/test_linkgraph.py."""
+    import pyarrow as pa
     import ray.data as rd
-    from sift_ray.functions.linkgraph import (extract_outlinks, host_edges,
-                                              pagerank_hosts)
+    from sift_ray.functions.linkgraph import extract_outlinks, pagerank_hosts
+    from sift_ray.functions.shuffle import partitioned_group_agg
+    from sift_ray.functions.sketch import _hash64_any
+
     corpus = _pages_corpus_for(sf_dir)
     pages = rd.read_parquet(corpus, columns=["url", "html"])
-    return pagerank_hosts(host_edges(extract_outlinks(pages)), iters=4)
+
+    def as_host_cols(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"src_host": pa.array([], pa.string()),
+                             "dst_host": pa.array([], pa.string())})
+        return pa.table({"src_host": t.column("src"),
+                         "dst_host": t.column("dst")})
+
+    def key_hash(batch: "pa.Table"):
+        import numpy as np
+        return [_hash64_any(batch.column("src_host")).astype("int64"),
+                _hash64_any(batch.column("dst_host")).astype("int64")]
+
+    edges = partitioned_group_agg(
+        extract_outlinks(pages).map_batches(as_host_cols,
+                                            batch_format="pyarrow"),
+        ["src_host", "dst_host"], [(None, "count", "n")],
+        key_arrays_fn=key_hash)
+    return pagerank_hosts(edges, iters=4).map_batches(
+        lambda t: t.rename_columns(["url", "rank"]),
+        batch_format="pyarrow")
 
 
 def _q_events_interval_join(sf_dir: str):
@@ -2422,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_nation": _q_customers_per_nation,
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
+        "orders_join_bucketed": _q_orders_join_bucketed,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_interval_join": _q_events_interval_join,
@@ -2513,7 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "page_outlinks": _q_page_outlinks,
         "host_graph": _q_host_graph,
-        "host_rank": _q_host_rank,
+        "url_rank": _q_url_rank,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
@@ -2886,6 +2948,11 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY user_id, win
         """,
         "orders_customer_join": """
+            SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "orders_join_bucketed": """
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
                    c.c_mktsegment
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey

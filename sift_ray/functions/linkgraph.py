@@ -386,6 +386,12 @@ def pagerank_hosts(host_edges_ds, iters: int = 6,
     P = num_parts or default_num_parts()
     i64 = pa.int64()
 
+    # materialize the (small, distinct-host-pair) edge table ONCE: both
+    # the rank iteration and the name join consume it, and a lazy input
+    # would re-execute its full upstream (e.g. corpus-wide outlink
+    # extraction) once per consumer
+    host_edges_ds = host_edges_ds.materialize()
+
     def to_int_edges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "src_host" not in t.column_names:
             return pa.table({"src": pa.array([], i64),
