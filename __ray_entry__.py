@@ -665,6 +665,40 @@ def _q_orders_join_bucketed(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_nation_counts_bucketed(sf_dir: str):
+    """EXCHANGE-FREE group-aggregate over co-partitioned storage
+    (sources/bucketed.py agg_bucketed): customers bucketed once on
+    c_nationkey, then a full GROUP BY is one Arrow hash-aggregate per
+    bucket file — keys are co-located by construction, so no shuffle and
+    no combiner pass. Oracle-exact vs plain GROUP BY."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.sources.bucketed import agg_bucketed, write_bucketed
+
+    import pyarrow.compute as pc
+
+    def to_cents(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                        pa.int64())
+        return pa.table({"c_nationkey": t.column("c_nationkey"),
+                         "acct_cents": cents})
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_acctbal"]).map_batches(
+        to_cents, batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="sift_bkt_n_")
+    write_bucketed(cust, d, key="c_nationkey", buckets=8)
+    out = agg_bucketed(d, key="c_nationkey",
+                       aggs=[(None, "count_all"), ("acct_cents", "sum")])
+    return out.map_batches(
+        lambda t: t.rename_columns(["c_nationkey", "n_customers",
+                                    "sum_acct_cents"]),
+        batch_format="pyarrow")
+
+
 def _q_events_asof_join(sf_dir: str):
     """Distributed backward AS-OF join (shuffle.asof_join): every event is
     enriched with the value of the user's most recent HIGH event (value >=
@@ -2484,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_customers_per_segment": _q_topk_customers,
         "orders_customer_join": _q_orders_customer_join,
         "orders_join_bucketed": _q_orders_join_bucketed,
+        "nation_counts_bucketed": _q_nation_counts_bucketed,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_interval_join": _q_events_interval_join,
@@ -2956,6 +2991,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
                    c.c_mktsegment
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "nation_counts_bucketed": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acct_cents
+            FROM customer GROUP BY c_nationkey
         """,
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents

@@ -186,3 +186,35 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
              for lp, rp in zip(t.column("lpath").to_pylist(),
                                t.column("rpath").to_pylist())]),
         batch_format="pyarrow", batch_size=1)
+
+
+def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
+                 columns: Optional[Sequence[str]] = None):
+    """EXCHANGE-FREE group-aggregate over a bucketed table: every row of a
+    key lives in one bucket by construction, so a full GROUP BY is one
+    Arrow hash-aggregate per bucket file — no shuffle, no combiner pass,
+    no driver state. ``aggs`` are pyarrow group_by specs
+    ``[(col, fn), ...]`` (fn in sum/min/max/mean/count/count_all...).
+    Returns a Dataset of the per-key aggregate rows."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    paths = _bucket_paths(out_dir)
+    if not paths:
+        return rd.from_items([])
+
+    agg_list = [tuple(a) for a in aggs]
+
+    def agg_file(t: pa.Table) -> pa.Table:
+        out = []
+        for p in t.column("path").to_pylist():
+            want = ([key] + [c for c, _ in agg_list if c is not None]
+                    if columns is None else list(columns))
+            tbl = pq.read_table(p, columns=list(dict.fromkeys(want)))
+            out.append(tbl.group_by([key]).aggregate(
+                [(c if c is not None else [], f) for c, f in agg_list]))
+        return pa.concat_tables(out)
+
+    tasks = rd.from_items([{"path": p} for _b, p in sorted(paths.items())])
+    return tasks.map_batches(agg_file, batch_format="pyarrow",
+                             batch_size=1)

@@ -82,6 +82,24 @@ def test_write_bucketed_resume_and_prune(ray_session, bucketed_dirs):
     pd.testing.assert_frame_equal(got, exp2)
 
 
+def test_agg_bucketed_matches_pandas(ray_session, bucketed_dirs):
+    from sift_ray.sources.bucketed import agg_bucketed
+
+    left, _right, ld, _ = bucketed_dirs
+    got = (agg_bucketed(ld, key="k",
+                        aggs=[(None, "count_all"), ("lv", "sum"),
+                              ("lv", "min")])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (left.to_pandas().groupby("k")
+           .agg(count_all=("lv", "size"), lv_sum=("lv", "sum"),
+                lv_min=("lv", "min"))
+           .reset_index().sort_values("k").reset_index(drop=True))
+    assert list(got["k"]) == list(exp["k"])
+    assert list(got["count_all"]) == list(exp["count_all"])
+    assert list(got["lv_sum"]) == list(exp["lv_sum"])
+    assert list(got["lv_min"]) == list(exp["lv_min"])
+
+
 def test_join_bucketed_rejects_mismatched_buckets(ray_session, tmp_path):
     import ray.data as rd
     from sift_ray.sources.bucketed import join_bucketed, write_bucketed
