@@ -23,7 +23,7 @@ exact. Results are invariant to ``num_parts``; choose it so a partition
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import pyarrow as pa
@@ -217,11 +217,59 @@ class BloomFilterStage:
         return t.filter(pa.array(keep))
 
 
+def detect_salt(ds, key_cols: List[str], num_parts: int,
+                sample_rows: int = 200_000,
+                max_salt: int = 16) -> Optional[int]:
+    """Sampled hot-key detection for ``hash_join(salt="auto")``: read a
+    bounded prefix of the LEFT side's key columns (column-pruned; at most
+    ``sample_rows`` rows leave the workers as hashes), estimate the
+    heaviest key's frequency f, and pick a salt that spreads its rows back
+    to ~2x the uniform per-partition share: salt ≈ f * P / 2, capped at
+    ``max_salt`` (each salt step replicates the RIGHT side once more).
+    Returns None when no key exceeds 4x the uniform share — the common
+    case, costing one cheap prefix pass. Salting is value-preserving
+    either way; detection only tunes the constant, so sampling error can
+    never change results."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    seen = 0
+
+    def key_hashes(t: pa.Table) -> pa.Table:
+        from .sketch import _hash64_any
+        arrs = []
+        for c in key_cols:
+            col = t.column(c)
+            if pa.types.is_integer(col.type) and col.null_count == 0:
+                arrs.append(col.to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            else:
+                arrs.append(_hash64_any(col).astype(np.int64))
+        return pa.table({"__k": pa.array(mix64(arrs), pa.int64())})
+
+    proj = ds.map_batches(key_hashes, batch_format="pyarrow")
+    for batch in proj.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        ks = batch.column("__k").to_numpy(zero_copy_only=False)
+        vals, cs = np.unique(ks, return_counts=True)
+        for v, c in zip(vals.tolist(), cs.tolist()):
+            counts[v] += c
+        seen += len(ks)
+        if seen >= sample_rows:
+            break
+    if seen == 0 or not counts:
+        return None
+    f = max(counts.values()) / seen
+    if f <= 4.0 / num_parts:
+        return None
+    return max(2, min(max_salt, int(np.ceil(f * num_parts / 2.0))))
+
+
 def hash_join(left, right, on, how: str = "inner",
               num_parts: Optional[int] = None,
               left_cols: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None,
-              salt: Optional[int] = None,
+              salt: Optional[Union[int, str]] = None,
               left_types: Optional[dict] = None,
               right_types: Optional[dict] = None,
               post: Optional[Callable] = None,
@@ -249,7 +297,10 @@ def hash_join(left, right, on, how: str = "inner",
     replication preserves their semantics); the left row spread uses a
     round-robin within each batch, which is deterministic in the ROW->salt
     mapping only per block layout — the JOIN RESULT is layout-invariant
-    because every salt sees the full right side.
+    because every salt sees the full right side. ``salt="auto"`` runs
+    ``detect_salt`` first (one bounded column-pruned prefix pass over the
+    left keys) and salts only when a sampled key exceeds 4x the uniform
+    per-partition share — the hands-off default for unknown skew.
 
     ``how``: "inner", "left", "full" (unmatched rows of EITHER side kept,
     the other side's columns null — integer columns stay exact int64 via
@@ -283,6 +334,8 @@ def hash_join(left, right, on, how: str = "inner",
     if multi and bloom_prefilter:
         raise ValueError("bloom_prefilter supports single-key joins only")
     on = ons[0]  # the single-key fast paths below use `on`
+    if salt == "auto":
+        salt = detect_salt(left, ons, P)
     if salt is not None and salt < 2:
         salt = None
     def _names(ds_, given, types):

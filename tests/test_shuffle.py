@@ -917,3 +917,38 @@ def test_asof_join_tolerance(ray_session):
            num_parts=2).to_pandas().sort_values("lid")
            .reset_index(drop=True))
     assert tie["price"][0] == 1.0 and pd.isna(tie["price"][1])
+
+
+def test_detect_salt_and_auto_join(ray_session):
+    """salt="auto": a planted hot key (half the left rows) triggers
+    salting and the salted result equals the unsalted join; a uniform key
+    distribution detects no skew (salt None)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.shuffle import detect_salt, hash_join
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    hot = np.full(n // 2, 7, dtype=np.int64)
+    rest = rng.randint(100, 2000, n // 2).astype(np.int64)
+    lk = np.concatenate([hot, rest])
+    rng.shuffle(lk)
+    left = pd.DataFrame({"k": lk, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 2000, dtype=np.int64),
+                          "rv": np.arange(0, 2000, dtype=np.int64) * 3})
+
+    s = detect_salt(rd.from_pandas(left), ["k"], num_parts=16)
+    assert s is not None and s >= 2
+
+    uniform = pd.DataFrame({"k": rng.permutation(n).astype(np.int64)})
+    assert detect_salt(rd.from_pandas(uniform), ["k"],
+                       num_parts=16) is None
+
+    base = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", num_parts=8).to_pandas()
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    auto = (hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", num_parts=8, salt="auto").to_pandas()
+            .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(auto, base)
