@@ -665,6 +665,35 @@ def _q_orders_join_bucketed(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_bucketed_ingest(sf_dir: str):
+    """Exactly-once incremental ingest into co-partitioned storage
+    (sources/bucketed.py append_bucketed): two-thirds of the documents
+    table is written as the base bucketed table, the rest merges in as a
+    delta dump under an ingest id (replays are manifest no-ops — pinned
+    in tests); read-back must equal the whole table, value-exact vs
+    identity SQL."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, read_bucketed,
+                                           write_bucketed)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    base = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.bit_wise_and(t.column("doc_id"), 3), 0)),
+        batch_format="pyarrow")
+    delta = docs.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t.column("doc_id"), 3), 0)),
+        batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="sift_bkt_i_")
+    write_bucketed(base, d, key="doc_id", buckets=8)
+    append_bucketed(delta, d, key="doc_id", ingest_id="delta-1")
+    return read_bucketed(d)
+
+
 def _q_nation_counts_bucketed(sf_dir: str):
     """EXCHANGE-FREE group-aggregate over co-partitioned storage
     (sources/bucketed.py agg_bucketed): customers bucketed once on
@@ -2519,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "orders_join_bucketed": _q_orders_join_bucketed,
         "nation_counts_bucketed": _q_nation_counts_bucketed,
+        "bucketed_ingest": _q_bucketed_ingest,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_interval_join": _q_events_interval_join,
@@ -2991,6 +3021,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
                    c.c_mktsegment
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "bucketed_ingest": """
+            SELECT doc_id, text FROM documents
         """,
         "nation_counts_bucketed": """
             SELECT c_nationkey,

@@ -218,3 +218,93 @@ def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
     tasks = rd.from_items([{"path": p} for _b, p in sorted(paths.items())])
     return tasks.map_batches(agg_file, batch_format="pyarrow",
                              batch_size=1)
+
+
+def append_bucketed(delta_ds, out_dir: str, key: str,
+                    ingest_id: str) -> dict:
+    """EXACTLY-ONCE incremental ingest into an existing bucketed table:
+    the delta rides the same hash(key)%B routing, each affected bucket
+    merges old rows + delta (re-sorted by key) and re-commits atomically
+    with ``ingest_id`` appended to its manifest record — so a crashed or
+    retried ingest skips buckets that already recorded this id, and
+    replaying the same delta is a no-op. Untouched buckets keep their
+    files. This is the continuously-arriving-crawl-dump maintenance path:
+    every later ``join_bucketed``/``agg_bucketed`` stays exchange-free
+    over the merged table.
+
+    Commit is rmtree+rename (same semantics as the rest of the manifest
+    protocol): a crash inside the swap window can require re-running the
+    ingest for that bucket; the ingest-id ledger makes that retry safe.
+    Returns the manifest summary + per-bucket rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest = Manifest(out_dir)
+    recs = {r["partition_id"]: r for r in manifest.records()
+            if r.get("status") == "ok"}
+    buckets = len(recs)
+    assert buckets > 0, "append_bucketed needs an existing bucketed table"
+    done = np.array(sorted(b for b, r in recs.items()
+                           if ingest_id in r.get("ingests", [])),
+                    dtype=np.int64)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(t.column(key), buckets)
+        keep = ~np.isin(b, done)
+        t = t.append_column("part", pa.array(b, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    stats_schema = pa.schema([("bkt", pa.int64()), ("n_rows", pa.int64())])
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        b = int(t.column("part")[0].as_py())
+        m = Manifest(out_dir)
+        rec = {r["partition_id"]: r for r in m.records()}.get(b, {})
+        if ingest_id in rec.get("ingests", []):  # retry after commit
+            return stats_schema.empty_table()
+        m.cleanup_tmp(b)
+        tmp = m.tmp_partition_dir(b)
+        os.makedirs(tmp, exist_ok=True)
+        delta = t.drop_columns("part")
+        old_path = os.path.join(m.partition_dir(b), "rows.parquet")
+        parts = [delta]
+        if os.path.exists(old_path):
+            parts.insert(0, pq.read_table(old_path))
+        merged = pa.concat_tables(parts, promote_options="default")
+        merged = merged.take(pc.sort_indices(
+            merged, sort_keys=[(key, "ascending")]))
+        pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
+        m.commit_partition(b, {
+            "n_rows": merged.num_rows,
+            "ingests": rec.get("ingests", []) + [ingest_id]})
+        return pa.table({"bkt": pa.array([b], pa.int64()),
+                         "n_rows": pa.array([merged.num_rows], pa.int64())},
+                        schema=stats_schema)
+
+    (delta_ds.map_batches(add_bucket, batch_format="pyarrow")
+     .groupby("part").map_groups(merge_bucket, batch_format="pyarrow")
+     .materialize())
+
+    # buckets the delta never touched must still record the ingest so a
+    # REPLAY of the same delta (possibly partitioned differently) is a
+    # pure manifest no-op
+    recs2 = {r["partition_id"]: r for r in manifest.records()
+             if r.get("status") == "ok"}
+    for b, r in recs2.items():
+        if ingest_id not in r.get("ingests", []):
+            final = manifest.partition_dir(b)
+            tmp = manifest.tmp_partition_dir(b)
+            os.makedirs(tmp, exist_ok=True)
+            # keep existing rows: COPY into the tmp dir for the swap (a
+            # move would leave a window where the committed dir is empty)
+            import shutil
+            old_path = os.path.join(final, "rows.parquet")
+            if os.path.exists(old_path):
+                shutil.copy(old_path, os.path.join(tmp, "rows.parquet"))
+            manifest.commit_partition(b, {
+                "n_rows": r.get("n_rows", 0),
+                "ingests": r.get("ingests", []) + [ingest_id]})
+
+    out = manifest.summary()
+    out["buckets"] = buckets
+    return out

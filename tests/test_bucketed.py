@@ -100,6 +100,46 @@ def test_agg_bucketed_matches_pandas(ray_session, bucketed_dirs):
     assert list(got["lv_min"]) == list(exp["lv_min"])
 
 
+def test_append_bucketed_exactly_once(ray_session, tmp_path):
+    """Incremental ingest: a delta merges into the bucketed table; the
+    SAME ingest_id replayed (any partitioning) is a no-op; a different
+    ingest_id applies again. Result always equals a from-scratch write of
+    the union."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, read_bucketed,
+                                           write_bucketed)
+
+    base = pa.table({"k": pa.array(range(0, 60), pa.int64()),
+                     "v": pa.array(range(100, 160), pa.int64())})
+    delta = pa.table({"k": pa.array(range(40, 90), pa.int64()),
+                      "v": pa.array(range(940, 990), pa.int64())})
+    d = str(tmp_path / "b")
+    write_bucketed(rd.from_arrow(base), d, "k", buckets=6)
+    append_bucketed(rd.from_arrow(delta).repartition(4), d, "k",
+                    ingest_id="dump-001")
+
+    def snapshot():
+        return (read_bucketed(d).to_pandas().sort_values(["k", "v"])
+                .reset_index(drop=True))
+
+    exp = (pa.concat_tables([base, delta]).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(snapshot(), exp)
+
+    # replay with the same id (different partitioning): byte-level no-op
+    t0 = time.time()
+    append_bucketed(rd.from_arrow(delta).repartition(2), d, "k",
+                    ingest_id="dump-001")
+    assert time.time() - t0 < 5.0
+    pd.testing.assert_frame_equal(snapshot(), exp)
+
+    # a new id applies again (duplicate rows now present twice)
+    append_bucketed(rd.from_arrow(delta), d, "k", ingest_id="dump-002")
+    exp2 = (pa.concat_tables([base, delta, delta]).to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(snapshot(), exp2)
+
+
 def test_join_bucketed_rejects_mismatched_buckets(ray_session, tmp_path):
     import ray.data as rd
     from sift_ray.sources.bucketed import join_bucketed, write_bucketed
