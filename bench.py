@@ -228,8 +228,10 @@ def run_bench() -> dict:
         "retention_cohorts", "events_gap_fill",
         "in_doc_line_dedup", "semdedup_keep", "dsir_sample",
         "events_asof_tolerance", "clicks_minus_purchases_all",
-        "knn_join", "ppl_terciles", "url_rank", "export_jsonl", "orders_join_bucketed",
-        "resize_images", "sample_frames", "audio_features")
+        "knn_join", "ppl_terciles", "url_rank", "export_jsonl",
+        "orders_join_bucketed", "nation_counts_bucketed",
+        "bucketed_ingest", "resize_images", "sample_frames",
+        "audio_features")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

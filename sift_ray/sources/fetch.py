@@ -132,22 +132,45 @@ def fetch_url(url: str, max_bytes: int = MAX_HTTP_BYTES,
 
 class FetchStage:
     """Actor-pool stage: (url) -> (url, html, status, error, http_status).
-    A thread pool per actor overlaps the I/O waits of a batch's URLs."""
+    A thread pool per actor overlaps the I/O waits of a batch's URLs.
+
+    ``min_host_interval_s``: crawl politeness — consecutive requests to
+    the same host are spaced at least this far apart via a per-host
+    token clock (threads sleep until their reserved slot). The limiter
+    is per ACTOR; for a GLOBAL per-host guarantee route each host's urls
+    to one task first (``fetch_pages(host_partitioned=True)``)."""
 
     def __init__(self, max_bytes: int = MAX_HTTP_BYTES,
                  total_timeout_s: float = TOTAL_TIMEOUT_S,
-                 threads: int = 16, url_col: str = "url"):
+                 threads: int = 16, url_col: str = "url",
+                 min_host_interval_s: float = 0.0):
+        import threading
         from concurrent.futures import ThreadPoolExecutor
         self.max_bytes = max_bytes
         self.total_timeout_s = total_timeout_s
         self.pool = ThreadPoolExecutor(max_workers=threads)
         self.url_col = url_col
+        self.min_host_interval_s = min_host_interval_s
+        self._next_slot: dict = {}
+        self._lock = threading.Lock()
+
+    def _polite_fetch(self, u: str):
+        import time as _time
+        from urllib.parse import urlsplit
+        if self.min_host_interval_s > 0:
+            host = urlsplit(u).netloc.lower()
+            with self._lock:
+                now = _time.monotonic()
+                slot = max(now, self._next_slot.get(host, now))
+                self._next_slot[host] = slot + self.min_host_interval_s
+            wait = slot - _time.monotonic()
+            if wait > 0:
+                _time.sleep(wait)
+        return fetch_url(u, self.max_bytes, self.total_timeout_s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column(self.url_col).to_pylist()
-        results = list(self.pool.map(
-            lambda u: fetch_url(u, self.max_bytes, self.total_timeout_s),
-            urls))
+        results = list(self.pool.map(self._polite_fetch, urls))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "html": pa.array([r[0] for r in results], pa.binary()),
@@ -160,14 +183,50 @@ class FetchStage:
 def fetch_pages(ds, concurrency=2, threads: int = 16,
                 max_bytes: int = MAX_HTTP_BYTES,
                 total_timeout_s: float = TOTAL_TIMEOUT_S,
-                batch_size: Optional[int] = 64, url_col: str = "url"):
+                batch_size: Optional[int] = 64, url_col: str = "url",
+                min_host_interval_s: float = 0.0,
+                host_partitioned: bool = False,
+                num_parts: Optional[int] = None):
     """Dataset of (url) -> (url, html, status, error, http_status).
     Feed the ``status == "ok"`` rows into ``build_extract_pipeline`` for a
-    fetch-then-extract crawl."""
+    fetch-then-extract crawl.
+
+    ``min_host_interval_s`` spaces same-host requests (politeness);
+    ``host_partitioned=True`` additionally routes every host's urls to
+    ONE partition first (one host-hash exchange), so the per-task limiter
+    becomes a GLOBAL per-host rate limit — the crawl-frontier shape. The
+    cost is that a huge host serializes into one task; politeness means
+    it must serialize anyway."""
+    kwargs = {"max_bytes": max_bytes, "total_timeout_s": total_timeout_s,
+              "threads": threads, "url_col": url_col,
+              "min_host_interval_s": min_host_interval_s}
+    if host_partitioned:
+        from urllib.parse import urlsplit
+
+        import numpy as np
+
+        from ..functions.shuffle import (add_hash_partition,
+                                         default_num_parts)
+        from ..functions.sketch import _hash64_any
+
+        P = num_parts or default_num_parts()
+
+        def host_keys(batch: pa.Table):
+            hosts = pa.array(
+                [urlsplit(u).netloc.lower()
+                 for u in batch.column(url_col).to_pylist()], pa.string())
+            return [_hash64_any(hosts).astype(np.int64)]
+
+        parted = add_hash_partition(ds, [url_col], P,
+                                    key_arrays_fn=host_keys)
+
+        def fetch_group(t: pa.Table) -> pa.Table:
+            return FetchStage(**kwargs)(t.drop_columns("part"))
+
+        return parted.groupby("part").map_groups(fetch_group,
+                                                 batch_format="pyarrow")
     return ds.map_batches(
         FetchStage,
-        fn_constructor_kwargs={"max_bytes": max_bytes,
-                               "total_timeout_s": total_timeout_s,
-                               "threads": threads, "url_col": url_col},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

@@ -238,3 +238,58 @@ def test_fetch_rejects_untrusted_tls(tmp_path):
             or "certificate" in err, err
     finally:
         srv.shutdown()
+
+
+def test_politeness_spaces_same_host_requests(server):
+    """min_host_interval_s: 6 same-host fetches through one stage must
+    arrive spaced >= ~interval apart despite 16 threads."""
+    import time
+
+    import pyarrow as pa
+
+    from sift_ray.sources.fetch import FetchStage
+
+    st = FetchStage(threads=16, min_host_interval_s=0.12)
+    urls = [f"{server}/ok" for _ in range(6)]
+    t0 = time.monotonic()
+    out = st(pa.table({"url": pa.array(urls, pa.string())}))
+    elapsed = time.monotonic() - t0
+    assert list(out.column("status").to_pylist()) == ["ok"] * 6
+    # 6 requests at >=0.12 s spacing need >= 5*0.12 s wall
+    assert elapsed >= 0.55, elapsed
+
+
+def test_politeness_distinct_hosts_not_throttled(server):
+    """The limiter is per host: distinct hosts don't wait on each other
+    (localhost vs 127.0.0.1 resolve to different host keys)."""
+    import time
+
+    import pyarrow as pa
+
+    from sift_ray.sources.fetch import FetchStage
+
+    port = server.rsplit(":", 1)[1]
+    st = FetchStage(threads=8, min_host_interval_s=0.5)
+    urls = [f"{server}/ok", f"http://localhost:{port}/ok"]
+    t0 = time.monotonic()
+    out = st(pa.table({"url": pa.array(urls, pa.string())}))
+    elapsed = time.monotonic() - t0
+    assert list(out.column("status").to_pylist()) == ["ok", "ok"]
+    assert elapsed < 0.45, elapsed  # neither waited on the other
+
+
+def test_fetch_pages_host_partitioned(ray_session, server):
+    """host_partitioned=True: every host's urls route to one group task;
+    results match the plain path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sift_ray.sources.fetch import fetch_pages
+
+    urls = [f"{server}/ok" for _ in range(8)]
+    ds = rd.from_pandas(pd.DataFrame({"url": urls})).repartition(4)
+    out = (fetch_pages(ds, host_partitioned=True, num_parts=4,
+                       min_host_interval_s=0.01)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert list(out["status"]) == ["ok"] * 8
+    assert len(out) == 8
