@@ -81,6 +81,25 @@ def _build_parser() -> argparse.ArgumentParser:
                          "(resumable at shard-group granularity)")
     wj.add_argument("--shard-groups", type=int, default=16)
 
+    bk = sub.add_parser("bucketize",
+                        help="write a parquet table as key-bucketed "
+                             "co-partitioned storage (pay the key "
+                             "exchange once; later joins/aggs on the key "
+                             "are exchange-free; resumable per bucket)")
+    bk.add_argument("--input", required=True,
+                    help="parquet file or directory")
+    bk.add_argument("--output", required=True)
+    bk.add_argument("--key", required=True)
+    bk.add_argument("--buckets", type=int, default=32)
+
+    ej = sub.add_parser("export-jsonl",
+                        help="export a parquet table as gzip JSONL shards "
+                             "(manifest resume, byte-deterministic)")
+    ej.add_argument("--input", required=True)
+    ej.add_argument("--output", required=True)
+    ej.add_argument("--id-col", default="doc_id")
+    ej.add_argument("--groups", type=int, default=16)
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -168,6 +187,22 @@ def main(argv=None) -> int:
                 strip_boilerplate=args.strip_boilerplate,
                 write_files=args.write_files,
                 shard_groups=args.shard_groups)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "bucketize":
+            import ray.data as rd
+
+            from .sources.bucketed import write_bucketed
+            summary = write_bucketed(rd.read_parquet(args.input),
+                                     args.output, key=args.key,
+                                     buckets=args.buckets)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "export-jsonl":
+            import ray.data as rd
+
+            from .sources.jsonl import write_jsonl_shards
+            summary = write_jsonl_shards(rd.read_parquet(args.input),
+                                         args.output, groups=args.groups,
+                                         id_col=args.id_col)
             print(json.dumps(summary, default=str))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus

@@ -84,6 +84,7 @@ def write_bucketed(ds, out_dir: str, key: str, buckets: int = 32) -> dict:
                 manifest.commit_partition(b, {"n_rows": 0})
 
     out = manifest.summary()
+    out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
     out["buckets"] = buckets
     out["key"] = key
     return out
@@ -306,5 +307,6 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
                 "ingests": r.get("ingests", []) + [ingest_id]})
 
     out = manifest.summary()
+    out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
     out["buckets"] = buckets
     return out

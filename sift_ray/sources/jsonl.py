@@ -97,6 +97,7 @@ def write_jsonl_shards(docs, out_dir: str, groups: int = 16,
                 manifest.commit_partition(g, {"n_rows": 0, "n_bytes": 0})
 
     out = manifest.summary()
+    out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
     out["groups"] = manifest.records()
     return out
 
