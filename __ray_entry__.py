@@ -665,6 +665,42 @@ def _q_orders_join_bucketed(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two crawl-dump versions (functions/corpus.py
+    corpus_diff): old = docs with id%5!=0, new = docs with id%3!=0 where
+    every id%7==0 doc's text changed — both snapshots derived
+    deterministically from the documents table so the SQL oracle can
+    reproduce them; classification (added/removed/changed) rides ONE
+    FULL OUTER digest join, change-proportional output."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import corpus_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mod_mask(t, m, want_nonzero=True):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % m) != 0 if want_nonzero else (ids % m) == 0
+        return pa.array(mask)
+
+    old = docs.map_batches(
+        lambda t: t.filter(mod_mask(t, 5)), batch_format="pyarrow")
+
+    def mk_new(t: "pa.Table") -> "pa.Table":
+        t = t.filter(mod_mask(t, 3))
+        tweak = pa.array(
+            (t.column("doc_id").to_numpy(zero_copy_only=False) % 7) == 0)
+        text = pc.if_else(tweak,
+                          pc.binary_join_element_wise(
+                              t.column("text"), "x", ""),
+                          t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    new = docs.map_batches(mk_new, batch_format="pyarrow")
+    return corpus_diff(old, new)
+
+
 def _q_bucketed_ingest(sf_dir: str):
     """Exactly-once incremental ingest into co-partitioned storage
     (sources/bucketed.py append_bucketed): two-thirds of the documents
@@ -2549,6 +2585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_bucketed": _q_orders_join_bucketed,
         "nation_counts_bucketed": _q_nation_counts_bucketed,
         "bucketed_ingest": _q_bucketed_ingest,
+        "corpus_diff": _q_corpus_diff,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_interval_join": _q_events_interval_join,
@@ -3024,6 +3061,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_ingest": """
             SELECT doc_id, text FROM documents
+        """,
+        "corpus_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS d FROM documents
+                WHERE doc_id % 5 <> 0),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN md5(text || 'x')
+                            ELSE md5(text) END AS d
+                FROM documents WHERE doc_id % 3 <> 0)
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.d IS NULL THEN 'added'
+                        WHEN new.d IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+            WHERE old.d IS NULL OR new.d IS NULL OR old.d <> new.d
         """,
         "nation_counts_bucketed": """
             SELECT c_nationkey,

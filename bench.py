@@ -230,7 +230,7 @@ def run_bench() -> dict:
         "events_asof_tolerance", "clicks_minus_purchases_all",
         "knn_join", "ppl_terciles", "url_rank", "export_jsonl",
         "orders_join_bucketed", "nation_counts_bucketed",
-        "bucketed_ingest", "resize_images", "sample_frames",
+        "bucketed_ingest", "corpus_diff", "resize_images", "sample_frames",
         "audio_features")
     for name in table_ops:
         q = entrymod.queries()[name]

@@ -2311,3 +2311,57 @@ def dsir_sample(weights, k: int = 100, id_col: str = "doc_id",
     top = (cands.sort_values(["key", id_col], ascending=[False, True])
            .head(k).reset_index(drop=True))
     return rd.from_pandas(top)
+
+
+def corpus_diff(old_ds, new_ds, id_col: str = "doc_id",
+                text_col: str = "text",
+                num_parts: Optional[int] = None):
+    """Snapshot diff of two corpus versions — the audit step between
+    crawl dumps: every document classified ``added`` (only in new),
+    ``removed`` (only in old) or ``changed`` (same id, different content
+    digest); unchanged documents produce no row. Returns
+    (doc_id, change).
+
+    Scale shape: both sides reduce map-side to (id, md5) int/string rows
+    (text never leaves the scan), then ONE id-keyed FULL OUTER
+    ``hash_join`` exchange classifies per partition — diff volume is
+    change-proportional, never corpus-proportional, and there is no
+    driver state."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+    from .textstats import digest_batch
+
+    def digests(name):
+        def fn(t: pa.Table) -> pa.Table:
+            d = digest_batch(t, text_col)
+            return pa.table({
+                id_col: pc.cast(d.column(id_col), pa.int64()),
+                name: d.column("digest")})
+        return fn
+
+    old_d = old_ds.map_batches(digests("d_old"), batch_format="pyarrow")
+    new_d = new_ds.map_batches(digests("d_new"), batch_format="pyarrow")
+    s, i64 = pa.string(), pa.int64()
+    j = hash_join(old_d, new_d, on=id_col, how="full",
+                  num_parts=num_parts,
+                  left_types={id_col: i64, "d_old": s},
+                  right_types={id_col: i64, "d_new": s})
+
+    def classify(t: pa.Table) -> pa.Table:
+        d_old = t.column("d_old")
+        d_new = t.column("d_new")
+        added = pc.is_null(d_old)
+        removed = pc.is_null(d_new)
+        changed = pc.and_(pc.and_(pc.invert(added), pc.invert(removed)),
+                          pc.invert(pc.equal(d_old, d_new)))
+        keep = pc.or_(pc.or_(added, removed), pc.fill_null(changed, False))
+        sub = t.filter(keep)
+        a2 = pc.is_null(sub.column("d_old"))
+        r2 = pc.is_null(sub.column("d_new"))
+        label = pc.if_else(a2, "added",
+                           pc.if_else(r2, "removed", "changed"))
+        return pa.table({id_col: pc.cast(sub.column(id_col), i64),
+                         "change": pc.cast(label, s)})
+
+    return j.map_batches(classify, batch_format="pyarrow")
