@@ -1152,6 +1152,16 @@ def _q_dup_clusters(sf_dir: str):
                         threshold=0.5)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Best-quality keeper per near-dup cluster (RefinedWeb policy: keep
+    the longest member, min-id tiebreak). Clusters via distributed label
+    propagation; per-cluster argmax via grouped_topk(k=1) — one id join
+    + one cluster exchange."""
+    from sift_ray.functions.dedup import dedup_keep_best
+    return dedup_keep_best(_docs(sf_dir, ["doc_id", "text"]), k=3,
+                           threshold=0.5)
+
+
 def _q_word_count_quantiles(sf_dir: str):
     """Exact corpus quantiles of per-document word count (distributed
     histogram; driver folds only the distinct-value histogram)."""
@@ -2681,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "doc_freq_topk": _q_doc_freq_topk,
         "dup_clusters": _q_dup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "in_doc_line_dedup": _q_in_doc_line_dedup,
         "knn_join": _q_knn_join,
         "label_centroids": _q_label_centroids,
@@ -2769,6 +2780,34 @@ _NGRAM_CTE = """
                 FROM grams a JOIN grams b
                   ON a.g = b.g AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
+            )
+"""
+
+# near-dup connected components (transitive closure of Jaccard >= 0.5
+# pairs by recursive label walk) — shared by dup_clusters / dedup_keep_best
+_CLUSTER_CTES = _NGRAM_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
+            ,
+            jpairs AS (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN counts ca ON ca.doc_id = i.doc_a
+                JOIN counts cb ON cb.doc_id = i.doc_b
+                WHERE CAST(i.isect AS DOUBLE)
+                      / (ca.n + cb.n - i.isect) >= 0.5
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION
+                SELECT doc_b, doc_a FROM jpairs
+            ),
+            walk(a, lbl) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
+            ),
+            comp AS (
+                SELECT a AS doc_id, min(lbl) AS cluster_id
+                FROM walk GROUP BY a
             )
 """
 
@@ -3112,33 +3151,25 @@ def oracle_sql() -> dict[str, str]:
                 WHERE b.vec_id <> a.vec_id
             ) WHERE rank <= 3
         """,
-        "dup_clusters": _NGRAM_CTE.replace("WITH", "WITH RECURSIVE", 1) + """
-            ,
-            jpairs AS (
-                SELECT i.doc_a, i.doc_b
-                FROM inter i
-                JOIN counts ca ON ca.doc_id = i.doc_a
-                JOIN counts cb ON cb.doc_id = i.doc_b
-                WHERE CAST(i.isect AS DOUBLE)
-                      / (ca.n + cb.n - i.isect) >= 0.5
-            ),
-            edges AS (
-                SELECT doc_a AS a, doc_b AS b FROM jpairs
-                UNION
-                SELECT doc_b, doc_a FROM jpairs
-            ),
-            walk(a, lbl) AS (
-                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-                UNION
-                SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.a
-            ),
-            comp AS (
-                SELECT a AS doc_id, min(lbl) AS cluster_id
-                FROM walk GROUP BY a
-            )
+        "dup_clusters": _CLUSTER_CTES + """
             SELECT d.doc_id,
                    coalesce(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        """,
+        "dedup_keep_best": _CLUSTER_CTES + r"""
+            SELECT doc_id, cluster_id, n_words FROM (
+                SELECT s.*, row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY n_words DESC, doc_id) AS rn
+                FROM (
+                    SELECT d.doc_id,
+                           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                           len(regexp_extract_all(d.text,
+                               '[^ \t\n\r\f\v]+')) AS n_words
+                    FROM documents d
+                    LEFT JOIN comp c ON c.doc_id = d.doc_id
+                ) s
+            ) WHERE rn = 1
         """,
         "events_interval_join": """
             WITH w AS (

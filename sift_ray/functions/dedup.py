@@ -291,6 +291,53 @@ def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_parts: Optional[int] = None,
+                    max_df: Optional[int] = None):
+    """Keep the BEST document per near-dup cluster — the RefinedWeb/FineWeb
+    policy (dedup keeps the highest-quality member of each duplicate
+    family, not the lowest id). Quality here is the word count (the
+    longest member usually subsumes its near-duplicates); tiebreak is the
+    minimum doc id, so the result is deterministic.
+
+    Scale shape: clusters come from ``dup_clusters`` (distributed label
+    propagation); the score pass is a zero-shuffle vectorized map; scores
+    meet cluster labels in ONE id-keyed ``hash_join``; the per-cluster
+    argmax is ``grouped_topk(k=1)`` — a local-topk combiner plus ONE
+    cluster-keyed exchange, exact at unbounded cluster cardinality. The
+    driver holds nothing. Returns (doc_id, cluster_id, n_words) of the
+    kept documents (one row per cluster; singletons keep themselves).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_topk
+    from .shuffle import hash_join
+    from .textstats import _WORD_PATTERN
+
+    comp = dup_clusters(ds, k=k, threshold=threshold, text_col=text_col,
+                        id_col=id_col, num_parts=num_parts, max_df=max_df)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wc = pc.count_substring_regex(batch.column(text_col), _WORD_PATTERN)
+        return pa.table({
+            "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+            "n_words": pc.cast(wc, pa.int64()),
+        })
+
+    i64 = pa.int64()
+    joined = hash_join(
+        ds.map_batches(score, batch_format="pyarrow"), comp,
+        on="doc_id", num_parts=num_parts,
+        left_types={"doc_id": i64, "n_words": i64},
+        right_types={"doc_id": i64, "cluster_id": i64})
+    best = grouped_topk(joined, "cluster_id", "n_words", "doc_id",
+                        k=1, ascending=False, num_parts=num_parts)
+    return best.map_batches(
+        lambda t: t.select(["doc_id", "cluster_id", "n_words"]),
+        batch_format="pyarrow")
+
+
 def _word_shingles(text: str, k: int) -> set:
     words = text.split()
     if len(words) < k:
