@@ -973,6 +973,27 @@ def _q_bm25_corpus_topk(sf_dir: str):
                      ["hash", "join", "dup"], k=20)
 
 
+def _q_bm25_index_topk(sf_dir: str):
+    """Same BM25 top-20 as bm25_corpus_topk, answered from the PERSISTENT
+    term-partitioned inverted index: build pays the term exchange once
+    (bucketed manifest-committed parquet), the query reads only the <=3
+    buckets its terms hash to — sublinear query-time reads. Must equal
+    the streaming bm25_topk (same oracle SQL)."""
+    import shutil
+    import tempfile
+
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+    idx_dir = tempfile.mkdtemp(prefix="sift_text_index_", dir="/tmp")
+    try:
+        build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir,
+                         buckets=16)
+        return query_text_index(idx_dir, ["hash", "join", "dup"],
+                                k=20).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Perplexity-filter scores: per-doc unigram-LM log-prob in integer
     micro-nats (order-independent exact sums -> oracle-comparable).
@@ -2622,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_sample": _q_dsir_sample,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
+        "bm25_index_topk": _q_bm25_index_topk,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
@@ -4183,6 +4205,8 @@ def oracle_sql() -> dict[str, str]:
     # the checkpointed flagship runs the SAME composition; the oracle
     # is identical by construction
     d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
+    # the index-backed BM25 must equal the streaming scan exactly
+    d["bm25_index_topk"] = d["bm25_corpus_topk"]
     d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
                                                    _PAGERANK_SCALE)
     d["normalize_text"] = r"""

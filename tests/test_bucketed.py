@@ -150,3 +150,67 @@ def test_join_bucketed_rejects_mismatched_buckets(ray_session, tmp_path):
     write_bucketed(rd.from_arrow(right), rd_, "k", buckets=4)
     with pytest.raises(AssertionError):
         join_bucketed(ld, rd_, on="k")
+
+
+def _doc_table():
+    texts = ["the quick brown fox", "jumps over the lazy dog",
+             "hash join dup hash", "", "dup dup dup",
+             "a b c d e f", "hash table scan", "join the club"]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_text_index_build_query_matches_streaming(ray_session, tmp_path):
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+
+    docs = _doc_table()
+    d = str(tmp_path / "idx")
+    meta = build_text_index(rd.from_arrow(docs).repartition(3), d,
+                            buckets=8)
+    # N counts the empty document; token count excludes it
+    assert meta["n_docs"] == docs.num_rows
+    assert meta["n_tokens"] == sum(len(t.split()) for t in
+                                   docs.column("text").to_pylist())
+
+    got = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
+    want = bm25_topk(rd.from_arrow(docs), ["hash", "join", "dup"],
+                     k=5).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_text_index_build_resumes_noop(ray_session, tmp_path):
+    import time
+
+    import ray.data as rd
+    from sift_ray.sources.text_index import build_text_index
+
+    d = str(tmp_path / "idx2")
+    m1 = build_text_index(rd.from_arrow(_doc_table()), d, buckets=4)
+    t0 = time.time()
+    m2 = build_text_index(rd.from_arrow(_doc_table()), d, buckets=4)
+    assert m1 == m2
+    assert time.time() - t0 < 10.0
+
+
+def test_text_index_query_prunes_buckets(ray_session, tmp_path):
+    """A one-term query must read at most one bucket file."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.functions.corpus import _hash_word_array
+    from sift_ray.sources.bucketed import _bucket_of, _bucket_paths
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+
+    d = str(tmp_path / "idx3")
+    build_text_index(rd.from_arrow(_doc_table()), d, buckets=8)
+    paths = _bucket_paths(d)
+    assert len(paths) > 1  # pruning is meaningful only with many buckets
+    th = _hash_word_array(pa.array(["hash"], pa.string())).astype("int64")
+    want_bucket = int(_bucket_of(pa.array(th.tolist(), pa.int64()), 8)[0])
+    assert want_bucket in paths
+    got = query_text_index(d, ["hash"], k=10).to_pandas()
+    # docs 2 and 6 contain "hash"
+    assert set(got["doc_id"]) == {2, 6}
