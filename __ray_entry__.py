@@ -973,6 +973,26 @@ def _q_bm25_corpus_topk(sf_dir: str):
                      ["hash", "join", "dup"], k=20)
 
 
+def _q_zonemap_range_scan(sf_dir: str):
+    """Range predicate answered from range-partitioned SORTED storage:
+    the write pays one value-range exchange and records per-file
+    key_min/key_max zonemaps in the manifest; the scan skips files from
+    the manifest alone (no footer reads) and pushes the predicate into
+    parquet row-group stats. Returns docs with 400 <= n_chars <= 700."""
+    import shutil
+    import tempfile
+
+    from sift_ray.sources.zonemap import read_key_range, write_sorted
+    d = tempfile.mkdtemp(prefix="sift_zonemap_", dir="/tmp")
+    try:
+        write_sorted(_docs(sf_dir, ["doc_id", "n_chars"]), d,
+                     key="n_chars", files=16)
+        return read_key_range(d, 400, 700,
+                              columns=["doc_id", "n_chars"]).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_bm25_index_topk(sf_dir: str):
     """Same BM25 top-20 as bm25_corpus_topk, answered from the PERSISTENT
     term-partitioned inverted index: build pays the term exchange once
@@ -2644,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": _q_dsir_sample,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "zonemap_range_scan": _q_zonemap_range_scan,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
@@ -4207,6 +4228,10 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
     # the index-backed BM25 must equal the streaming scan exactly
     d["bm25_index_topk"] = d["bm25_corpus_topk"]
+    d["zonemap_range_scan"] = """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars BETWEEN 400 AND 700
+        """
     d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
                                                    _PAGERANK_SCALE)
     d["normalize_text"] = r"""

@@ -214,3 +214,39 @@ def test_text_index_query_prunes_buckets(ray_session, tmp_path):
     got = query_text_index(d, ["hash"], k=10).to_pandas()
     # docs 2 and 6 contain "hash"
     assert set(got["doc_id"]) == {2, 6}
+
+
+def test_zonemap_write_prune_read(ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (pruned_paths, read_key_range,
+                                          write_sorted)
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1000, size=500).astype("int64")
+    t = pa.table({"id": pa.array(range(500), pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    d = str(tmp_path / "zm")
+    summary = write_sorted(rd.from_arrow(t).repartition(4), d, key="v",
+                           files=10)
+    assert summary["rows"] == 500
+
+    # file-level pruning: a narrow range must select a strict subset
+    all_paths = pruned_paths(d)
+    narrow = pruned_paths(d, 100, 199)
+    assert 0 < len(narrow) < len(all_paths)
+
+    got = (read_key_range(d, 100, 199).to_pandas()
+           .sort_values(["id"]).reset_index(drop=True))
+    exp = (t.to_pandas().query("100 <= v <= 199")
+           .sort_values(["id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["id", "v"]], exp[["id", "v"]])
+
+    # unbounded read returns everything
+    assert read_key_range(d).count() == 500
+
+    # resume is a no-op
+    import time
+    t0 = time.time()
+    write_sorted(rd.from_arrow(t), d, key="v", files=10)
+    assert time.time() - t0 < 10.0
