@@ -52,7 +52,8 @@ def write_bucketed(ds, out_dir: str, key: str, buckets: int = 32) -> dict:
         def add_bucket(t: pa.Table) -> pa.Table:
             b = _bucket_of(t.column(key), buckets)
             keep = ~np.isin(b, done)
-            t = t.append_column("part", pa.array(b, pa.int64()))
+            t = t.replace_schema_metadata(None).append_column(
+                "part", pa.array(b, pa.int64()))
             return t.filter(pa.array(keep))
 
         stats_schema = pa.schema([("bkt", pa.int64()),
@@ -252,7 +253,8 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         b = _bucket_of(t.column(key), buckets)
         keep = ~np.isin(b, done)
-        t = t.append_column("part", pa.array(b, pa.int64()))
+        t = t.replace_schema_metadata(None).append_column(
+            "part", pa.array(b, pa.int64()))
         return t.filter(pa.array(keep))
 
     stats_schema = pa.schema([("bkt", pa.int64()), ("n_rows", pa.int64())])

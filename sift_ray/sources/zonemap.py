@@ -63,7 +63,10 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
                 np.int64)
             p = np.clip((v - lo) // width, 0, files - 1)
             keep = ~np.isin(p, done)
-            t = t.append_column("part", pa.array(p, pa.int64()))
+            # strip pandas schema metadata: it makes pa.Schema unhashable
+            # and Ray's sort reduce logs a per-task warning
+            t = t.replace_schema_metadata(None).append_column(
+                "part", pa.array(p, pa.int64()))
             return t.filter(pa.array(keep))
 
         stats_schema = pa.schema([("part", pa.int64()),
