@@ -231,7 +231,8 @@ def run_bench() -> dict:
         "knn_join", "ppl_terciles", "url_rank", "export_jsonl",
         "orders_join_bucketed", "nation_counts_bucketed",
         "bucketed_ingest", "corpus_diff", "resize_images", "sample_frames",
-        "audio_features")
+        "audio_features", "dedup_keep_best", "bm25_index_topk",
+        "zonemap_range_scan")
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()
