@@ -120,6 +120,52 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     return meta
 
 
+def append_text_index(delta_ds, out_dir: str, ingest_id: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """EXACTLY-ONCE incremental index maintenance: new documents' postings
+    ride ``append_bucketed``'s per-bucket ingest-id ledger (replays are
+    manifest no-ops), then the corpus stats in ``index_meta.json`` are
+    advanced under the same ingest id — the continuously-arriving-crawl
+    shape: the index never rebuilds, queries stay bucket-pruned over the
+    merged postings. Stats order: postings commit first, meta last, so a
+    crash between them retries safely (bucket ledger skips, meta applies).
+    """
+    from ray.data.aggregate import Sum
+
+    from .bucketed import append_bucketed
+
+    meta_path = os.path.join(out_dir, _META_NAME)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if ingest_id in meta.get("ingests", []):
+        return meta  # full replay: nothing to do
+
+    n_new = delta_ds.count()
+
+    # delta token count: one vectorized pass over the delta text
+    def tokc(t: pa.Table) -> pa.Table:
+        _, parent = _flat_words(t.column(text_col))
+        return pa.table({"n": [int(len(parent))]})
+
+    new_tokens = int(delta_ds.map_batches(tokc, batch_format="pyarrow")
+                     .aggregate(Sum("n"))["sum(n)"] or 0)
+
+    postings = delta_ds.map_batches(
+        lambda t: _postings_batch(t, text_col, id_col),
+        batch_format="pyarrow")
+    append_bucketed(postings, out_dir, key="term", ingest_id=ingest_id)
+
+    meta["n_docs"] += int(n_new)
+    meta["n_tokens"] += new_tokens
+    meta["ingests"] = meta.get("ingests", []) + [ingest_id]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return meta
+
+
 def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,
                      k1: float = 1.2, b: float = 0.75,
                      num_parts: Optional[int] = None):

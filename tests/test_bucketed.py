@@ -250,3 +250,32 @@ def test_zonemap_write_prune_read(ray_session, tmp_path):
     t0 = time.time()
     write_sorted(rd.from_arrow(t), d, key="v", files=10)
     assert time.time() - t0 < 10.0
+
+
+def test_text_index_incremental_append(ray_session, tmp_path):
+    """Index built on half the corpus + exactly-once delta append must
+    answer queries identically to an index built on the full corpus."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+    from sift_ray.sources.text_index import (append_text_index,
+                                             build_text_index,
+                                             query_text_index)
+
+    docs = _doc_table()
+    first, second = docs.slice(0, 4), docs.slice(4)
+    d = str(tmp_path / "idx_inc")
+    build_text_index(rd.from_arrow(first), d, buckets=8)
+    m1 = append_text_index(rd.from_arrow(second), d, ingest_id="dump-01")
+    assert m1["n_docs"] == docs.num_rows
+
+    got = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
+    want = bm25_topk(rd.from_arrow(docs), ["hash", "join", "dup"],
+                     k=5).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    # replay with the same id (different partitioning): pure no-op
+    m2 = append_text_index(rd.from_arrow(second).repartition(3), d,
+                           ingest_id="dump-01")
+    assert m2 == m1
+    got2 = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
+    pd.testing.assert_frame_equal(got2, want)
