@@ -113,3 +113,33 @@ def test_grouped_topk_matches_pandas(ray_session, ks, seed, k):
         return
     assert sorted(map(tuple, out[["k", "v", "tb"]].to_numpy())) == \
         sorted(map(tuple, exp[["k", "v", "tb"]].to_numpy()))
+
+
+word = st.sampled_from(["hash", "join", "dup", "the", "fox", "a", "zz"])
+texts_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=15)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=texts_strategy,
+       terms=st.lists(word, min_size=1, max_size=3, unique=True),
+       seed=st.integers(0, 99))
+def test_text_index_equals_streaming_bm25(ray_session, tmp_path_factory,
+                                          texts, terms, seed):
+    """Random corpora (duplicate words, empty docs) and random query
+    terms: the persistent index must reproduce the streaming scan."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = str(tmp_path_factory.mktemp("tixp"))
+    build_text_index(rd.from_arrow(t), d, buckets=4)
+    got = query_text_index(d, terms, k=10).to_pandas()
+    want = bm25_topk(rd.from_arrow(t), terms, k=10).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
