@@ -162,23 +162,64 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _union_find_labels(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Driver union-find (path halving + union by min root) over int edge
+    arrays: (doc_id, cluster_id=min id of component). O(E α(E))."""
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes.tolist())}
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(idx[x]), find(idx[y])
+        if rx != ry:
+            # union by min node id keeps the root the component minimum
+            if nodes[rx] <= nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    labels = np.array([nodes[find(i)] for i in range(len(nodes))],
+                      dtype=np.int64)
+    return pa.table({"doc_id": pa.array(nodes.astype(np.int64), pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64())})
+
+
 def connected_components(pairs_ds, max_iters: int = 50,
-                         num_parts: Optional[int] = None):
+                         num_parts: Optional[int] = None,
+                         broadcast_limit: int = 2_000_000):
     """Connected components over an undirected (doc_a, doc_b) edge
     Dataset: returns (doc_id, cluster_id) where cluster_id is the MINIMUM
     doc id in the node's component — the transitive closure of near-dup
     pairs (greedy pairwise dropping under-merges chains: a~b, b~c never
     links a and c without this).
 
-    Distributed iterative min-label propagation: labels start as each
-    node's own id; every round joins labels onto the (bidirectional) edge
-    list (one key exchange), takes the per-node neighborhood minimum (one
-    exchange), and folds it into the labels (one exchange). The driver
-    holds ONE integer per round (the changed-label count) and stops at a
-    fixpoint; rounds needed = component diameter, which for near-dup
-    clusters is small (dup families are dense). For adversarial
-    long-chain graphs swap in large-star/small-star pointer jumping —
-    O(log n) rounds, same exchange primitives.
+    Dual path, switched on the measured edge count (the edge list is
+    CANDIDATE-proportional — near-dup pairs, not the corpus):
+
+    * edges <= broadcast_limit: driver union-find over the int edge
+      arrays — microseconds of driver CPU on kilobyte-to-megabyte state,
+      where each distributed round below costs three whole exchanges of
+      fixed overhead. This is the common case: even a dup-heavy corpus
+      yields pair lists that fit comfortably in 2M rows per shard-level
+      dedup run.
+    * edges > broadcast_limit: distributed iterative min-label
+      propagation — labels start as each node's own id; every round
+      joins labels onto the (bidirectional) edge list (one key
+      exchange), takes the per-node neighborhood minimum (one exchange),
+      and folds it into the labels (one exchange). The driver holds ONE
+      integer per round (the changed-label count) and stops at a
+      fixpoint; rounds needed = component diameter, which for near-dup
+      clusters is small (dup families are dense). Labels re-partition to
+      P blocks before each materialize — Ray's sort exchange emits about
+      as many blocks as it receives, so iterative loops otherwise
+      compound block count per round (the pagerank lesson). For
+      adversarial long-chain graphs swap in large-star/small-star
+      pointer jumping — O(log n) rounds, same exchange primitives.
     """
     import pyarrow.compute as pc
     import ray.data as rd
@@ -197,6 +238,20 @@ def connected_components(pairs_ds, max_iters: int = 50,
                               (ch.chunks if isinstance(ch, pa.ChunkedArray)
                                else [ch])])})
 
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= broadcast_limit:
+        tbl = _collect_pairs(pairs_ds)
+        if tbl.num_rows == 0:
+            return rd.from_arrow(pa.schema(
+                [("doc_id", pa.int64()),
+                 ("cluster_id", pa.int64())]).empty_table())
+        return rd.from_arrow(_union_find_labels(
+            tbl.column("doc_a").to_numpy(zero_copy_only=False)
+               .astype(np.int64),
+            tbl.column("doc_b").to_numpy(zero_copy_only=False)
+               .astype(np.int64)))
+
+    P = num_parts or default_num_parts()
     edges = pairs_ds.map_batches(both_dirs,
                                  batch_format="pyarrow").materialize()
 
@@ -206,7 +261,7 @@ def connected_components(pairs_ds, max_iters: int = 50,
                                               "label": t.column("src")}),
                           batch_format="pyarrow"),
         ["node"], [("label", "min", "label")],
-        num_parts=num_parts).materialize()
+        num_parts=num_parts).repartition(P).materialize()
 
     for _ in range(max_iters):
         # ship each node's label to its neighbors and take the minimum
@@ -241,8 +296,8 @@ def connected_components(pairs_ds, max_iters: int = 50,
                 "changed": pc.cast(pc.not_equal(new, old), pa.int64()),
             })
 
-        folded = merged.map_batches(fold,
-                                    batch_format="pyarrow").materialize()
+        folded = merged.map_batches(fold, batch_format="pyarrow") \
+            .repartition(P).materialize()
         changed = folded.sum("changed")
         labels = folded.drop_columns(["changed"]).materialize()
         if not changed:

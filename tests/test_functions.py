@@ -473,10 +473,14 @@ def test_connected_components_chain_and_island(ray_session):
     from sift_ray.functions.dedup import connected_components
     pairs = pd.DataFrame({"doc_a": [1, 2, 5, 9],
                           "doc_b": [2, 3, 6, 7]})
-    out = connected_components(rd.from_pandas(pairs)).to_pandas()
-    got = dict(zip(out["doc_id"], out["cluster_id"]))
-    # chain 1-2-3 merges transitively; 5-6 and 7-9 are separate
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 7}
+    # both paths must agree: driver union-find (default gate) and the
+    # distributed label propagation (forced with broadcast_limit=0)
+    for limit in (2_000_000, 0):
+        out = connected_components(rd.from_pandas(pairs),
+                                   broadcast_limit=limit).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        # chain 1-2-3 merges transitively; 5-6 and 7-9 are separate
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 7}, limit
 
 
 def test_knn_join_tiling_invariance_and_self_exclusion(ray_session):
