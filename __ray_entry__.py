@@ -973,6 +973,25 @@ def _q_bm25_corpus_topk(sf_dir: str):
                      ["hash", "join", "dup"], k=20)
 
 
+def _q_bm25_index_and(sf_dir: str):
+    """Conjunctive retrieval from the persistent index: BM25 top-20 among
+    docs containing EVERY query term — the matched-term count rides the
+    same doc-keyed exchange that sums scores (no extra pass)."""
+    import shutil
+    import tempfile
+
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+    idx_dir = tempfile.mkdtemp(prefix="sift_text_index_", dir="/tmp")
+    try:
+        build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir,
+                         buckets=16)
+        return query_text_index(idx_dir, ["hash", "join", "dup"],
+                                k=20, mode="and").to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def _q_zonemap_range_scan(sf_dir: str):
     """Range predicate answered from range-partitioned SORTED storage:
     the write pays one value-range exchange and records per-file
@@ -2664,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": _q_dsir_sample,
         "bm25_corpus_topk": _q_bm25_corpus_topk,
         "bm25_index_topk": _q_bm25_index_topk,
+        "bm25_index_and": _q_bm25_index_and,
         "zonemap_range_scan": _q_zonemap_range_scan,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
@@ -4228,6 +4248,10 @@ def oracle_sql() -> dict[str, str]:
     d["corpus_prep_shards_ckpt"] = d["corpus_prep_shards"]
     # the index-backed BM25 must equal the streaming scan exactly
     d["bm25_index_topk"] = d["bm25_corpus_topk"]
+    # conjunctive mode: same scores, restricted to docs matching ALL terms
+    d["bm25_index_and"] = d["bm25_corpus_topk"].replace(
+        "FROM sc GROUP BY doc_id",
+        "FROM sc GROUP BY doc_id HAVING count(*) = 3")
     d["zonemap_range_scan"] = """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 400 AND 700

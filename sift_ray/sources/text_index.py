@@ -168,10 +168,15 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
 
 def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,
                      k1: float = 1.2, b: float = 0.75,
-                     num_parts: Optional[int] = None):
+                     num_parts: Optional[int] = None, mode: str = "or"):
     """BM25 top-k over the persistent index: reads ONLY the buckets the
     query terms hash to. Returns (doc_id, score_micro) ordered score
-    DESC, doc_id ASC — identical to ``bm25_topk`` on the same corpus."""
+    DESC, doc_id ASC — identical to ``bm25_topk`` on the same corpus.
+
+    ``mode="and"`` keeps only documents containing EVERY query term
+    (conjunctive retrieval): a doc's posting rows in the match set are
+    one per distinct matched term, so the same doc-keyed exchange that
+    sums scores also counts matched terms — no extra pass."""
     import math
 
     import pandas as pd
@@ -228,7 +233,17 @@ def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,
 
     per_doc = partitioned_group_agg(
         matches.map_batches(score, batch_format="pyarrow"),
-        ["doc_id"], [("s", "sum", "score_micro")], num_parts=num_parts)
+        ["doc_id"], [("s", "sum", "score_micro"),
+                     (None, "count", "n_terms")], num_parts=num_parts)
+    if mode == "and":
+        import pyarrow.compute as pc
+        n_all = len(terms)
+        per_doc = per_doc.map_batches(
+            lambda t: t.filter(pc.equal(t.column("n_terms"), n_all)),
+            batch_format="pyarrow")
+    per_doc = per_doc.map_batches(
+        lambda t: t.select(["doc_id", "score_micro"]),
+        batch_format="pyarrow")
 
     def local_topk(t: pa.Table) -> pa.Table:
         pdf = t.to_pandas().sort_values(["score_micro", "doc_id"],

@@ -279,3 +279,19 @@ def test_text_index_incremental_append(ray_session, tmp_path):
     assert m2 == m1
     got2 = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_text_index_and_mode(ray_session, tmp_path):
+    import ray.data as rd
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+
+    d = str(tmp_path / "idx_and")
+    build_text_index(rd.from_arrow(_doc_table()), d, buckets=8)
+    got = query_text_index(d, ["hash", "dup"], k=10,
+                           mode="and").to_pandas()
+    # only doc 2 ("hash join dup hash") contains BOTH terms
+    assert set(got["doc_id"]) == {2}
+    # OR mode is a superset
+    got_or = query_text_index(d, ["hash", "dup"], k=10).to_pandas()
+    assert set(got["doc_id"]) <= set(got_or["doc_id"])
