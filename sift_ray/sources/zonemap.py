@@ -52,12 +52,28 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
     done = np.array(sorted(b for b in range(files)
                            if manifest.is_done(b)), dtype=np.int64)
 
-    if len(done) < files:
+    # routing boundaries: durable BEFORE any file commits, so a partial
+    # resume routes identically even across input re-partitioning, and
+    # append_sorted can route deltas into the same ranges later
+    meta_path = os.path.join(out_dir, _META_NAME)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        assert meta["key"] == key and meta["files"] == files, \
+            f"existing store has key={meta['key']} files={meta['files']}"
+        lo, width = meta["lo"], meta["width"]
+    else:
         agg = ds.aggregate(Min(key), Max(key))
         lo = int(agg[f"min({key})"] or 0)
         hi = int(agg[f"max({key})"] or 0)
         width = max((hi - lo) // files + 1, 1)
+        meta = {"key": key, "files": int(files), "lo": lo, "width": width}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
+    if len(done) < files:
         def add_part(t: pa.Table) -> pa.Table:
             v = t.column(key).to_numpy(zero_copy_only=False).astype(
                 np.int64)
@@ -102,11 +118,99 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
                 os.makedirs(manifest.tmp_partition_dir(b), exist_ok=True)
                 manifest.commit_partition(b, {"n_rows": 0})
 
-    meta = {"key": key, "files": int(files)}
-    tmp = os.path.join(out_dir, _META_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, _META_NAME))
+    out = manifest.summary()
+    out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
+    out.update(meta)
+    return out
+
+
+def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
+    """EXACTLY-ONCE incremental ingest into a sorted/zonemapped table:
+    deltas route through the PERSISTED range boundaries (keys outside the
+    original [lo, hi] clip into the first/last range — zonemaps stay
+    true because each file re-records its real min/max on merge), each
+    touched file merges old + delta re-sorted by key and re-commits with
+    ``ingest_id`` in its ledger, so crashed or replayed ingests are
+    manifest no-ops per file. The log-structured crawl shape: timestamps
+    grow monotonically, so appends touch only the tail range(s) while
+    every committed file keeps serving pruned reads."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        meta = json.load(f)
+    key, files = meta["key"], meta["files"]
+    lo, width = meta["lo"], meta["width"]
+
+    manifest = Manifest(out_dir)
+    recs = {r["partition_id"]: r for r in manifest.records()
+            if r.get("status") == "ok"}
+    assert len(recs) == files, "append_sorted needs a completed store"
+    done = np.array(sorted(b for b, r in recs.items()
+                           if ingest_id in r.get("ingests", [])),
+                    dtype=np.int64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.clip((v - lo) // width, 0, files - 1)
+        keep = ~np.isin(p, done)
+        t = t.replace_schema_metadata(None).append_column(
+            "part", pa.array(p, pa.int64()))
+        return t.filter(pa.array(keep))
+
+    stats_schema = pa.schema([("part", pa.int64()), ("n_rows", pa.int64())])
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        b = int(t.column("part")[0].as_py())
+        m = Manifest(out_dir)
+        rec = {r["partition_id"]: r for r in m.records()}.get(b, {})
+        if ingest_id in rec.get("ingests", []):  # retry after commit
+            return stats_schema.empty_table()
+        m.cleanup_tmp(b)
+        tmp = m.tmp_partition_dir(b)
+        os.makedirs(tmp, exist_ok=True)
+        delta = t.drop_columns("part")
+        old_path = os.path.join(m.partition_dir(b), "rows.parquet")
+        parts = [delta]
+        if os.path.exists(old_path):
+            parts.insert(0, pq.read_table(old_path))
+        merged = pa.concat_tables(parts, promote_options="default")
+        merged = merged.take(pc.sort_indices(
+            merged, sort_keys=[(key, "ascending")]))
+        pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
+        kcol = merged.column(key)
+        m.commit_partition(b, {
+            "n_rows": merged.num_rows,
+            "key_min": int(pc.min(kcol).as_py()),
+            "key_max": int(pc.max(kcol).as_py()),
+            "ingests": rec.get("ingests", []) + [ingest_id]})
+        return pa.table({"part": pa.array([b], pa.int64()),
+                         "n_rows": pa.array([merged.num_rows], pa.int64())},
+                        schema=stats_schema)
+
+    (delta_ds.map_batches(add_part, batch_format="pyarrow")
+     .groupby("part").map_groups(merge_part, batch_format="pyarrow")
+     .materialize())
+
+    # untouched files still record the ingest so a full replay (possibly
+    # partitioned differently) is a pure manifest no-op
+    import shutil
+    for b, r in {r["partition_id"]: r for r in manifest.records()
+                 if r.get("status") == "ok"}.items():
+        if ingest_id not in r.get("ingests", []):
+            final = manifest.partition_dir(b)
+            tmp = manifest.tmp_partition_dir(b)
+            manifest.cleanup_tmp(b)
+            os.makedirs(tmp, exist_ok=True)
+            # keep existing rows: COPY into the tmp dir for the swap (a
+            # move would leave a window where the committed dir is empty)
+            old_path = os.path.join(final, "rows.parquet")
+            if os.path.exists(old_path):
+                shutil.copy(old_path, os.path.join(tmp, "rows.parquet"))
+            r2 = {k: v for k, v in r.items()
+                  if k in ("n_rows", "key_min", "key_max")}
+            r2["ingests"] = r.get("ingests", []) + [ingest_id]
+            manifest.commit_partition(b, r2)
 
     out = manifest.summary()
     out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())

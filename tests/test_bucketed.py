@@ -295,3 +295,47 @@ def test_text_index_and_mode(ray_session, tmp_path):
     # OR mode is a superset
     got_or = query_text_index(d, ["hash", "dup"], k=10).to_pandas()
     assert set(got["doc_id"]) <= set(got_or["doc_id"])
+
+
+def test_zonemap_append_exactly_once(ray_session, tmp_path):
+    """Delta ingest into the sorted store: merged reads equal a fresh
+    full write; replay with the same id is a no-op; out-of-range keys
+    clip into the edge files with true zonemaps."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_sorted, pruned_paths,
+                                          read_key_range, write_sorted)
+
+    rng = np.random.RandomState(11)
+    base_v = rng.randint(100, 900, size=300).astype("int64")
+    # delta includes keys outside the original [min, max] routing range
+    delta_v = np.concatenate([rng.randint(0, 1200, size=150), [5, 1190]]) \
+        .astype("int64")
+    base = pa.table({"id": pa.array(range(300), pa.int64()),
+                     "v": pa.array(base_v, pa.int64())})
+    delta = pa.table({"id": pa.array(range(300, 452), pa.int64()),
+                      "v": pa.array(delta_v, pa.int64())})
+
+    d = str(tmp_path / "zma")
+    write_sorted(rd.from_arrow(base), d, key="v", files=8)
+    s = append_sorted(rd.from_arrow(delta), d, ingest_id="dump-01")
+    assert s["rows"] == 452
+
+    both = pa.concat_tables([base, delta]).to_pandas()
+    for lo, hi in [(None, None), (0, 120), (850, 1200)]:
+        got = (read_key_range(d, lo, hi).to_pandas()
+               .sort_values("id").reset_index(drop=True))
+        q = both
+        if lo is not None:
+            q = q[q.v >= lo]
+        if hi is not None:
+            q = q[q.v <= hi]
+        exp = q.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["id", "v"]], exp[["id", "v"]])
+
+    # replay (different partitioning): byte-level no-op
+    import time
+    t0 = time.time()
+    s2 = append_sorted(rd.from_arrow(delta).repartition(3), d,
+                       ingest_id="dump-01")
+    assert s2["rows"] == 452 and time.time() - t0 < 10.0
