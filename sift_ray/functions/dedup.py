@@ -162,6 +162,37 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _drop_ids_anti_join(ds, drop_ids_ds, id_col: str,
+                        broadcast_limit: int,
+                        num_parts: Optional[int] = None):
+    """Remove the rows whose id appears in the (materialized,
+    drop-proportional) single-column id Dataset — the shared anti-join
+    tail of the near-dedup materializers: below ``broadcast_limit`` ids
+    the int set broadcasts for a zero-shuffle map filter; above it the
+    docs ride ONE id-hash exchange (``hash_join how="anti"``), because a
+    dup-heavy corpus has O(corpus) drop ids and a driver set would be
+    the anti-pattern."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+
+    if drop_ids_ds.count() > broadcast_limit:
+        return hash_join(ds, drop_ids_ds, on=id_col, how="anti",
+                         num_parts=num_parts)
+    drop: set = set()
+    for batch in drop_ids_ds.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow"):
+        drop.update(batch.column(id_col).to_pylist())
+    drop_arr = pa.array(sorted(drop), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column(id_col),
+                                  value_set=drop_arr))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _union_find_labels(a: np.ndarray, b: np.ndarray) -> pa.Table:
     """Driver union-find (path halving + union by min root) over int edge
     arrays: (doc_id, cluster_id=min id of component). O(E α(E))."""
@@ -349,7 +380,9 @@ def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
 def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
                     text_col: str = "text", id_col: str = "doc_id",
                     num_parts: Optional[int] = None,
-                    max_df: Optional[int] = None):
+                    max_df: Optional[int] = None,
+                    materialize_docs: bool = False,
+                    broadcast_limit: int = 2_000_000):
     """Keep the BEST document per near-dup cluster — the RefinedWeb/FineWeb
     policy (dedup keeps the highest-quality member of each duplicate
     family, not the lowest id). Quality here is the word count (the
@@ -363,7 +396,14 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
     cluster-keyed exchange, exact at unbounded cluster cardinality. The
     driver holds nothing. Returns (doc_id, cluster_id, n_words) of the
     kept documents (one row per cluster; singletons keep themselves).
-    """
+
+    ``materialize_docs=True`` returns the kept DOCUMENT rows instead
+    (all original columns): the DROP set — non-best members of
+    multi-member clusters, candidate-proportional by construction —
+    comes from one cluster-keyed join of labels against keepers, then
+    the docs are filtered through the shared gated anti-join
+    (broadcast below ``broadcast_limit`` drop ids, one id-hash
+    ``hash_join how="anti"`` exchange above)."""
     import pyarrow.compute as pc
 
     from .relational import grouped_topk
@@ -372,6 +412,10 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
 
     comp = dup_clusters(ds, k=k, threshold=threshold, text_col=text_col,
                         id_col=id_col, num_parts=num_parts, max_df=max_df)
+    if materialize_docs:
+        # comp feeds two consumers below — a lazy plan would re-run the
+        # whole cluster pipeline for the second one
+        comp = comp.materialize()
 
     def score(batch: pa.Table) -> pa.Table:
         wc = pc.count_substring_regex(batch.column(text_col), _WORD_PATTERN)
@@ -388,9 +432,34 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
         right_types={"doc_id": i64, "cluster_id": i64})
     best = grouped_topk(joined, "cluster_id", "n_words", "doc_id",
                         k=1, ascending=False, num_parts=num_parts)
-    return best.map_batches(
+    best = best.map_batches(
         lambda t: t.select(["doc_id", "cluster_id", "n_words"]),
         batch_format="pyarrow")
+    if not materialize_docs:
+        return best
+
+    # DROP set: cluster members that are not the keeper. comp covers the
+    # whole corpus, but the join output filters to ~0 rows for singleton
+    # clusters (doc == keeper), so the materialized drop list is
+    # candidate-proportional.
+    best = best.materialize()  # two consumers (keepers here + caller)
+    keepers = best.map_batches(
+        lambda t: pa.table({"cluster_id": t.column("cluster_id"),
+                            "keep_id": t.column("doc_id")}),
+        batch_format="pyarrow")
+    tagged = hash_join(
+        comp, keepers, on="cluster_id", num_parts=num_parts,
+        left_types={"doc_id": i64, "cluster_id": i64},
+        right_types={"cluster_id": i64, "keep_id": i64})
+
+    def non_best(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t.column("doc_id"), t.column("keep_id")))
+        return pa.table({id_col: t.filter(m).column("doc_id")})
+
+    drop_ids = tagged.map_batches(non_best,
+                                  batch_format="pyarrow").materialize()
+    return _drop_ids_anti_join(ds, drop_ids, id_col,
+                               broadcast_limit, num_parts)
 
 
 def _word_shingles(text: str, k: int) -> set:

@@ -2181,3 +2181,27 @@ def test_semdedup_matches_single_process_replica(ray_session):
                        for j in range(i)):
                 want.add(int(ids[sel[i]]))
     assert kept == want
+
+
+def test_dedup_keep_best_materialize_docs(ray_session):
+    """materialize_docs=True must return exactly the docs whose ids the
+    plain keeper listing names, on both anti-join paths."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import dedup_keep_best
+
+    texts = ["aa bb cc dd ee", "aa bb cc dd ee ff",  # family {0,1}
+             "zz yy xx ww vv", "zz yy xx ww vv uu tt",  # family {2,3}
+             "solo doc one here now", "another lone document text"]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    keepers = dedup_keep_best(ds, k=3, threshold=0.4).to_pandas()
+    want_ids = set(keepers["doc_id"])
+    assert want_ids == {1, 3, 4, 5}  # longest member wins per family
+
+    for limit in (2_000_000, 0):  # broadcast path, then hash_join anti
+        docs = dedup_keep_best(ds, k=3, threshold=0.4,
+                               materialize_docs=True,
+                               broadcast_limit=limit).to_pandas()
+        assert set(docs["doc_id"]) == want_ids, limit
+        assert set(docs.columns) == {"doc_id", "text"}
