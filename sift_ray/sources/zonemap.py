@@ -39,6 +39,25 @@ from ..state.manifest import Manifest
 _META_NAME = "zonemap_meta.json"
 
 
+def _column_zones(t: pa.Table) -> dict:
+    """Per-file [min, max] for every integer-typed column — the
+    multi-column zonemap (ORC/Iceberg-style column stats). Secondary
+    columns prune effectively only when correlated with the sort key,
+    but recording them is one vectorized min/max per column at write
+    time and never hurts."""
+    import pyarrow.compute as pc
+
+    zones = {}
+    for name, typ in zip(t.schema.names, t.schema.types):
+        if pa.types.is_integer(typ) and t.num_rows > 0:
+            col = t.column(name)
+            if col.null_count == len(col):
+                continue
+            zones[name] = [int(pc.min(col).as_py()),
+                           int(pc.max(col).as_py())]
+    return zones
+
+
 def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
     """Materialize a Dataset as range-partitioned sorted parquet:
     ``out_dir/part-{i:05d}/rows.parquet`` holds the i-th equal-width key
@@ -104,6 +123,7 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
                 "n_rows": t.num_rows,
                 "key_min": int(pc.min(kcol).as_py()),
                 "key_max": int(pc.max(kcol).as_py()),
+                "zones": _column_zones(t),
             })
             return pa.table({"part": pa.array([b], pa.int64()),
                              "n_rows": pa.array([t.num_rows], pa.int64())},
@@ -183,6 +203,7 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
             "n_rows": merged.num_rows,
             "key_min": int(pc.min(kcol).as_py()),
             "key_max": int(pc.max(kcol).as_py()),
+            "zones": _column_zones(merged),
             "ingests": rec.get("ingests", []) + [ingest_id]})
         return pa.table({"part": pa.array([b], pa.int64()),
                          "n_rows": pa.array([merged.num_rows], pa.int64())},
@@ -208,7 +229,7 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
             if os.path.exists(old_path):
                 shutil.copy(old_path, os.path.join(tmp, "rows.parquet"))
             r2 = {k: v for k, v in r.items()
-                  if k in ("n_rows", "key_min", "key_max")}
+                  if k in ("n_rows", "key_min", "key_max", "zones")}
             r2["ingests"] = r.get("ingests", []) + [ingest_id]
             manifest.commit_partition(b, r2)
 
@@ -219,18 +240,27 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
 
 
 def pruned_paths(out_dir: str, lo: Optional[int] = None,
-                 hi: Optional[int] = None) -> list:
-    """Files whose zonemap [key_min, key_max] can overlap [lo, hi] —
-    decided from the manifest alone, zero data/footer reads."""
+                 hi: Optional[int] = None,
+                 col: Optional[str] = None) -> list:
+    """Files whose zonemap can overlap [lo, hi] — decided from the
+    manifest alone, zero data/footer reads. ``col=None`` prunes on the
+    sort key; any other integer column prunes on its recorded per-file
+    [min, max] (effective when correlated with the sort key; a file
+    with no recorded zone for ``col`` is conservatively kept)."""
     m = Manifest(out_dir)
     keep = []
     for rec in m.records():
         if rec.get("status") != "ok" or rec.get("n_rows", 0) == 0:
             continue
-        if lo is not None and rec["key_max"] < lo:
-            continue
-        if hi is not None and rec["key_min"] > hi:
-            continue
+        if col is None:
+            zone = [rec["key_min"], rec["key_max"]]
+        else:
+            zone = rec.get("zones", {}).get(col)
+        if zone is not None:
+            if lo is not None and zone[1] < lo:
+                continue
+            if hi is not None and zone[0] > hi:
+                continue
         p = os.path.join(m.partition_dir(rec["partition_id"]),
                          "rows.parquet")
         if os.path.exists(p):
@@ -240,18 +270,22 @@ def pruned_paths(out_dir: str, lo: Optional[int] = None,
 
 def read_key_range(out_dir: str, lo: Optional[int] = None,
                    hi: Optional[int] = None,
-                   columns: Optional[list] = None):
-    """Stream rows with ``lo <= key <= hi`` (either bound optional).
-    Three pruning levels: manifest zonemap (file skip), parquet
-    row-group statistics pushdown (each file is key-sorted, so row
-    groups are tight ranges), then an exact vectorized filter."""
+                   columns: Optional[list] = None,
+                   col: Optional[str] = None):
+    """Stream rows with ``lo <= col <= hi`` (either bound optional;
+    ``col`` defaults to the sort key). Three pruning levels: manifest
+    zonemap (file skip — secondary integer columns prune on their
+    recorded per-file stats), parquet row-group statistics pushdown
+    (tight for the sort key; whatever physical clustering gives for
+    secondary columns), then an exact vectorized filter."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray.data as rd
 
     with open(os.path.join(out_dir, _META_NAME)) as f:
-        key = json.load(f)["key"]
-    paths = pruned_paths(out_dir, lo, hi)
+        meta_key = json.load(f)["key"]
+    paths = pruned_paths(out_dir, lo, hi, col=col)
+    key = col if col is not None else meta_key
     if not paths:
         return rd.from_items([])
     expr = None

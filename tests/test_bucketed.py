@@ -339,3 +339,32 @@ def test_zonemap_append_exactly_once(ray_session, tmp_path):
     s2 = append_sorted(rd.from_arrow(delta).repartition(3), d,
                        ingest_id="dump-01")
     assert s2["rows"] == 452 and time.time() - t0 < 10.0
+
+
+def test_zonemap_secondary_column_pruning(ray_session, tmp_path):
+    """A column correlated with the sort key prunes files via its
+    recorded per-file zones; results equal an exact filter."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (pruned_paths, read_key_range,
+                                          write_sorted)
+
+    n = 400
+    v = np.arange(n, dtype="int64")
+    corr = v * 10 + 3  # perfectly correlated secondary column
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "v": pa.array(v, pa.int64()),
+                  "corr": pa.array(corr, pa.int64())})
+    d = str(tmp_path / "zmc")
+    write_sorted(rd.from_arrow(t).repartition(4), d, key="v", files=8)
+
+    all_paths = pruned_paths(d)
+    sec = pruned_paths(d, 1000, 1490, col="corr")
+    assert 0 < len(sec) < len(all_paths)
+
+    got = (read_key_range(d, 1000, 1490, col="corr").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    exp = (t.to_pandas().query("1000 <= corr <= 1490")
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["id", "v", "corr"]],
+                                  exp[["id", "v", "corr"]])
