@@ -100,6 +100,26 @@ def _build_parser() -> argparse.ArgumentParser:
     ej.add_argument("--id-col", default="doc_id")
     ej.add_argument("--groups", type=int, default=16)
 
+    ib = sub.add_parser("index-build",
+                        help="build (or resume) the persistent "
+                             "term-partitioned inverted index over a "
+                             "docs parquet table")
+    ib.add_argument("--input", required=True,
+                    help="parquet file or directory with doc_id/text")
+    ib.add_argument("--output", required=True)
+    ib.add_argument("--buckets", type=int, default=64)
+    ib.add_argument("--text-col", default="text")
+    ib.add_argument("--id-col", default="doc_id")
+
+    iq = sub.add_parser("index-query",
+                        help="BM25 top-k from the persistent index "
+                             "(reads only the buckets the terms hash to)")
+    iq.add_argument("--index", required=True)
+    iq.add_argument("--terms", required=True,
+                    help="space-separated query terms")
+    iq.add_argument("--k", type=int, default=20)
+    iq.add_argument("--mode", choices=["or", "and"], default="or")
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -204,6 +224,23 @@ def main(argv=None) -> int:
                                          args.output, groups=args.groups,
                                          id_col=args.id_col)
             print(json.dumps(summary, default=str))
+        elif args.cmd == "index-build":
+            import ray.data as rd
+
+            from .sources.text_index import build_text_index
+            meta = build_text_index(
+                rd.read_parquet(args.input,
+                                columns=[args.id_col, args.text_col]),
+                args.output, text_col=args.text_col, id_col=args.id_col,
+                buckets=args.buckets)
+            print(json.dumps(meta, default=str))
+        elif args.cmd == "index-query":
+            from .sources.text_index import query_text_index
+            res = query_text_index(args.index, args.terms.split(),
+                                   k=args.k, mode=args.mode).to_pandas()
+            for _, r in res.iterrows():
+                print(json.dumps({"doc_id": int(r["doc_id"]),
+                                  "score_micro": int(r["score_micro"])}))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus
             out = write_pages_corpus(args.output, args.pages, args.seed,

@@ -174,6 +174,7 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
                        robots=None, user_agent: str = "sift",
                        strip_boilerplate: bool = False,
                        write_files: bool = False, shard_groups: int = 16,
+                       build_index: bool = False, index_buckets: int = 64,
                        num_parts: Optional[int] = None) -> dict:
     """Run (or RESUME) the end-to-end web pipeline with checkpoints.
 
@@ -196,8 +197,16 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
     ``sharding.write_shard_files`` (resumable at shard-group
     granularity, ``shard_groups`` groups).
 
+    ``build_index=True`` adds a final phase: the persistent
+    term-partitioned inverted index over the corpus text (the cleaned
+    docs when ``write_files``, else the extracted docs) under
+    ``out_dir/text_index`` — the finished corpus is immediately
+    queryable with bucket-pruned BM25 (``sources.text_index``).
+    Resumable at bucket granularity through the bucketed writer's own
+    manifest.
+
     Returns {"docs": ..., "shards": ...} manifest summaries (plus
-    "clean_docs" / "shard_files" when ``write_files``).
+    "clean_docs" / "shard_files" / "text_index" when enabled).
     """
     import time as _time
 
@@ -300,4 +309,11 @@ def run_web_corpus_job(input_path: str, out_dir: str, cfg=None,
             num_parts=num_parts)
         out["clean_docs"] = clean_manifest.summary()
         out["shard_files"] = files_summary
+    if build_index:
+        from ..sources.text_index import build_text_index
+        src = clean_dir if write_files else docs_dir
+        out["text_index"] = build_text_index(
+            rd.read_parquet(src, columns=["doc_id", "text"],
+                            concurrency=_default_read_concurrency()),
+            os.path.join(out_dir, "text_index"), buckets=index_buckets)
     return out

@@ -362,3 +362,61 @@ def test_run_web_corpus_job_write_files(ray_session, tmp_path):
     run_web_corpus_job(corpus, out_dir, group_size=2, shard_tokens=500,
                        write_files=True, shard_groups=4)
     assert _t.time() - t0 < 5.0
+
+
+def test_run_web_corpus_job_build_index(ray_session, tmp_path):
+    """build_index=True leaves a queryable inverted index beside the
+    shards; its answers match streaming BM25 over the docs checkpoint."""
+    import os
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+    from sift_ray.pipelines.web_pipeline import run_web_corpus_job
+    from sift_ray.sources.pages import write_pages_corpus
+    from sift_ray.sources.text_index import query_text_index
+
+    corpus = write_pages_corpus(str(tmp_path / "pages"), 40, 7,
+                                num_blocks=4)
+    out_dir = str(tmp_path / "web_job_idx")
+    res = run_web_corpus_job(corpus, out_dir, group_size=2,
+                             shard_tokens=500, build_index=True,
+                             index_buckets=8)
+    assert res["text_index"]["n_docs"] > 0
+    idx_dir = os.path.join(out_dir, "text_index")
+    docs = rd.read_parquet(os.path.join(out_dir, "docs"),
+                           columns=["doc_id", "text"])
+    terms = ["the", "and"]
+    got = query_text_index(idx_dir, terms, k=10).to_pandas()
+    want = bm25_topk(docs, terms, k=10).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cli_index_build_and_query(ray_session, tmp_path, capsys):
+    """CLI surface for the inverted index: build prints the meta JSON,
+    query prints one JSON line per hit in rank order."""
+    import json as _json
+    import ray.data as rd
+    from sift_ray.cli import main
+    from sift_ray.sources.pages import write_pages_corpus
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "hash join dup"},
+        {"doc_id": 1, "text": "the quick fox"},
+        {"doc_id": 2, "text": "hash table"},
+    ]).to_pandas()
+    src = str(tmp_path / "docs.parquet")
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    _pq.write_table(_pa.Table.from_pandas(docs, preserve_index=False), src)
+
+    idx = str(tmp_path / "idx")
+    assert main(["index-build", "--input", src, "--output", idx,
+                 "--buckets", "4"]) == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 3
+
+    assert main(["index-query", "--index", idx, "--terms", "hash",
+                 "--k", "5"]) == 0
+    lines = [_json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert {r["doc_id"] for r in lines} == {0, 2}
