@@ -992,6 +992,24 @@ def _q_bm25_index_and(sf_dir: str):
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase search ("table hash" as consecutive tokens) over the
+    POSITIONAL inverted index: bucket-pruned read of the phrase terms'
+    buckets, one doc-keyed exchange, vectorized position-chain
+    intersection per partition. Returns (doc_id, n_matches)."""
+    import shutil
+    import tempfile
+
+    from sift_ray.sources.text_index import build_text_index, phrase_query
+    idx_dir = tempfile.mkdtemp(prefix="sift_text_index_", dir="/tmp")
+    try:
+        build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx_dir,
+                         buckets=16, positional=True)
+        return phrase_query(idx_dir, ["table", "hash"]).to_pandas()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def _q_zonemap_range_scan(sf_dir: str):
     """Range predicate answered from range-partitioned SORTED storage:
     the write pays one value-range exchange and records per-file
@@ -2684,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_corpus_topk": _q_bm25_corpus_topk,
         "bm25_index_topk": _q_bm25_index_topk,
         "bm25_index_and": _q_bm25_index_and,
+        "phrase_search": _q_phrase_search,
         "zonemap_range_scan": _q_zonemap_range_scan,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
@@ -4255,6 +4274,23 @@ def oracle_sql() -> dict[str, str]:
     d["zonemap_range_scan"] = """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 400 AND 700
+        """
+    d["phrase_search"] = """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(range(1, len(ws) + 1)) AS i
+                FROM w
+            )
+            SELECT a.doc_id, count(*) AS n_matches
+            FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            WHERE a.w = 'table' AND b.w = 'hash'
+            GROUP BY a.doc_id ORDER BY a.doc_id
         """
     d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
                                                    _PAGERANK_SCALE)

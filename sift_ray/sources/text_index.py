@@ -59,37 +59,57 @@ _POSTINGS_SCHEMA = pa.schema([
     ("dl", pa.int64()),      # the doc's total word count (replicated)
 ])
 
+_POSITIONAL_SCHEMA = _POSTINGS_SCHEMA.append(
+    pa.field("pos", pa.binary()))  # sorted uint32 token positions (blob)
 
-def _postings_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """One (term, doc_id, tf, dl) row per distinct (doc, word) — fully
-    vectorized: split once, lexsort, run-length count."""
+
+def _postings_batch(batch: pa.Table, text_col: str, id_col: str,
+                    positional: bool = False) -> pa.Table:
+    """One (term, doc_id, tf, dl[, pos]) row per distinct (doc, word) —
+    fully vectorized: split once, lexsort, run-length count. With
+    ``positional`` each row carries the word's sorted 0-based token
+    positions (within the empty-dropped token sequence) as a uint32
+    blob — the phrase-query payload."""
     import pyarrow.compute as pc
 
     from ..functions.corpus import _hash_word_array
 
+    schema = _POSITIONAL_SCHEMA if positional else _POSTINGS_SCHEMA
     flat, parent = _flat_words(batch.column(text_col))
     if len(parent) == 0:
-        return _POSTINGS_SCHEMA.empty_table()
+        return schema.empty_table()
     ids = pc.cast(batch.column(id_col), pa.int64()).to_numpy(
         zero_copy_only=False)
     wh = _hash_word_array(flat).astype(np.int64)
     dl = np.bincount(parent, minlength=batch.num_rows)
-    order = np.lexsort((wh, parent))
-    p_s, w_s = parent[order], wh[order]
+    # 0-based token position within each doc's (empty-dropped) sequence
+    tok_pos = np.arange(len(parent), dtype=np.int64)
+    doc_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    tok_pos = tok_pos - np.repeat(tok_pos[doc_starts],
+                                  np.diff(np.r_[doc_starts, len(parent)]))
+    order = np.lexsort((tok_pos, wh, parent))
+    p_s, w_s, t_s = parent[order], wh[order], tok_pos[order]
     starts = np.flatnonzero(
         np.r_[True, (p_s[1:] != p_s[:-1]) | (w_s[1:] != w_s[:-1])])
     counts = np.diff(np.r_[starts, len(p_s)])
     pdoc = p_s[starts]
-    return pa.Table.from_arrays([
+    arrays = [
         pa.array(w_s[starts], pa.int64()),
         pa.array(ids[pdoc], pa.int64()),
         pa.array(counts.astype(np.int64), pa.int64()),
         pa.array(dl[pdoc].astype(np.int64), pa.int64()),
-    ], schema=_POSTINGS_SCHEMA)
+    ]
+    if positional:
+        ends = np.r_[starts[1:], len(p_s)]
+        blobs = [t_s[s:e].astype(np.uint32).tobytes()
+                 for s, e in zip(starts, ends)]
+        arrays.append(pa.array(blobs, pa.binary()))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def build_text_index(ds, out_dir: str, text_col: str = "text",
-                     id_col: str = "doc_id", buckets: int = 64) -> dict:
+                     id_col: str = "doc_id", buckets: int = 64,
+                     positional: bool = False) -> dict:
     """Build (or resume building) the persistent index at ``out_dir``.
 
     One corpus pass explodes postings and routes them through the
@@ -104,7 +124,7 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
 
     n_docs = ds.count()
     postings = ds.map_batches(
-        lambda t: _postings_batch(t, text_col, id_col),
+        lambda t: _postings_batch(t, text_col, id_col, positional),
         batch_format="pyarrow")
     write_bucketed(postings, out_dir, key="term", buckets=buckets)
 
@@ -112,7 +132,8 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     n_tokens = int(rd.read_parquet(paths, columns=["tf"]).sum("tf") or 0) \
         if paths else 0
     meta = {"n_docs": int(n_docs), "n_tokens": n_tokens,
-            "buckets": int(buckets), "key": "term"}
+            "buckets": int(buckets), "key": "term",
+            "positional": bool(positional)}
     tmp = os.path.join(out_dir, _META_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -151,8 +172,9 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
     new_tokens = int(delta_ds.map_batches(tokc, batch_format="pyarrow")
                      .aggregate(Sum("n"))["sum(n)"] or 0)
 
+    positional = bool(meta.get("positional", False))
     postings = delta_ds.map_batches(
-        lambda t: _postings_batch(t, text_col, id_col),
+        lambda t: _postings_batch(t, text_col, id_col, positional),
         batch_format="pyarrow")
     append_bucketed(postings, out_dir, key="term", ingest_id=ingest_id)
 
@@ -164,6 +186,98 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
         json.dump(meta, f)
     os.replace(tmp, meta_path)
     return meta
+
+
+def phrase_query(out_dir: str, phrase_terms: Sequence[str],
+                 num_parts: Optional[int] = None):
+    """Exact phrase search over a POSITIONAL index: documents where the
+    terms appear as consecutive tokens (in the empty-dropped whitespace
+    token sequence), with occurrence counts. Returns (doc_id, n_matches)
+    ordered by doc_id.
+
+    Scale shape: bucket-pruned read of the <= |phrase| term buckets ->
+    ONE doc-keyed exchange of the (term slot, positions blob) rows ->
+    partition-local vectorized position intersection (np.isin chain:
+    start positions p where p+i is in term i's positions for every i).
+    A phrase occurrence count per doc is exact; docs missing any term
+    die in the kernel."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.corpus import _hash_word_array
+    from ..functions.shuffle import add_hash_partition, default_num_parts
+
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        meta = json.load(f)
+    assert meta.get("positional"), \
+        "phrase_query needs an index built with positional=True"
+    terms = list(phrase_terms)
+    n_terms = len(terms)
+    th = _hash_word_array(pa.array(terms, pa.string())).astype(np.int64)
+    th_sorted = np.unique(th)
+
+    from .bucketed import read_bucketed
+    matches = read_bucketed(out_dir, key_values=th_sorted.tolist(),
+                            key="term", buckets=meta["buckets"])
+
+    _tag_empty = pa.schema([("doc_id", pa.int64()), ("slot", pa.int32()),
+                            ("pos", pa.binary())]).empty_table()
+
+    def tag(t: pa.Table) -> pa.Table:
+        # one row per PHRASE SLOT (a repeated term replicates its rows,
+        # so every slot gets its position set)
+        tcol = t.column("term").to_numpy(zero_copy_only=False)
+        parts = [_tag_empty]
+        for i, h in enumerate(th.tolist()):
+            mask = tcol == h
+            if mask.any():
+                sub = t.filter(pa.array(mask))
+                parts.append(pa.table({
+                    "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+                    "slot": pa.array(
+                        np.full(sub.num_rows, i, np.int32), pa.int32()),
+                    "pos": sub.column("pos"),
+                }))
+        return pa.concat_tables(parts)
+
+    P = num_parts or default_num_parts()
+    parted = add_hash_partition(
+        matches.map_batches(tag, batch_format="pyarrow"), ["doc_id"], P)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        slots = t.column("slot").to_numpy(zero_copy_only=False)
+        blobs = t.column("pos").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        out_ids, out_n = [], []
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            pos_by_slot: dict = {}
+            doc = ids[order[i]]
+            while j < n and ids[order[j]] == doc:
+                r = order[j]
+                pos_by_slot[int(slots[r])] = np.frombuffer(
+                    blobs[r], dtype=np.uint32).astype(np.int64)
+                j += 1
+            i = j
+            if len(pos_by_slot) < n_terms:
+                continue
+            cand = pos_by_slot[0]
+            for s in range(1, n_terms):
+                if cand.size == 0:
+                    break
+                cand = cand[np.isin(cand + s, pos_by_slot[s],
+                                    assume_unique=True)]
+            if cand.size:
+                out_ids.append(int(doc))
+                out_n.append(int(cand.size))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_matches": pa.array(out_n, pa.int64())})
+
+    out = parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+    return out.sort("doc_id")
 
 
 def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,

@@ -368,3 +368,39 @@ def test_zonemap_secondary_column_pruning(ray_session, tmp_path):
            .sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["id", "v", "corr"]],
                                   exp[["id", "v", "corr"]])
+
+
+def test_phrase_query_positions(ray_session, tmp_path):
+    import pytest as _pytest
+    import ray.data as rd
+    from sift_ray.sources.text_index import build_text_index, phrase_query
+
+    texts = ["the cat sat on the mat",
+             "cat sat cat sat cat",
+             "the the the",          # repeated-term phrase target
+             "sat the cat",
+             ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = str(tmp_path / "pidx")
+    build_text_index(rd.from_arrow(t), d, buckets=4, positional=True)
+
+    got = phrase_query(d, ["cat", "sat"]).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_matches"])) == {0: 1, 1: 2}
+
+    # repeated term: "the the" occurs twice in doc 2 (overlapping)
+    got = phrase_query(d, ["the", "the"]).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_matches"])) == {2: 2}
+
+    # 3-term phrase
+    got = phrase_query(d, ["the", "cat", "sat"]).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_matches"])) == {0: 1}
+
+    # absent phrase
+    assert phrase_query(d, ["mat", "cat"]).count() == 0
+
+    # non-positional index refuses
+    d2 = str(tmp_path / "npidx")
+    build_text_index(rd.from_arrow(t), d2, buckets=4)
+    with _pytest.raises(AssertionError):
+        phrase_query(d2, ["cat", "sat"])
