@@ -95,3 +95,27 @@ def test_logreg_empty_raises(ray_session):
         "label": pa.array([], pa.int64())}))
     with pytest.raises(ValueError):
         logreg_fit(empty, n_iter=1)
+
+
+def test_logreg_dense_and_sparse_gradient_paths_identical(ray_session,
+                                                          monkeypatch):
+    """The dense driver-fold path and the sparse exchange path must train
+    BIT-IDENTICAL weights (integer gradient sums are order-free)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    import sift_ray.functions.classifier as clf
+
+    rng = np.random.RandomState(3)
+    texts = [" ".join(rng.choice(["good", "fine", "bad", "ugly", "meh"],
+                                 size=8)) for _ in range(60)]
+    labels = [1 if "good" in t else 0 for t in texts]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts,
+                       "label": labels})
+
+    _, m_dense = clf.logreg_fit(rd.from_pandas(df), hash_bits=8, n_iter=3)
+    monkeypatch.setattr(clf, "_DENSE_GRAD_LIMIT", 0)
+    _, m_sparse = clf.logreg_fit(rd.from_pandas(df).repartition(4),
+                                 hash_bits=8, n_iter=3)
+    assert m_dense["loss_micro"] == m_sparse["loss_micro"]
+    np.testing.assert_array_equal(m_dense["w"], m_sparse["w"])
