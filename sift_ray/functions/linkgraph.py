@@ -168,6 +168,11 @@ def _tolerate_empty(schema: pa.Schema):
     return fn
 
 
+# serial-path gate for pagerank: graphs with nodes+edges at or below
+# this run the exact integer recurrence on the driver (see pagerank)
+_SERIAL_PR_LIMIT = 2_000_000
+
+
 def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
              scale: int = 10 ** 12, num_parts: Optional[int] = None):
     """Distributed PageRank over an int64 edge list (src, dst) in exact
@@ -196,6 +201,54 @@ def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
 
     P = num_parts or default_num_parts()
     i64 = pa.int64()
+
+    # materialize the int edge table ONCE up front: it feeds everything
+    # (and a lazy dataset would re-execute upstream lineage per consumer)
+    edges64 = edges.map_batches(
+        lambda t: (pa.table({"src": pa.array([], i64),
+                             "dst": pa.array([], i64)})
+                   if t.num_rows == 0 or "src" not in t.column_names
+                   else pa.table({"src": pc.cast(t.column("src"), i64),
+                                  "dst": pc.cast(t.column("dst"), i64)})),
+        batch_format="pyarrow").materialize()
+    n_edges = edges64.count()
+
+    # size gate (repo convention, same as connected_components): nodes
+    # only exist on edges, so n <= 2*n_edges; below the gate the whole
+    # graph is int rows that fit driver memory, where node-set/degree/
+    # state exchanges plus SIX iterations of two exchanges each are pure
+    # fixed overhead (measured 5.4x at sf0.1). The serial path runs the
+    # IDENTICAL integer recurrence (np.add.at keeps inflow sums exact
+    # int64) — bit-identical, pinned by a forced-path equality test.
+    if 3 * n_edges <= _SERIAL_PR_LIMIT:
+        import ray.data as rd
+        ed = pa.concat_tables(
+            [pa.schema([("src", i64), ("dst", i64)]).empty_table()]
+            + list(edges64.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+        ).combine_chunks()
+        src_v = ed.column("src").to_numpy(zero_copy_only=False)
+        dst_v = ed.column("dst").to_numpy(zero_copy_only=False)
+        node = np.unique(np.concatenate([src_v, dst_v]))
+        n = len(node)
+        if n == 0:
+            return rd.from_arrow(pa.schema([("node", i64),
+                                            ("rank", i64)]).empty_table())
+        src = np.searchsorted(node, src_v)
+        dst = np.searchsorted(node, dst_v)
+        deg = np.bincount(src, minlength=n).astype(np.int64)
+        r = np.full(n, scale, dtype=np.int64)
+        base = (d_den - d_num) * scale
+        dangling = deg == 0
+        safe_deg = np.maximum(deg, 1)
+        for _ in range(iters):
+            D = int(r[dangling].sum())
+            c = r[src] // safe_deg[src]
+            inflow = np.zeros(n, dtype=np.int64)
+            np.add.at(inflow, dst, c)
+            r = (base + d_num * (inflow + D // n)) // d_den
+        return rd.from_arrow(pa.table({"node": pa.array(node, i64),
+                                       "rank": pa.array(r, i64)}))
 
     # ---- node set: distinct(src) UNION distinct(dst), one exchange ----
     def both_cols(t: pa.Table) -> pa.Table:
@@ -255,18 +308,6 @@ def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
         return rd.from_arrow(pa.schema([("node", i64),
                                         ("rank", i64)]).empty_table())
 
-    # materialize the int edge table ONCE: it feeds every iteration, and a
-    # lazy dataset would re-execute the whole upstream lineage (read +
-    # edge derivation) per iteration — 6 reads for 6 iterations
-    edges64 = edges.map_batches(
-        lambda t: (pa.table({"src": pa.array([], i64),
-                             "dst": pa.array([], i64)})
-                   if t.num_rows == 0 or "src" not in t.column_names
-                   else pa.table({"src": pc.cast(t.column("src"), i64),
-                                  "dst": pc.cast(t.column("dst"), i64)})),
-        batch_format="pyarrow").materialize()
-    n_edges = edges64.count()
-
     # size-aware partition count: each exchange/materialize schedules
     # O(blocks) tasks PER ITERATION and per map stage, so at small graphs
     # fixed task overhead dominates (measured: the sf0.1 15k-node graph
@@ -276,6 +317,7 @@ def pagerank(edges, iters: int = 6, d_num: int = 85, d_den: int = 100,
     # keep the cluster-sized default. The edge table's block count is
     # capped to P once — it feeds 2 map stages per iteration.
     P = min(P, max(4, (max(n_edges, n) + 131_071) // 131_072))
+
     edges64 = edges64.repartition(P).materialize()
     state = state.repartition(P).materialize()
 

@@ -177,3 +177,24 @@ def test_pagerank_hosts_matches_integer_reference(ray_session):
     assert len(got) == n
     for _, row in got.iterrows():
         assert int(r[idx[row["host"]]]) == row["rank"], row["host"]
+
+
+def test_pagerank_serial_and_distributed_paths_identical(ray_session,
+                                                         monkeypatch):
+    """The gated driver-serial recurrence must equal the distributed
+    loop bit-for-bit (exact int64 fixed point on both paths)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    import sift_ray.functions.linkgraph as lg
+
+    rng = np.random.RandomState(5)
+    e = pd.DataFrame({"src": rng.randint(0, 40, 300).astype("int64"),
+                      "dst": rng.randint(0, 40, 300).astype("int64")})
+    got_serial = lg.pagerank(rd.from_pandas(e), iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    monkeypatch.setattr(lg, "_SERIAL_PR_LIMIT", 0)
+    got_dist = lg.pagerank(rd.from_pandas(e).repartition(3),
+                           iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_serial, got_dist)
