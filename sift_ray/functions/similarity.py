@@ -582,6 +582,11 @@ def embedding_quantize(ds, vec_col: str = "embedding",
     return out, {"lo": lo, "span": span}
 
 
+# partial-reduction gate for kmeans_fit: k*(d+2) partial slots at or
+# below this ship dense per-batch blobs folded on the driver
+_DENSE_KMEANS_LIMIT = 1 << 20
+
+
 def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
                num_parts: Optional[int] = None, scale_bits: int = 20):
@@ -628,10 +633,21 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
         .astype(np.int64)                                  # (k, d) micros
     k, d = C.shape
 
+    # partial-reduction gate (repo convention, same as logreg_fit): the
+    # per-batch partial is k*(d+2) ints regardless of rows, so up to the
+    # gate each batch ships ONE dense int64 blob and the driver np-sums —
+    # no exchange per iteration. Above the gate (huge k*d) partials stay
+    # sparse rows on the (cluster, dim)-keyed exchange. Integer sums are
+    # order-free, so both paths produce bit-identical centroids (pinned
+    # by a forced-path equality test).
+    dense = k * (d + 2) <= _DENSE_KMEANS_LIMIT
+
     def make_partials(C_now: np.ndarray):
         def partials(batch: pa.Table) -> pa.Table:
             mat = _to_matrix(batch.column(vec_col))
             if mat.size == 0:
+                if dense:
+                    return pa.table({"pv": pa.array([], pa.binary())})
                 return pa.table({"cluster": pa.array([], pa.int64()),
                                  "dim": pa.array([], pa.int64()),
                                  "s": pa.array([], pa.int64()),
@@ -650,6 +666,10 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
             counts = np.bincount(assign, minlength=k).astype(np.int64)
             iq = np.zeros(k, dtype=np.int64)
             np.add.at(iq, assign, best)
+            if dense:
+                blob = np.concatenate(
+                    [sums.ravel(), counts, iq]).astype(np.int64).tobytes()
+                return pa.table({"pv": pa.array([blob], pa.binary())})
             cl = np.repeat(np.arange(k, dtype=np.int64), d)
             dim = np.tile(np.arange(d, dtype=np.int64), k)
             return pa.table({
@@ -665,22 +685,37 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
     for _ in range(n_iter):
         rows = ds.map_batches(make_partials(C.copy()),
                               batch_format="pyarrow")
-        agg = partitioned_group_agg(
-            rows, ["cluster", "dim"],
-            [("s", "sum", "s"), ("n", "sum", "n"), ("iq", "sum", "iq")],
-            num_parts=num_parts).to_pandas()
-        agg = agg.sort_values(["cluster", "dim"]).reset_index(drop=True)
-        newC = C.copy()
+        sums = np.zeros((k, d), dtype=np.int64)
         sizes = np.zeros(k, dtype=np.int64)
         inert = np.zeros(k, dtype=np.int64)
-        for c in range(k):
-            part = agg[agg["cluster"] == c]
-            if len(part) == 0 or int(part["n"].iloc[0]) == 0:
-                continue                     # empty cluster keeps centroid
-            cnt = part["n"].to_numpy()[0]
-            newC[c] = part["s"].to_numpy() // cnt
-            sizes[c] = cnt
-            inert[c] = part["iq"].to_numpy()[0]
+        if dense:
+            acc = np.zeros(k * d + 2 * k, dtype=np.int64)
+            for batch in rows.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+                for blob in batch.column("pv").to_pylist():
+                    acc += np.frombuffer(blob, dtype=np.int64)
+            sums = acc[:k * d].reshape(k, d)
+            sizes = acc[k * d:k * d + k]
+            inert = acc[k * d + k:]
+        else:
+            agg = partitioned_group_agg(
+                rows, ["cluster", "dim"],
+                [("s", "sum", "s"), ("n", "sum", "n"),
+                 ("iq", "sum", "iq")],
+                num_parts=num_parts).to_pandas()
+            agg = agg.sort_values(["cluster", "dim"]) \
+                .reset_index(drop=True)
+            for c in range(k):
+                part = agg[agg["cluster"] == c]
+                if len(part) == 0:
+                    continue
+                sums[c] = part["s"].to_numpy()
+                sizes[c] = part["n"].to_numpy()[0]
+                inert[c] = part["iq"].to_numpy()[0]
+        newC = C.copy()
+        nz = sizes > 0                       # empty cluster keeps centroid
+        newC[nz] = sums[nz] // sizes[nz][:, None]
+        inert = np.where(nz, inert, 0)
         C = newC
         stats_pdf = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
                                   "size": sizes, "inertia_q": inert})

@@ -927,3 +927,23 @@ def test_regional_revenue_paths_agree(ray_session):
             .to_pandas().sort_values("n_name").reset_index(drop=True))
     assert len(fast) > 0  # non-vacuous: some ASIA-1996 revenue exists
     assert fast.equals(slow)
+
+
+def test_kmeans_dense_and_sparse_paths_identical(ray_session, monkeypatch):
+    """The dense driver-fold partials and the (cluster, dim)-keyed
+    exchange must train bit-identical centroids and stats."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    import sift_ray.functions.similarity as sim
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(80, 6)
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [list(v) for v in vecs]})
+    C1, s1 = sim.kmeans_fit(rd.from_pandas(df), n_clusters=4, n_iter=3)
+    monkeypatch.setattr(sim, "_DENSE_KMEANS_LIMIT", 0)
+    C2, s2 = sim.kmeans_fit(rd.from_pandas(df).repartition(5),
+                            n_clusters=4, n_iter=3)
+    np.testing.assert_array_equal(C1, C2)
+    pd.testing.assert_frame_equal(s1.to_pandas(), s2.to_pandas())
