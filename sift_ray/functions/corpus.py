@@ -1767,6 +1767,11 @@ def weighted_sample(ds, k: int = 50, weight_col: str = "n_chars",
         cands[[id_col, weight_col]], preserve_index=False))
 
 
+# strip-path gate for boilerplate_strip: decision tables up to this many
+# template lines broadcast for an in-batch map-side strip (no exchanges)
+_BROADCAST_STRIP_LIMIT = 1_000_000
+
+
 def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
                       host_col: str = "source", id_col: str = "doc_id",
                       text_col: str = "text", min_words: int = 1,
@@ -1932,11 +1937,46 @@ def boilerplate_strip(ds, min_docs: int = 3, max_frac: float = 0.5,
     # frequency pipeline (the table is template-lines-sized, never
     # corpus-sized, so holding it is safe at any scale)
     boiler = boiler.materialize()
+    n_boiler = boiler.count()
 
-    if boiler.count() == 0:
+    if n_boiler == 0:
         # no template lines anywhere: skip the bloom + anti-join stages
         # entirely (common on small or template-free corpora)
         survivors = lines_ds()
+    elif n_boiler <= _BROADCAST_STRIP_LIMIT:
+        # gated map-side strip: the decision table is template-lines-
+        # sized, so broadcast the exact (host NUL line) strings and strip
+        # + reassemble IN-BATCH — a document's lines never leave the
+        # batch that exploded them, so neither the bloom anti-join
+        # exchange nor the doc_id reassembly exchange is needed. String
+        # is_in keeps the anti-join's exact semantics (no hash step).
+        import pandas as pd
+        import ray as _ray
+
+        hl_arr = pa.concat_tables(
+            [pa.schema([("hl", pa.string())]).empty_table()]
+            + list(boiler.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+        ).combine_chunks().column("hl").combine_chunks()
+        hl_ref = _ray.put(hl_arr)
+
+        def strip_map(batch: pa.Table) -> pa.Table:
+            vs = _ray.get(hl_ref)
+            lines = explode(batch)
+            kept = lines.filter(pc.invert(
+                pc.is_in(lines.column("hl"), value_set=vs)))
+            df = (kept.select(["doc_id", "unit_no", "unit"]).to_pandas()
+                  .sort_values(["doc_id", "unit_no"], kind="stable"))
+            g = df.groupby("doc_id", sort=True)["unit"]
+            out = g.agg("\n".join).reset_index().rename(
+                columns={"unit": "text"})
+            return pa.table({
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "n_units": pa.array(g.size().to_numpy(), pa.int64()),
+            })
+
+        return ds.map_batches(strip_map, batch_format="pyarrow")
     else:
         survivors = hash_join(
             lines_ds(), boiler, on="hl", how="anti",

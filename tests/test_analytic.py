@@ -947,3 +947,32 @@ def test_kmeans_dense_and_sparse_paths_identical(ray_session, monkeypatch):
                             n_clusters=4, n_iter=3)
     np.testing.assert_array_equal(C1, C2)
     pd.testing.assert_frame_equal(s1.to_pandas(), s2.to_pandas())
+
+
+def test_boilerplate_strip_map_side_matches_exchange_path(ray_session,
+                                                          monkeypatch):
+    """The gated in-batch strip must equal the bloom anti-join +
+    reassembly-exchange path row for row."""
+    import pandas as pd
+    import ray.data as rd
+    import sift_ray.functions.corpus as cp
+
+    docs = []
+    for h in ("a.com", "b.com"):
+        for i in range(4):
+            docs.append({"doc_id": len(docs),
+                         "source": h,
+                         "text": f"real content {h} {i}\ncookie banner "
+                                 f"{h}\nmore text {i}"})
+    df = pd.DataFrame(docs)
+
+    def run():
+        return (cp.boilerplate_strip(rd.from_pandas(df), min_docs=2,
+                                     max_frac=0.5).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    got_map = run()
+    assert not got_map["text"].str.contains("cookie banner").any()
+    monkeypatch.setattr(cp, "_BROADCAST_STRIP_LIMIT", 0)
+    got_join = run()
+    pd.testing.assert_frame_equal(got_map, got_join)
