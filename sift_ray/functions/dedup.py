@@ -389,33 +389,37 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
     longest member usually subsumes its near-duplicates); tiebreak is the
     minimum doc id, so the result is deterministic.
 
-    Scale shape: clusters come from ``dup_clusters`` (distributed label
-    propagation); the score pass is a zero-shuffle vectorized map; scores
-    meet cluster labels in ONE id-keyed ``hash_join``; the per-cluster
-    argmax is ``grouped_topk(k=1)`` — a local-topk combiner plus ONE
-    cluster-keyed exchange, exact at unbounded cluster cardinality. The
-    driver holds nothing. Returns (doc_id, cluster_id, n_words) of the
-    kept documents (one row per cluster; singletons keep themselves).
+    Returns (doc_id, cluster_id, n_words) of the kept documents (one
+    row per cluster; singletons keep themselves).
+
+    Scale structure: only documents that appear in a near-dup PAIR need
+    cluster labels or an argmax — every other document is a singleton
+    that keeps itself. The pair graph is candidate-proportional, so the
+    label/argmax work never touches corpus-sized exchanges: below
+    ``broadcast_limit`` pairs the member scores are gathered through a
+    broadcast id filter and the per-cluster argmax runs on the driver
+    (kilobyte state); above it the same steps run as a distributed join
+    + grouped_topk over the member subset. The corpus itself crosses
+    ZERO exchanges on the listing path (one vectorized score map and a
+    broadcast-membership filter).
 
     ``materialize_docs=True`` returns the kept DOCUMENT rows instead
-    (all original columns): the DROP set — non-best members of
-    multi-member clusters, candidate-proportional by construction —
-    comes from one cluster-keyed join of labels against keepers, then
-    the docs are filtered through the shared gated anti-join
-    (broadcast below ``broadcast_limit`` drop ids, one id-hash
-    ``hash_join how="anti"`` exchange above)."""
+    (all original columns): the DROP set — non-best members, already
+    candidate-proportional — feeds the shared gated anti-join."""
     import pyarrow.compute as pc
+    import ray.data as rd
 
     from .relational import grouped_topk
     from .shuffle import hash_join
     from .textstats import _WORD_PATTERN
 
-    comp = dup_clusters(ds, k=k, threshold=threshold, text_col=text_col,
-                        id_col=id_col, num_parts=num_parts, max_df=max_df)
-    if materialize_docs:
-        # comp feeds two consumers below — a lazy plan would re-run the
-        # whole cluster pipeline for the second one
-        comp = comp.materialize()
+    i64 = pa.int64()
+    pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
+                                text_col=text_col, id_col=id_col,
+                                num_parts=num_parts,
+                                max_df=max_df).materialize()
+    comp = connected_components(pairs, num_parts=num_parts,
+                                broadcast_limit=broadcast_limit)
 
     def score(batch: pa.Table) -> pa.Table:
         wc = pc.count_substring_regex(batch.column(text_col), _WORD_PATTERN)
@@ -424,25 +428,82 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
             "n_words": pc.cast(wc, pa.int64()),
         })
 
-    i64 = pa.int64()
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    if pairs.count() <= broadcast_limit:
+        # graph members + labels fit the driver (candidate-proportional)
+        comp_tbl = pa.concat_tables(
+            [pa.schema([("doc_id", i64), ("cluster_id", i64)])
+             .empty_table()]
+            + list(comp.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        ).combine_chunks()
+        members = comp_tbl.column("doc_id").combine_chunks()
+        scored = scored.materialize()  # feeds member gather + singleton
+
+        member_scores = pa.concat_tables(
+            [pa.schema([("doc_id", i64), ("n_words", i64)]).empty_table()]
+            + list(scored.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("doc_id"),
+                                            value_set=members)),
+                batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 20,
+                              batch_format="pyarrow"))).to_pandas()
+        lab = comp_tbl.to_pandas().merge(member_scores, on="doc_id")
+        lab = lab.sort_values(["cluster_id", "n_words", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        best_pdf = lab.groupby("cluster_id", sort=True).head(1)
+        best_tbl = pa.table({
+            "doc_id": pa.array(best_pdf["doc_id"].to_numpy(), i64),
+            "cluster_id": pa.array(best_pdf["cluster_id"].to_numpy(), i64),
+            "n_words": pa.array(best_pdf["n_words"].to_numpy(), i64),
+        })
+        if not materialize_docs:
+            singles = scored.map_batches(
+                lambda t: t.filter(pc.invert(pc.is_in(
+                    t.column("doc_id"), value_set=members)))
+                .select(["doc_id", "n_words"]),
+                batch_format="pyarrow").map_batches(
+                lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                    "cluster_id": t.column("doc_id"),
+                                    "n_words": t.column("n_words")}),
+                batch_format="pyarrow")
+            return singles.union(rd.from_arrow(best_tbl))
+        keep_ids = set(best_pdf["doc_id"].tolist())
+        drop = pa.array(sorted(set(members.to_pylist()) - keep_ids), i64)
+        return ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                pc.cast(t.column(id_col), i64), value_set=drop))),
+            batch_format="pyarrow")
+
+    # beyond-gate path: distributed join + argmax over the MEMBER subset
+    comp = comp.materialize()  # feeds the join below and the drop set
     joined = hash_join(
-        ds.map_batches(score, batch_format="pyarrow"), comp,
-        on="doc_id", num_parts=num_parts,
+        scored, comp, on="doc_id", how="inner", num_parts=num_parts,
         left_types={"doc_id": i64, "n_words": i64},
         right_types={"doc_id": i64, "cluster_id": i64})
     best = grouped_topk(joined, "cluster_id", "n_words", "doc_id",
                         k=1, ascending=False, num_parts=num_parts)
     best = best.map_batches(
         lambda t: t.select(["doc_id", "cluster_id", "n_words"]),
-        batch_format="pyarrow")
-    if not materialize_docs:
-        return best
+        batch_format="pyarrow").materialize()
 
-    # DROP set: cluster members that are not the keeper. comp covers the
-    # whole corpus, but the join output filters to ~0 rows for singleton
-    # clusters (doc == keeper), so the materialized drop list is
-    # candidate-proportional.
-    best = best.materialize()  # two consumers (keepers here + caller)
+    if not materialize_docs:
+        # singletons: docs with no cluster label (anti-join on doc_id)
+        member_ids = comp.map_batches(
+            lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+        singles = hash_join(
+            scored, member_ids, on="doc_id", how="anti",
+            num_parts=num_parts,
+            left_types={"doc_id": i64, "n_words": i64},
+            right_types={"doc_id": i64}).map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                "cluster_id": t.column("doc_id"),
+                                "n_words": t.column("n_words")}),
+            batch_format="pyarrow")
+        return singles.union(best)
+
     keepers = best.map_batches(
         lambda t: pa.table({"cluster_id": t.column("cluster_id"),
                             "keep_id": t.column("doc_id")}),

@@ -2199,6 +2199,13 @@ def test_dedup_keep_best_materialize_docs(ray_session):
     want_ids = set(keepers["doc_id"])
     assert want_ids == {1, 3, 4, 5}  # longest member wins per family
 
+    # the distributed listing path (forced gate) must match exactly
+    k2 = dedup_keep_best(ds, k=3, threshold=0.4,
+                         broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        keepers.sort_values("doc_id").reset_index(drop=True),
+        k2.sort_values("doc_id").reset_index(drop=True))
+
     for limit in (2_000_000, 0):  # broadcast path, then hash_join anti
         docs = dedup_keep_best(ds, k=3, threshold=0.4,
                                materialize_docs=True,
