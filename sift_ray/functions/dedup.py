@@ -342,12 +342,19 @@ def connected_components(pairs_ds, max_iters: int = 50,
 def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
                  text_col: str = "text", id_col: str = "doc_id",
                  num_parts: Optional[int] = None,
-                 max_df: Optional[int] = None):
+                 max_df: Optional[int] = None,
+                 broadcast_limit: int = 2_000_000):
     """Every document with its near-dup cluster id (min doc id of its
     connected component under n-gram-Jaccard >= threshold; singletons are
     their own cluster). The transitive version of ``near_dedup_docs`` —
-    keep one row per cluster_id to dedup whole families."""
+    keep one row per cluster_id to dedup whole families.
+
+    The label table covers GRAPH MEMBERS only (candidate-proportional):
+    below ``broadcast_limit`` pairs it broadcasts for a zero-exchange
+    map-side lookup (singletons fall through to their own id); above it
+    the labels attach through one id-keyed left join."""
     import pyarrow.compute as pc
+    import ray as _ray
 
     from .shuffle import hash_join
 
@@ -355,7 +362,38 @@ def dup_clusters(ds, k: int = 3, threshold: float = 0.5,
                                 text_col=text_col, id_col=id_col,
                                 num_parts=num_parts,
                                 max_df=max_df).materialize()
-    comp = connected_components(pairs, num_parts=num_parts)
+    comp = connected_components(pairs, num_parts=num_parts,
+                                broadcast_limit=broadcast_limit)
+
+    if pairs.count() <= broadcast_limit:
+        comp_tbl = pa.concat_tables(
+            [pa.schema([("doc_id", pa.int64()),
+                        ("cluster_id", pa.int64())]).empty_table()]
+            + list(comp.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))
+        ).combine_chunks()
+        nodes = np.sort(comp_tbl.column("doc_id").to_numpy(
+            zero_copy_only=False))
+        order = np.argsort(comp_tbl.column("doc_id").to_numpy(
+            zero_copy_only=False), kind="stable")
+        labels = comp_tbl.column("cluster_id").to_numpy(
+            zero_copy_only=False)[order]
+        ref = _ray.put((nodes, labels))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            nd, lb = _ray.get(ref)
+            ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(nd, ids)
+            pos = np.clip(pos, 0, max(len(nd) - 1, 0))
+            hit = (len(nd) > 0) & (nd[pos] == ids) if len(nd) else \
+                np.zeros(len(ids), dtype=bool)
+            cl = np.where(hit, lb[pos] if len(nd) else 0, ids)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "cluster_id": pa.array(cl, pa.int64())})
+
+        return ds.map_batches(lookup, batch_format="pyarrow")
+
     joined = hash_join(
         ds.map_batches(lambda t: pa.table(
             {"doc_id": pc.cast(t.column(id_col), pa.int64())}),

@@ -2212,3 +2212,22 @@ def test_dedup_keep_best_materialize_docs(ray_session):
                                broadcast_limit=limit).to_pandas()
         assert set(docs["doc_id"]) == want_ids, limit
         assert set(docs.columns) == {"doc_id", "text"}
+
+
+def test_dup_clusters_broadcast_and_join_paths_identical(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import dup_clusters
+
+    texts = ["aa bb cc dd ee", "aa bb cc dd ee ff", "zz yy xx ww vv",
+             "zz yy xx ww vv uu", "solo one two three",
+             "other four five six"]
+    df = pd.DataFrame({"doc_id": range(6), "text": texts})
+    a = dup_clusters(rd.from_pandas(df), k=3, threshold=0.4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dup_clusters(rd.from_pandas(df).repartition(3), k=3,
+                     threshold=0.4, broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert dict(zip(a["doc_id"], a["cluster_id"])) == \
+        {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}
