@@ -113,6 +113,9 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
       only banded int rows instead of the full gram index, at the cost of
       LSH recall < 1 near the threshold. Verified pairs are exact, so
       precision is 1 either way.
+    * ``"simhash"`` — 64-bit SimHash banding; ``threshold`` is the MAX
+      HAMMING DISTANCE (an int, typically 3), ``k`` is ignored. The
+      cheapest route per document (one 8-byte fingerprint).
 
     Two anti-join strategies, switched on the measured pair count:
     * pairs <= broadcast_limit: collect the drop-id set (ints only) and
@@ -132,6 +135,11 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
                                   jaccard_threshold=threshold,
                                   text_col=text_col, id_col=id_col,
                                   num_parts=num_parts).materialize()
+    elif method == "simhash":
+        # threshold here is the max hamming distance (int-valued)
+        pairs = simhash_pairs(ds, max_hamming=int(threshold),
+                              text_col=text_col, id_col=id_col,
+                              num_parts=num_parts).materialize()
     elif method == "ngram":
         pairs = ngram_jaccard_pairs(ds, k=k, threshold=threshold,
                                     text_col=text_col, id_col=id_col,

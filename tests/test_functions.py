@@ -2231,3 +2231,19 @@ def test_dup_clusters_broadcast_and_join_paths_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert dict(zip(a["doc_id"], a["cluster_id"])) == \
         {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 5}
+
+
+def test_near_dedup_docs_simhash_method(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import near_dedup_docs
+
+    base = "common words repeated many times " * 8
+    texts = [base + "today", base + "tonight",
+             "completely different content about databases and joins",
+             "another unrelated piece of text on audio codecs"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    out = near_dedup_docs(rd.from_pandas(df), threshold=3,
+                          method="simhash").to_pandas()
+    # docs 0/1 are near-identical -> higher id dropped; others survive
+    assert set(out["doc_id"]) == {0, 2, 3}
