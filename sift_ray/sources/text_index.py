@@ -216,9 +216,17 @@ def phrase_query(out_dir: str, phrase_terms: Sequence[str],
     th = _hash_word_array(pa.array(terms, pa.string())).astype(np.int64)
     th_sorted = np.unique(th)
 
+    _empty = pa.schema([("doc_id", pa.int64()),
+                        ("n_matches", pa.int64())]).empty_table()
+
     from .bucketed import read_bucketed
     matches = read_bucketed(out_dir, key_values=th_sorted.tolist(),
-                            key="term", buckets=meta["buckets"])
+                            key="term", buckets=meta["buckets"]) \
+        .materialize()  # feeds count + tag; avoid a second bucket read
+    # typed early return: a fully-empty Dataset loses its schema in Ray
+    # 2.49 (to_pandas would yield a 0-column frame downstream)
+    if matches.count() == 0:
+        return rd.from_arrow(_empty)
 
     _tag_empty = pa.schema([("doc_id", pa.int64()), ("slot", pa.int32()),
                             ("pos", pa.binary())]).empty_table()

@@ -143,3 +143,37 @@ def test_text_index_equals_streaming_bm25(ray_session, tmp_path_factory,
     got = query_text_index(d, terms, k=10).to_pandas()
     want = bm25_topk(rd.from_arrow(t), terms, k=10).to_pandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=texts_strategy,
+       phrase=st.lists(word, min_size=2, max_size=3))
+def test_phrase_query_matches_reference(ray_session, tmp_path_factory,
+                                        texts, phrase):
+    """Random corpora and phrases (repeats allowed): the positional
+    index must count exactly the consecutive-token occurrences a naive
+    scan finds."""
+    import ray.data as rd
+    from sift_ray.sources.text_index import build_text_index, phrase_query
+
+    def ref_counts():
+        out = {}
+        n = len(phrase)
+        for i, t in enumerate(texts):
+            toks = [w for w in t.split(" ") if w]
+            c = sum(1 for j in range(len(toks) - n + 1)
+                    if toks[j:j + n] == phrase)
+            if c:
+                out[i] = c
+        return out
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = str(tmp_path_factory.mktemp("phfz"))
+    build_text_index(rd.from_arrow(t), d, buckets=4, positional=True)
+    got = phrase_query(d, phrase).to_pandas()
+    got_map = {} if got.empty else dict(zip(got["doc_id"],
+                                            got["n_matches"]))
+    assert got_map == ref_counts()
