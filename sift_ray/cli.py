@@ -119,6 +119,11 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="space-separated query terms")
     iq.add_argument("--k", type=int, default=20)
     iq.add_argument("--mode", choices=["or", "and"], default="or")
+    iq.add_argument("--phrase", action="store_true",
+                    help="exact consecutive-token phrase match (needs an "
+                         "index built with --positional)")
+    ib.add_argument("--positional", action="store_true",
+                    help="store token positions (enables phrase queries)")
 
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
@@ -232,15 +237,23 @@ def main(argv=None) -> int:
                 rd.read_parquet(args.input,
                                 columns=[args.id_col, args.text_col]),
                 args.output, text_col=args.text_col, id_col=args.id_col,
-                buckets=args.buckets)
+                buckets=args.buckets, positional=args.positional)
             print(json.dumps(meta, default=str))
         elif args.cmd == "index-query":
-            from .sources.text_index import query_text_index
-            res = query_text_index(args.index, args.terms.split(),
-                                   k=args.k, mode=args.mode).to_pandas()
-            for _, r in res.iterrows():
-                print(json.dumps({"doc_id": int(r["doc_id"]),
-                                  "score_micro": int(r["score_micro"])}))
+            if args.phrase:
+                from .sources.text_index import phrase_query
+                res = phrase_query(args.index,
+                                   args.terms.split()).to_pandas()
+                for _, r in res.iterrows():
+                    print(json.dumps({"doc_id": int(r["doc_id"]),
+                                      "n_matches": int(r["n_matches"])}))
+            else:
+                from .sources.text_index import query_text_index
+                res = query_text_index(args.index, args.terms.split(),
+                                       k=args.k, mode=args.mode).to_pandas()
+                for _, r in res.iterrows():
+                    print(json.dumps({"doc_id": int(r["doc_id"]),
+                                      "score_micro": int(r["score_micro"])}))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus
             out = write_pages_corpus(args.output, args.pages, args.seed,
