@@ -2247,3 +2247,18 @@ def test_near_dedup_docs_simhash_method(ray_session):
                           method="simhash").to_pandas()
     # docs 0/1 are near-identical -> higher id dropped; others survive
     assert set(out["doc_id"]) == {0, 2, 3}
+
+
+def test_dup_clusters_no_duplicates_all_singletons(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.dedup import dup_clusters
+
+    df = pd.DataFrame({"doc_id": range(4),
+                       "text": ["alpha beta gamma delta",
+                                "one two three four five",
+                                "red green blue yellow pink",
+                                "north south east west up"]})
+    out = dup_clusters(rd.from_pandas(df), k=3, threshold=0.5).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == \
+        {0: 0, 1: 1, 2: 2, 3: 3}
