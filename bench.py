@@ -233,6 +233,7 @@ def run_bench() -> dict:
         "bucketed_ingest", "corpus_diff", "resize_images", "sample_frames",
         "audio_features", "dedup_keep_best", "bm25_index_topk",
         "zonemap_range_scan", "phrase_search")
+    import gc
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()
@@ -240,6 +241,11 @@ def run_bench() -> dict:
         if hasattr(result, "to_pandas"):
             result.to_pandas()
         queries[name] = round(time.time() - t0, 3)
+        # drop the result's dataset/object-store refs between queries:
+        # late-list queries otherwise read 2-3x their standalone times
+        # (measured; accumulated session state, not operator shape)
+        del result
+        gc.collect()
 
     ray.shutdown()
     return {
