@@ -92,16 +92,32 @@ def write_bucketed(ds, out_dir: str, key: str, buckets: int = 32) -> dict:
 
 
 def _bucket_paths(out_dir: str) -> dict:
+    # single-path view for legacy callers; multi-file (delta) buckets
+    # must go through _bucket_files
+    files = _bucket_files(out_dir)
+    assert all(len(fs) == 1 for fs in files.values()), \
+        "bucket has delta files — use _bucket_files (or compact first)"
+    return {b: fs[0] for b, fs in files.items()}
+
+
+def _bucket_files(out_dir: str) -> dict:
+    """{bucket: [file paths]} of every committed non-empty bucket. A
+    bucket holds ``rows.parquet`` plus any DELTA files its manifest
+    record lists (O(delta) appends, see ``append_bucketed
+    mode="delta"``); only files NAMED IN THE RECORD are returned, so a
+    crashed delta write that never reached the manifest is invisible."""
     m = Manifest(out_dir)
-    paths = {}
+    out = {}
     for rec in m.records():
-        if rec.get("status") != "ok":
+        if rec.get("status") != "ok" or rec.get("n_rows", 0) == 0:
             continue
-        p = os.path.join(m.partition_dir(rec["partition_id"]),
-                         "rows.parquet")
-        if rec.get("n_rows", 0) > 0 and os.path.exists(p):
-            paths[rec["partition_id"]] = p
-    return paths
+        pdir = m.partition_dir(rec["partition_id"])
+        names = rec.get("files", ["rows.parquet"])
+        paths = [os.path.join(pdir, n) for n in names]
+        paths = [p for p in paths if os.path.exists(p)]
+        if paths:
+            out[rec["partition_id"]] = paths
+    return out
 
 
 def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
@@ -114,21 +130,22 @@ def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
     import pyarrow.compute as pc
     import ray.data as rd
 
-    paths = _bucket_paths(out_dir)
+    files = _bucket_files(out_dir)
     if key_values is not None:
         assert key is not None and buckets is not None
         vals = pa.array(list(key_values))
         want = set(_bucket_of(vals, buckets).tolist())
-        paths = {b: p for b, p in paths.items() if b in want}
-        if not paths:
+        files = {b: fs for b, fs in files.items() if b in want}
+        if not files:
             return rd.from_items([])
-        ds = rd.read_parquet(sorted(paths.values()))
+        ds = rd.read_parquet(sorted(p for fs in files.values()
+                                    for p in fs))
         return ds.map_batches(
             lambda t: t.filter(pc.is_in(t.column(key), value_set=vals)),
             batch_format="pyarrow")
-    if not paths:
+    if not files:
         return rd.from_items([])
-    return rd.read_parquet(sorted(paths.values()))
+    return rd.read_parquet(sorted(p for fs in files.values() for p in fs))
 
 
 def join_bucketed(left_dir: str, right_dir: str, on: str,
@@ -154,10 +171,10 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
     assert n_l == n_r and n_l > 0, \
         f"bucket counts differ ({n_l} vs {n_r}) — co-partitioning broken"
 
-    lpaths = _bucket_paths(left_dir)
-    rpaths = _bucket_paths(right_dir)
-    pairs = [(b, lpaths[b], rpaths.get(b))
-             for b in sorted(lpaths)]
+    lfiles = _bucket_files(left_dir)
+    rfiles = _bucket_files(right_dir)
+    pairs = [(b, lfiles[b], rfiles.get(b))
+             for b in sorted(lfiles)]
     if how in ("inner", "semi"):
         pairs = [p for p in pairs if p[2] is not None]
     if not pairs:
@@ -166,12 +183,14 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
     join_type = {"inner": "inner", "semi": "left semi",
                  "anti": "left anti"}[how]
 
-    def join_pair(lpath: str, rpath: Optional[str]) -> pa.Table:
+    def join_pair(lpaths, rpaths) -> pa.Table:
         import pyarrow.parquet as pq
-        lt = pq.read_table(lpath)
-        if rpath is None:  # anti join with no right bucket: keep all rows
+        lt = pa.concat_tables([pq.read_table(p) for p in lpaths],
+                              promote_options="default")
+        if not rpaths:  # anti join with no right bucket: keep all rows
             return lt
-        rt = pq.read_table(rpath)
+        rt = pa.concat_tables([pq.read_table(p) for p in rpaths],
+                              promote_options="default")
         out = lt.join(rt, keys=on, join_type=join_type,
                       right_suffix=suffix)
         # Arrow's join may reorder columns; pin left-table order first
@@ -179,14 +198,14 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
             [c for c in out.column_names if c not in lt.column_names]
         return out.select(names)
 
-    tasks = rd.from_items([{"lpath": lp, "rpath": rp}
+    tasks = rd.from_items([{"lpaths": lp, "rpaths": rp or []}
                            for _b, lp, rp in pairs])
     # batch_size=1: one task per bucket pair (the unit of parallelism)
     return tasks.map_batches(
         lambda t: pa.concat_tables(
             [join_pair(lp, rp)
-             for lp, rp in zip(t.column("lpath").to_pylist(),
-                               t.column("rpath").to_pylist())]),
+             for lp, rp in zip(t.column("lpaths").to_pylist(),
+                               t.column("rpaths").to_pylist())]),
         batch_format="pyarrow", batch_size=1)
 
 
@@ -201,29 +220,40 @@ def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    paths = _bucket_paths(out_dir)
-    if not paths:
+    files = _bucket_files(out_dir)
+    if not files:
         return rd.from_items([])
 
     agg_list = [tuple(a) for a in aggs]
 
     def agg_file(t: pa.Table) -> pa.Table:
         out = []
-        for p in t.column("path").to_pylist():
+        for fps in t.column("paths").to_pylist():
             want = ([key] + [c for c, _ in agg_list if c is not None]
                     if columns is None else list(columns))
-            tbl = pq.read_table(p, columns=list(dict.fromkeys(want)))
+            cols = list(dict.fromkeys(want))
+            tbl = pa.concat_tables([pq.read_table(p, columns=cols)
+                                    for p in fps],
+                                   promote_options="default")
             out.append(tbl.group_by([key]).aggregate(
                 [(c if c is not None else [], f) for c, f in agg_list]))
         return pa.concat_tables(out)
 
-    tasks = rd.from_items([{"path": p} for _b, p in sorted(paths.items())])
+    tasks = rd.from_items([{"paths": p}
+                           for _b, p in sorted(files.items())])
     return tasks.map_batches(agg_file, batch_format="pyarrow",
                              batch_size=1)
 
 
+def _delta_name(ingest_id: str) -> str:
+    """Filesystem-safe delta file name derived from the ingest id."""
+    import hashlib
+    h = hashlib.blake2b(ingest_id.encode(), digest_size=6).hexdigest()
+    return f"delta-{h}.parquet"
+
+
 def append_bucketed(delta_ds, out_dir: str, key: str,
-                    ingest_id: str) -> dict:
+                    ingest_id: str, mode: str = "merge") -> dict:
     """EXACTLY-ONCE incremental ingest into an existing bucketed table:
     the delta rides the same hash(key)%B routing, each affected bucket
     merges old rows + delta (re-sorted by key) and re-commits atomically
@@ -234,12 +264,26 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
     every later ``join_bucketed``/``agg_bucketed`` stays exchange-free
     over the merged table.
 
-    Commit is rmtree+rename (same semantics as the rest of the manifest
-    protocol): a crash inside the swap window can require re-running the
-    ingest for that bucket; the ingest-id ledger makes that retry safe.
-    Returns the manifest summary + per-bucket rows."""
+    ``mode``:
+    * ``"merge"`` (default) — each touched bucket rewrites as one sorted
+      file: reads stay single-file-per-bucket, but the ingest costs
+      O(bucket) per touched bucket (write amplification).
+    * ``"delta"`` — O(DELTA) ingest, the LSM shape: the delta lands as a
+      new per-ingest file inside the committed bucket dir and becomes
+      visible only when the manifest record's ``files`` list is
+      atomically extended (a crashed write leaves an unlisted, invisible
+      file; a retry overwrites it). Readers concat the listed files;
+      ``compact_bucketed`` folds them back to one sorted file when the
+      small-file count warrants it.
+
+    Merge-mode commit is rmtree+rename (same semantics as the rest of
+    the manifest protocol): a crash inside the swap window can require
+    re-running the ingest for that bucket; the ingest-id ledger makes
+    that retry safe. Returns the manifest summary + per-bucket rows."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    assert mode in ("merge", "delta"), mode
 
     manifest = Manifest(out_dir)
     recs = {r["partition_id"]: r for r in manifest.records()
@@ -265,20 +309,38 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
         rec = {r["partition_id"]: r for r in m.records()}.get(b, {})
         if ingest_id in rec.get("ingests", []):  # retry after commit
             return stats_schema.empty_table()
+        delta = t.drop_columns("part")
+        pdir = m.partition_dir(b)
+        if mode == "delta":
+            # O(delta): write the per-ingest file, then atomically extend
+            # the record's files list — visibility comes from the record
+            delta = delta.take(pc.sort_indices(
+                delta, sort_keys=[(key, "ascending")]))
+            name = _delta_name(ingest_id)
+            pq.write_table(delta, os.path.join(pdir, name))
+            m.update_record(b, {
+                "n_rows": rec.get("n_rows", 0) + delta.num_rows,
+                "files": rec.get("files", ["rows.parquet"]) + [name],
+                "ingests": rec.get("ingests", []) + [ingest_id]})
+            return pa.table(
+                {"bkt": pa.array([b], pa.int64()),
+                 "n_rows": pa.array([delta.num_rows], pa.int64())},
+                schema=stats_schema)
         m.cleanup_tmp(b)
         tmp = m.tmp_partition_dir(b)
         os.makedirs(tmp, exist_ok=True)
-        delta = t.drop_columns("part")
-        old_path = os.path.join(m.partition_dir(b), "rows.parquet")
         parts = [delta]
-        if os.path.exists(old_path):
-            parts.insert(0, pq.read_table(old_path))
+        for name in reversed(rec.get("files", ["rows.parquet"])):
+            p = os.path.join(pdir, name)
+            if os.path.exists(p):
+                parts.insert(0, pq.read_table(p))
         merged = pa.concat_tables(parts, promote_options="default")
         merged = merged.take(pc.sort_indices(
             merged, sort_keys=[(key, "ascending")]))
         pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
         m.commit_partition(b, {
             "n_rows": merged.num_rows,
+            "files": ["rows.parquet"],
             "ingests": rec.get("ingests", []) + [ingest_id]})
         return pa.table({"bkt": pa.array([b], pa.int64()),
                          "n_rows": pa.array([merged.num_rows], pa.int64())},
@@ -290,25 +352,65 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
 
     # buckets the delta never touched must still record the ingest so a
     # REPLAY of the same delta (possibly partitioned differently) is a
-    # pure manifest no-op
+    # pure manifest no-op (record-only update; files stay as listed)
     recs2 = {r["partition_id"]: r for r in manifest.records()
              if r.get("status") == "ok"}
     for b, r in recs2.items():
         if ingest_id not in r.get("ingests", []):
-            final = manifest.partition_dir(b)
-            tmp = manifest.tmp_partition_dir(b)
-            os.makedirs(tmp, exist_ok=True)
-            # keep existing rows: COPY into the tmp dir for the swap (a
-            # move would leave a window where the committed dir is empty)
-            import shutil
-            old_path = os.path.join(final, "rows.parquet")
-            if os.path.exists(old_path):
-                shutil.copy(old_path, os.path.join(tmp, "rows.parquet"))
-            manifest.commit_partition(b, {
-                "n_rows": r.get("n_rows", 0),
+            manifest.update_record(b, {
                 "ingests": r.get("ingests", []) + [ingest_id]})
 
     out = manifest.summary()
     out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
     out["buckets"] = buckets
     return out
+
+
+def compact_bucketed(out_dir: str, key: str,
+                     min_files: int = 2) -> dict:
+    """Fold delta files back into one sorted file per bucket (the LSM
+    compaction): buckets with >= ``min_files`` listed files merge +
+    re-sort + swap atomically (ingest ledger and row counts preserved),
+    others are untouched. Idempotent — a crashed compaction retries
+    safely because the old files stay listed until the swap commits.
+    One Ray task per bucket; returns {"compacted": n, "buckets": B}."""
+    import ray.data as rd
+
+    m = Manifest(out_dir)
+    todo = [int(r["partition_id"]) for r in m.records()
+            if r.get("status") == "ok"
+            and len(r.get("files", ["rows.parquet"])) >= min_files]
+    if todo:
+        def compact_one(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            for b in t.column("b").to_pylist():
+                mm = Manifest(out_dir)
+                rec = {r["partition_id"]: r for r in mm.records()}[b]
+                names = rec.get("files", ["rows.parquet"])
+                if len(names) < min_files:
+                    continue  # retried task after commit
+                pdir = mm.partition_dir(b)
+                parts = [pq.read_table(os.path.join(pdir, n))
+                         for n in names if os.path.exists(
+                             os.path.join(pdir, n))]
+                merged = pa.concat_tables(parts,
+                                          promote_options="default")
+                merged = merged.take(pc.sort_indices(
+                    merged, sort_keys=[(key, "ascending")]))
+                mm.cleanup_tmp(b)
+                tmp = mm.tmp_partition_dir(b)
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
+                mm.commit_partition(b, {
+                    "n_rows": merged.num_rows,
+                    "files": ["rows.parquet"],
+                    "ingests": rec.get("ingests", [])})
+            return pa.table({"b": t.column("b")})
+
+        (rd.from_items([{"b": b} for b in todo])
+         .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
+         .materialize())
+    return {"compacted": len(todo),
+            "buckets": len([r for r in m.records()
+                            if r.get("status") == "ok"])}

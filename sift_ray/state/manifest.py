@@ -64,6 +64,21 @@ class Manifest:
             json.dump(record, f)
         os.replace(path + ".tmp", path)
 
+    def update_record(self, partition_id: int, updates: Dict) -> None:
+        """Atomically merge ``updates`` into an EXISTING committed
+        record without touching the partition directory — the O(delta)
+        append path (new files become visible only through the record's
+        ``files`` list, so a crash before this write leaves them
+        invisible)."""
+        path = self._path(partition_id)
+        with open(path) as f:
+            record = json.load(f)
+        record.update(updates)
+        record["finished_at"] = time.time()
+        with open(path + ".tmp", "w") as f:
+            json.dump(record, f)
+        os.replace(path + ".tmp", path)
+
     def cleanup_tmp(self, partition_id: int) -> None:
         tmp = self.tmp_partition_dir(partition_id)
         if os.path.exists(tmp):

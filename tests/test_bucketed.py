@@ -404,3 +404,75 @@ def test_phrase_query_positions(ray_session, tmp_path):
     build_text_index(rd.from_arrow(t), d2, buckets=4)
     with _pytest.raises(AssertionError):
         phrase_query(d2, ["cat", "sat"])
+
+
+def test_append_bucketed_delta_mode_and_compaction(ray_session, tmp_path):
+    """O(delta) ingest: delta files become visible through the manifest
+    record only; reads/joins/aggs see the union; replay is a no-op;
+    compaction folds back to one file per bucket with identical rows."""
+    import time
+
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (_bucket_files, agg_bucketed,
+                                           append_bucketed,
+                                           compact_bucketed, join_bucketed,
+                                           read_bucketed, write_bucketed)
+
+    rng = np.random.RandomState(4)
+    base = pa.table({"k": pa.array(rng.randint(0, 20, 120), pa.int64()),
+                     "v": pa.array(np.arange(120), pa.int64())})
+    delta = pa.table({"k": pa.array(rng.randint(0, 20, 50), pa.int64()),
+                      "v": pa.array(np.arange(1000, 1050), pa.int64())})
+    d = str(tmp_path / "lsm")
+    write_bucketed(rd.from_arrow(base), d, "k", buckets=4)
+    s = append_bucketed(rd.from_arrow(delta), d, "k",
+                        ingest_id="dump-A", mode="delta")
+    exp = (pa.concat_tables([base, delta]).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+
+    def snapshot():
+        return (read_bucketed(d).to_pandas()
+                .sort_values(["k", "v"]).reset_index(drop=True))
+
+    assert s["rows"] == len(exp)
+    pd.testing.assert_frame_equal(snapshot()[["k", "v"]], exp[["k", "v"]])
+    assert any(len(fs) > 1 for fs in _bucket_files(d).values())
+
+    # replay: byte-level no-op
+    t0 = time.time()
+    append_bucketed(rd.from_arrow(delta).repartition(2), d, "k",
+                    ingest_id="dump-A", mode="delta")
+    assert time.time() - t0 < 5.0
+    pd.testing.assert_frame_equal(snapshot()[["k", "v"]], exp[["k", "v"]])
+
+    # exchange-free join + agg read the delta files too
+    rdir = str(tmp_path / "lsm_r")
+    right = pa.table({"k": pa.array(list(range(20)), pa.int64()),
+                      "w": pa.array([f"h{i}" for i in range(20)],
+                                    pa.string())})
+    write_bucketed(rd.from_arrow(right), rdir, "k", buckets=4)
+    j = join_bucketed(d, rdir, on="k").to_pandas()
+    expected_join = exp.merge(right.to_pandas(), on="k")
+    assert len(j) == len(expected_join)
+    a = (agg_bucketed(d, "k", [("v", "sum")]).to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    exp_agg = (exp.groupby("k", as_index=False)["v"].sum()
+               .rename(columns={"v": "v_sum"}))
+    pd.testing.assert_frame_equal(a, exp_agg, check_dtype=False)
+
+    # compaction: one file per bucket, identical rows, idempotent
+    r = compact_bucketed(d, "k")
+    assert r["compacted"] >= 1
+    assert all(len(fs) == 1 for fs in _bucket_files(d).values())
+    pd.testing.assert_frame_equal(snapshot()[["k", "v"]], exp[["k", "v"]])
+    r2 = compact_bucketed(d, "k")
+    assert r2["compacted"] == 0
+
+    # a second ingest after compaction still applies exactly once
+    append_bucketed(rd.from_arrow(delta), d, "k",
+                    ingest_id="dump-B", mode="delta")
+    exp2 = (pa.concat_tables([base, delta, delta]).to_pandas()
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(snapshot()[["k", "v"]],
+                                  exp2[["k", "v"]])
