@@ -143,7 +143,7 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
 
 def append_text_index(delta_ds, out_dir: str, ingest_id: str,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> dict:
+                      id_col: str = "doc_id", mode: str = "merge") -> dict:
     """EXACTLY-ONCE incremental index maintenance: new documents' postings
     ride ``append_bucketed``'s per-bucket ingest-id ledger (replays are
     manifest no-ops), then the corpus stats in ``index_meta.json`` are
@@ -151,7 +151,12 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
     shape: the index never rebuilds, queries stay bucket-pruned over the
     merged postings. Stats order: postings commit first, meta last, so a
     crash between them retries safely (bucket ledger skips, meta applies).
-    """
+
+    ``mode="delta"`` makes the ingest O(delta) — postings land as
+    per-ingest files listed in each bucket's manifest record instead of
+    rewriting the bucket (``bucketed.append_bucketed`` delta semantics);
+    queries concat the listed files, and ``bucketed.compact_bucketed``
+    folds them when the small-file count warrants it."""
     from ray.data.aggregate import Sum
 
     from .bucketed import append_bucketed
@@ -176,7 +181,8 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
     postings = delta_ds.map_batches(
         lambda t: _postings_batch(t, text_col, id_col, positional),
         batch_format="pyarrow")
-    append_bucketed(postings, out_dir, key="term", ingest_id=ingest_id)
+    append_bucketed(postings, out_dir, key="term", ingest_id=ingest_id,
+                    mode=mode)
 
     meta["n_docs"] += int(n_new)
     meta["n_tokens"] += new_tokens

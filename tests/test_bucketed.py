@@ -476,3 +476,29 @@ def test_append_bucketed_delta_mode_and_compaction(ray_session, tmp_path):
             .sort_values(["k", "v"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(snapshot()[["k", "v"]],
                                   exp2[["k", "v"]])
+
+
+def test_text_index_delta_append_and_compact(ray_session, tmp_path):
+    """O(delta) index maintenance: delta postings land as listed files,
+    queries equal build-full; compaction preserves answers."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import bm25_topk
+    from sift_ray.sources.bucketed import compact_bucketed
+    from sift_ray.sources.text_index import (append_text_index,
+                                             build_text_index,
+                                             query_text_index)
+
+    docs = _doc_table()
+    first, second = docs.slice(0, 4), docs.slice(4)
+    d = str(tmp_path / "idx_lsm")
+    build_text_index(rd.from_arrow(first), d, buckets=8)
+    append_text_index(rd.from_arrow(second), d, ingest_id="dump-D",
+                      mode="delta")
+    want = bm25_topk(rd.from_arrow(docs), ["hash", "join", "dup"],
+                     k=5).to_pandas()
+    got = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
+    pd.testing.assert_frame_equal(got, want)
+
+    compact_bucketed(d, "term")
+    got2 = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
+    pd.testing.assert_frame_equal(got2, want)
