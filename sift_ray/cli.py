@@ -86,11 +86,21 @@ def _build_parser() -> argparse.ArgumentParser:
                              "co-partitioned storage (pay the key "
                              "exchange once; later joins/aggs on the key "
                              "are exchange-free; resumable per bucket)")
-    bk.add_argument("--input", required=True,
-                    help="parquet file or directory")
+    bk.add_argument("--input", default=None,
+                    help="parquet file or directory (not needed with "
+                         "--compact)")
     bk.add_argument("--output", required=True)
     bk.add_argument("--key", required=True)
     bk.add_argument("--buckets", type=int, default=32)
+    bk.add_argument("--append", metavar="INGEST_ID", default=None,
+                    help="exactly-once delta ingest into an existing "
+                         "store under this ingest id")
+    bk.add_argument("--mode", choices=["merge", "delta"], default="merge",
+                    help="append mode: rewrite touched buckets (merge) "
+                         "or O(delta) listed files (delta)")
+    bk.add_argument("--compact", action="store_true",
+                    help="fold delta files back to one sorted file per "
+                         "bucket (no --input needed)")
 
     ej = sub.add_parser("export-jsonl",
                         help="export a parquet table as gzip JSONL shards "
@@ -216,10 +226,23 @@ def main(argv=None) -> int:
         elif args.cmd == "bucketize":
             import ray.data as rd
 
-            from .sources.bucketed import write_bucketed
-            summary = write_bucketed(rd.read_parquet(args.input),
-                                     args.output, key=args.key,
-                                     buckets=args.buckets)
+            from .sources.bucketed import (append_bucketed,
+                                           compact_bucketed,
+                                           write_bucketed)
+            if args.compact:
+                summary = compact_bucketed(args.output, key=args.key)
+            elif args.input is None:
+                raise SystemExit("bucketize: --input is required unless "
+                                 "--compact")
+            elif args.append:
+                summary = append_bucketed(rd.read_parquet(args.input),
+                                          args.output, key=args.key,
+                                          ingest_id=args.append,
+                                          mode=args.mode)
+            else:
+                summary = write_bucketed(rd.read_parquet(args.input),
+                                         args.output, key=args.key,
+                                         buckets=args.buckets)
             print(json.dumps(summary, default=str))
         elif args.cmd == "export-jsonl":
             import ray.data as rd
