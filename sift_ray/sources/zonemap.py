@@ -144,7 +144,20 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
     return out
 
 
-def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
+def _merge_zones(a: dict, b: dict) -> dict:
+    """Union of two per-column [min, max] zone dicts (true over the
+    union of the underlying files)."""
+    out = dict(a)
+    for col, (lo, hi) in b.items():
+        if col in out:
+            out[col] = [min(out[col][0], lo), max(out[col][1], hi)]
+        else:
+            out[col] = [lo, hi]
+    return out
+
+
+def append_sorted(delta_ds, out_dir: str, ingest_id: str,
+                  mode: str = "merge") -> dict:
     """EXACTLY-ONCE incremental ingest into a sorted/zonemapped table:
     deltas route through the PERSISTED range boundaries (keys outside the
     original [lo, hi] clip into the first/last range — zonemaps stay
@@ -153,9 +166,20 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
     ``ingest_id`` in its ledger, so crashed or replayed ingests are
     manifest no-ops per file. The log-structured crawl shape: timestamps
     grow monotonically, so appends touch only the tail range(s) while
-    every committed file keeps serving pruned reads."""
+    every committed file keeps serving pruned reads.
+
+    ``mode="delta"`` makes the ingest O(delta): the (sorted) delta lands
+    as a per-ingest file listed in the range's manifest record, with the
+    record's key_min/key_max/zones WIDENED to stay true over the file
+    union — pruning stays exact, per-file row-group pushdown stays tight
+    (each file is individually sorted). ``compact_sorted`` folds the
+    files back and re-tightens the zones."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from .bucketed import _delta_name
+
+    assert mode in ("merge", "delta"), mode
 
     with open(os.path.join(out_dir, _META_NAME)) as f:
         meta = json.load(f)
@@ -186,14 +210,39 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
         rec = {r["partition_id"]: r for r in m.records()}.get(b, {})
         if ingest_id in rec.get("ingests", []):  # retry after commit
             return stats_schema.empty_table()
+        delta = t.drop_columns("part")
+        pdir = m.partition_dir(b)
+        if mode == "delta":
+            delta = delta.take(pc.sort_indices(
+                delta, sort_keys=[(key, "ascending")]))
+            name = _delta_name(ingest_id)
+            pq.write_table(delta, os.path.join(pdir, name))
+            kcol = delta.column(key)
+            dmin, dmax = int(pc.min(kcol).as_py()), int(pc.max(kcol)
+                                                        .as_py())
+            old_empty = rec.get("n_rows", 0) == 0
+            m.update_record(b, {
+                "n_rows": rec.get("n_rows", 0) + delta.num_rows,
+                "key_min": dmin if old_empty
+                else min(rec["key_min"], dmin),
+                "key_max": dmax if old_empty
+                else max(rec["key_max"], dmax),
+                "zones": _merge_zones(rec.get("zones", {}),
+                                      _column_zones(delta)),
+                "files": rec.get("files", ["rows.parquet"]) + [name],
+                "ingests": rec.get("ingests", []) + [ingest_id]})
+            return pa.table(
+                {"part": pa.array([b], pa.int64()),
+                 "n_rows": pa.array([delta.num_rows], pa.int64())},
+                schema=stats_schema)
         m.cleanup_tmp(b)
         tmp = m.tmp_partition_dir(b)
         os.makedirs(tmp, exist_ok=True)
-        delta = t.drop_columns("part")
-        old_path = os.path.join(m.partition_dir(b), "rows.parquet")
         parts = [delta]
-        if os.path.exists(old_path):
-            parts.insert(0, pq.read_table(old_path))
+        for name in reversed(rec.get("files", ["rows.parquet"])):
+            p = os.path.join(pdir, name)
+            if os.path.exists(p):
+                parts.insert(0, pq.read_table(p))
         merged = pa.concat_tables(parts, promote_options="default")
         merged = merged.take(pc.sort_indices(
             merged, sort_keys=[(key, "ascending")]))
@@ -204,6 +253,7 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
             "key_min": int(pc.min(kcol).as_py()),
             "key_max": int(pc.max(kcol).as_py()),
             "zones": _column_zones(merged),
+            "files": ["rows.parquet"],
             "ingests": rec.get("ingests", []) + [ingest_id]})
         return pa.table({"part": pa.array([b], pa.int64()),
                          "n_rows": pa.array([merged.num_rows], pa.int64())},
@@ -214,24 +264,12 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str) -> dict:
      .materialize())
 
     # untouched files still record the ingest so a full replay (possibly
-    # partitioned differently) is a pure manifest no-op
-    import shutil
+    # partitioned differently) is a pure manifest no-op (record-only)
     for b, r in {r["partition_id"]: r for r in manifest.records()
                  if r.get("status") == "ok"}.items():
         if ingest_id not in r.get("ingests", []):
-            final = manifest.partition_dir(b)
-            tmp = manifest.tmp_partition_dir(b)
-            manifest.cleanup_tmp(b)
-            os.makedirs(tmp, exist_ok=True)
-            # keep existing rows: COPY into the tmp dir for the swap (a
-            # move would leave a window where the committed dir is empty)
-            old_path = os.path.join(final, "rows.parquet")
-            if os.path.exists(old_path):
-                shutil.copy(old_path, os.path.join(tmp, "rows.parquet"))
-            r2 = {k: v for k, v in r.items()
-                  if k in ("n_rows", "key_min", "key_max", "zones")}
-            r2["ingests"] = r.get("ingests", []) + [ingest_id]
-            manifest.commit_partition(b, r2)
+            manifest.update_record(b, {
+                "ingests": r.get("ingests", []) + [ingest_id]})
 
     out = manifest.summary()
     out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
@@ -261,11 +299,64 @@ def pruned_paths(out_dir: str, lo: Optional[int] = None,
                 continue
             if hi is not None and zone[0] > hi:
                 continue
-        p = os.path.join(m.partition_dir(rec["partition_id"]),
-                         "rows.parquet")
-        if os.path.exists(p):
-            keep.append(p)
+        pdir = m.partition_dir(rec["partition_id"])
+        for name in rec.get("files", ["rows.parquet"]):
+            p = os.path.join(pdir, name)
+            if os.path.exists(p):
+                keep.append(p)
     return sorted(keep)
+
+
+def compact_sorted(out_dir: str, min_files: int = 2) -> dict:
+    """Fold a range's delta files back into one sorted file and
+    RE-TIGHTEN its zonemap (delta appends only widen the recorded
+    min/max; compaction recomputes them from the merged rows). One Ray
+    task per range; idempotent — old files stay listed until the swap
+    commits. Returns {"compacted": n}."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        key = json.load(f)["key"]
+    m = Manifest(out_dir)
+    todo = [int(r["partition_id"]) for r in m.records()
+            if r.get("status") == "ok"
+            and len(r.get("files", ["rows.parquet"])) >= min_files]
+    if todo:
+        def compact_one(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            for b in t.column("b").to_pylist():
+                mm = Manifest(out_dir)
+                rec = {r["partition_id"]: r for r in mm.records()}[b]
+                names = rec.get("files", ["rows.parquet"])
+                if len(names) < min_files:
+                    continue  # retried task after commit
+                pdir = mm.partition_dir(b)
+                parts = [pq.read_table(os.path.join(pdir, n))
+                         for n in names
+                         if os.path.exists(os.path.join(pdir, n))]
+                merged = pa.concat_tables(parts,
+                                          promote_options="default")
+                merged = merged.take(pc.sort_indices(
+                    merged, sort_keys=[(key, "ascending")]))
+                mm.cleanup_tmp(b)
+                tmp = mm.tmp_partition_dir(b)
+                os.makedirs(tmp, exist_ok=True)
+                pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
+                kcol = merged.column(key)
+                mm.commit_partition(b, {
+                    "n_rows": merged.num_rows,
+                    "key_min": int(pc.min(kcol).as_py()),
+                    "key_max": int(pc.max(kcol).as_py()),
+                    "zones": _column_zones(merged),
+                    "files": ["rows.parquet"],
+                    "ingests": rec.get("ingests", [])})
+            return pa.table({"b": t.column("b")})
+
+        (rd.from_items([{"b": b} for b in todo])
+         .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
+         .materialize())
+    return {"compacted": len(todo)}
 
 
 def read_key_range(out_dir: str, lo: Optional[int] = None,

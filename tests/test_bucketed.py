@@ -502,3 +502,56 @@ def test_text_index_delta_append_and_compact(ray_session, tmp_path):
     compact_bucketed(d, "term")
     got2 = query_text_index(d, ["hash", "join", "dup"], k=5).to_pandas()
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_zonemap_delta_append_and_compact(ray_session, tmp_path):
+    """O(delta) sorted-store ingest: zones widen truthfully (pruning
+    never drops a matching file), reads equal a fresh full write, and
+    compaction re-tightens the zones."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_sorted, compact_sorted,
+                                          pruned_paths, read_key_range,
+                                          write_sorted)
+
+    rng = np.random.RandomState(21)
+    base = pa.table({"id": pa.array(range(200), pa.int64()),
+                     "v": pa.array(rng.randint(0, 800, 200), pa.int64())})
+    delta = pa.table({"id": pa.array(range(200, 280), pa.int64()),
+                      "v": pa.array(rng.randint(0, 800, 80), pa.int64())})
+    d = str(tmp_path / "zml")
+    write_sorted(rd.from_arrow(base), d, key="v", files=6)
+    s = append_sorted(rd.from_arrow(delta), d, ingest_id="dA",
+                      mode="delta")
+    assert s["rows"] == 280
+
+    both = pa.concat_tables([base, delta]).to_pandas()
+
+    def check():
+        for lo, hi in [(None, None), (100, 250), (700, 800)]:
+            got = (read_key_range(d, lo, hi).to_pandas()
+                   .sort_values("id").reset_index(drop=True))
+            q = both
+            if lo is not None:
+                q = q[q.v >= lo]
+            if hi is not None:
+                q = q[q.v <= hi]
+            exp = q.sort_values("id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[["id", "v"]],
+                                          exp[["id", "v"]])
+
+    check()
+    # replay no-op
+    import time
+    t0 = time.time()
+    append_sorted(rd.from_arrow(delta).repartition(3), d, ingest_id="dA",
+                  mode="delta")
+    assert time.time() - t0 < 5.0
+    check()
+    # compaction: single files again, zones re-tightened, rows equal
+    r = compact_sorted(d)
+    assert r["compacted"] >= 1
+    assert compact_sorted(d)["compacted"] == 0
+    check()
+    narrow = pruned_paths(d, 0, 50)
+    assert len(narrow) < len(pruned_paths(d))
