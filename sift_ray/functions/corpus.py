@@ -1423,11 +1423,16 @@ def bm25_topk(ds, query_terms: Sequence[str], k: int = 20,
                             ascending=[False, True]).head(k),
             preserve_index=False)
 
-    cands = (ds.map_batches(score, batch_format="pyarrow")
-             .to_pandas()
-             .sort_values(["score_micro", "doc_id"],
-                          ascending=[False, True])
-             .head(k).reset_index(drop=True))
+    # typed-empty seed: zero matching docs would otherwise yield a
+    # schemaless empty dataset (Ray 2.49) and a 0-column frame
+    cands = pa.concat_tables(
+        [pa.schema([("doc_id", pa.int64()),
+                    ("score_micro", pa.int64())]).empty_table()]
+        + list(ds.map_batches(score, batch_format="pyarrow")
+               .iter_batches(batch_size=1 << 18, batch_format="pyarrow"))
+    ).to_pandas().sort_values(["score_micro", "doc_id"],
+                              ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(cands,
                                               preserve_index=False))
 

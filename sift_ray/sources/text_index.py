@@ -328,6 +328,10 @@ def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,
                  .astype(np.int64))
     matches = read_bucketed(out_dir, key_values=th.tolist(), key="term",
                             buckets=meta["buckets"]).materialize()
+    # typed early return (Ray 2.49 empty datasets lose their schema and
+    # Dataset.aggregate returns None): no term has any posting
+    if matches.count() == 0:
+        return rd.from_arrow(empty)
 
     # df per term: per-batch partial counts -> tree aggregate (|q| ints)
     def df_partials(t: pa.Table) -> pa.Table:
