@@ -110,6 +110,23 @@ def _build_parser() -> argparse.ArgumentParser:
     ej.add_argument("--id-col", default="doc_id")
     ej.add_argument("--groups", type=int, default=16)
 
+    zm = sub.add_parser("zonemap",
+                        help="range-partitioned key-sorted storage with "
+                             "manifest zonemaps: write, O(delta) append, "
+                             "compact, pruned range read")
+    zm.add_argument("action", choices=["write", "append", "compact",
+                                       "read"])
+    zm.add_argument("--store", required=True)
+    zm.add_argument("--input", default=None)
+    zm.add_argument("--key", default=None)
+    zm.add_argument("--files", type=int, default=32)
+    zm.add_argument("--ingest-id", default=None)
+    zm.add_argument("--mode", choices=["merge", "delta"], default="merge")
+    zm.add_argument("--lo", type=int, default=None)
+    zm.add_argument("--hi", type=int, default=None)
+    zm.add_argument("--limit", type=int, default=20,
+                    help="rows printed by read")
+
     ib = sub.add_parser("index-build",
                         help="build (or resume) the persistent "
                              "term-partitioned inverted index over a "
@@ -251,6 +268,34 @@ def main(argv=None) -> int:
             summary = write_jsonl_shards(rd.read_parquet(args.input),
                                          args.output, groups=args.groups,
                                          id_col=args.id_col)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "zonemap":
+            import ray.data as rd
+
+            from .sources.zonemap import (append_sorted, compact_sorted,
+                                          read_key_range, write_sorted)
+            if args.action == "write":
+                assert args.input and args.key, "write needs --input --key"
+                summary = write_sorted(rd.read_parquet(args.input),
+                                       args.store, key=args.key,
+                                       files=args.files)
+            elif args.action == "append":
+                assert args.input and args.ingest_id, \
+                    "append needs --input --ingest-id"
+                summary = append_sorted(rd.read_parquet(args.input),
+                                        args.store,
+                                        ingest_id=args.ingest_id,
+                                        mode=args.mode)
+            elif args.action == "compact":
+                summary = compact_sorted(args.store)
+            else:
+                rows = (read_key_range(args.store, args.lo, args.hi)
+                        .limit(args.limit).to_pandas())
+                for _, r in rows.iterrows():
+                    print(json.dumps(
+                        {c: (int(v) if hasattr(v, "item") else v)
+                         for c, v in r.items()}, default=str))
+                summary = {"rows_printed": len(rows)}
             print(json.dumps(summary, default=str))
         elif args.cmd == "index-build":
             import ray.data as rd
