@@ -177,3 +177,27 @@ def test_phrase_query_matches_reference(ray_session, tmp_path_factory,
     got_map = {} if got.empty else dict(zip(got["doc_id"],
                                             got["n_matches"]))
     assert got_map == ref_counts()
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=texts_strategy,
+       terms=st.lists(word, min_size=1, max_size=3, unique=True))
+def test_text_index_and_mode_matches_reference(ray_session,
+                                               tmp_path_factory,
+                                               texts, terms):
+    """AND mode keeps exactly the docs containing EVERY query term."""
+    import ray.data as rd
+    from sift_ray.sources.text_index import (build_text_index,
+                                             query_text_index)
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = str(tmp_path_factory.mktemp("tandp"))
+    build_text_index(rd.from_arrow(t), d, buckets=4)
+    got = query_text_index(d, terms, k=100, mode="and").to_pandas()
+    got_ids = set() if got.empty else set(got["doc_id"])
+    want = {i for i, txt in enumerate(texts)
+            if all(w in txt.split(" ") for w in terms)}
+    assert got_ids == want
