@@ -1030,6 +1030,40 @@ def _q_zonemap_range_scan(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_events_time_range(sf_dir: str):
+    """Time-range scan from zonemap storage — the crawl-log shape: events
+    land in epoch-keyed sorted ranges once, every later time-window query
+    prunes files from the manifest zonemaps then parquet row-group stats.
+    Returns events of 2024-01-10 (UTC day), keyed by epoch seconds."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from sift_ray.sources.zonemap import read_key_range, write_sorted
+
+    d = tempfile.mkdtemp(prefix="sift_zonemap_ts_", dir="/tmp")
+    try:
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "ts", "user_id"])
+
+        def add_epoch(t: pa.Table) -> pa.Table:
+            # integer microseconds // 1e6 (positive epochs: trunc==floor)
+            s = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+            return pa.table({"event_id": t.column("event_id"),
+                             "user_id": t.column("user_id"),
+                             "ts_s": s})
+
+        write_sorted(ev.map_batches(add_epoch, batch_format="pyarrow"),
+                     d, key="ts_s", files=16)
+        lo = 1704844800                    # 2024-01-10T00:00:00Z
+        return read_key_range(d, lo, lo + 86400 - 1).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_bm25_index_topk(sf_dir: str):
     """Same BM25 top-20 as bm25_corpus_topk, answered from the PERSISTENT
     term-partitioned inverted index: build pays the term exchange once
@@ -2704,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index_and": _q_bm25_index_and,
         "phrase_search": _q_phrase_search,
         "zonemap_range_scan": _q_zonemap_range_scan,
+        "events_time_range": _q_events_time_range,
         "global_rank_by_length": _q_global_rank,
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
@@ -4274,6 +4309,13 @@ def oracle_sql() -> dict[str, str]:
     d["zonemap_range_scan"] = """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars BETWEEN 400 AND 700
+        """
+    d["events_time_range"] = """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+            WHERE epoch(ts) >= 1704844800
+              AND floor(epoch(ts)) <= 1704844800 + 86399
         """
     d["phrase_search"] = """
             WITH w AS (
