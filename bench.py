@@ -232,7 +232,7 @@ def run_bench() -> dict:
         "orders_join_bucketed", "nation_counts_bucketed",
         "bucketed_ingest", "corpus_diff", "resize_images", "sample_frames",
         "audio_features", "dedup_keep_best", "bm25_index_topk",
-        "zonemap_range_scan", "phrase_search")
+        "zonemap_range_scan", "phrase_search", "events_time_range")
     import gc
     for name in table_ops:
         q = entrymod.queries()[name]
