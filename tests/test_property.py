@@ -26,7 +26,15 @@ def _frame(ks, seed):
         "v": rng.randint(-1000, 1000, len(ks)).astype(np.int64)})
 
 
-@pytest.mark.parametrize("how", ["inner", "anti", "semi"])
+def _null_safe_rows(df, cols):
+    out = []
+    for row in df[cols].itertuples(index=False):
+        out.append(tuple(None if pd.isna(x) else int(x) for x in row))
+    return sorted(out, key=lambda t: tuple(
+        (x is None, 0 if x is None else x) for x in t))
+
+
+@pytest.mark.parametrize("how", ["inner", "anti", "semi", "left", "full"])
 @SET
 @given(lk=keys, rk=keys, seed=st.integers(0, 99))
 def test_hash_join_matches_pandas(ray_session, how, lk, rk, seed):
@@ -43,14 +51,17 @@ def test_hash_join_matches_pandas(ray_session, how, lk, rk, seed):
         exp, cols = left.merge(right, on="k", how="inner"), ["k", "v", "w"]
     elif how == "anti":
         exp, cols = left[~left["k"].isin(right["k"])], ["k", "v"]
-    else:  # semi
+    elif how == "semi":
         exp, cols = left[left["k"].isin(right["k"])], ["k", "v"]
+    elif how == "left":
+        exp, cols = left.merge(right, on="k", how="left"), ["k", "v", "w"]
+    else:  # full outer: unmatched rows on BOTH sides survive with nulls
+        exp, cols = left.merge(right, on="k", how="outer"), ["k", "v", "w"]
     if len(exp) == 0:
         # Ray quirk: to_pandas() of an empty dataset is 0-column
         assert len(out) == 0
         return
-    assert sorted(map(tuple, out[cols].to_numpy())) == \
-        sorted(map(tuple, exp[cols].to_numpy()))
+    assert _null_safe_rows(out, cols) == _null_safe_rows(exp, cols)
 
 
 @pytest.mark.parametrize("op", ["except", "intersect", "union"])
