@@ -136,7 +136,13 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
                                   text_col=text_col, id_col=id_col,
                                   num_parts=num_parts).materialize()
     elif method == "simhash":
-        # threshold here is the max hamming distance (int-valued)
+        # threshold here is the max hamming distance — an INT >= 1; the
+        # Jaccard-style default 0.5 would silently truncate to 0 (exact
+        # fingerprint match only), so fail loud instead
+        if threshold != int(threshold) or not 1 <= int(threshold) <= 63:
+            raise ValueError(
+                "method='simhash' takes threshold = max hamming distance "
+                f"(an int in [1, 63], typically 3); got {threshold!r}")
         pairs = simhash_pairs(ds, max_hamming=int(threshold),
                               text_col=text_col, id_col=id_col,
                               num_parts=num_parts).materialize()
@@ -147,6 +153,9 @@ def near_dedup_docs(ds, k: int = 3, threshold: float = 0.5,
                                     max_df=max_df).materialize()
     else:
         raise ValueError(f"unknown near-dedup method: {method!r}")
+    # NOTE: this gate mirrors _drop_ids_anti_join but keys on the PAIR
+    # count (cheaper: no distinct-id aggregation on the common small
+    # path) — change the broadcast/anti switch in both places together
     n_pairs = pairs.count()
     if n_pairs > broadcast_limit:
         drop_ids = partitioned_group_agg(
@@ -484,15 +493,28 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
             + list(comp.iter_batches(batch_size=1 << 20,
                                      batch_format="pyarrow"))
         ).combine_chunks()
+        import ray as _ray
+
         members = comp_tbl.column("doc_id").combine_chunks()
+        # broadcast via the object store: a closure-captured array ships
+        # with every task spec (candidate-proportional, up to tens of MB
+        # near the gate) instead of once per node
+        members_ref = _ray.put(members)
         scored = scored.materialize()  # feeds member gather + singleton
+
+        def _member_filter(invert: bool):
+            def fn(t: pa.Table) -> pa.Table:
+                vs = _ray.get(members_ref)
+                mask = pc.is_in(t.column("doc_id"), value_set=vs)
+                if invert:
+                    mask = pc.invert(mask)
+                return t.filter(mask)
+            return fn
 
         member_scores = pa.concat_tables(
             [pa.schema([("doc_id", i64), ("n_words", i64)]).empty_table()]
-            + list(scored.map_batches(
-                lambda t: t.filter(pc.is_in(t.column("doc_id"),
-                                            value_set=members)),
-                batch_format="pyarrow")
+            + list(scored.map_batches(_member_filter(False),
+                                      batch_format="pyarrow")
                 .iter_batches(batch_size=1 << 20,
                               batch_format="pyarrow"))).to_pandas()
         lab = comp_tbl.to_pandas().merge(member_scores, on="doc_id")
@@ -507,21 +529,23 @@ def dedup_keep_best(ds, k: int = 3, threshold: float = 0.5,
         })
         if not materialize_docs:
             singles = scored.map_batches(
-                lambda t: t.filter(pc.invert(pc.is_in(
-                    t.column("doc_id"), value_set=members)))
-                .select(["doc_id", "n_words"]),
-                batch_format="pyarrow").map_batches(
+                _member_filter(True), batch_format="pyarrow") \
+                .map_batches(
                 lambda t: pa.table({"doc_id": t.column("doc_id"),
                                     "cluster_id": t.column("doc_id"),
                                     "n_words": t.column("n_words")}),
                 batch_format="pyarrow")
             return singles.union(rd.from_arrow(best_tbl))
         keep_ids = set(best_pdf["doc_id"].tolist())
-        drop = pa.array(sorted(set(members.to_pylist()) - keep_ids), i64)
-        return ds.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(
-                pc.cast(t.column(id_col), i64), value_set=drop))),
-            batch_format="pyarrow")
+        drop_ref = _ray.put(pa.array(
+            sorted(set(members.to_pylist()) - keep_ids), i64))
+
+        def keep_docs(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(
+                pc.cast(t.column(id_col), i64),
+                value_set=_ray.get(drop_ref))))
+
+        return ds.map_batches(keep_docs, batch_format="pyarrow")
 
     # beyond-gate path: distributed join + argmax over the MEMBER subset
     comp = comp.materialize()  # feeds the join below and the drop set

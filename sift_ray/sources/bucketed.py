@@ -311,44 +311,32 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
             return stats_schema.empty_table()
         delta = t.drop_columns("part")
         pdir = m.partition_dir(b)
-        if mode == "delta":
-            # O(delta): write the per-ingest file, then atomically extend
-            # the record's files list — visibility comes from the record
-            delta = delta.take(pc.sort_indices(
-                delta, sort_keys=[(key, "ascending")]))
-            name = _delta_name(ingest_id)
-            pq.write_table(delta, os.path.join(pdir, name))
-            m.update_record(b, {
-                "n_rows": rec.get("n_rows", 0) + delta.num_rows,
-                "files": rec.get("files", ["rows.parquet"]) + [name],
-                "ingests": rec.get("ingests", []) + [ingest_id]})
-            return pa.table(
-                {"bkt": pa.array([b], pa.int64()),
-                 "n_rows": pa.array([delta.num_rows], pa.int64())},
-                schema=stats_schema)
-        m.cleanup_tmp(b)
-        tmp = m.tmp_partition_dir(b)
-        os.makedirs(tmp, exist_ok=True)
-        parts = [delta]
-        for name in reversed(rec.get("files", ["rows.parquet"])):
-            p = os.path.join(pdir, name)
-            if os.path.exists(p):
-                parts.insert(0, pq.read_table(p))
-        merged = pa.concat_tables(parts, promote_options="default")
-        merged = merged.take(pc.sort_indices(
-            merged, sort_keys=[(key, "ascending")]))
-        pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
-        m.commit_partition(b, {
-            "n_rows": merged.num_rows,
-            "files": ["rows.parquet"],
+        # the delta ALWAYS lands as a per-ingest file made visible by an
+        # atomic record extension — the only exactly-once-safe shape (a
+        # read-modify-write of rows.parquet would duplicate the delta if
+        # the process died between the data swap and the record write).
+        # merge mode = this + an immediate compaction, below.
+        delta = delta.take(pc.sort_indices(
+            delta, sort_keys=[(key, "ascending")]))
+        name = _delta_name(ingest_id)
+        pq.write_table(delta, os.path.join(pdir, name))
+        m.update_record(b, {
+            "n_rows": rec.get("n_rows", 0) + delta.num_rows,
+            "files": rec.get("files", ["rows.parquet"]) + [name],
             "ingests": rec.get("ingests", []) + [ingest_id]})
-        return pa.table({"bkt": pa.array([b], pa.int64()),
-                         "n_rows": pa.array([merged.num_rows], pa.int64())},
-                        schema=stats_schema)
+        return pa.table(
+            {"bkt": pa.array([b], pa.int64()),
+             "n_rows": pa.array([delta.num_rows], pa.int64())},
+            schema=stats_schema)
 
     (delta_ds.map_batches(add_bucket, batch_format="pyarrow")
      .groupby("part").map_groups(merge_bucket, batch_format="pyarrow")
      .materialize())
+
+    if mode == "merge":
+        # fold back to one sorted file per touched bucket (compaction is
+        # content-idempotent, so every crash window stays exactly-once)
+        _compact_store(out_dir, key, min_files=2)
 
     # buckets the delta never touched must still record the ingest so a
     # REPLAY of the same delta (possibly partitioned differently) is a
@@ -366,51 +354,81 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
     return out
 
 
-def compact_bucketed(out_dir: str, key: str,
-                     min_files: int = 2) -> dict:
-    """Fold delta files back into one sorted file per bucket (the LSM
-    compaction): buckets with >= ``min_files`` listed files merge +
-    re-sort + swap atomically (ingest ledger and row counts preserved),
-    others are untouched. Idempotent — a crashed compaction retries
-    safely because the old files stay listed until the swap commits.
-    One Ray task per bucket; returns {"compacted": n, "buckets": B}."""
+def _compact_store(out_dir: str, key: str, min_files: int,
+                   extra_record_fn=None) -> int:
+    """Shared LSM compaction over any manifest store with ``files``
+    lists: partitions with >= ``min_files`` listed files merge + re-sort
+    into a NEW file inside the live dir, then the record's files list is
+    atomically replaced (``extra_record_fn(merged)`` contributes e.g.
+    zonemap stats), then old + stale unlisted files are removed.
+
+    Crash safety WITHOUT a dir swap (a swap would rmtree the only copy
+    of the source files before the rename lands): a crash before the
+    record update leaves an unlisted, invisible new file (the retry
+    overwrites it — the name is a pure function of the merged file
+    set); a crash after it leaves unlisted stale files that the next
+    compaction sweep deletes. Readers only ever see listed files.
+    One Ray task per partition; returns the number compacted."""
+    import hashlib
+
     import ray.data as rd
 
     m = Manifest(out_dir)
     todo = [int(r["partition_id"]) for r in m.records()
             if r.get("status") == "ok"
             and len(r.get("files", ["rows.parquet"])) >= min_files]
-    if todo:
-        def compact_one(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-            for b in t.column("b").to_pylist():
-                mm = Manifest(out_dir)
-                rec = {r["partition_id"]: r for r in mm.records()}[b]
-                names = rec.get("files", ["rows.parquet"])
-                if len(names) < min_files:
-                    continue  # retried task after commit
-                pdir = mm.partition_dir(b)
+
+    def compact_one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        for b in t.column("b").to_pylist():
+            mm = Manifest(out_dir)
+            rec = {r["partition_id"]: r for r in mm.records()}[b]
+            names = rec.get("files", ["rows.parquet"])
+            pdir = mm.partition_dir(b)
+            if len(names) >= min_files:
                 parts = [pq.read_table(os.path.join(pdir, n))
-                         for n in names if os.path.exists(
-                             os.path.join(pdir, n))]
+                         for n in names
+                         if os.path.exists(os.path.join(pdir, n))]
                 merged = pa.concat_tables(parts,
                                           promote_options="default")
                 merged = merged.take(pc.sort_indices(
                     merged, sort_keys=[(key, "ascending")]))
-                mm.cleanup_tmp(b)
-                tmp = mm.tmp_partition_dir(b)
-                os.makedirs(tmp, exist_ok=True)
-                pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
-                mm.commit_partition(b, {
-                    "n_rows": merged.num_rows,
-                    "files": ["rows.parquet"],
-                    "ingests": rec.get("ingests", [])})
-            return pa.table({"b": t.column("b")})
+                new_name = "compact-" + hashlib.blake2b(
+                    "\n".join(names).encode(),
+                    digest_size=6).hexdigest() + ".parquet"
+                pq.write_table(merged, os.path.join(pdir, new_name))
+                record = {"n_rows": merged.num_rows,
+                          "files": [new_name],
+                          "ingests": rec.get("ingests", [])}
+                if extra_record_fn is not None:
+                    record.update(extra_record_fn(merged))
+                mm.update_record(b, record)
+                names = [new_name]
+            # sweep stale unlisted files (prior crashed compactions)
+            if os.path.isdir(pdir):
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet") and f not in names:
+                        try:
+                            os.remove(os.path.join(pdir, f))
+                        except OSError:
+                            pass
+        return pa.table({"b": t.column("b")})
 
+    if todo:
         (rd.from_items([{"b": b} for b in todo])
          .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
          .materialize())
-    return {"compacted": len(todo),
+    return len(todo)
+
+
+def compact_bucketed(out_dir: str, key: str,
+                     min_files: int = 2) -> dict:
+    """Fold delta files back into one sorted file per bucket (the LSM
+    compaction; see ``_compact_store`` for the crash protocol).
+    Returns {"compacted": n, "buckets": B}."""
+    n = _compact_store(out_dir, key, min_files)
+    m = Manifest(out_dir)
+    return {"compacted": n,
             "buckets": len([r for r in m.records()
                             if r.get("status") == "ok"])}

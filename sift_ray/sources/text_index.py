@@ -120,7 +120,7 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     Returns the meta dict."""
     import ray.data as rd
 
-    from .bucketed import _bucket_paths, write_bucketed
+    from .bucketed import _bucket_files, write_bucketed
 
     n_docs = ds.count()
     postings = ds.map_batches(
@@ -128,7 +128,9 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
         batch_format="pyarrow")
     write_bucketed(postings, out_dir, key="term", buckets=buckets)
 
-    paths = sorted(_bucket_paths(out_dir).values())
+    # _bucket_files: a re-run over a delta-maintained index must resume
+    # (and count tf over every listed file), not assert on delta files
+    paths = sorted(p for fs in _bucket_files(out_dir).values() for p in fs)
     n_tokens = int(rd.read_parquet(paths, columns=["tf"]).sum("tf") or 0) \
         if paths else 0
     meta = {"n_docs": int(n_docs), "n_tokens": n_tokens,
@@ -174,8 +176,10 @@ def append_text_index(delta_ds, out_dir: str, ingest_id: str,
         _, parent = _flat_words(t.column(text_col))
         return pa.table({"n": [int(len(parent))]})
 
-    new_tokens = int(delta_ds.map_batches(tokc, batch_format="pyarrow")
-                     .aggregate(Sum("n"))["sum(n)"] or 0)
+    # Ray 2.49: aggregate over a fully-empty dataset returns None
+    _agg = delta_ds.map_batches(tokc, batch_format="pyarrow") \
+        .aggregate(Sum("n")) or {}
+    new_tokens = int(_agg.get("sum(n)") or 0)
 
     positional = bool(meta.get("positional", False))
     postings = delta_ds.map_batches(
@@ -324,6 +328,10 @@ def query_text_index(out_dir: str, query_terms: Sequence[str], k: int = 20,
         return rd.from_arrow(empty)
 
     terms = list(query_terms)
+    if len(set(terms)) != len(terms):
+        # bm25_topk documents the same precondition; a repeated term
+        # would silently score once here but twice in the streaming scan
+        raise ValueError("query_text_index: query terms must be distinct")
     th = np.sort(_hash_word_array(pa.array(terms, pa.string()))
                  .astype(np.int64))
     matches = read_bucketed(out_dir, key_values=th.tolist(), key="term",

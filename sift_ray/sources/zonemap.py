@@ -82,9 +82,10 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
             f"existing store has key={meta['key']} files={meta['files']}"
         lo, width = meta["lo"], meta["width"]
     else:
-        agg = ds.aggregate(Min(key), Max(key))
-        lo = int(agg[f"min({key})"] or 0)
-        hi = int(agg[f"max({key})"] or 0)
+        # Ray 2.49: aggregate over a fully-empty dataset returns None
+        agg = ds.aggregate(Min(key), Max(key)) or {}
+        lo = int(agg.get(f"min({key})") or 0)
+        hi = int(agg.get(f"max({key})") or 0)
         width = max((hi - lo) // files + 1, 1)
         meta = {"key": key, "files": int(files), "lo": lo, "width": width}
         tmp = meta_path + ".tmp"
@@ -212,56 +213,37 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str,
             return stats_schema.empty_table()
         delta = t.drop_columns("part")
         pdir = m.partition_dir(b)
-        if mode == "delta":
-            delta = delta.take(pc.sort_indices(
-                delta, sort_keys=[(key, "ascending")]))
-            name = _delta_name(ingest_id)
-            pq.write_table(delta, os.path.join(pdir, name))
-            kcol = delta.column(key)
-            dmin, dmax = int(pc.min(kcol).as_py()), int(pc.max(kcol)
-                                                        .as_py())
-            old_empty = rec.get("n_rows", 0) == 0
-            m.update_record(b, {
-                "n_rows": rec.get("n_rows", 0) + delta.num_rows,
-                "key_min": dmin if old_empty
-                else min(rec["key_min"], dmin),
-                "key_max": dmax if old_empty
-                else max(rec["key_max"], dmax),
-                "zones": _merge_zones(rec.get("zones", {}),
-                                      _column_zones(delta)),
-                "files": rec.get("files", ["rows.parquet"]) + [name],
-                "ingests": rec.get("ingests", []) + [ingest_id]})
-            return pa.table(
-                {"part": pa.array([b], pa.int64()),
-                 "n_rows": pa.array([delta.num_rows], pa.int64())},
-                schema=stats_schema)
-        m.cleanup_tmp(b)
-        tmp = m.tmp_partition_dir(b)
-        os.makedirs(tmp, exist_ok=True)
-        parts = [delta]
-        for name in reversed(rec.get("files", ["rows.parquet"])):
-            p = os.path.join(pdir, name)
-            if os.path.exists(p):
-                parts.insert(0, pq.read_table(p))
-        merged = pa.concat_tables(parts, promote_options="default")
-        merged = merged.take(pc.sort_indices(
-            merged, sort_keys=[(key, "ascending")]))
-        pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
-        kcol = merged.column(key)
-        m.commit_partition(b, {
-            "n_rows": merged.num_rows,
-            "key_min": int(pc.min(kcol).as_py()),
-            "key_max": int(pc.max(kcol).as_py()),
-            "zones": _column_zones(merged),
-            "files": ["rows.parquet"],
+        # the delta ALWAYS lands as a per-ingest listed file (the only
+        # exactly-once-safe shape — see bucketed.append_bucketed); merge
+        # mode compacts right after, re-tightening the widened zones
+        delta = delta.take(pc.sort_indices(
+            delta, sort_keys=[(key, "ascending")]))
+        name = _delta_name(ingest_id)
+        pq.write_table(delta, os.path.join(pdir, name))
+        kcol = delta.column(key)
+        dmin, dmax = int(pc.min(kcol).as_py()), int(pc.max(kcol).as_py())
+        old_empty = rec.get("n_rows", 0) == 0
+        m.update_record(b, {
+            "n_rows": rec.get("n_rows", 0) + delta.num_rows,
+            "key_min": dmin if old_empty
+            else min(rec["key_min"], dmin),
+            "key_max": dmax if old_empty
+            else max(rec["key_max"], dmax),
+            "zones": _merge_zones(rec.get("zones", {}),
+                                  _column_zones(delta)),
+            "files": rec.get("files", ["rows.parquet"]) + [name],
             "ingests": rec.get("ingests", []) + [ingest_id]})
-        return pa.table({"part": pa.array([b], pa.int64()),
-                         "n_rows": pa.array([merged.num_rows], pa.int64())},
-                        schema=stats_schema)
+        return pa.table(
+            {"part": pa.array([b], pa.int64()),
+             "n_rows": pa.array([delta.num_rows], pa.int64())},
+            schema=stats_schema)
 
     (delta_ds.map_batches(add_part, batch_format="pyarrow")
      .groupby("part").map_groups(merge_part, batch_format="pyarrow")
      .materialize())
+
+    if mode == "merge":
+        compact_sorted(out_dir, min_files=2)
 
     # untouched files still record the ingest so a full replay (possibly
     # partitioned differently) is a pure manifest no-op (record-only)
@@ -310,53 +292,25 @@ def pruned_paths(out_dir: str, lo: Optional[int] = None,
 def compact_sorted(out_dir: str, min_files: int = 2) -> dict:
     """Fold a range's delta files back into one sorted file and
     RE-TIGHTEN its zonemap (delta appends only widen the recorded
-    min/max; compaction recomputes them from the merged rows). One Ray
-    task per range; idempotent — old files stay listed until the swap
-    commits. Returns {"compacted": n}."""
-    import ray.data as rd
+    min/max; compaction recomputes them from the merged rows). Shares
+    the crash-safe record-update protocol of ``bucketed._compact_store``
+    (new file invisible until listed; stale files swept). Returns
+    {"compacted": n}."""
+    import pyarrow.compute as pc
+
+    from .bucketed import _compact_store
 
     with open(os.path.join(out_dir, _META_NAME)) as f:
         key = json.load(f)["key"]
-    m = Manifest(out_dir)
-    todo = [int(r["partition_id"]) for r in m.records()
-            if r.get("status") == "ok"
-            and len(r.get("files", ["rows.parquet"])) >= min_files]
-    if todo:
-        def compact_one(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-            for b in t.column("b").to_pylist():
-                mm = Manifest(out_dir)
-                rec = {r["partition_id"]: r for r in mm.records()}[b]
-                names = rec.get("files", ["rows.parquet"])
-                if len(names) < min_files:
-                    continue  # retried task after commit
-                pdir = mm.partition_dir(b)
-                parts = [pq.read_table(os.path.join(pdir, n))
-                         for n in names
-                         if os.path.exists(os.path.join(pdir, n))]
-                merged = pa.concat_tables(parts,
-                                          promote_options="default")
-                merged = merged.take(pc.sort_indices(
-                    merged, sort_keys=[(key, "ascending")]))
-                mm.cleanup_tmp(b)
-                tmp = mm.tmp_partition_dir(b)
-                os.makedirs(tmp, exist_ok=True)
-                pq.write_table(merged, os.path.join(tmp, "rows.parquet"))
-                kcol = merged.column(key)
-                mm.commit_partition(b, {
-                    "n_rows": merged.num_rows,
-                    "key_min": int(pc.min(kcol).as_py()),
-                    "key_max": int(pc.max(kcol).as_py()),
-                    "zones": _column_zones(merged),
-                    "files": ["rows.parquet"],
-                    "ingests": rec.get("ingests", [])})
-            return pa.table({"b": t.column("b")})
 
-        (rd.from_items([{"b": b} for b in todo])
-         .map_batches(compact_one, batch_format="pyarrow", batch_size=1)
-         .materialize())
-    return {"compacted": len(todo)}
+    def zone_stats(merged: pa.Table) -> dict:
+        kcol = merged.column(key)
+        return {"key_min": int(pc.min(kcol).as_py()),
+                "key_max": int(pc.max(kcol).as_py()),
+                "zones": _column_zones(merged)}
+
+    return {"compacted": _compact_store(out_dir, key, min_files,
+                                        zone_stats)}
 
 
 def read_key_range(out_dir: str, lo: Optional[int] = None,
@@ -378,7 +332,19 @@ def read_key_range(out_dir: str, lo: Optional[int] = None,
     paths = pruned_paths(out_dir, lo, hi, col=col)
     key = col if col is not None else meta_key
     if not paths:
-        return rd.from_items([])
+        # typed empty: a schemaless empty Dataset yields a 0-column
+        # frame downstream (Ray 2.49); borrow the schema from any store
+        # file footer (column-pruned like a real read)
+        import pyarrow.parquet as pq
+        allp = pruned_paths(out_dir)
+        if not allp:
+            return rd.from_items([])
+        sch = pq.read_schema(allp[0])
+        if columns is not None:
+            want = list(dict.fromkeys(list(columns) + [key]))
+            sch = pa.schema([sch.field(n) for n in want
+                             if sch.get_field_index(n) >= 0])
+        return rd.from_arrow(sch.remove_metadata().empty_table())
     expr = None
     if lo is not None:
         expr = pads.field(key) >= lo
