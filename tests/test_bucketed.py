@@ -555,3 +555,49 @@ def test_zonemap_delta_append_and_compact(ray_session, tmp_path):
     check()
     narrow = pruned_paths(d, 0, 50)
     assert len(narrow) < len(pruned_paths(d))
+
+
+def test_delta_crash_windows_are_safe(ray_session, tmp_path):
+    """Simulated crash windows of the delta protocol: (a) a delta file
+    written WITHOUT its record update is invisible to readers and the
+    same ingest retries cleanly; (b) after compaction commits, stale
+    unlisted files are swept and never read."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (_bucket_files, append_bucketed,
+                                           compact_bucketed, read_bucketed,
+                                           write_bucketed)
+    from sift_ray.state.manifest import Manifest
+
+    base = pa.table({"k": pa.array(range(40), pa.int64()),
+                     "v": pa.array(range(40), pa.int64())})
+    delta = pa.table({"k": pa.array(range(10, 30), pa.int64()),
+                      "v": pa.array(range(500, 520), pa.int64())})
+    d = str(tmp_path / "crash")
+    write_bucketed(rd.from_arrow(base), d, "k", buckets=3)
+
+    # (a) crash BEFORE the record update: orphan delta file on disk
+    m = Manifest(d)
+    orphan = os.path.join(m.partition_dir(0), "delta-deadbeef.parquet")
+    pq.write_table(pa.table({"k": pa.array([999], pa.int64()),
+                             "v": pa.array([999], pa.int64())}), orphan)
+    back = read_bucketed(d).to_pandas()
+    assert 999 not in set(back["k"])  # unlisted -> invisible
+    assert len(back) == 40
+
+    # the real ingest now lands exactly once despite the orphan
+    append_bucketed(rd.from_arrow(delta), d, "k", ingest_id="dX",
+                    mode="delta")
+    back = read_bucketed(d).to_pandas()
+    assert len(back) == 60 and 999 not in set(back["k"])
+
+    # (b) compaction folds the listed files and sweeps stale ones
+    compact_bucketed(d, "k")
+    assert all(len(fs) == 1 for fs in _bucket_files(d).values())
+    assert not os.path.exists(orphan)  # stale file swept
+    back = read_bucketed(d).to_pandas()
+    assert len(back) == 60 and sorted(back["k"].unique()) == \
+        sorted(set(range(40)))
