@@ -1307,6 +1307,30 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_c4_filters(sf_dir: str):
+    """C4 heuristic cleaning rules (Raffel et al. 2020 §2.2) over a
+    line-structured view of the documents table (structure minted
+    deterministically in BOTH engines: ' row ' -> '.\\n' mints terminal
+    punctuation + line breaks, ' spark ' -> ' javascript ' and two rare
+    bigrams -> '{' / 'Lorem Ipsum' exercise the drop rules). Zero
+    shuffle: every rule is per-document."""
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import c4_filters
+
+    def mint(batch):
+        t = batch.column("text")
+        t = pc.replace_substring(t, " row ", ".\n")
+        t = pc.replace_substring(t, " spark ", " javascript ")
+        t = pc.replace_substring(t, "hash merge", "{")
+        t = pc.replace_substring(t, "merge batch", "Lorem Ipsum dolor")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", t)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mint, batch_format="pyarrow")
+    return c4_filters(ds, min_words=5, min_lines=2)
+
+
 def _q_exactsubstr_dedup(sf_dir: str):
     """ExactSubstr dedup (Lee et al. 2021): every 50-char window occurring
     more than once corpus-wide is cut from all but its first (doc_id, pos)
@@ -2743,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
+        "c4_filters": _q_c4_filters,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
@@ -3707,6 +3732,38 @@ def oracle_sql() -> dict[str, str]:
                        AS text,
                    CAST(count(*) AS BIGINT) AS n_units
             FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "c4_filters": """
+            WITH minted AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(text,
+                           ' row ', '.' || chr(10)),
+                           ' spark ', ' javascript '),
+                           'hash merge', '{'),
+                           'merge batch', 'Lorem Ipsum dolor') AS text
+                FROM documents
+            ),
+            docs AS (
+                SELECT doc_id, text FROM minted
+                WHERE lower(text) NOT LIKE '%lorem ipsum%'
+                  AND text NOT LIKE '%{%'
+            ),
+            lines AS (
+                SELECT doc_id,
+                       trim(unnest(ls), ' ' || chr(9) || chr(13)) AS line,
+                       unnest(range(1, len(ls) + 1)) AS ln
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM docs)
+            ),
+            kept AS (
+                SELECT doc_id, line, ln FROM lines
+                WHERE regexp_matches(line, '[.!?"]$')
+                  AND len(regexp_extract_all(line, '[^ \t]+')) >= 5
+                  AND lower(line) NOT LIKE '%javascript%'
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM kept GROUP BY doc_id HAVING count(*) >= 2
         """,
         "exactsubstr_dedup": """
             WITH pos AS (

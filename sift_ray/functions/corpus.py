@@ -2410,3 +2410,79 @@ def corpus_diff(old_ds, new_ds, id_col: str = "doc_id",
                          "change": pc.cast(label, s)})
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+_C4_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("n_lines", pa.int64())])
+
+
+def c4_filters(ds, min_words: int = 5, min_lines: int = 3,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """The C4 heuristic cleaning rules (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", Section 2.2), re-expressed
+    deterministically so a SQL engine computes the identical result:
+
+    * document rules — drop any page whose text contains ``{`` (code) or
+      the phrase ``lorem ipsum`` (case-insensitive placeholder text);
+    * line rules — split on ``\\n``, trim ASCII spaces/tabs/CRs from both
+      ends; keep a line iff it ends in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``), has >= ``min_words`` words (maximal
+      runs of non-space/tab), and does not contain ``javascript``
+      (case-insensitive);
+    * page rule — keep the page iff >= ``min_lines`` lines survive
+      (C4's "at least three sentences" gate, applied to kept lines).
+
+    Returns (doc_id, text, n_lines) with ``text`` = surviving trimmed
+    lines joined by ``\\n``. (The paper's remaining rules live elsewhere:
+    the bad-words list is ``blocklist_filter``, and C4's three-sentence
+    dedup is ``line_dedup``/``span_dedup``.)
+
+    Scale shape: ZERO shuffle — every rule is per-document, so the whole
+    operator is one ``map_batches`` of vectorized Arrow kernels (RE2
+    regexes identical to the DuckDB oracle's). No reference analog
+    (SURVEY.md §2.8)."""
+    import pyarrow.compute as pc
+    import pandas as pd
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        doc_ok = pc.and_(
+            pc.invert(pc.match_substring(pc.utf8_lower(text),
+                                         "lorem ipsum")),
+            pc.invert(pc.match_substring(text, "{")))
+        t = batch.filter(doc_ok)
+        if t.num_rows == 0:
+            return _C4_SCHEMA.empty_table()
+        splits = pc.split_pattern(t.column(text_col), "\n")
+        doc_ids, pos, flat = _explode_units(t, splits, id_col)
+        line = pc.utf8_trim(flat, " \t\r")
+        keep = pc.and_(
+            pc.and_(pc.match_substring_regex(line, '[.!?"]$'),
+                    pc.greater_equal(
+                        pc.count_substring_regex(line, "[^ \t]+"),
+                        min_words)),
+            pc.invert(pc.match_substring(pc.utf8_lower(line),
+                                         "javascript")))
+        keep_np = keep.to_numpy(zero_copy_only=False) \
+            if not isinstance(keep, pa.ChunkedArray) \
+            else keep.combine_chunks().to_numpy(zero_copy_only=False)
+        if not keep_np.any():
+            return _C4_SCHEMA.empty_table()
+        if isinstance(line, pa.ChunkedArray):
+            line = line.combine_chunks()
+        df = pd.DataFrame({"doc_id": doc_ids[keep_np],
+                           "line": line.filter(pa.array(keep_np))
+                                       .to_pandas()})
+        # explode order is (doc, line_no), preserved under filter, so the
+        # in-group join is already in document order
+        g = df.groupby("doc_id", sort=True)["line"]
+        out = g.agg("\n".join).reset_index().rename(columns={"line": "text"})
+        out["n_lines"] = g.size().to_numpy()
+        out = out[out["n_lines"] >= min_lines]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "n_lines": pa.array(out["n_lines"].to_numpy(), pa.int64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

@@ -2262,3 +2262,44 @@ def test_dup_clusters_no_duplicates_all_singletons(ray_session):
     out = dup_clusters(rd.from_pandas(df), k=3, threshold=0.5).to_pandas()
     assert dict(zip(out["doc_id"], out["cluster_id"])) == \
         {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_c4_filters_rules(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import c4_filters
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            # kept: two qualifying lines; middle line lacks terminal punct
+            "one two three four five.\nno terminal punct here\n"
+            "  six seven eight nine ten!  \nshort one.",
+            # dropped at doc level: contains a brace
+            "one two three four five.\nsix { seven eight nine ten.",
+            # dropped at doc level: lorem ipsum (case-insensitive)
+            "one two three four five.\nLorem IPSUM dolor sit amet ok.",
+            # line with javascript is dropped -> only 1 line -> below
+            # min_lines -> doc dropped
+            "uses JavaScript on this line.\none two three four five.",
+            # kept: trailing '"' counts as terminal punctuation
+            'alpha beta gamma delta epsilon."\nzeta eta theta iota kappa?',
+        ],
+    })
+    out = (c4_filters(rd.from_pandas(df), min_words=5, min_lines=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out.doc_id) == [1, 5]
+    assert out.text[0] == ("one two three four five.\n"
+                           "six seven eight nine ten!")
+    assert list(out.n_lines) == [2, 2]
+    assert out.text[1] == ('alpha beta gamma delta epsilon."\n'
+                           "zeta eta theta iota kappa?")
+
+
+def test_c4_filters_all_dropped_is_typed_empty(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import c4_filters
+    df = pd.DataFrame({"doc_id": [1], "text": ["no punctuation at all"]})
+    out = c4_filters(rd.from_pandas(df))
+    # typed empty: the schema survives even with zero output rows (Ray's
+    # to_pandas drops columns on an empty dataset, so assert on schema())
+    assert out.schema().names == ["doc_id", "text", "n_lines"]
+    assert len(out.to_pandas()) == 0
