@@ -234,6 +234,13 @@ def run_bench() -> dict:
         "audio_features", "dedup_keep_best", "bm25_index_topk",
         "zonemap_range_scan", "phrase_search", "events_time_range")
     import gc
+    if table_ops:
+        # untimed warm-up: spawn the full worker-process pool once so the
+        # first timed query doesn't absorb ~4 s of cold worker startup
+        # (ray tasks reuse warm workers afterwards)
+        rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2) \
+            .map_batches(lambda b: b, batch_format="pyarrow").materialize()
+        gc.collect()
     for name in table_ops:
         q = entrymod.queries()[name]
         t0 = time.time()

@@ -24,6 +24,22 @@ from typing import Optional
 import pyarrow as pa
 
 
+def _stage_map(ds, cls, kw: dict, concurrency, batch_size: int):
+    """Run a decode stage as plain tasks with per-process cached state
+    (``shuffle.TaskStage``) when no explicit pool size is requested —
+    these stages' ``__init__`` costs microseconds, so a 2-actor pool's
+    spawn (~4 s) dominated short queries. Pass ``concurrency=N`` for a
+    real actor pool (a production decoder holding codec/model state)."""
+    from .shuffle import TaskStage
+    if concurrency is None:
+        return ds.map_batches(TaskStage(cls, **kw),
+                              batch_format="pyarrow",
+                              batch_size=batch_size)
+    return ds.map_batches(cls, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
 class DecodeStage:
     """Actor-pool 'decode' of a binary payload column.
 
@@ -409,13 +425,11 @@ def make_png(pixels, color_type: int = 2, filter_type: int = 0,
 
 
 def decode_pngs(ds, payload_col: str = "payload", id_col: str = "doc_id",
-                concurrency: int = 2, batch_size: int = 64):
+                concurrency=None, batch_size: int = 64):
     """Dataset with a PNG binary column -> decoded metadata + channel means."""
-    return ds.map_batches(
-        PngDecodeStage,
-        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, PngDecodeStage,
+                      {"payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def make_bmp(width: int, height: int, rgb=(255, 0, 0)) -> bytes:
@@ -433,13 +447,11 @@ def make_bmp(width: int, height: int, rgb=(255, 0, 0)) -> bytes:
 
 
 def decode_bmps(ds, payload_col: str = "payload", id_col: str = "doc_id",
-                concurrency: int = 2, batch_size: int = 64):
+                concurrency=None, batch_size: int = 64):
     """Dataset with a BMP binary column -> decoded metadata + channel means."""
-    return ds.map_batches(
-        BmpDecodeStage,
-        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, BmpDecodeStage,
+                      {"payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def text_as_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -453,11 +465,10 @@ def text_as_payload(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def multimodal_features(ds, concurrency: int = 2, batch_size: int = 64):
+def multimodal_features(ds, concurrency=None, batch_size: int = 64):
     """documents -> fake-decoded metadata (small batches: binary payloads)."""
     payloads = ds.map_batches(text_as_payload, batch_format="pyarrow")
-    return payloads.map_batches(DecodeStage, batch_format="pyarrow",
-                                batch_size=batch_size, concurrency=concurrency)
+    return _stage_map(payloads, DecodeStage, {}, concurrency, batch_size)
 
 
 class WavDecodeStage:
@@ -557,14 +568,11 @@ def make_wav(freq_hz: float = 440.0, duration_s: float = 0.05,
 
 
 def decode_wavs(ds, payload_col: str = "payload", id_col: str = "doc_id",
-                concurrency: int = 2, batch_size: int = 64):
+                concurrency=None, batch_size: int = 64):
     """Dataset with a WAV binary column -> decoded audio metadata."""
-    return ds.map_batches(
-        WavDecodeStage,
-        fn_constructor_kwargs={"payload_col": payload_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, WavDecodeStage,
+                      {"payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def _lzw_decode(min_size: int, data: bytes, expected: int):
@@ -765,15 +773,12 @@ def make_gif(frames, palette) -> bytes:
 
 
 def decode_gifs(ds, payload_col: str = "payload", id_col: str = "doc_id",
-                concurrency: int = 2, batch_size: int = 64):
+                concurrency=None, batch_size: int = 64):
     """Dataset with a GIF binary column -> frame count + first-frame
     palette-resolved channel means."""
-    return ds.map_batches(
-        GifDecodeStage,
-        fn_constructor_kwargs={"payload_col": payload_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, GifDecodeStage,
+                      {"payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def encode_bmp(rgb) -> bytes:
@@ -862,17 +867,14 @@ class ResizeStage:
 
 def resize_images(ds, out_w: int = 32, out_h: int = 32,
                   payload_col: str = "payload", id_col: str = "doc_id",
-                  concurrency: int = 2, batch_size: int = 64):
+                  concurrency=None, batch_size: int = 64):
     """Dataset with an image binary column -> area-resampled BMP thumbnails
-    (doc_id, status, in_w, in_h, out_w, out_h, payload). Actor pool;
-    small batches bound heap for large payloads (the multimodal rule)."""
-    return ds.map_batches(
-        ResizeStage,
-        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h,
-                               "payload_col": payload_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    (doc_id, status, in_w, in_h, out_w, out_h, payload). Small batches
+    bound heap for large payloads (the multimodal rule)."""
+    return _stage_map(ds, ResizeStage,
+                      {"out_w": out_w, "out_h": out_h,
+                       "payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def decode_gif_frames(payload: bytes, every_n: int = 1,
@@ -1007,18 +1009,14 @@ class FrameSampleStage:
 
 def sample_frames(ds, every_n: int = 2, max_frames: int = 16,
                   payload_col: str = "payload", id_col: str = "doc_id",
-                  concurrency: int = 2, batch_size: int = 32):
+                  concurrency=None, batch_size: int = 32):
     """Dataset with an animated-GIF binary column -> one row per sampled
     frame (every_n-th, capped). The video frame-sample plumbing with a
     real in-repo decoder standing in for the codec."""
-    return ds.map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"every_n": every_n,
-                               "max_frames": max_frames,
-                               "payload_col": payload_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, FrameSampleStage,
+                      {"every_n": every_n, "max_frames": max_frames,
+                       "payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
 
 
 def _wav_mono_samples(payload: bytes):
@@ -1122,14 +1120,11 @@ class AudioFeatureStage:
 
 def audio_features(ds, frame_len: int = 256,
                    payload_col: str = "payload", id_col: str = "doc_id",
-                   concurrency: int = 2, batch_size: int = 64):
+                   concurrency=None, batch_size: int = 64):
     """Dataset with a PCM-WAV binary column -> windowed RMS / zero-crossing
     / spectral-centroid features per document (numpy rfft, vectorized
     across windows)."""
-    return ds.map_batches(
-        AudioFeatureStage,
-        fn_constructor_kwargs={"frame_len": frame_len,
-                               "payload_col": payload_col,
-                               "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    return _stage_map(ds, AudioFeatureStage,
+                      {"frame_len": frame_len,
+                       "payload_col": payload_col, "id_col": id_col},
+                      concurrency, batch_size)
