@@ -73,6 +73,14 @@ def _q_doc_stats(sf_dir: str):
     return doc_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc Shannon character entropy in exact integer micro-nats (the
+    'unigram entropy' gibberish signal): per-char terms quantized before
+    the order-free integer sum. Zero shuffle, one vectorized kernel."""
+    from sift_ray.functions.textstats import char_entropy
+    return char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_doc_digest(sf_dir: str):
     from sift_ray.functions.textstats import digest_batch
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -2706,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_units": 0, "counting_method": "words"}),
         # table ops (DuckDB oracles)
         "doc_stats": _q_doc_stats,
+        "char_entropy": _q_char_entropy,
         "quality_filter": _q_quality_filter,
         "doc_digest": _q_doc_digest,
         "exact_dedup": _q_exact_dedup,
@@ -2968,6 +2977,28 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(len(regexp_extract_all(text, {punct_pat})) AS DOUBLE)
                         + 10.0) AS quality_score
             FROM documents
+        """,
+        "char_entropy": """
+            WITH chars AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '(?s).')) AS ch
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, ch, count(*) AS n
+                FROM chars GROUP BY doc_id, ch
+            ),
+            tot AS (
+                SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars
+                FROM counts GROUP BY doc_id
+            )
+            SELECT c.doc_id, t.n_chars,
+                   CAST(sum(c.n * CAST(round(ln(CAST(t.n_chars AS DOUBLE)
+                                                 / c.n) * 1000000)
+                                       AS BIGINT)) AS BIGINT)
+                       AS entropy_micro
+            FROM counts c JOIN tot t USING (doc_id)
+            GROUP BY c.doc_id, t.n_chars
         """,
         "quality_filter": r"""
             WITH m AS (

@@ -108,11 +108,13 @@ def customers_per_nation(customer_ds, nation_path: str):
                       nation.column("n_name").to_pylist()))
     ref = ray.put(lookup)
 
+    # cached-state tasks (not a pool): ray.get of the broadcast dict runs
+    # once per worker process, and tasks use every free slot
+    from .shuffle import TaskStage
     joined = customer_ds.map_batches(
-        BroadcastLookupStage,
-        fn_constructor_kwargs={"lookup_ref": ref, "key_col": "c_nationkey",
-                               "value_name": "n_name"},
-        batch_format="pyarrow", concurrency=2)
+        TaskStage(BroadcastLookupStage, lookup_ref=ref,
+                  key_col="c_nationkey", value_name="n_name"),
+        batch_format="pyarrow")
     return (joined.groupby("n_name")
             .aggregate(Count(alias_name="n_customers"),
                        Min("c_acctbal", alias_name="min_acctbal"),

@@ -558,3 +558,62 @@ def regex_extract_cols(ds, source_col: str, pattern: str,
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon CHARACTER entropy in exact integer micro-nats
+    — the "unigram entropy" gibberish / randomness signal of the public
+    web-corpus quality suites (low entropy = repeated filler, very high =
+    random bytes). Returns (doc_id, n_chars, entropy_micro) where
+
+        entropy_micro = sum over distinct chars c of
+                        n_c * round(ln(n_chars / n_c) * 1e6)
+
+    so entropy in nats = entropy_micro / n_chars / 1e6. The per-char terms
+    are quantized to integer micro-nats BEFORE summing (the repo's
+    unigram_logprob recipe), so the sum is order-free and the SQL oracle
+    computes the identical integer. Empty documents emit no row (matching
+    the SQL GROUP BY over exploded characters).
+
+    Scale shape: ZERO shuffle — one map_batches kernel, vectorized via a
+    utf-32 view of the batch's concatenated text (one sort per batch,
+    run-length counts, segment sums; no per-doc Python loop)."""
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_chars", pa.int64()),
+                            ("entropy_micro", pa.int64())])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        blob = "".join(t or "" for t in texts)
+        n = len(blob)
+        if n == 0:
+            return out_schema.empty_table()
+        cp = np.frombuffer(blob.encode("utf-32-le"), np.uint32) \
+            .astype(np.int64)
+        lens = np.fromiter((len(t or "") for t in texts), np.int64,
+                           count=len(texts))
+        ends = np.cumsum(lens)
+        # doc index per char without np.repeat (slow gather on this host)
+        di = np.searchsorted(ends, np.arange(n, dtype=np.int64),
+                             side="right")
+        key = np.left_shift(di, 21) | cp          # codepoints < 2^21
+        key.sort(kind="stable")
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        run_doc = key[starts] >> 21
+        ntot = lens[run_doc].astype(np.float64)
+        term = counts * np.round(
+            np.log(ntot / counts) * 1e6).astype(np.int64)
+        doc_starts = np.flatnonzero(np.r_[True,
+                                          run_doc[1:] != run_doc[:-1]])
+        sums = np.add.reduceat(term, doc_starts)
+        doc_idx = run_doc[doc_starts]
+        return pa.table({
+            id_col: pa.array(ids[doc_idx], pa.int64()),
+            "n_chars": pa.array(lens[doc_idx], pa.int64()),
+            "entropy_micro": pa.array(sums.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

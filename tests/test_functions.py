@@ -2303,3 +2303,23 @@ def test_c4_filters_all_dropped_is_typed_empty(ray_session):
     # to_pandas drops columns on an empty dataset, so assert on schema())
     assert out.schema().names == ["doc_id", "text", "n_lines"]
     assert len(out.to_pandas()) == 0
+
+
+def test_char_entropy_known_values(ray_session):
+    import math
+    import ray.data as rd
+    from sift_ray.functions.textstats import char_entropy
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aaaa",          # one symbol: entropy 0
+                 "abab",          # two equal symbols: 4 * round(ln2 * 1e6)
+                 "",              # empty: no row (SQL explode semantics)
+                 "abc"],          # three distinct: 3 * round(ln3 * 1e6)
+    })
+    out = (char_entropy(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out.doc_id) == [1, 2, 4]
+    assert list(out.n_chars) == [4, 4, 3]
+    assert out.entropy_micro[0] == 0
+    assert out.entropy_micro[1] == 4 * round(math.log(2) * 1e6)
+    assert out.entropy_micro[2] == 3 * round(math.log(3) * 1e6)
