@@ -1315,6 +1315,29 @@ def _q_line_dedup(sf_dir: str):
     return line_dedup(ds, delimiter="\n", min_words=3)
 
 
+def _q_ccnet_line_dedup(sf_dir: str):
+    """CCNet-style normalized-key line dedup (Wenzek et al. 2020): lines
+    dedup on their case/digit/punctuation-insensitive normalized form,
+    while the ORIGINAL line text survives. Structure minted in BOTH
+    engines: ' table ' -> newline, and docs with doc_id % 3 == 0 are
+    uppercased so duplicates differ in case but normalize equal."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.functions.corpus import line_dedup
+
+    def mint(batch):
+        t = pc.replace_substring(batch.column("text"), " table ", "\n")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is3 = pa.array(ids % 3 == 0)
+        t = pc.if_else(is3, pc.utf8_upper(t), t)
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", t)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mint, batch_format="pyarrow")
+    return line_dedup(ds, delimiter="\n", min_words=3, normalize="ccnet")
+
+
 def _q_c4_filters(sf_dir: str):
     """C4 heuristic cleaning rules (Raffel et al. 2020 §2.2) over a
     line-structured view of the documents table (structure minted
@@ -2776,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count_quantiles": _q_word_count_quantiles,
         "span_dedup": _q_span_dedup,
         "line_dedup": _q_line_dedup,
+        "ccnet_line_dedup": _q_ccnet_line_dedup,
         "c4_filters": _q_c4_filters,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -3757,6 +3781,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, line_no, line, elig,
                        row_number() OVER (PARTITION BY doc_id, elig, line
                                           ORDER BY line_no) AS rn
+                FROM marked
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+                       AS text,
+                   CAST(count(*) AS BIGINT) AS n_units
+            FROM ranked WHERE NOT elig OR rn = 1 GROUP BY doc_id
+        """,
+        "ccnet_line_dedup": r"""
+            WITH lined AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN upper(replace(text, ' table ', chr(10)))
+                            ELSE replace(text, ' table ', chr(10))
+                       END AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10)))))
+                           AS line_no
+                FROM lined
+            ), marked AS (
+                SELECT doc_id, line_no, line,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(line), '[0-9]', '0', 'g'),
+                           '[!-/:-@\[-`{-~]', '', 'g'),
+                           '[ \t]+', ' ', 'g'), ' ') AS key,
+                       length(regexp_extract_all(line, '[^ ]+')) >= 3
+                           AS elig
+                FROM lines
+            ), ranked AS (
+                SELECT doc_id, line_no, line, elig,
+                       row_number() OVER (PARTITION BY elig, key
+                                          ORDER BY doc_id, line_no) AS rn
                 FROM marked
             )
             SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)

@@ -166,13 +166,16 @@ def word_count_quantiles(ds, qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9),
 
 def _unit_hash_keys(batch: pa.Table):
     """Routing keys for the unit-dedup exchange: eligible units route by a
-    stable 64-bit hash of the unit STRING (all copies co-locate); ineligible
-    units route by (doc_id, unit_no) so boilerplate short lines spread
-    uniformly instead of piling into one partition. Hash collisions only
-    co-locate two unit groups — the kernel re-groups by the true string."""
+    stable 64-bit hash of the dedup KEY string (the unit itself, or its
+    normalized form when a ``key`` column is present — all copies
+    co-locate); ineligible units route by (doc_id, unit_no) so boilerplate
+    short lines spread uniformly instead of piling into one partition.
+    Hash collisions only co-locate two unit groups — the kernel re-groups
+    by the true string."""
     import polars as pl
 
-    h = pl.from_arrow(batch.column("unit")).hash(seed=0).to_numpy() \
+    key_col = "key" if "key" in batch.schema.names else "unit"
+    h = pl.from_arrow(batch.column(key_col)).hash(seed=0).to_numpy() \
         .view(np.int64)
     from .shuffle import mix64
     row_key = mix64([batch.column("doc_id").to_numpy(zero_copy_only=False),
@@ -183,18 +186,21 @@ def _unit_hash_keys(batch: pa.Table):
 
 def _dedup_units(units, num_parts: Optional[int] = None,
                  join_delim: str = "\n"):
-    """Core of line/span dedup: keep, per distinct eligible unit string, only
+    """Core of line/span dedup: keep, per distinct eligible unit KEY, only
     its lexicographically first occurrence ``(doc_id, unit_no)`` corpus-wide;
     ineligible units always survive. Reassemble documents from the kept
-    units. ``units`` rows: (doc_id:int64, unit_no:int64, unit:str, elig:bool)
-    — already locally combined (in-batch duplicate losers dropped map-side,
-    so a unit repeated k times in one batch ships once; a corpus-hot unit's
-    partition load is bounded by the number of BATCHES containing it, not by
-    its occurrence count).
+    units. ``units`` rows: (doc_id:int64, unit_no:int64, unit:str, elig:bool
+    [, key:str]) — ``key`` defaults to the unit string itself; callers that
+    dedup on a NORMALIZED form (CCNet-style) add it as a separate column
+    and the original unit text is what survives. Rows arrive already
+    locally combined (in-batch duplicate losers dropped map-side, so a
+    unit repeated k times in one batch ships once; a corpus-hot unit's
+    partition load is bounded by the number of BATCHES containing it, not
+    by its occurrence count).
 
-    Two exchanges, each moving a kept unit once: (1) unit-hash partition →
-    per-partition winner selection (pandas sort + drop_duplicates, exact
-    because all copies of a string co-locate); (2) doc_id partition →
+    Two exchanges, each moving a kept unit once: (1) key-hash partition →
+    per-partition winner selection (Arrow sort + adjacent compare, exact
+    because all copies of a key co-locate); (2) doc_id partition →
     per-partition reassembly (sort by unit_no, group-concat). Returns
     (doc_id, text, n_units) for documents with >= 1 surviving unit."""
     import pyarrow.compute as pc
@@ -205,13 +211,15 @@ def _dedup_units(units, num_parts: Optional[int] = None,
 
     def pick_winners(tbl: pa.Table) -> pa.Table:
         elig = tbl.column("elig")
+        key_col = "key" if "key" in tbl.schema.names else "unit"
         keep_cols = ["doc_id", "unit_no", "unit"]
+        sel_cols = keep_cols if key_col == "unit" else keep_cols + ["key"]
         passthrough = tbl.filter(pc.invert(elig)).select(keep_cols)
-        cand = tbl.filter(elig).select(keep_cols)
+        cand = tbl.filter(elig).select(sel_cols)
         # Arrow sort + adjacent-compare (NOT pandas drop_duplicates: pandas
         # object hashing truncates strings at embedded NUL bytes, which
         # would merge distinct units sharing a pre-NUL prefix — data loss)
-        won = _first_per_sorted_unit(cand)
+        won = _first_per_sorted_unit(cand, key_col).select(keep_cols)
         return pa.concat_tables([won.cast(passthrough.schema),
                                  passthrough])
 
@@ -220,19 +228,20 @@ def _dedup_units(units, num_parts: Optional[int] = None,
     return _reassemble_docs(kept, P, join_delim)
 
 
-def _first_per_sorted_unit(cand: pa.Table) -> pa.Table:
-    """Per distinct ``unit`` string, the row with the lexicographically
+def _first_per_sorted_unit(cand: pa.Table,
+                           key_col: str = "unit") -> pa.Table:
+    """Per distinct ``key_col`` string, the row with the lexicographically
     smallest ``(doc_id, unit_no)`` — pure Arrow (binary-safe string
     equality), vectorized: one sort, one shifted compare."""
     import pyarrow.compute as pc
 
     if cand.num_rows <= 1:
         return cand
-    idx = pc.sort_indices(cand, sort_keys=[("unit", "ascending"),
+    idx = pc.sort_indices(cand, sort_keys=[(key_col, "ascending"),
                                            ("doc_id", "ascending"),
                                            ("unit_no", "ascending")])
     srt = cand.take(idx)
-    u = srt.column("unit").combine_chunks()
+    u = srt.column(key_col).combine_chunks()
     n = len(u)
     neq = pc.not_equal(u.slice(1), u.slice(0, n - 1))
     if isinstance(neq, pa.ChunkedArray):
@@ -298,15 +307,40 @@ def _explode_units(batch: pa.Table, splits: pa.ChunkedArray,
     return (doc_ids.to_numpy(zero_copy_only=False), pos, flat)
 
 
+# ASCII punctuation ranges !-/ :-@ [-` {-~ (same RE2 class both engines)
+_CCNET_PUNCT = r"[!-/:-@\[-`{-~]"
+
+
+def ccnet_normalize(arr):
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020: the hashes
+    CCNet dedups paragraphs on are computed over normalized text):
+    lowercase, digits -> ``0``, ASCII punctuation removed, space/tab runs
+    collapsed to one space, ends trimmed. Vectorized RE2 kernels identical
+    to the DuckDB mirror (``regexp_replace(..., 'g')``)."""
+    import pyarrow.compute as pc
+
+    s = pc.utf8_lower(arr)
+    s = pc.replace_substring_regex(s, "[0-9]", "0")
+    s = pc.replace_substring_regex(s, _CCNET_PUNCT, "")
+    s = pc.replace_substring_regex(s, "[ \t]+", " ")
+    return pc.utf8_trim(s, " ")
+
+
 def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
                id_col: str = "doc_id", text_col: str = "text",
-               num_parts: Optional[int] = None):
+               num_parts: Optional[int] = None,
+               normalize: Optional[str] = None):
     """C4-style corpus-wide exact line deduplication: split every document
     on ``delimiter``; any line with >= ``min_words`` words (space-separated
     tokens) survives only at its lexicographically first occurrence
     ``(doc_id, line_no)`` across the whole corpus; shorter lines are always
     kept. Documents are reassembled from surviving lines in order. Returns
     (doc_id, text, n_units).
+
+    ``normalize="ccnet"`` dedups on the CCNet-normalized form of each line
+    (``ccnet_normalize``: case/digit/punctuation-insensitive — the
+    paragraph-hash normalization of Wenzek et al. 2020) while the ORIGINAL
+    line text is what survives; default ``None`` dedups on exact bytes.
 
     Scale shape: map-side explode + in-batch combiner (a line duplicated
     within a batch ships once), then the two-exchange ``_dedup_units`` core
@@ -320,17 +354,24 @@ def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
         doc_ids, pos, flat = _explode_units(batch, splits, id_col)
         wc = pc.count_substring_regex(flat, "[^ ]+")
         elig = pc.greater_equal(wc, min_words)
-        t = pa.table({
+        cols = {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "unit_no": pa.array(pos, pa.int64()),
             "unit": flat,
             "elig": elig,
-        })
+        }
+        key_col = "unit"
+        if normalize == "ccnet":
+            cols["key"] = ccnet_normalize(flat)
+            key_col = "key"
+        elif normalize is not None:
+            raise ValueError(f"unknown normalize mode: {normalize!r}")
+        t = pa.table(cols)
         # in-batch combiner: rows arrive in (doc_id, unit_no) order, so the
         # first occurrence is the in-batch lexicographic winner; Arrow mask
         # (binary-safe — pandas `duplicated` truncates at NUL bytes)
         keep = pc.or_(pc.invert(t.column("elig")),
-                      _first_unit_occurrence_mask(t))
+                      _first_unit_occurrence_mask(t, key_col))
         return t.filter(keep)
 
     units = ds.map_batches(explode, batch_format="pyarrow")

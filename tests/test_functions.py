@@ -2323,3 +2323,34 @@ def test_char_entropy_known_values(ray_session):
     assert out.entropy_micro[0] == 0
     assert out.entropy_micro[1] == 4 * round(math.log(2) * 1e6)
     assert out.entropy_micro[2] == 3 * round(math.log(3) * 1e6)
+
+
+def test_ccnet_normalize_kernel():
+    import pyarrow as pa
+    from sift_ray.functions.corpus import ccnet_normalize
+    arr = pa.array(["Hello,  World 42!", "hello world 00", "A.B.C.", ""])
+    assert ccnet_normalize(arr).to_pylist() == [
+        "hello world 00", "hello world 00", "abc", ""]
+
+
+def test_line_dedup_ccnet_normalized_key(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import line_dedup
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Alpha Beta Gamma!\nunique first doc",
+                 # same line up to case/punct/digits: dropped under ccnet
+                 "alpha beta gamma\nother second doc",
+                 # digits normalize equal (42 -> 00 == 7 -> 0? no: '42'->'00',
+                 # '7'->'0' differ) so this one survives
+                 "alpha beta gamma 42\nthird doc line"],
+    })
+    out = (line_dedup(rd.from_pandas(df), min_words=3, normalize="ccnet")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.text[0] == "Alpha Beta Gamma!\nunique first doc"
+    assert out.text[1] == "other second doc"  # original text survives
+    assert out.text[2] == "alpha beta gamma 42\nthird doc line"
+    # exact mode keeps both case variants
+    exact = (line_dedup(rd.from_pandas(df), min_words=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert exact.text[1] == "alpha beta gamma\nother second doc"
