@@ -1985,6 +1985,32 @@ def _q_regional_revenue(sf_dir: str):
         rp("region", ["r_regionkey", "r_name"]))
 
 
+def _q_brand_revenue(sf_dir: str):
+    """TPC-H-Q14/Q15 star shape: revenue per part brand with the part
+    dimension BROADCAST (factorized key->label arrays via ray.put); the
+    lineitem fact streams in one map-only pass emitting <= |brands|
+    partial rows per batch, so the only exchange is the final label sum."""
+    import ray.data as rd
+    from sift_ray.functions.relational import dim_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    return dim_revenue(li, os.path.join(sf_dir, "part.parquet"),
+                       "l_partkey", "p_partkey", "p_brand")
+
+
+def _q_supplier_revenue(sf_dir: str):
+    """Same broadcast-dimension rollup at supplier grain (Q15 shape):
+    revenue per supplier name, dimension shipped once via ray.put."""
+    import ray.data as rd
+    from sift_ray.functions.relational import dim_revenue
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    return dim_revenue(li, os.path.join(sf_dir, "supplier.parquet"),
+                       "l_suppkey", "s_suppkey", "s_name")
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4s / phone-like numbers -> placeholders,
     with per-doc counts). The fixture corpus carries no PII, so the query
@@ -2806,6 +2832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
+        "brand_revenue": _q_brand_revenue,
+        "supplier_revenue": _q_supplier_revenue,
         "retention_cohorts": _q_retention_cohorts,
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
@@ -4040,6 +4068,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "brand_revenue": """
+            SELECT p_brand AS label,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "supplier_revenue": """
+            SELECT s_name AS label,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
         """,
         "regional_revenue": """
             SELECT n_name,

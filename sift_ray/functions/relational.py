@@ -631,3 +631,84 @@ def regional_revenue(lineitem, orders, customer, supplier, nation, region,
             "revenue_e4": t.column("revenue_e4")})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+class _DimRevenueStage:
+    """Map-side broadcast-dimension revenue combiner (see dim_revenue)."""
+
+    def __init__(self, lookup_ref, fact_key: str):
+        import ray
+        self.keys, self.codes, self.labels = ray.get(lookup_ref)
+        self.fact_key = fact_key
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        k = t.column(self.fact_key).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(self.keys, k)
+        idx[idx >= len(self.keys)] = 0
+        hit = self.keys[idx] == k
+        rev = pc.floor(pc.add(pc.multiply(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))),
+            pa.scalar(100.0)), pa.scalar(0.5))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        code = self.codes[idx[hit]]
+        n = np.bincount(code, minlength=len(self.labels))
+        # integer cents < 2^53 per batch: float64 bincount sums are exact
+        r = np.bincount(code, weights=rev[hit].astype(np.float64),
+                        minlength=len(self.labels)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "label": pa.array(self.labels[nz], pa.string()),
+            "n_items": pa.array(n[nz], pa.int64()),
+            "revenue_cents": pa.array(r[nz], pa.int64()),
+        })
+
+
+def dim_revenue(lineitem, dim_path: str, fact_key: str, dim_key: str,
+                label_col: str, num_parts: Optional[int] = None):
+    """Revenue rollup per dimension label over the lineitem fact table
+    with a BROADCAST dimension (the TPC-H Q14/Q15 star shape: part /
+    supplier are bounded dimension tables; the fact table streams in ONE
+    map-only pass). Returns (label, n_items, revenue_cents) where
+    revenue_cents = sum of floor(l_extendedprice * (1 - l_discount) * 100
+    + 0.5) over matched lineitems — integer sums are order-free, so the
+    result is value-exact vs the SQL inner-join + GROUP BY.
+
+    Scale shape: the dimension is read once on the driver, factorized to
+    (sorted keys, label codes, distinct labels) and shipped via ray.put;
+    each batch does one vectorized searchsorted + two bincounts and emits
+    <= |labels| partial rows, so the ONLY exchange is the final
+    label-keyed sum of per-batch partials (labels x batches rows)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .shuffle import TaskStage, partitioned_group_agg
+
+    dim = pq.read_table(dim_path, columns=[dim_key, label_col])
+    keys = dim.column(dim_key).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    labels_all = np.asarray(dim.column(label_col).to_pylist(), dtype=object)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    labels_all = labels_all[order]
+    uniq, codes = np.unique(labels_all, return_inverse=True)
+    ref = ray.put((keys, codes.astype(np.int64), uniq))
+
+    rows = lineitem.map_batches(
+        TaskStage(_DimRevenueStage, lookup_ref=ref, fact_key=fact_key),
+        batch_format="pyarrow")
+
+    def label_keys(batch: pa.Table):
+        import polars as pl
+        h = pl.from_arrow(batch.column("label")).hash(seed=0)
+        return [h.to_numpy().view(np.int64)]
+
+    return partitioned_group_agg(
+        rows, ["label"],
+        [("n_items", "sum", "n_items"),
+         ("revenue_cents", "sum", "revenue_cents")],
+        num_parts=num_parts, key_arrays_fn=label_keys)

@@ -2354,3 +2354,25 @@ def test_line_dedup_ccnet_normalized_key(ray_session):
     exact = (line_dedup(rd.from_pandas(df), min_words=3)
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert exact.text[1] == "alpha beta gamma\nother second doc"
+
+
+def test_dim_revenue_broadcast_rollup(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from sift_ray.functions.relational import dim_revenue
+    dim = pa.table({"p_partkey": [1, 2, 3],
+                    "p_brand": ["A", "B", "A"]})
+    path = "/tmp/test_dim_revenue_part.parquet"
+    pq.write_table(dim, path)
+    fact = pd.DataFrame({
+        "l_partkey": [1, 2, 3, 9],          # 9 unmatched -> dropped
+        "l_extendedprice": [10.0, 20.0, 5.0, 100.0],
+        "l_discount": [0.0, 0.5, 0.0, 0.0],
+    })
+    out = (dim_revenue(rd.from_pandas(fact), path, "l_partkey",
+                       "p_partkey", "p_brand")
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    assert list(out.label) == ["A", "B"]
+    assert list(out.n_items) == [2, 1]
+    assert list(out.revenue_cents) == [1500, 1000]
