@@ -1985,6 +1985,25 @@ def _q_regional_revenue(sf_dir: str):
         rp("region", ["r_regionkey", "r_name"]))
 
 
+def _q_oov_rate(sf_dir: str):
+    """Per-doc OOV token counts vs the corpus top-20 vocabulary (count
+    DESC, word ASC): vocab_topk's one word exchange to train, broadcast
+    vocab + zero-shuffle segment sums to score. k=20 < the corpus's
+    distinct-word count, so OOV counts are non-vacuous."""
+    from sift_ray.functions.corpus import oov_rate
+    return oov_rate(_docs(sf_dir, ["doc_id", "text"]), vocab_k=20)
+
+
+def _q_politeness_schedule(sf_dir: str):
+    """Crawl-frontier politeness scheduling over the documents table's
+    source column as the host: per-host fetch ranks + 1s-spaced slots,
+    one host exchange, partition-local segment arithmetic."""
+    from sift_ray.functions.urls import politeness_schedule
+    return politeness_schedule(_docs(sf_dir, ["doc_id", "source"]),
+                               host_col="source", id_col="doc_id",
+                               interval_us=1_000_000)
+
+
 def _q_brand_revenue(sf_dir: str):
     """TPC-H-Q14/Q15 star shape: revenue per part brand with the part
     dimension BROADCAST (factorized key->label arrays via ray.put); the
@@ -2834,6 +2853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": _q_regional_revenue,
         "brand_revenue": _q_brand_revenue,
         "supplier_revenue": _q_supplier_revenue,
+        "oov_rate": _q_oov_rate,
+        "politeness_schedule": _q_politeness_schedule,
         "retention_cohorts": _q_retention_cohorts,
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
@@ -4068,6 +4089,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "oov_rate": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            c AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+            vocab AS (
+                SELECT w FROM c
+                QUALIFY row_number() OVER (ORDER BY n DESC, w ASC) <= 20
+            )
+            SELECT words.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT)
+                       AS n_oov
+            FROM words LEFT JOIN vocab v ON words.w = v.w
+            GROUP BY words.doc_id
+        """,
+        "politeness_schedule": """
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS fetch_rank,
+                   CAST((row_number() OVER (PARTITION BY source
+                                            ORDER BY doc_id) - 1)
+                        * 1000000 AS BIGINT) AS slot_us
+            FROM documents
         """,
         "brand_revenue": """
             SELECT p_brand AS label,

@@ -2527,3 +2527,50 @@ def c4_filters(ds, min_words: int = 5, min_lines: int = 3,
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def oov_rate(ds, vocab_k: int = 50000, text_col: str = "text",
+             id_col: str = "doc_id", num_parts: Optional[int] = None):
+    """Per-document out-of-vocabulary token counts against the corpus
+    top-``vocab_k`` vocabulary — the tokenizer/vocab coverage signal used
+    to size vocabularies and spot language/domain mismatch. Vocabulary =
+    ``vocab_topk``'s exact rule (count DESC, word ASC). Returns
+    (doc_id, n_words, n_oov); rate = n_oov / n_words. Documents with zero
+    words emit no row (SQL explode semantics).
+
+    Scale shape: the train pass is vocab_topk's ONE word-hash exchange
+    (driver holds k rows); the score pass broadcasts the vocabulary once
+    (ray.put) and is ZERO shuffle — per batch one Arrow ``is_in`` against
+    the C++ hash set plus per-doc segment sums."""
+    import pyarrow.compute as pc
+    import ray
+
+    vocab_pdf = vocab_topk(ds, k=vocab_k, text_col=text_col,
+                           num_parts=num_parts).to_pandas()
+    vocab_ref = ray.put(pa.array(vocab_pdf["word"], pa.string()))
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_words", pa.int64()),
+                            ("n_oov", pa.int64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        splits = pc.split_pattern(batch.column(text_col), " ")
+        doc_ids, _, flat = _explode_units(batch, splits, id_col)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.any():
+            return out_schema.empty_table()
+        ids = doc_ids[nonempty]
+        words = flat.filter(pa.array(nonempty))
+        oov = pc.invert(pc.is_in(words, value_set=vocab)) \
+            .to_numpy(zero_copy_only=False)
+        n = len(ids)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        oov_sums = np.add.reduceat(oov.astype(np.int64), starts)
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "n_words": pa.array(counts, pa.int64()),
+            "n_oov": pa.array(oov_sums, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

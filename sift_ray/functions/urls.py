@@ -149,3 +149,58 @@ def assign_splits(ds, url_col: str = "url",
         return t.append_column("split", pa.array(out, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def politeness_schedule(ds, host_col: str = "host", id_col: str = "url",
+                        interval_us: int = 1_000_000,
+                        num_parts: Optional[int] = None):
+    """Crawl-frontier politeness scheduling: one fetch slot per host every
+    ``interval_us`` microseconds (the per-host rate limit every polite
+    crawler enforces, RFC 9309 §2.5 guidance). Within each host, rows rank
+    by ``id_col`` ascending — a deterministic frontier order; feed a
+    priority-encoding id upstream for prioritized crawls — and row r gets
+    ``slot_us = (r - 1) * interval_us``, so a scheduler can dispatch by
+    (slot_us, host) with per-host spacing guaranteed. Returns
+    (id, host, fetch_rank, slot_us).
+
+    Scale shape: ONE host-keyed exchange, partition-local lexsort +
+    segment arithmetic (hosts are co-located; rank needs no global
+    state). Hot hosts are inherent — a 10^7-URL host genuinely owns 10^7
+    slots — and bound only partition sort memory, not correctness."""
+    import pyarrow.compute as pc
+
+    from .shuffle import add_hash_partition, default_num_parts
+    from .sketch import _hash64_any
+
+    P = num_parts or default_num_parts()
+
+    def host_keys(batch: pa.Table):
+        return [_hash64_any(batch.column(host_col)).astype(np.int64)]
+
+    parted = add_hash_partition(
+        ds.map_batches(lambda t: t.select([id_col, host_col]),
+                       batch_format="pyarrow"),
+        [host_col], P, key_arrays_fn=host_keys)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[(host_col, "ascending"),
+                                              (id_col, "ascending")])
+        srt = tbl.take(idx)
+        h = srt.column(host_col).combine_chunks()
+        n = len(h)
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        starts = np.flatnonzero(
+            np.r_[True, neq.to_numpy(zero_copy_only=False)])
+        lens = np.diff(np.r_[starts, n])
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        return pa.table({
+            id_col: srt.column(id_col),
+            host_col: h,
+            "fetch_rank": pa.array(rank, pa.int64()),
+            "slot_us": pa.array((rank - 1) * interval_us, pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(kernel,
+                                             batch_format="pyarrow")

@@ -2376,3 +2376,32 @@ def test_dim_revenue_broadcast_rollup(ray_session):
     assert list(out.label) == ["A", "B"]
     assert list(out.n_items) == [2, 1]
     assert list(out.revenue_cents) == [1500, 1000]
+
+
+def test_oov_rate_counts(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.corpus import oov_rate
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a a a b rare", "a b b b"],
+    })
+    # top-2 vocab by (count desc, word asc): a(4+..?) -> counts: a=4, b=4,
+    # rare=1 -> vocab {a, b}; doc1 has 1 OOV (rare), doc2 none
+    out = (oov_rate(rd.from_pandas(df), vocab_k=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out.n_words) == [5, 4]
+    assert list(out.n_oov) == [1, 0]
+
+
+def test_politeness_schedule_per_host_slots(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.urls import politeness_schedule
+    df = pd.DataFrame({
+        "url": [10, 11, 12, 20],
+        "host": ["a.com", "a.com", "a.com", "b.com"],
+    })
+    out = (politeness_schedule(rd.from_pandas(df), host_col="host",
+                               id_col="url", interval_us=500)
+           .to_pandas().sort_values(["host", "url"]).reset_index(drop=True))
+    assert list(out.fetch_rank) == [1, 2, 3, 1]
+    assert list(out.slot_us) == [0, 500, 1000, 0]
