@@ -232,7 +232,9 @@ def run_bench() -> dict:
         "orders_join_bucketed", "nation_counts_bucketed",
         "bucketed_ingest", "corpus_diff", "resize_images", "sample_frames",
         "audio_features", "dedup_keep_best", "bm25_index_topk",
-        "zonemap_range_scan", "phrase_search", "events_time_range")
+        "zonemap_range_scan", "phrase_search", "events_time_range",
+        "c4_filters", "char_entropy", "ccnet_line_dedup", "brand_revenue",
+        "oov_rate", "politeness_schedule")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the
