@@ -2063,6 +2063,24 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """The full Gopher repetition-signal family (Rae et al. 2021 Table A1)
+    as exact integers — duplicate line counts/chars and top 2/3/4-gram
+    character mass — over a line-structured view (lines minted in BOTH
+    engines via ' table ' -> newline). Map-only, zero shuffle."""
+    import pyarrow.compute as pc
+    from sift_ray.functions.textstats import gopher_repetition
+
+    def mint(batch):
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.replace_substring(batch.column("text"), " table ", "\n"))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mint, batch_format="pyarrow")
+    return gopher_repetition(ds)
+
+
 def _q_events_window(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.windows import tumbling_window
@@ -2849,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "gopher_repetition": _q_gopher_repetition,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
         "brand_revenue": _q_brand_revenue,
@@ -4439,6 +4458,88 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{3}-\\d{3,4}\\b')) AS BIGINT) AS n_phone,
                    t3 AS text
             FROM s3
+        """,
+        "gopher_repetition": """
+            WITH lined AS (
+                SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM lined
+            ),
+            lc AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS ln
+                FROM lines GROUP BY doc_id, line
+            ),
+            lagg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_lines,
+                       CAST(sum(c * ln) AS BIGINT) AS line_chars,
+                       CAST(sum((c - 1) * ln) AS BIGINT) AS dup_line_chars
+                FROM lc GROUP BY doc_id
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(string_split(
+                           replace(text, chr(10), ' '), ' '),
+                           x -> x <> '') AS w
+                FROM lined
+            ),
+            g2 AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM words WHERE len(w) >= 2)
+            ),
+            t2 AS (
+                SELECT doc_id, CAST(c * length(gram) AS BIGINT) AS chars
+                FROM (SELECT doc_id, gram, count(*) AS c
+                      FROM g2 GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, gram ASC) = 1
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM words WHERE len(w) >= 3)
+            ),
+            t3 AS (
+                SELECT doc_id, CAST(c * length(gram) AS BIGINT) AS chars
+                FROM (SELECT doc_id, gram, count(*) AS c
+                      FROM g3 GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, gram ASC) = 1
+            ),
+            g4 AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       || ' ' || w[i+3] AS gram
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 3)) AS i
+                      FROM words WHERE len(w) >= 4)
+            ),
+            t4 AS (
+                SELECT doc_id, CAST(c * length(gram) AS BIGINT) AS chars
+                FROM (SELECT doc_id, gram, count(*) AS c
+                      FROM g4 GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, gram ASC) = 1
+            )
+            SELECT l.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   l.n_lines, l.n_dup_lines, l.line_chars,
+                   l.dup_line_chars,
+                   CAST(coalesce(t2.chars, 0) AS BIGINT) AS top2_chars,
+                   CAST(coalesce(t3.chars, 0) AS BIGINT) AS top3_chars,
+                   CAST(coalesce(t4.chars, 0) AS BIGINT) AS top4_chars
+            FROM lagg l
+            JOIN lined d USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
         """,
         "repetition_stats": """
             WITH words AS (

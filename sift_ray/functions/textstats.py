@@ -617,3 +617,103 @@ def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def gopher_repetition_batch(batch: pa.Table,
+                            text_col: str = "text") -> pa.Table:
+    """The full Gopher repetition-filter signal family (Rae et al. 2021,
+    Table A1) per document, as INTEGERS so every downstream fraction is
+    engine-exact:
+
+      n_chars          — document length (code points)
+      n_lines          — ``\\n``-split line instances
+      n_dup_lines      — line instances minus distinct lines
+                         (-> "duplicate line fraction")
+      line_chars       — sum of len(line) over instances
+      dup_line_chars   — sum of (count-1) * len(line) over distinct lines
+                         (-> "duplicate line character fraction")
+      top{2,3,4}_chars — count * len(gram) of the most frequent word
+                         n-gram (ties -> lexicographically smallest gram;
+                         words = maximal runs of non-space/newline)
+                         (-> "top n-gram character fraction")
+
+    Map-only (zero shuffle): the repetition scope is one document. The
+    word-level complement (distinct words, top-2-gram count) lives in
+    ``repetition_stats``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    rows = np.arange(n)
+    text = batch.column(text_col)
+    out = pd.DataFrame(index=rows)
+    out["n_chars"] = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+
+    # --- line family ---
+    lsplit = pc.split_pattern(text, "\n")
+    if isinstance(lsplit, pa.ChunkedArray):
+        lsplit = lsplit.combine_chunks()
+    lflat = pc.list_flatten(lsplit)
+    lparent = pc.list_parent_indices(lsplit).to_numpy(zero_copy_only=False)
+    ldf = pd.DataFrame({"row": lparent,
+                        "line": lflat.to_pandas(),
+                        "len": pc.utf8_length(lflat)
+                        .to_numpy(zero_copy_only=False)})
+    lc = (ldf.groupby(["row", "line"], sort=False)
+          .agg(c=("len", "size"), ln=("len", "first")).reset_index())
+    lc["inst_chars"] = lc["c"] * lc["ln"]
+    lc["dup_chars"] = (lc["c"] - 1) * lc["ln"]
+    lagg = lc.groupby("row", sort=True).agg(
+        n_lines=("c", "sum"), n_distinct=("c", "size"),
+        line_chars=("inst_chars", "sum"), dup_line_chars=("dup_chars", "sum"))
+    lagg["n_dup_lines"] = lagg["n_lines"] - lagg["n_distinct"]
+    for col in ["n_lines", "n_dup_lines", "line_chars", "dup_line_chars"]:
+        out[col] = (lagg[col].reindex(rows, fill_value=0)
+                    if len(lagg) else 0)
+
+    # --- top n-gram character mass (words = runs of [^ \n]+) ---
+    wsplit = pc.split_pattern(
+        pc.replace_substring(text, "\n", " "), " ")
+    if isinstance(wsplit, pa.ChunkedArray):
+        wsplit = wsplit.combine_chunks()
+    wflat = pc.list_flatten(wsplit)
+    wparent = pc.list_parent_indices(wsplit).to_numpy(zero_copy_only=False)
+    wmask = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+    words = wflat.to_pandas()[wmask].reset_index(drop=True)
+    wp = wparent[wmask]
+    for k in (2, 3, 4):
+        if len(words) >= k:
+            same = wp[: len(wp) - k + 1] == wp[k - 1:]
+            gram = words.iloc[:len(words) - k + 1].reset_index(drop=True)
+            for j in range(1, k):
+                gram = gram + " " + words.iloc[j:len(words) - k + 1 + j] \
+                    .reset_index(drop=True)
+            gdf = pd.DataFrame({"row": wp[: len(wp) - k + 1][same],
+                                "gram": gram[same]})
+            if len(gdf):
+                gc = (gdf.groupby(["row", "gram"], sort=False).size()
+                      .reset_index(name="c"))
+                gc = gc.sort_values(["row", "c", "gram"],
+                                    ascending=[True, False, True])
+                top = gc.drop_duplicates("row", keep="first")
+                chars = (top["c"].to_numpy()
+                         * top["gram"].str.len().to_numpy())
+                out[f"top{k}_chars"] = pd.Series(
+                    chars, index=top["row"].to_numpy()) \
+                    .reindex(rows, fill_value=0)
+            else:
+                out[f"top{k}_chars"] = 0
+        else:
+            out[f"top{k}_chars"] = 0
+
+    cols = {"doc_id": batch.column("doc_id")}
+    for c in ["n_chars", "n_lines", "n_dup_lines", "line_chars",
+              "dup_line_chars", "top2_chars", "top3_chars", "top4_chars"]:
+        cols[c] = pa.array(out[c].to_numpy().astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def gopher_repetition(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: gopher_repetition_batch(b, text_col),
+        batch_format="pyarrow")

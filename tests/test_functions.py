@@ -2405,3 +2405,27 @@ def test_politeness_schedule_per_host_slots(ray_session):
            .to_pandas().sort_values(["host", "url"]).reset_index(drop=True))
     assert list(out.fetch_rank) == [1, 2, 3, 1]
     assert list(out.slot_us) == [0, 500, 1000, 0]
+
+
+def test_gopher_repetition_planted(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.textstats import gopher_repetition
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["dup line\nunique a\ndup line",   # line dup
+                 "x y x y x y z"],                  # top 2-gram "x y" x3
+    })
+    out = (gopher_repetition(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 1: 3 lines, 1 duplicate instance, dup chars = len("dup line")=8
+    assert out.n_lines[0] == 3 and out.n_dup_lines[0] == 1
+    assert out.dup_line_chars[0] == 8
+    assert out.line_chars[0] == 8 + 8 + 8  # "dup line" x2 + "unique a"
+    # doc 2: top 2-gram "x y" count 3 -> 3*3=9 chars; top 3-gram
+    # "x y x" count 2 (ties with "y x y" -> lexicographic min wins)
+    assert out.top2_chars[1] == 9
+    assert out.top3_chars[1] == 2 * 5
+    assert out.top4_chars[1] == 2 * 7  # "x y x y" count 2
+    # doc 1 grams: "dup line" bigram appears twice (within lines? words
+    # cross newlines as spaces) -> just assert integers are consistent
+    assert out.n_chars[1] == len("x y x y x y z")
