@@ -738,6 +738,36 @@ def _q_bucketed_ingest(sf_dir: str):
     return read_bucketed(d)
 
 
+def _q_events_window_store(sf_dir: str):
+    """Incrementally-maintained tumbling-window aggregate (the streaming
+    window-state shape): build the partial-agg store from even event_ids,
+    ingest odd ones O(delta) via the LSM path, fold per bucket
+    exchange-free — count/min/max are associative, so the read equals a
+    full recompute over ALL events, value-exact vs the plain window SQL."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.windows import (append_window_delta,
+                                            build_window_store,
+                                            read_window_agg)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    base = ev.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t.column("event_id"), 1), 0)),
+        batch_format="pyarrow")
+    delta = ev.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t.column("event_id"), 1), 1)),
+        batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="sift_winstore_")
+    build_window_store(base, d, window_s=300, num_buckets=8)
+    append_window_delta(delta, d, ingest_id="delta-1", window_s=300)
+    return read_window_agg(d)
+
+
 def _q_nation_counts_bucketed(sf_dir: str):
     """EXCHANGE-FREE group-aggregate over co-partitioned storage
     (sources/bucketed.py agg_bucketed): customers bucketed once on
@@ -2868,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "gopher_repetition": _q_gopher_repetition,
+        "events_window_store": _q_events_window_store,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
         "brand_revenue": _q_brand_revenue,
@@ -4569,6 +4600,14 @@ def oracle_sql() -> dict[str, str]:
             FROM base LEFT JOIN gtop ON base.doc_id = gtop.doc_id
         """,
         "events_tumbling_window": """
+            SELECT user_id,
+                   epoch_us(ts) // 300000000 AS win,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_window_store": """
             SELECT user_id,
                    epoch_us(ts) // 300000000 AS win,
                    count(*) AS n_events,

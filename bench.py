@@ -234,7 +234,8 @@ def run_bench() -> dict:
         "audio_features", "dedup_keep_best", "bm25_index_topk",
         "zonemap_range_scan", "phrase_search", "events_time_range",
         "c4_filters", "char_entropy", "ccnet_line_dedup", "brand_revenue",
-        "oov_rate", "politeness_schedule")
+        "oov_rate", "politeness_schedule", "gopher_repetition",
+        "events_window_store")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

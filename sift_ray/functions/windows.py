@@ -537,3 +537,64 @@ def ohlc_window(ds, window_s: int = 300,
     return merged.map_batches(
         lambda t: t.drop_columns(["o_ts", "o_eid", "c_ts", "c_eid"]),
         batch_format="pyarrow")
+
+
+def build_window_store(events_ds, out_dir: str, window_s: int = 300,
+                       num_buckets: int = 32) -> dict:
+    """Materialize tumbling-window PARTIAL aggregates as a user-bucketed
+    store — the window state a streaming job keeps, maintained here
+    exactly-once on disk. Together with ``append_window_delta`` /
+    ``read_window_agg`` this is incremental window-aggregate maintenance:
+
+    * build: per-batch combiner rows (user_id, win, n_events, min/max)
+      pay ONE user-hash exchange into hash(user)%B manifest-committed
+      buckets (``write_bucketed`` — resumable, byte-deterministic).
+    * ingest: new events land O(delta) via the LSM delta path
+      (``append_bucketed(mode="delta")``) — existing state is never
+      rewritten, replays are manifest no-ops (exactly-once).
+    * read: count/min/max are ASSOCIATIVE, so folding the accumulated
+      partials per bucket (exchange-free — a user's rows all live in one
+      bucket) equals a full recompute over every event ever ingested,
+      exactly. ``compact_bucketed`` folds delta files back at leisure
+      without changing answers.
+    """
+    from ..sources.bucketed import write_bucketed
+
+    window_us = window_s * 1_000_000
+    partials = (events_ds.map_batches(
+        lambda t: add_window(t, window_us), batch_format="pyarrow")
+        .map_batches(_partial_agg, batch_format="pyarrow"))
+    return write_bucketed(partials, out_dir, key="user_id",
+                          buckets=num_buckets)
+
+
+def append_window_delta(delta_events, out_dir: str, ingest_id: str,
+                        window_s: int = 300) -> dict:
+    """O(delta) exactly-once ingest of new events into a window store
+    (see build_window_store): delta partials ride the store's bucket
+    routing as per-ingest files; a replay of the same ``ingest_id`` is a
+    manifest no-op."""
+    from ..sources.bucketed import append_bucketed
+
+    window_us = window_s * 1_000_000
+    partials = (delta_events.map_batches(
+        lambda t: add_window(t, window_us), batch_format="pyarrow")
+        .map_batches(_partial_agg, batch_format="pyarrow"))
+    return append_bucketed(partials, out_dir, key="user_id",
+                           ingest_id=ingest_id, mode="delta")
+
+
+def read_window_agg(out_dir: str):
+    """Fold a window store's accumulated partials into the final
+    (user_id, win, n_events, min_value, max_value) — one Arrow
+    hash-aggregate per bucket, ZERO shuffle (bucket routing already
+    co-located each user's rows)."""
+    from ..sources.bucketed import agg_bucketed
+
+    out = agg_bucketed(out_dir, "user_id",
+                       [("n_events", "sum"), ("min_value", "min"),
+                        ("max_value", "max")], extra_keys=["win"])
+    return out.map_batches(
+        lambda t: t.rename_columns(["user_id", "win", "n_events",
+                                    "min_value", "max_value"]),
+        batch_format="pyarrow")

@@ -210,12 +210,15 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
 
 
 def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
-                 columns: Optional[Sequence[str]] = None):
+                 columns: Optional[Sequence[str]] = None,
+                 extra_keys: Sequence[str] = ()):
     """EXCHANGE-FREE group-aggregate over a bucketed table: every row of a
     key lives in one bucket by construction, so a full GROUP BY is one
     Arrow hash-aggregate per bucket file — no shuffle, no combiner pass,
     no driver state. ``aggs`` are pyarrow group_by specs
     ``[(col, fn), ...]`` (fn in sum/min/max/mean/count/count_all...).
+    ``extra_keys`` adds secondary GROUP BY columns (all rows of a bucket
+    key co-locate, so any (key, extra...) group is still bucket-local).
     Returns a Dataset of the per-key aggregate rows."""
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -225,17 +228,18 @@ def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
         return rd.from_items([])
 
     agg_list = [tuple(a) for a in aggs]
+    group_cols = [key] + list(extra_keys)
 
     def agg_file(t: pa.Table) -> pa.Table:
         out = []
         for fps in t.column("paths").to_pylist():
-            want = ([key] + [c for c, _ in agg_list if c is not None]
+            want = (group_cols + [c for c, _ in agg_list if c is not None]
                     if columns is None else list(columns))
             cols = list(dict.fromkeys(want))
             tbl = pa.concat_tables([pq.read_table(p, columns=cols)
                                     for p in fps],
                                    promote_options="default")
-            out.append(tbl.group_by([key]).aggregate(
+            out.append(tbl.group_by(group_cols).aggregate(
                 [(c if c is not None else [], f) for c, f in agg_list]))
         return pa.concat_tables(out)
 

@@ -2429,3 +2429,50 @@ def test_gopher_repetition_planted(ray_session):
     # doc 1 grams: "dup line" bigram appears twice (within lines? words
     # cross newlines as spaces) -> just assert integers are consistent
     assert out.n_chars[1] == len("x y x y x y z")
+
+
+def test_window_store_incremental_equals_full(ray_session):
+    import tempfile
+    import ray.data as rd
+    from sift_ray.functions.windows import (append_window_delta,
+                                            build_window_store,
+                                            read_window_agg,
+                                            tumbling_window)
+    ts = pd.to_datetime([1, 100, 400, 700, 1000, 1300], unit="s")
+    ev = pd.DataFrame({"event_id": range(6),
+                       "user_id": [1, 1, 2, 2, 1, 2],
+                       "ts": ts,
+                       "value": [5.0, 1.0, 9.0, 2.0, 7.0, 3.0]})
+    d = tempfile.mkdtemp(prefix="winstore_t_")
+    build_window_store(rd.from_pandas(ev.iloc[:3]), d, window_s=300,
+                       num_buckets=4)
+    append_window_delta(rd.from_pandas(ev.iloc[3:]), d, "i1", window_s=300)
+    # replay of the same ingest id must be a no-op
+    append_window_delta(rd.from_pandas(ev.iloc[3:]), d, "i1", window_s=300)
+    got = (read_window_agg(d).to_pandas()
+           .sort_values(["user_id", "win"]).reset_index(drop=True))
+    full = (tumbling_window(rd.from_pandas(ev), window_s=300).to_pandas()
+            .sort_values(["user_id", "win"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, full[got.columns])
+
+
+def test_window_store_compaction_preserves_answer(ray_session):
+    import tempfile
+    import ray.data as rd
+    from sift_ray.functions.windows import (append_window_delta,
+                                            build_window_store,
+                                            read_window_agg)
+    from sift_ray.sources.bucketed import compact_bucketed
+    ts = pd.to_datetime([1, 2, 3, 4], unit="s")
+    ev = pd.DataFrame({"event_id": range(4), "user_id": [1, 1, 1, 1],
+                       "ts": ts, "value": [4.0, 8.0, 1.0, 6.0]})
+    d = tempfile.mkdtemp(prefix="winstore_c_")
+    build_window_store(rd.from_pandas(ev.iloc[:1]), d, num_buckets=2)
+    append_window_delta(rd.from_pandas(ev.iloc[1:2]), d, "a")
+    append_window_delta(rd.from_pandas(ev.iloc[2:]), d, "b")
+    before = read_window_agg(d).to_pandas()
+    compact_bucketed(d, key="user_id")
+    after = read_window_agg(d).to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+    assert before.n_events.iloc[0] == 4
+    assert before.min_value.iloc[0] == 1.0 and before.max_value.iloc[0] == 8.0
