@@ -738,6 +738,32 @@ def _q_bucketed_ingest(sf_dir: str):
     return read_bucketed(d)
 
 
+def _q_orders_join_sorted(sf_dir: str):
+    """ZERO-SHUFFLE sort-merge join of two range-partitioned sorted
+    stores (sources/zonemap.py join_sorted): orders and customer each
+    pay their range exchange once at write time; the join is one task
+    per left range reading only zonemap-overlapping right files."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.sources.zonemap import join_sorted, write_sorted
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["custkey", "o_orderkey",
+                                    "o_totalprice"]),
+        batch_format="pyarrow")
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    dl = tempfile.mkdtemp(prefix="sift_js_l_")
+    dr = tempfile.mkdtemp(prefix="sift_js_r_")
+    write_sorted(orders, dl, key="custkey", files=8)
+    write_sorted(cust, dr, key="c_custkey", files=5)
+    return join_sorted(dl, dr)
+
+
 def _q_events_window_store(sf_dir: str):
     """Incrementally-maintained tumbling-window aggregate (the streaming
     window-state shape): build the partial-agg store from even event_ids,
@@ -2899,6 +2925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "gopher_repetition": _q_gopher_repetition,
         "events_window_store": _q_events_window_store,
+        "orders_join_sorted": _q_orders_join_sorted,
         "shipping_priority": _q_shipping_priority,
         "regional_revenue": _q_regional_revenue,
         "brand_revenue": _q_brand_revenue,
@@ -3390,6 +3417,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         """,
         "orders_join_bucketed": """
+            SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "orders_join_sorted": """
             SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice,
                    c.c_mktsegment
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey

@@ -368,3 +368,81 @@ def read_key_range(out_dir: str, lo: Optional[int] = None,
         return t.filter(mask)
 
     return ds.map_batches(exact, batch_format="pyarrow")
+
+
+def join_sorted(left_dir: str, right_dir: str, how: str = "inner"):
+    """ZERO-SHUFFLE sort-merge-style join of two range-partitioned sorted
+    stores on their sort keys (the storage-side analog of a co-partitioned
+    join, without requiring equal bucket counts): each LEFT range record
+    is one task that reads its own files plus the RIGHT files whose
+    zonemaps overlap its [key_min, key_max] — manifest-only pruning, no
+    exchange, no driver state. Every key routes to exactly one left
+    range, so each match is produced exactly once. Output = left columns
+    + right columns minus the right key (SQL inner-join projection with
+    the join key kept once, under the left store's key name).
+
+    ``how``: "inner" only (the semi/anti shapes live in hash_join /
+    bloom_prefilter; a sorted-store right side is usually the dimension).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    assert how == "inner", how
+
+    with open(os.path.join(left_dir, _META_NAME)) as f:
+        lkey = json.load(f)["key"]
+    with open(os.path.join(right_dir, _META_NAME)) as f:
+        rkey = json.load(f)["key"]
+
+    lm = Manifest(left_dir)
+    recs = [r for r in lm.records()
+            if r.get("status") == "ok" and r.get("n_rows", 0) > 0]
+    tasks = []
+    for r in recs:
+        pdir = lm.partition_dir(r["partition_id"])
+        lfiles = [os.path.join(pdir, n)
+                  for n in r.get("files", ["rows.parquet"])]
+        tasks.append({"lfiles": [p for p in lfiles if os.path.exists(p)],
+                      "lo": int(r["key_min"]), "hi": int(r["key_max"])})
+
+    def empty_out() -> pa.Table:
+        lpaths = pruned_paths(left_dir)
+        rpaths = pruned_paths(right_dir)
+        if not lpaths or not rpaths:
+            return pa.table({})
+        ls = pq.read_schema(lpaths[0])
+        rs = pq.read_schema(rpaths[0])
+        fields = list(ls) + [f for f in rs if f.name != rkey]
+        return pa.schema(fields).empty_table()
+
+    if not tasks:
+        return rd.from_arrow(empty_out())
+
+    def join_range(t: pa.Table) -> pa.Table:
+        out = []
+        for i in range(t.num_rows):
+            lfiles = t.column("lfiles")[i].as_py()
+            lo = t.column("lo")[i].as_py()
+            hi = t.column("hi")[i].as_py()
+            left = pa.concat_tables([pq.read_table(p) for p in lfiles],
+                                    promote_options="default")
+            rpaths = pruned_paths(right_dir, lo, hi)
+            if not rpaths or left.num_rows == 0:
+                continue
+            right = pa.concat_tables(
+                [pq.read_table(p) for p in rpaths],
+                promote_options="default")
+            rk = right.column(rkey)
+            right = right.filter(pc.and_(pc.greater_equal(rk, lo),
+                                         pc.less_equal(rk, hi)))
+            if right.num_rows == 0:
+                continue
+            out.append(left.join(right, keys=[lkey], right_keys=[rkey],
+                                 join_type="inner"))
+        if not out:
+            return empty_out()
+        return pa.concat_tables(out, promote_options="default")
+
+    return (rd.from_items(tasks)
+            .map_batches(join_range, batch_format="pyarrow", batch_size=1))

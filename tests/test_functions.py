@@ -2476,3 +2476,37 @@ def test_window_store_compaction_preserves_answer(ray_session):
     pd.testing.assert_frame_equal(before, after)
     assert before.n_events.iloc[0] == 4
     assert before.min_value.iloc[0] == 1.0 and before.max_value.iloc[0] == 8.0
+
+
+def test_join_sorted_matches_pandas_and_zero_shuffle(ray_session):
+    import tempfile
+    import ray.data as rd
+    from sift_ray.sources.zonemap import join_sorted, write_sorted
+    from tests.test_plan_shape import exchange_count
+    left = pd.DataFrame({"k": [1, 2, 2, 5, 9], "a": [10, 20, 21, 50, 90]})
+    right = pd.DataFrame({"rk": [2, 5, 7], "b": ["x", "y", "z"]})
+    dl = tempfile.mkdtemp(prefix="js_l_")
+    dr = tempfile.mkdtemp(prefix="js_r_")
+    write_sorted(rd.from_pandas(left), dl, key="k", files=3)
+    write_sorted(rd.from_pandas(right), dr, key="rk", files=2)
+    j = join_sorted(dl, dr)
+    assert exchange_count(j) == 0
+    got = j.to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    exp = (left.merge(right, left_on="k", right_on="rk")
+           .drop(columns=["rk"]).sort_values(["k", "a"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], exp[["k", "a", "b"]])
+
+
+def test_join_sorted_disjoint_keys_empty(ray_session):
+    import tempfile
+    import ray.data as rd
+    from sift_ray.sources.zonemap import join_sorted, write_sorted
+    dl = tempfile.mkdtemp(prefix="js_dl_")
+    dr = tempfile.mkdtemp(prefix="js_dr_")
+    write_sorted(rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": [1, 2]})),
+                 dl, key="k", files=2)
+    write_sorted(rd.from_pandas(pd.DataFrame({"rk": [8, 9], "b": [8, 9]})),
+                 dr, key="rk", files=2)
+    out = join_sorted(dl, dr)
+    assert len(out.to_pandas()) == 0
