@@ -212,3 +212,118 @@ def test_text_index_and_mode_matches_reference(ray_session,
     want = {i for i, txt in enumerate(texts)
             if all(w in txt.split(" ") for w in terms)}
     assert got_ids == want
+
+
+# --- differential fuzz for the session-11 per-document kernels ---
+
+doc_text = st.text(
+    alphabet=st.sampled_from(list("ab .!?\n\t{J0")) ,
+    min_size=0, max_size=60)
+
+
+def _ref_c4(doc_texts, min_words=2, min_lines=1):
+    import re
+    out = {}
+    for i, text in enumerate(doc_texts):
+        if "lorem ipsum" in text.lower() or "{" in text:
+            continue
+        kept = []
+        for line in text.split("\n"):
+            t = line.strip(" \t\r")
+            if (re.search(r'[.!?"]$', t)
+                    and len(re.findall(r"[^ \t]+", t)) >= min_words
+                    and "javascript" not in t.lower()):
+                kept.append(t)
+        if len(kept) >= min_lines:
+            out[i] = ("\n".join(kept), len(kept))
+    return out
+
+
+@SET
+@given(texts=st.lists(doc_text, min_size=1, max_size=6))
+def test_c4_filters_matches_reference(ray_session, texts):
+    import ray.data as rd
+    from sift_ray.functions.corpus import c4_filters
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = c4_filters(rd.from_pandas(df), min_words=2,
+                     min_lines=1).to_pandas()
+    exp = _ref_c4(texts)
+    assert {int(r.doc_id): (r.text, int(r.n_lines))
+            for r in got.itertuples()} == exp
+
+
+@SET
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("aA bB,3.\t")), max_size=30),
+    min_size=1, max_size=8))
+def test_ccnet_normalize_matches_reference(texts):
+    import re
+    import pyarrow as pa
+    from sift_ray.functions.corpus import ccnet_normalize
+
+    def ref(s):
+        s = s.lower()
+        s = re.sub(r"[0-9]", "0", s)
+        s = re.sub(r"[!-/:-@\[-`{-~]", "", s)
+        s = re.sub(r"[ \t]+", " ", s)
+        return s.strip(" ")
+
+    got = ccnet_normalize(pa.array(texts, pa.string())).to_pylist()
+    assert got == [ref(t) for t in texts]
+
+
+@SET
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("ab c\nxyz")), max_size=40),
+    min_size=1, max_size=6))
+def test_gopher_repetition_matches_reference(ray_session, texts):
+    from collections import Counter
+    import ray.data as rd
+    from sift_ray.functions.textstats import gopher_repetition
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (gopher_repetition(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    for i, text in enumerate(texts):
+        lines = text.split("\n")
+        lc = Counter(lines)
+        assert got.loc[i, "n_lines"] == len(lines)
+        assert got.loc[i, "n_dup_lines"] == len(lines) - len(lc)
+        assert got.loc[i, "line_chars"] == sum(len(x) for x in lines)
+        assert got.loc[i, "dup_line_chars"] == sum(
+            (c - 1) * len(s) for s, c in lc.items())
+        words = [w for w in text.replace("\n", " ").split(" ") if w]
+        for k in (2, 3, 4):
+            grams = Counter(" ".join(words[j:j + k])
+                            for j in range(len(words) - k + 1))
+            if grams:
+                top = min(sorted(grams),
+                          key=lambda g: (-grams[g], g))
+                assert got.loc[i, f"top{k}_chars"] == \
+                    grams[top] * len(top)
+            else:
+                assert got.loc[i, f"top{k}_chars"] == 0
+
+
+@SET
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from(list("abc déΩ")), max_size=25),
+    min_size=1, max_size=6))
+def test_char_entropy_matches_reference(ray_session, texts):
+    import math
+    from collections import Counter
+    import ray.data as rd
+    from sift_ray.functions.textstats import char_entropy
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = char_entropy(rd.from_pandas(df)).to_pandas()
+    if got.empty:  # empty Ray datasets lose their columns in to_pandas
+        got = pd.DataFrame(columns=["doc_id", "n_chars", "entropy_micro"])
+    got = got.set_index("doc_id")
+    for i, text in enumerate(texts):
+        if not text:
+            assert i not in got.index
+            continue
+        n = len(text)
+        exp = sum(c * round(math.log(n / c) * 1e6)
+                  for c in Counter(text).values())
+        assert got.loc[i, "n_chars"] == n
+        assert got.loc[i, "entropy_micro"] == exp
