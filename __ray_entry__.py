@@ -2681,6 +2681,33 @@ def _q_price_quantiles_per_customer(sf_dir: str):
                                    qs=(0.25, 0.5, 0.75))
 
 
+def _q_price_quantiles_cont(sf_dir: str):
+    """SQL PERCENTILE_CONT per group (interpolated) — the continuous
+    complement to `price_quantiles_per_customer`'s discrete rule. Same
+    scale shape (count combiner, ONE group exchange, segmented-cumsum
+    readoff of the two bracketing order statistics); dyadic quantiles
+    over integer cents make the interpolation doubles exact in both
+    engines, so the oracle compare is value-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_cont
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "price_cents": cents})
+
+    base = ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_quantiles_cont(base, "o_custkey", "price_cents",
+                                  qs=(0.25, 0.5, 0.75))
+
+
 def _q_events_json_extract(sf_dir: str):
     """Semi-structured extraction: parse the events props JSON column and
     project a typed field (stdlib json, map-only, zero shuffle);
@@ -2956,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk_per_order": _q_lineitem_topk_per_order,
         "events_user_type_join": _q_events_user_type_join,
         "price_quantiles_per_customer": _q_price_quantiles_per_customer,
+        "price_quantiles_cont": _q_price_quantiles_cont,
         "customer_status_pivot": _q_customer_status_pivot,
         "events_asof_forward": _q_events_asof_forward,
         "image_phash_pairs": _q_image_phash_pairs,
@@ -4418,6 +4446,21 @@ def oracle_sql() -> dict[str, str]:
             FROM c, (VALUES (0.25),(0.5),(0.75)) qs(q)
             WHERE cum >= ceil(q * tot)
             GROUP BY o_custkey, q
+        """,
+        "price_quantiles_cont": """
+            WITH t AS (SELECT o_custkey,
+                              CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                                  AS v FROM orders)
+            SELECT o_custkey, q, value FROM (
+                SELECT o_custkey, 0.25 AS q,
+                       quantile_cont(v, 0.25) AS value
+                FROM t GROUP BY o_custkey
+                UNION ALL
+                SELECT o_custkey, 0.5, quantile_cont(v, 0.5)
+                FROM t GROUP BY o_custkey
+                UNION ALL
+                SELECT o_custkey, 0.75, quantile_cont(v, 0.75)
+                FROM t GROUP BY o_custkey)
         """,
         "events_user_type_join": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

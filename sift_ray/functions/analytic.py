@@ -440,6 +440,98 @@ def grouped_quantiles_exact(ds, group_col: str, value_col: str,
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
+def grouped_quantiles_cont(ds, group_col: str, value_col: str,
+                           qs: Sequence[float] = (0.25, 0.5, 0.75),
+                           num_parts: Optional[int] = None):
+    """SQL PERCENTILE_CONT per group — the INTERPOLATED complement to
+    ``grouped_quantiles_exact`` (discrete rule). Per (group, q) over the
+    group's sorted multiset of n values: position p = q*(n-1) (0-based),
+    result = v[floor(p)] + (v[ceil(p)] - v[floor(p)]) * (p - floor(p)),
+    exactly DuckDB's ``quantile_cont`` rule. With dyadic q (0.25/0.5/
+    0.75) and integer cent values the doubles are exact in both engines,
+    so the oracle compare is value-exact, not approximate.
+
+    Scale shape: identical to grouped_quantiles_exact — per-batch
+    (group, value) count combiner, ONE group-keyed exchange, vectorized
+    segmented-cumsum readoff of the two bracketing order statistics per
+    quantile. The reference has no aggregation surface at all
+    (SURVEY.md §2.8); this is engine-extension territory."""
+    from .shuffle import add_hash_partition
+
+    P = num_parts or default_num_parts()
+    q_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([group_col, value_col])
+             .group_by([group_col, value_col])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([group_col, value_col, "n"])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+    parted = add_hash_partition(rows, [group_col], P)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        if tbl.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        tbl = (tbl.group_by([group_col, value_col])
+               .aggregate([("n", "sum")])
+               .rename_columns([group_col, value_col, "n"]))
+        keys = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        cnts = tbl.column("n").to_numpy(zero_copy_only=False)
+        idx = np.lexsort((vals, keys))
+        keys, vals, cnts = keys[idx], vals[idx], cnts[idx]
+        n = len(keys)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = keys[1:] != keys[:-1]
+        gstart = np.maximum.accumulate(np.where(starts, pos, 0))
+        incl = np.cumsum(cnts)
+        excl = incl - cnts
+        cum = incl - excl[gstart]                       # per-group cumsum
+        last_mask = np.empty(n, dtype=bool)
+        last_mask[:-1] = starts[1:]
+        last_mask[-1] = True
+        grp_ids = np.cumsum(starts) - 1
+        tot = cum[last_mask][grp_ids]                   # per-group n
+
+        def order_stat(k_per_row):
+            """Value at 0-based order statistic k of each row's group,
+            via 'first histogram row whose cumcount > k'."""
+            hit = cum > k_per_row
+            prev_hit = np.empty(n, dtype=bool)
+            prev_hit[0] = False
+            prev_hit[1:] = hit[:-1]
+            first = hit & (starts | ~prev_hit)
+            # one hit per group, aligned to group order
+            return vals[first]
+
+        gkeys = keys[last_mask]
+        out_g, out_q, out_v = [], [], []
+        for q in q_arr:
+            p = q * (tot.astype(np.float64) - 1.0)     # per ROW; group-const
+            lo_k = np.floor(p).astype(np.int64)
+            hi_k = np.ceil(p).astype(np.int64)
+            lo_v = order_stat(lo_k).astype(np.float64)
+            hi_v = order_stat(hi_k).astype(np.float64)
+            frac = (p - np.floor(p))[last_mask]         # one per group
+            res = lo_v + (hi_v - lo_v) * frac
+            out_g.append(gkeys)
+            out_q.append(np.full(len(gkeys), q))
+            out_v.append(res)
+        return pa.table({
+            group_col: pa.array(np.concatenate(out_g), pa.int64()),
+            "q": pa.array(np.concatenate(out_q), pa.float64()),
+            "value": pa.array(np.concatenate(out_v), pa.float64()),
+        })
+
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
 def pivot_counts(ds, row_col: str, col_col: str,
                  col_values: Sequence[str],
                  num_parts: Optional[int] = None):

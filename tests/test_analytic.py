@@ -491,6 +491,46 @@ def test_grouped_quantiles_exact_single_value_group(ray_session):
     assert list(out["value"]) == [7, -3]
 
 
+@pytest.mark.parametrize("num_parts", [1, 17])
+def test_grouped_quantiles_cont_matches_numpy(ray_session, num_parts):
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_cont
+    rng = np.random.RandomState(77)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 120, 5000).astype(np.int64),
+        "v": rng.randint(-1000, 1000, 5000).astype(np.int64),
+    })
+    out = (grouped_quantiles_cont(rd.from_pandas(df), "g", "v",
+                                  qs=(0.25, 0.5, 0.75),
+                                  num_parts=num_parts)
+           .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+    # reference: PERCENTILE_CONT — lo + (hi - lo) * frac at p = q*(n-1)
+    recs = []
+    for g, grp in df.groupby("g"):
+        vals = np.sort(grp["v"].to_numpy()).astype(np.float64)
+        n = len(vals)
+        for q in (0.25, 0.5, 0.75):
+            p = q * (n - 1)
+            lo, hi = vals[int(np.floor(p))], vals[int(np.ceil(p))]
+            recs.append((g, q, lo + (hi - lo) * (p - np.floor(p))))
+    exp = pd.DataFrame(recs, columns=["g", "q", "value"]) \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    assert (out["g"].to_numpy() == exp["g"].to_numpy()).all()
+    # doubles must be bit-exact: same formula, dyadic q
+    assert (out["value"].to_numpy() == exp["value"].to_numpy()).all()
+
+
+def test_grouped_quantiles_cont_single_row_group(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_cont
+    df = pd.DataFrame({"g": np.array([1, 2, 2], np.int64),
+                       "v": np.array([7, -3, 5], np.int64)})
+    out = (grouped_quantiles_cont(rd.from_pandas(df), "g", "v",
+                                  qs=(0.5,)).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert list(out["value"]) == [7.0, 1.0]
+
+
 @pytest.mark.parametrize("num_parts", [1, 9])
 def test_pivot_counts_matches_pandas(ray_session, num_parts):
     import ray.data as rd
