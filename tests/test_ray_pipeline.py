@@ -420,3 +420,44 @@ def test_cli_index_build_and_query(ray_session, tmp_path, capsys):
     lines = [_json.loads(x) for x in
              capsys.readouterr().out.strip().splitlines()]
     assert {r["doc_id"] for r in lines} == {0, 2}
+
+
+def test_task_retry_produces_identical_bytes(ray_session, tmp_path):
+    """North-rule evidence (SURVEY §4.2): the extract UDF is deterministic
+    and side-effect-free, so a task that fails mid-run and is retried by
+    Ray yields BYTE-identical output. One task attempt is killed via an
+    O_EXCL marker file (exactly one attempt ever raises); Ray retries the
+    application error (retry_exceptions) and the job completes with the
+    same bytes as an uninjected run."""
+    import ray.data as rd
+
+    from sift_ray.sources.pages import generate_pages
+    from sift_ray.stages.extract import SiftPipelineStage
+
+    marker = str(tmp_path / "boom_once")
+    cfg = SiftConfig()
+
+    def flaky(batch, _marker=marker, _cfg=cfg):
+        try:
+            fd = os.open(_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            raise RuntimeError("injected one-shot task failure")
+        except FileExistsError:
+            pass
+        return SiftPipelineStage(_cfg)(batch)
+
+    def clean(batch, _cfg=cfg):
+        return SiftPipelineStage(_cfg)(batch)
+
+    n = 240
+    injected = (generate_pages(n, seed=7, num_blocks=6)
+                .map_batches(flaky, batch_format="pyarrow", batch_size=64,
+                             max_retries=3, retry_exceptions=True)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+    assert os.path.exists(marker), "the injected failure never fired"
+    baseline = (generate_pages(n, seed=7, num_blocks=6)
+                .map_batches(clean, batch_format="pyarrow", batch_size=64)
+                .to_pandas().sort_values("url").reset_index(drop=True))
+    assert len(injected) == len(baseline) == n
+    for col in ("url", "status", "extracted_md"):
+        assert (injected[col].to_numpy() == baseline[col].to_numpy()).all(), col
