@@ -2376,6 +2376,31 @@ def _q_qty_price_corr(sf_dir: str):
                       "qty", "cents")
 
 
+def _q_qty_price_regression(sf_dir: str):
+    """Simple OLS (the SQL regr_slope/regr_intercept/regr_r2 family) of
+    price cents on quantity, from the same exact distributed integer
+    moments as `qty_price_corr` — every division happens on exact
+    integer numerators/denominators cast to double, mirrored term for
+    term in the oracle SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import linear_fit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            "cents": pc.cast(pc.floor(pc.add(pc.multiply(
+                t.column("l_extendedprice"), pa.scalar(100.0)),
+                pa.scalar(0.5))), pa.int64())})
+
+    return linear_fit(ds.map_batches(pre, batch_format="pyarrow"),
+                      "qty", "cents")
+
+
 def _q_source_quality_gate(sf_dir: str):
     """Group-level quality gate (CCNet host-filter shape): keep documents
     whose SOURCE's mean length clears the bar — integer sum >= bar *
@@ -2968,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "event_funnel": _q_event_funnel,
         "qty_price_corr": _q_qty_price_corr,
+        "qty_price_regression": _q_qty_price_regression,
         "orders_profile": _q_orders_profile,
         "source_fields": _q_source_fields,
         "source_quality_gate": _q_source_quality_gate,
@@ -4370,6 +4396,34 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
                          9) AS corr
             FROM m
+        """,
+        "qty_price_regression": """
+            WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS y
+                       FROM lineitem),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx,
+                         sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(y AS HUGEINT) * y) AS syy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM t),
+            s AS (SELECT n, sx, sy,
+                         n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS d1,
+                         n * syy - sy * sy AS d2,
+                         CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(slope, 9) AS slope,
+                   round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 9) AS intercept,
+                   round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                         / (CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)), 9)
+                       AS r2
+            FROM s
         """,
         "customers_f_only": """
             SELECT o_custkey AS custkey FROM orders

@@ -591,25 +591,15 @@ def pivot_counts(ds, row_col: str, col_col: str,
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
-def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
-    """Pearson correlation of two INTEGER columns with exact distributed
-    moments: per-batch partial sums of (n, x, y, x^2, y^2, xy) are
-    computed overflow-safely by splitting each value at 2^20
-    (hi*2^20 + lo) so every component sum stays far inside int64 even
-    for cent-scale values at billions of rows; the driver reconstructs
-    the true moments in arbitrary-precision Python ints (one partial row
-    per BLOCK — driver volume O(blocks)) and evaluates
-
-        r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
-
-    with exactly the double operations an ANSI-SQL engine performs on
-    its exact HUGEINT sums — so the result is value-exact cross-engine
-    (rounded to ``decimals`` to pin the final representation).
-
-    Returns a 1-row Dataset (n, corr). Integer inputs are the caller's
-    contract (cast money to cents upstream, the repo-wide convention)."""
-    import ray.data as rd
-
+def _exact_moments(ds, x_col: str, y_col: str):
+    """Exact second-order moments of two INTEGER columns, distributed:
+    per-batch partial sums of (n, x, y, x^2, y^2, xy) are computed
+    overflow-safely by splitting each value at 2^20 (hi*2^20 + lo) so
+    every component sum stays far inside int64 even for cent-scale
+    values at billions of rows; the driver reconstructs the true moments
+    in arbitrary-precision Python ints (one partial row per BLOCK —
+    driver volume O(blocks)). Returns (n, sx, sy, sxx, syy, sxy) as
+    Python ints. Shared by exact_corr and linear_fit."""
     B = np.int64(1) << 20
 
     def partial(t: pa.Table) -> pa.Table:
@@ -639,7 +629,7 @@ def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
 
     rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if len(rows) == 0 or rows["n"].sum() < 2:
-        raise ValueError("exact_corr needs at least 2 rows")
+        raise ValueError("exact moments need at least 2 rows")
     g = {k: [int(v) for v in rows[k]] for k in rows.columns}
 
     def tot(name):
@@ -652,6 +642,24 @@ def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
     syy = tot("yy_hh") * Bi * Bi + 2 * tot("yy_hl") * Bi + tot("yy_ll")
     sxy = (tot("xy_hh") * Bi * Bi + (tot("xy_hl") + tot("xy_lh")) * Bi
            + tot("xy_ll"))
+    return n, sx, sy, sxx, syy, sxy
+
+
+def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
+    """Pearson correlation of two INTEGER columns with exact distributed
+    moments (see ``_exact_moments``); the driver evaluates
+
+        r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+
+    with exactly the double operations an ANSI-SQL engine performs on
+    its exact HUGEINT sums — so the result is value-exact cross-engine
+    (rounded to ``decimals`` to pin the final representation).
+
+    Returns a 1-row Dataset (n, corr). Integer inputs are the caller's
+    contract (cast money to cents upstream, the repo-wide convention)."""
+    import ray.data as rd
+
+    n, sx, sy, sxx, syy, sxy = _exact_moments(ds, x_col, y_col)
     num = n * sxy - sx * sy
     d1 = n * sxx - sx * sx
     d2 = n * syy - sy * sy
@@ -663,6 +671,43 @@ def exact_corr(ds, x_col: str, y_col: str, decimals: int = 9):
     out = pa.table({"n": pa.array([n], pa.int64()),
                     "corr": pa.array([round(corr, decimals)],
                                      pa.float64())})
+    return rd.from_arrow(out)
+
+
+def linear_fit(ds, x_col: str, y_col: str, decimals: int = 9):
+    """Simple OLS regression y = slope*x + intercept of two INTEGER
+    columns from the same exact distributed moments as ``exact_corr``
+    (one partial row per block; arbitrary-precision driver fold):
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx^2)
+        intercept = (sy - slope*sx) / n
+        r2        = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)(n*syy - sy^2))
+
+    Every division/multiply above happens on exact integer numerators and
+    denominators cast to double, mirrored term for term in the oracle SQL
+    (HUGEINT sums -> the same double ops) — the SQL-standard regr_slope /
+    regr_intercept / regr_r2 family, evaluated exactly instead of via
+    streaming-double aggregation. Returns a 1-row Dataset
+    (n, slope, intercept, r2)."""
+    import ray.data as rd
+
+    n, sx, sy, sxx, syy, sxy = _exact_moments(ds, x_col, y_col)
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 == 0:
+        slope = intercept = r2 = float("nan")
+    else:
+        slope = float(num) / float(d1)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r2 = (float(num) * float(num)) / (float(d1) * float(d2)) \
+            if d2 != 0 else float("nan")
+    out = pa.table({
+        "n": pa.array([n], pa.int64()),
+        "slope": pa.array([round(slope, decimals)], pa.float64()),
+        "intercept": pa.array([round(intercept, decimals)], pa.float64()),
+        "r2": pa.array([round(r2, decimals)], pa.float64()),
+    })
     return rd.from_arrow(out)
 
 

@@ -531,6 +531,61 @@ def test_grouped_quantiles_cont_single_row_group(ray_session):
     assert list(out["value"]) == [7.0, 1.0]
 
 
+def test_grouped_quantiles_cont_equals_np_percentile(ray_session):
+    """PERCENTILE_CONT == numpy's 'linear' method by definition; fuzz a
+    few shapes including heavy ties and 2-row groups."""
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_quantiles_cont
+    rng = np.random.RandomState(5)
+    for trial in range(4):
+        n = int(rng.randint(50, 2000))
+        df = pd.DataFrame({
+            "g": rng.randint(0, max(2, n // 40), n).astype(np.int64),
+            "v": rng.randint(-5, 5, n).astype(np.int64),  # heavy ties
+        })
+        qs = (0.1, 0.5, 0.9)
+        out = (grouped_quantiles_cont(rd.from_pandas(df), "g", "v", qs=qs,
+                                      num_parts=7)
+               .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+        recs = [(g, q, float(np.percentile(grp["v"], q * 100,
+                                           method="linear")))
+                for g, grp in df.groupby("g") for q in qs]
+        exp = pd.DataFrame(recs, columns=["g", "q", "value"]) \
+            .sort_values(["g", "q"]).reset_index(drop=True)
+        assert np.allclose(out["value"].to_numpy(), exp["value"].to_numpy(),
+                           rtol=0, atol=1e-12), f"trial {trial}"
+
+
+def test_linear_fit_matches_closed_form(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import linear_fit
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 1000, 4000).astype(np.int64)
+    y = (3 * x + 17 + rng.randint(-50, 50, 4000)).astype(np.int64)
+    df = pd.DataFrame({"x": x, "y": y})
+    out = linear_fit(rd.from_pandas(df).repartition(9), "x", "y") \
+        .to_pandas().iloc[0]
+    slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert out["n"] == 4000
+    assert abs(out["slope"] - slope) < 1e-6
+    assert abs(out["intercept"] - intercept) < 1e-4
+    assert abs(out["r2"] - r * r) < 1e-9
+    # partition invariance: exact same doubles from any layout
+    out2 = linear_fit(rd.from_pandas(df).repartition(2), "x", "y") \
+        .to_pandas().iloc[0]
+    assert (out == out2).all()
+
+
+def test_linear_fit_degenerate_constant_x(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.analytic import linear_fit
+    df = pd.DataFrame({"x": np.array([5, 5, 5], np.int64),
+                       "y": np.array([1, 2, 3], np.int64)})
+    out = linear_fit(rd.from_pandas(df), "x", "y").to_pandas().iloc[0]
+    assert np.isnan(out["slope"]) and np.isnan(out["r2"])
+
+
 @pytest.mark.parametrize("num_parts", [1, 9])
 def test_pivot_counts_matches_pandas(ray_session, num_parts):
     import ray.data as rd
