@@ -738,6 +738,39 @@ def _q_bucketed_ingest(sf_dir: str):
     return read_bucketed(d)
 
 
+def _q_bucketed_time_travel(sf_dir: str):
+    """Snapshot (time-travel) read over the LSM ingest ledger
+    (sources/bucketed.py read_bucketed(as_of=...)): thirds of the
+    documents table land as base + two delta ingests; reading AS OF the
+    first delta must reproduce exactly base+delta1 — the manifest's
+    ordered ledger plus per-ingest delta files reconstruct history, and
+    a compacted store refuses (SnapshotUnavailable) instead of answering
+    wrong (pinned in tests)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, read_bucketed,
+                                           write_bucketed)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def third(r):
+        return lambda t: t.filter(pc.equal(
+            pc.subtract(t.column("doc_id"),
+                        pc.multiply(pc.divide(t.column("doc_id"), 3), 3)),
+            r))
+
+    d = tempfile.mkdtemp(prefix="sift_bkt_tt_")
+    write_bucketed(docs.map_batches(third(0), batch_format="pyarrow"),
+                   d, key="doc_id", buckets=8)
+    append_bucketed(docs.map_batches(third(1), batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="d1", mode="delta")
+    append_bucketed(docs.map_batches(third(2), batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="d2", mode="delta")
+    return read_bucketed(d, as_of="d1")
+
+
 def _q_orders_join_sorted(sf_dir: str):
     """ZERO-SHUFFLE sort-merge join of two range-partitioned sorted
     stores (sources/zonemap.py join_sorted): orders and customer each
@@ -2934,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_bucketed": _q_orders_join_bucketed,
         "nation_counts_bucketed": _q_nation_counts_bucketed,
         "bucketed_ingest": _q_bucketed_ingest,
+        "bucketed_time_travel": _q_bucketed_time_travel,
         "corpus_diff": _q_corpus_diff,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
@@ -3482,6 +3516,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_ingest": """
             SELECT doc_id, text FROM documents
+        """,
+        "bucketed_time_travel": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
         """,
         "corpus_diff": """
             WITH old AS (

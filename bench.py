@@ -235,7 +235,8 @@ def run_bench() -> dict:
         "zonemap_range_scan", "phrase_search", "events_time_range",
         "c4_filters", "char_entropy", "ccnet_line_dedup", "brand_revenue",
         "oov_rate", "politeness_schedule", "gopher_repetition",
-        "events_window_store", "price_quantiles_cont")
+        "events_window_store", "price_quantiles_cont",
+        "qty_price_regression", "bucketed_time_travel")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

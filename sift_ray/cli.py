@@ -126,6 +126,9 @@ def _build_parser() -> argparse.ArgumentParser:
     zm.add_argument("--hi", type=int, default=None)
     zm.add_argument("--limit", type=int, default=20,
                     help="rows printed by read")
+    zm.add_argument("--as-of", default=None, dest="as_of",
+                    help="time-travel read: ingest id (or __base__) whose "
+                         "snapshot to reconstruct from the manifest ledger")
 
     ib = sub.add_parser("index-build",
                         help="build (or resume) the persistent "
@@ -289,7 +292,8 @@ def main(argv=None) -> int:
             elif args.action == "compact":
                 summary = compact_sorted(args.store)
             else:
-                rows = (read_key_range(args.store, args.lo, args.hi)
+                rows = (read_key_range(args.store, args.lo, args.hi,
+                                       as_of=args.as_of)
                         .limit(args.limit).to_pandas())
                 for _, r in rows.iterrows():
                     print(json.dumps(

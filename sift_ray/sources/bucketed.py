@@ -100,19 +100,27 @@ def _bucket_paths(out_dir: str) -> dict:
     return {b: fs[0] for b, fs in files.items()}
 
 
-def _bucket_files(out_dir: str) -> dict:
+def _bucket_files(out_dir: str, as_of: Optional[str] = None) -> dict:
     """{bucket: [file paths]} of every committed non-empty bucket. A
     bucket holds ``rows.parquet`` plus any DELTA files its manifest
     record lists (O(delta) appends, see ``append_bucketed
     mode="delta"``); only files NAMED IN THE RECORD are returned, so a
-    crashed delta write that never reached the manifest is invisible."""
+    crashed delta write that never reached the manifest is invisible.
+    ``as_of`` (an ingest id, or ``manifest.SNAPSHOT_BASE``) restores the
+    file view as of that ingest — see ``manifest.snapshot_files``;
+    raises ``SnapshotUnavailable`` if compaction folded the history."""
+    from ..state.manifest import snapshot_files
+
     m = Manifest(out_dir)
     out = {}
     for rec in m.records():
         if rec.get("status") != "ok" or rec.get("n_rows", 0) == 0:
             continue
         pdir = m.partition_dir(rec["partition_id"])
-        names = rec.get("files", ["rows.parquet"])
+        if as_of is None:
+            names = rec.get("files", ["rows.parquet"])
+        else:
+            names = snapshot_files(rec, as_of, _delta_name)
         paths = [os.path.join(pdir, n) for n in names]
         paths = [p for p in paths if os.path.exists(p)]
         if paths:
@@ -121,16 +129,22 @@ def _bucket_files(out_dir: str) -> dict:
 
 
 def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
-                  key: Optional[str] = None, buckets: Optional[int] = None):
+                  key: Optional[str] = None, buckets: Optional[int] = None,
+                  as_of: Optional[str] = None):
     """Stream a bucketed table back as a Dataset. With ``key_values``
     (+ ``key``/``buckets``), only the buckets that can contain those keys
     are read AND a map-side ``is_in`` filter is applied — the partition-
     pruned point/IN lookup (bucket pruning is the storage-side analog of
-    predicate pushdown)."""
+    predicate pushdown). ``as_of`` (an ingest id, or
+    ``manifest.SNAPSHOT_BASE``) is the TIME-TRAVEL read: the manifest's
+    ordered ingest ledger + per-ingest delta files reconstruct the table
+    exactly as it stood after that ingest (delta mode preserves history;
+    compaction destroys it and the read raises ``SnapshotUnavailable``
+    instead of answering wrong)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    files = _bucket_files(out_dir)
+    files = _bucket_files(out_dir, as_of=as_of)
     if key_values is not None:
         assert key is not None and buckets is not None
         vals = pa.array(list(key_values))
@@ -327,7 +341,11 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
         m.update_record(b, {
             "n_rows": rec.get("n_rows", 0) + delta.num_rows,
             "files": rec.get("files", ["rows.parquet"]) + [name],
-            "ingests": rec.get("ingests", []) + [ingest_id]})
+            "ingests": rec.get("ingests", []) + [ingest_id],
+            # deposits = ingests that wrote ROWS into this bucket (vs the
+            # record-only ledger): what snapshot_files needs to decide
+            # which listed files predate an as_of ingest
+            "deposits": rec.get("deposits", []) + [ingest_id]})
         return pa.table(
             {"bkt": pa.array([b], pa.int64()),
              "n_rows": pa.array([delta.num_rows], pa.int64())},
@@ -404,7 +422,10 @@ def _compact_store(out_dir: str, key: str, min_files: int,
                 pq.write_table(merged, os.path.join(pdir, new_name))
                 record = {"n_rows": merged.num_rows,
                           "files": [new_name],
-                          "ingests": rec.get("ingests", [])}
+                          "ingests": rec.get("ingests", []),
+                          # preserved so snapshot reads can DETECT that
+                          # the folded history is gone (and refuse)
+                          "deposits": rec.get("deposits", [])}
                 if extra_record_fn is not None:
                     record.update(extra_record_fn(merged))
                 mm.update_record(b, record)

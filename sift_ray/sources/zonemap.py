@@ -232,7 +232,9 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str,
             "zones": _merge_zones(rec.get("zones", {}),
                                   _column_zones(delta)),
             "files": rec.get("files", ["rows.parquet"]) + [name],
-            "ingests": rec.get("ingests", []) + [ingest_id]})
+            "ingests": rec.get("ingests", []) + [ingest_id],
+            # row-writing ingests, for snapshot (as_of) reconstruction
+            "deposits": rec.get("deposits", []) + [ingest_id]})
         return pa.table(
             {"part": pa.array([b], pa.int64()),
              "n_rows": pa.array([delta.num_rows], pa.int64())},
@@ -261,12 +263,20 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str,
 
 def pruned_paths(out_dir: str, lo: Optional[int] = None,
                  hi: Optional[int] = None,
-                 col: Optional[str] = None) -> list:
+                 col: Optional[str] = None,
+                 as_of: Optional[str] = None) -> list:
     """Files whose zonemap can overlap [lo, hi] — decided from the
     manifest alone, zero data/footer reads. ``col=None`` prunes on the
     sort key; any other integer column prunes on its recorded per-file
     [min, max] (effective when correlated with the sort key; a file
-    with no recorded zone for ``col`` is conservatively kept)."""
+    with no recorded zone for ``col`` is conservatively kept).
+    ``as_of`` (ingest id / ``SNAPSHOT_BASE``) restores the file view as
+    of that ingest (``manifest.snapshot_files``); delta appends only
+    WIDEN the recorded zones, so pruning against the current zones stays
+    a correct superset for any older snapshot."""
+    from .bucketed import _delta_name
+    from ..state.manifest import snapshot_files
+
     m = Manifest(out_dir)
     keep = []
     for rec in m.records():
@@ -282,7 +292,9 @@ def pruned_paths(out_dir: str, lo: Optional[int] = None,
             if hi is not None and zone[0] > hi:
                 continue
         pdir = m.partition_dir(rec["partition_id"])
-        for name in rec.get("files", ["rows.parquet"]):
+        names = (rec.get("files", ["rows.parquet"]) if as_of is None
+                 else snapshot_files(rec, as_of, _delta_name))
+        for name in names:
             p = os.path.join(pdir, name)
             if os.path.exists(p):
                 keep.append(p)
@@ -316,20 +328,23 @@ def compact_sorted(out_dir: str, min_files: int = 2) -> dict:
 def read_key_range(out_dir: str, lo: Optional[int] = None,
                    hi: Optional[int] = None,
                    columns: Optional[list] = None,
-                   col: Optional[str] = None):
+                   col: Optional[str] = None,
+                   as_of: Optional[str] = None):
     """Stream rows with ``lo <= col <= hi`` (either bound optional;
     ``col`` defaults to the sort key). Three pruning levels: manifest
     zonemap (file skip — secondary integer columns prune on their
     recorded per-file stats), parquet row-group statistics pushdown
     (tight for the sort key; whatever physical clustering gives for
-    secondary columns), then an exact vectorized filter."""
+    secondary columns), then an exact vectorized filter. ``as_of``
+    (ingest id / ``SNAPSHOT_BASE``) time-travels to that ingest's state
+    (raises ``SnapshotUnavailable`` past a compaction)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray.data as rd
 
     with open(os.path.join(out_dir, _META_NAME)) as f:
         meta_key = json.load(f)["key"]
-    paths = pruned_paths(out_dir, lo, hi, col=col)
+    paths = pruned_paths(out_dir, lo, hi, col=col, as_of=as_of)
     key = col if col is not None else meta_key
     if not paths:
         # typed empty: a schemaless empty Dataset yields a 0-column

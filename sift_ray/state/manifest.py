@@ -103,3 +103,46 @@ class Manifest:
             "bytes_in": sum(r.get("bytes_in", 0) for r in recs),
             "wall_s": sum(r.get("wall_s", 0.0) for r in recs),
         }
+
+
+# --- snapshot (time-travel) reads over the ingest ledger ------------------
+
+#: pseudo ingest id naming the store's state before any append
+SNAPSHOT_BASE = "__base__"
+
+
+class SnapshotUnavailable(ValueError):
+    """The requested snapshot's delta files were folded into the base by a
+    compaction — the history needed to reconstruct it no longer exists."""
+
+
+def snapshot_files(rec: Dict, as_of: str, delta_name_fn) -> List[str]:
+    """File names of ``rec`` as they stood right after ingest ``as_of``.
+
+    Works off two manifest-record facts: ``ingests`` is the ORDERED ledger
+    of every ingest the store has seen (all records carry the full ledger
+    — untouched partitions get record-only updates), and ``deposits`` is
+    the subset that actually wrote rows into THIS partition, each as a
+    listed per-ingest delta file whose name is a pure function of the
+    ingest id. A snapshot is reconstructible iff every post-``as_of``
+    deposit still has its delta file listed separately; compaction folds
+    them into the base and raises ``SnapshotUnavailable`` instead of
+    silently returning wrong rows. ``SNAPSHOT_BASE`` names the
+    pre-any-append state."""
+    names = rec.get("files", ["rows.parquet"])
+    ingests = rec.get("ingests", [])
+    if as_of == SNAPSHOT_BASE:
+        later = list(ingests)
+    else:
+        if as_of not in ingests:
+            raise ValueError(f"unknown ingest id {as_of!r} "
+                             f"(ledger: {ingests!r})")
+        later = ingests[ingests.index(as_of) + 1:]
+    later_dep = [j for j in later if j in rec.get("deposits", [])]
+    drop = {delta_name_fn(j) for j in later_dep}
+    folded = [j for j in later_dep if delta_name_fn(j) not in names]
+    if folded:
+        raise SnapshotUnavailable(
+            f"snapshot {as_of!r}: delta files of later ingests {folded!r} "
+            "were compacted into the base")
+    return [n for n in names if n not in drop]

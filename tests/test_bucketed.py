@@ -601,3 +601,109 @@ def test_delta_crash_windows_are_safe(ray_session, tmp_path):
     back = read_bucketed(d).to_pandas()
     assert len(back) == 60 and sorted(back["k"].unique()) == \
         sorted(set(range(40)))
+
+
+def test_bucketed_snapshot_time_travel(ray_session, tmp_path):
+    """as_of reads reconstruct the table exactly as it stood after each
+    ingest from the manifest ledger + per-ingest delta files; compaction
+    destroys the history and the read REFUSES (SnapshotUnavailable)
+    instead of answering wrong."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, compact_bucketed,
+                                           read_bucketed, write_bucketed)
+    from sift_ray.state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    def tbl(lo, hi):
+        return pa.table({"k": pa.array(range(lo, hi), pa.int64()),
+                         "v": pa.array([i * 10 for i in range(lo, hi)],
+                                       pa.int64())})
+
+    d = str(tmp_path / "snap")
+    write_bucketed(rd.from_arrow(tbl(0, 100)), d, key="k", buckets=8)
+    append_bucketed(rd.from_arrow(tbl(100, 150)), d, key="k",
+                    ingest_id="d1", mode="delta")
+    append_bucketed(rd.from_arrow(tbl(150, 200)), d, key="k",
+                    ingest_id="d2", mode="delta")
+
+    def ks(ds):
+        return sorted(ds.to_pandas()["k"].tolist())
+
+    assert ks(read_bucketed(d)) == list(range(200))
+    assert ks(read_bucketed(d, as_of="d2")) == list(range(200))
+    assert ks(read_bucketed(d, as_of="d1")) == list(range(150))
+    assert ks(read_bucketed(d, as_of=SNAPSHOT_BASE)) == list(range(100))
+    with pytest.raises(ValueError, match="unknown ingest id"):
+        read_bucketed(d, as_of="never-happened")
+
+    compact_bucketed(d, key="k")
+    # history folded: older snapshots refuse; latest == current still fine
+    with pytest.raises(SnapshotUnavailable):
+        read_bucketed(d, as_of="d1")
+    with pytest.raises(SnapshotUnavailable):
+        read_bucketed(d, as_of=SNAPSHOT_BASE)
+    assert ks(read_bucketed(d, as_of="d2")) == list(range(200))
+    assert ks(read_bucketed(d)) == list(range(200))
+
+
+def test_sorted_snapshot_time_travel(ray_session, tmp_path):
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_sorted, compact_sorted,
+                                          read_key_range, write_sorted)
+    from sift_ray.state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    def tbl(keys):
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array([x * 3 for x in keys], pa.int64())})
+
+    d = str(tmp_path / "zsnap")
+    write_sorted(rd.from_arrow(tbl(list(range(0, 1000, 2)))), d,
+                 key="k", files=6)
+    append_sorted(rd.from_arrow(tbl(list(range(1, 500, 2)))), d,
+                  ingest_id="w1", mode="delta")
+    append_sorted(rd.from_arrow(tbl(list(range(501, 1000, 2)))), d,
+                  ingest_id="w2", mode="delta")
+
+    def ks(ds):
+        return sorted(ds.to_pandas()["k"].tolist())
+
+    assert ks(read_key_range(d, 0, 999)) == list(range(1000))
+    assert ks(read_key_range(d, 0, 999, as_of=SNAPSHOT_BASE)) \
+        == list(range(0, 1000, 2))
+    assert ks(read_key_range(d, 0, 999, as_of="w1")) \
+        == sorted(list(range(0, 1000, 2)) + list(range(1, 500, 2)))
+    # range pruning composes with the snapshot view
+    assert ks(read_key_range(d, 100, 199, as_of="w1")) \
+        == list(range(100, 200))
+    compact_sorted(d)
+    with pytest.raises(SnapshotUnavailable):
+        read_key_range(d, 0, 999, as_of="w1")
+    assert ks(read_key_range(d, 0, 999, as_of="w2")) == list(range(1000))
+
+
+def test_cli_zonemap_as_of_read(ray_session, tmp_path, capsys):
+    """CLI time-travel: zonemap read --as-of reconstructs the pre-append
+    snapshot from the manifest ledger."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sift_ray.cli import main
+
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    pq.write_table(pa.table({"k": pa.array(range(0, 40), pa.int64())}), base)
+    pq.write_table(pa.table({"k": pa.array(range(40, 60), pa.int64())}),
+                   delta)
+    store = str(tmp_path / "store")
+    assert main(["zonemap", "write", "--store", store, "--input", base,
+                 "--key", "k", "--files", "4"]) == 0
+    capsys.readouterr()
+    assert main(["zonemap", "append", "--store", store, "--input", delta,
+                 "--ingest-id", "w1", "--mode", "delta"]) == 0
+    capsys.readouterr()
+    assert main(["zonemap", "read", "--store", store, "--limit", "100",
+                 "--as-of", "__base__"]) == 0
+    lines = [_json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    ks = sorted(r["k"] for r in lines if "k" in r)
+    assert ks == list(range(0, 40))
