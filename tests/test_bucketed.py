@@ -707,3 +707,31 @@ def test_cli_zonemap_as_of_read(ray_session, tmp_path, capsys):
              capsys.readouterr().out.strip().splitlines()]
     ks = sorted(r["k"] for r in lines if "k" in r)
     assert ks == list(range(0, 40))
+
+
+def test_bucketed_delta_schema_evolution(ray_session, tmp_path):
+    """A delta ingest may ADD a nullable column (crawl dumps grow fields
+    over time): readers unify the file schemas (old rows null-padded) and
+    compaction folds the union schema — pinned here so the LSM path keeps
+    supporting it."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, compact_bucketed,
+                                           read_bucketed, write_bucketed)
+
+    d = str(tmp_path / "evo")
+    base = pa.table({"k": pa.array(range(20), pa.int64()),
+                     "v": pa.array(range(20), pa.int64())})
+    delta = pa.table({"k": pa.array(range(20, 30), pa.int64()),
+                      "v": pa.array(range(20, 30), pa.int64()),
+                      "lang": pa.array(["en"] * 10)})
+    write_bucketed(rd.from_arrow(base), d, key="k", buckets=4)
+    append_bucketed(rd.from_arrow(delta), d, key="k",
+                    ingest_id="i1", mode="delta")
+    for label in ("delta", "compacted"):
+        df = read_bucketed(d).to_pandas().sort_values("k")
+        assert sorted(df.columns) == ["k", "lang", "v"], label
+        assert len(df) == 30, label
+        assert df["lang"].notna().sum() == 10, label
+        assert df[df["k"] >= 20]["lang"].notna().all(), label
+        if label == "delta":
+            compact_bucketed(d, key="k")
