@@ -771,6 +771,52 @@ def _q_bucketed_time_travel(sf_dir: str):
     return read_bucketed(d, as_of="d1")
 
 
+def _q_bucketed_upsert_delete(sf_dir: str):
+    """MERGE/upsert + keyed delete on the LSM bucketed store
+    (sources/bucketed.py upsert_bucketed/delete_bucketed): the documents
+    table is the base; an upsert delta REPLACES every doc_id%4==0 row
+    (re-fetched pages) and INSERTS doc_id%16==0 under shifted ids (new
+    pages); a tombstone delta then deletes doc_id%6==0 (takedowns). Both
+    land in O(delta) LSM mode — the read resolves
+    later-file-shadows-earlier per bucket, value-exact vs the SQL MERGE
+    mirror (replays and compaction pinned in tests)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.sources.bucketed import (delete_bucketed, read_bucketed,
+                                           upsert_bucketed, write_bucketed)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk_upsert(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id")
+        rep = t.filter(pc.equal(pc.bit_wise_and(ids, 3), 0))
+        rep = rep.set_column(
+            1, "text", pc.binary_join_element_wise(
+                rep.column("text"), "!u", ""))
+        ins = t.filter(pc.equal(pc.bit_wise_and(ids, 15), 0))
+        ins = pa.table({
+            "doc_id": pc.add(ins.column("doc_id"), 1000000000),
+            "text": pc.binary_join_element_wise(
+                ins.column("text"), "!n", "")})
+        return pa.concat_tables([rep, ins])
+
+    def mk_delete(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id")
+        keep = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 6), 6)), 0)
+        return t.filter(keep).select(["doc_id"])
+
+    d = tempfile.mkdtemp(prefix="sift_bkt_ud_")
+    write_bucketed(docs, d, key="doc_id", buckets=8)
+    upsert_bucketed(docs.map_batches(mk_upsert, batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="u1", mode="delta")
+    delete_bucketed(docs.map_batches(mk_delete, batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="x1", mode="delta")
+    return read_bucketed(d)
+
+
 def _q_orders_join_sorted(sf_dir: str):
     """ZERO-SHUFFLE sort-merge join of two range-partitioned sorted
     stores (sources/zonemap.py join_sorted): orders and customer each
@@ -2968,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_counts_bucketed": _q_nation_counts_bucketed,
         "bucketed_ingest": _q_bucketed_ingest,
         "bucketed_time_travel": _q_bucketed_time_travel,
+        "bucketed_upsert_delete": _q_bucketed_upsert_delete,
         "corpus_diff": _q_corpus_diff,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
@@ -3519,6 +3566,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_time_travel": """
             SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+        """,
+        "bucketed_upsert_delete": """
+            WITH merged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN text || '!u'
+                            ELSE text END AS text
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, text || '!n'
+                FROM documents WHERE doc_id % 16 = 0
+            )
+            SELECT doc_id, text FROM merged
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM documents WHERE doc_id % 6 = 0)
         """,
         "corpus_diff": """
             WITH old AS (

@@ -236,7 +236,8 @@ def run_bench() -> dict:
         "c4_filters", "char_entropy", "ccnet_line_dedup", "brand_revenue",
         "oov_rate", "politeness_schedule", "gopher_repetition",
         "events_window_store", "price_quantiles_cont",
-        "qty_price_regression", "bucketed_time_travel")
+        "qty_price_regression", "bucketed_time_travel",
+        "bucketed_upsert_delete")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

@@ -95,8 +95,15 @@ def _build_parser() -> argparse.ArgumentParser:
     bk.add_argument("--append", metavar="INGEST_ID", default=None,
                     help="exactly-once delta ingest into an existing "
                          "store under this ingest id")
+    bk.add_argument("--upsert", metavar="INGEST_ID", default=None,
+                    help="exactly-once MERGE: delta rows REPLACE "
+                         "same-key rows, new keys insert")
+    bk.add_argument("--delete", metavar="INGEST_ID", default=None,
+                    help="exactly-once keyed delete: --input is a "
+                         "parquet of keys to remove (tombstones in "
+                         "delta mode)")
     bk.add_argument("--mode", choices=["merge", "delta"], default="merge",
-                    help="append mode: rewrite touched buckets (merge) "
+                    help="ingest mode: rewrite touched buckets (merge) "
                          "or O(delta) listed files (delta)")
     bk.add_argument("--compact", action="store_true",
                     help="fold delta files back to one sorted file per "
@@ -248,6 +255,8 @@ def main(argv=None) -> int:
 
             from .sources.bucketed import (append_bucketed,
                                            compact_bucketed,
+                                           delete_bucketed,
+                                           upsert_bucketed,
                                            write_bucketed)
             if args.compact:
                 summary = compact_bucketed(args.output, key=args.key)
@@ -258,6 +267,16 @@ def main(argv=None) -> int:
                 summary = append_bucketed(rd.read_parquet(args.input),
                                           args.output, key=args.key,
                                           ingest_id=args.append,
+                                          mode=args.mode)
+            elif args.upsert:
+                summary = upsert_bucketed(rd.read_parquet(args.input),
+                                          args.output, key=args.key,
+                                          ingest_id=args.upsert,
+                                          mode=args.mode)
+            elif args.delete:
+                summary = delete_bucketed(rd.read_parquet(args.input),
+                                          args.output, key=args.key,
+                                          ingest_id=args.delete,
                                           mode=args.mode)
             else:
                 summary = write_bucketed(rd.read_parquet(args.input),

@@ -70,7 +70,7 @@ def write_bucketed(ds, out_dir: str, key: str, buckets: int = 32) -> dict:
             t = t.drop_columns("part")
             t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
             pq.write_table(t, os.path.join(tmp, "rows.parquet"))
-            m.commit_partition(b, {"n_rows": t.num_rows})
+            m.commit_partition(b, {"n_rows": t.num_rows, "key": key})
             return pa.table({"bkt": pa.array([b], pa.int64()),
                              "n_rows": pa.array([t.num_rows], pa.int64())},
                             schema=stats_schema)
@@ -82,7 +82,7 @@ def write_bucketed(ds, out_dir: str, key: str, buckets: int = 32) -> dict:
         for b in range(buckets):
             if not manifest.is_done(b):
                 os.makedirs(manifest.tmp_partition_dir(b), exist_ok=True)
-                manifest.commit_partition(b, {"n_rows": 0})
+                manifest.commit_partition(b, {"n_rows": 0, "key": key})
 
     out = manifest.summary()
     out["rows"] = sum(r.get("n_rows", 0) for r in manifest.records())
@@ -100,15 +100,19 @@ def _bucket_paths(out_dir: str) -> dict:
     return {b: fs[0] for b, fs in files.items()}
 
 
-def _bucket_files(out_dir: str, as_of: Optional[str] = None) -> dict:
-    """{bucket: [file paths]} of every committed non-empty bucket. A
-    bucket holds ``rows.parquet`` plus any DELTA files its manifest
-    record lists (O(delta) appends, see ``append_bucketed
-    mode="delta"``); only files NAMED IN THE RECORD are returned, so a
-    crashed delta write that never reached the manifest is invisible.
-    ``as_of`` (an ingest id, or ``manifest.SNAPSHOT_BASE``) restores the
-    file view as of that ingest — see ``manifest.snapshot_files``;
-    raises ``SnapshotUnavailable`` if compaction folded the history."""
+def _bucket_views(out_dir: str, as_of: Optional[str] = None) -> dict:
+    """{bucket: ([file paths], [deposit kinds])} of every committed
+    non-empty bucket, in manifest file-list (= deposit) order. A bucket
+    holds ``rows.parquet`` plus any DELTA files its manifest record
+    lists (O(delta) appends/upserts/deletes); only files NAMED IN THE
+    RECORD are returned, so a crashed delta write that never reached
+    the manifest is invisible. Each file's KIND comes from the record's
+    ``kinds`` map (absent = "append"): "upsert" and "delete" deposits
+    shadow same-key rows of every EARLIER listed file — see
+    ``_resolve_bucket``. ``as_of`` (an ingest id, or
+    ``manifest.SNAPSHOT_BASE``) restores the file view as of that
+    ingest — see ``manifest.snapshot_files``; raises
+    ``SnapshotUnavailable`` if compaction folded the history."""
     from ..state.manifest import snapshot_files
 
     m = Manifest(out_dir)
@@ -121,11 +125,66 @@ def _bucket_files(out_dir: str, as_of: Optional[str] = None) -> dict:
             names = rec.get("files", ["rows.parquet"])
         else:
             names = snapshot_files(rec, as_of, _delta_name)
-        paths = [os.path.join(pdir, n) for n in names]
-        paths = [p for p in paths if os.path.exists(p)]
-        if paths:
-            out[rec["partition_id"]] = paths
+        kind_map = rec.get("kinds", {})
+        pairs = [(os.path.join(pdir, n), kind_map.get(n, "append"))
+                 for n in names]
+        pairs = [(p, k) for p, k in pairs if os.path.exists(p)]
+        if pairs:
+            out[rec["partition_id"]] = ([p for p, _ in pairs],
+                                        [k for _, k in pairs])
     return out
+
+
+def _bucket_files(out_dir: str, as_of: Optional[str] = None) -> dict:
+    """{bucket: [file paths]} view of ``_bucket_views`` for append-only
+    callers (postings stores etc. — no shadowing kinds ever land there)."""
+    return {b: paths
+            for b, (paths, _kinds) in _bucket_views(out_dir, as_of).items()}
+
+
+def _resolve_bucket(paths, kinds, key: str,
+                    columns: Optional[Sequence[str]] = None) -> pa.Table:
+    """Materialize one bucket's LOGICAL rows from its listed files.
+
+    Files are in deposit order; an "upsert" or "delete" deposit shadows
+    every row with the same key in every EARLIER file (MERGE
+    whole-key-replacement semantics: an upsert's rows replace all prior
+    rows of that key; a delete is a key-only tombstone file). Plain
+    "append" deposits never shadow, so an all-append bucket reduces to
+    the old concat — zero behavior change for append-only stores.
+    Implementation walks the files last→first accumulating the shadow
+    key set, then concatenates survivors in forward file order (keeps
+    compaction bytes identical for append-only history)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if all(k == "append" for k in kinds):
+        return pa.concat_tables([pq.read_table(p, columns=columns)
+                                 for p in paths],
+                                promote_options="default")
+
+    shadow = []   # list of pa.Array key chunks from later shadowing files
+    out_rev = []
+    for p, k in zip(reversed(paths), reversed(kinds)):
+        if k == "delete":
+            t = pq.read_table(p, columns=[key])
+            shadow.append(t.column(key).combine_chunks())
+            continue
+        t = pq.read_table(p, columns=columns)
+        if shadow:
+            vals = pa.concat_arrays([a.cast(shadow[0].type)
+                                     for a in shadow])
+            keep = pc.invert(pc.is_in(t.column(key), value_set=vals))
+            t = t.filter(pc.fill_null(keep, True))
+        if k == "upsert":
+            shadow.append(t.column(key).combine_chunks())
+        out_rev.append(t)
+    if not out_rev:  # every data row tombstoned: typed empty table
+        for p, k in zip(paths, kinds):
+            if k != "delete":
+                return pq.read_schema(p).empty_table()
+        raise AssertionError("bucket listed with no data files")
+    return pa.concat_tables(out_rev[::-1], promote_options="default")
 
 
 def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
@@ -144,22 +203,47 @@ def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
     import pyarrow.compute as pc
     import ray.data as rd
 
-    files = _bucket_files(out_dir, as_of=as_of)
+    views = _bucket_views(out_dir, as_of=as_of)
+    vals = None
     if key_values is not None:
         assert key is not None and buckets is not None
         vals = pa.array(list(key_values))
         want = set(_bucket_of(vals, buckets).tolist())
-        files = {b: fs for b, fs in files.items() if b in want}
-        if not files:
-            return rd.from_items([])
-        ds = rd.read_parquet(sorted(p for fs in files.values()
-                                    for p in fs))
+        views = {b: v for b, v in views.items() if b in want}
+    if not views:
+        return rd.from_items([])
+
+    if any(k != "append" for _p, ks in views.values() for k in ks):
+        # upsert/delete deposits present: per-bucket resolving read (one
+        # task per bucket applies the shadow rule before rows stream out)
+        kcol = key
+        if kcol is None:  # resolution needs the store key; recover it
+            kcol = _store_key(out_dir)
+
+        def load(t: pa.Table) -> pa.Table:
+            tabs = []
+            for ps, ks in zip(t.column("paths").to_pylist(),
+                              t.column("kinds").to_pylist()):
+                r = _resolve_bucket(ps, ks, kcol)
+                if vals is not None:
+                    r = r.filter(pc.is_in(r.column(kcol),
+                                          value_set=vals))
+                tabs.append(r)
+            return pa.concat_tables(tabs, promote_options="default")
+
+        tasks = rd.from_items(
+            [{"paths": ps, "kinds": ks}
+             for _b, (ps, ks) in sorted(views.items())])
+        return tasks.map_batches(load, batch_format="pyarrow",
+                                 batch_size=1)
+
+    ds = rd.read_parquet(sorted(p for ps, _k in views.values()
+                                for p in ps))
+    if vals is not None:
         return ds.map_batches(
             lambda t: t.filter(pc.is_in(t.column(key), value_set=vals)),
             batch_format="pyarrow")
-    if not files:
-        return rd.from_items([])
-    return rd.read_parquet(sorted(p for fs in files.values() for p in fs))
+    return ds
 
 
 def join_bucketed(left_dir: str, right_dir: str, on: str,
@@ -185,10 +269,10 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
     assert n_l == n_r and n_l > 0, \
         f"bucket counts differ ({n_l} vs {n_r}) — co-partitioning broken"
 
-    lfiles = _bucket_files(left_dir)
-    rfiles = _bucket_files(right_dir)
-    pairs = [(b, lfiles[b], rfiles.get(b))
-             for b in sorted(lfiles)]
+    lviews = _bucket_views(left_dir)
+    rviews = _bucket_views(right_dir)
+    pairs = [(b, lviews[b], rviews.get(b))
+             for b in sorted(lviews)]
     if how in ("inner", "semi"):
         pairs = [p for p in pairs if p[2] is not None]
     if not pairs:
@@ -197,14 +281,11 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
     join_type = {"inner": "inner", "semi": "left semi",
                  "anti": "left anti"}[how]
 
-    def join_pair(lpaths, rpaths) -> pa.Table:
-        import pyarrow.parquet as pq
-        lt = pa.concat_tables([pq.read_table(p) for p in lpaths],
-                              promote_options="default")
-        if not rpaths:  # anti join with no right bucket: keep all rows
+    def join_pair(lview, rview) -> pa.Table:
+        lt = _resolve_bucket(lview[0], lview[1], on)
+        if not rview[0]:  # anti join with no right bucket: keep all rows
             return lt
-        rt = pa.concat_tables([pq.read_table(p) for p in rpaths],
-                              promote_options="default")
+        rt = _resolve_bucket(rview[0], rview[1], on)
         out = lt.join(rt, keys=on, join_type=join_type,
                       right_suffix=suffix)
         # Arrow's join may reorder columns; pin left-table order first
@@ -212,14 +293,18 @@ def join_bucketed(left_dir: str, right_dir: str, on: str,
             [c for c in out.column_names if c not in lt.column_names]
         return out.select(names)
 
-    tasks = rd.from_items([{"lpaths": lp, "rpaths": rp or []}
-                           for _b, lp, rp in pairs])
+    tasks = rd.from_items(
+        [{"lpaths": lv[0], "lkinds": lv[1],
+          "rpaths": (rv or ([], []))[0], "rkinds": (rv or ([], []))[1]}
+         for _b, lv, rv in pairs])
     # batch_size=1: one task per bucket pair (the unit of parallelism)
     return tasks.map_batches(
         lambda t: pa.concat_tables(
-            [join_pair(lp, rp)
-             for lp, rp in zip(t.column("lpaths").to_pylist(),
-                               t.column("rpaths").to_pylist())]),
+            [join_pair((lp, lk), (rp, rk))
+             for lp, lk, rp, rk in zip(t.column("lpaths").to_pylist(),
+                                       t.column("lkinds").to_pylist(),
+                                       t.column("rpaths").to_pylist(),
+                                       t.column("rkinds").to_pylist())]),
         batch_format="pyarrow", batch_size=1)
 
 
@@ -234,11 +319,10 @@ def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
     ``extra_keys`` adds secondary GROUP BY columns (all rows of a bucket
     key co-locate, so any (key, extra...) group is still bucket-local).
     Returns a Dataset of the per-key aggregate rows."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    files = _bucket_files(out_dir)
-    if not files:
+    views = _bucket_views(out_dir)
+    if not views:
         return rd.from_items([])
 
     agg_list = [tuple(a) for a in aggs]
@@ -246,21 +330,32 @@ def agg_bucketed(out_dir: str, key: str, aggs: Sequence,
 
     def agg_file(t: pa.Table) -> pa.Table:
         out = []
-        for fps in t.column("paths").to_pylist():
+        for fps, fks in zip(t.column("paths").to_pylist(),
+                            t.column("kinds").to_pylist()):
             want = (group_cols + [c for c, _ in agg_list if c is not None]
                     if columns is None else list(columns))
             cols = list(dict.fromkeys(want))
-            tbl = pa.concat_tables([pq.read_table(p, columns=cols)
-                                    for p in fps],
-                                   promote_options="default")
+            tbl = _resolve_bucket(fps, fks, key, columns=cols)
             out.append(tbl.group_by(group_cols).aggregate(
                 [(c if c is not None else [], f) for c, f in agg_list]))
         return pa.concat_tables(out)
 
-    tasks = rd.from_items([{"paths": p}
-                           for _b, p in sorted(files.items())])
+    tasks = rd.from_items([{"paths": ps, "kinds": ks}
+                           for _b, (ps, ks) in sorted(views.items())])
     return tasks.map_batches(agg_file, batch_format="pyarrow",
                              batch_size=1)
+
+
+def _store_key(out_dir: str) -> str:
+    """The bucket key column recorded in the manifest (written by
+    ``write_bucketed`` and every ``_ingest``); needed by resolving reads
+    that must apply upsert/delete shadowing without the caller passing
+    the key name."""
+    for rec in Manifest(out_dir).records():
+        if rec.get("key"):
+            return rec["key"]
+    raise ValueError(f"{out_dir}: no record carries the store key — "
+                     "pass key= explicitly")
 
 
 def _delta_name(ingest_id: str) -> str:
@@ -298,10 +393,54 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
     the manifest protocol): a crash inside the swap window can require
     re-running the ingest for that bucket; the ingest-id ledger makes
     that retry safe. Returns the manifest summary + per-bucket rows."""
+    return _ingest(delta_ds, out_dir, key, ingest_id,
+                   kind="append", mode=mode)
+
+
+def upsert_bucketed(delta_ds, out_dir: str, key: str,
+                    ingest_id: str, mode: str = "merge") -> dict:
+    """EXACTLY-ONCE MERGE/upsert into a bucketed table: each delta row
+    REPLACES every existing row with the same key (whole-key-replacement
+    — the SQL ``MERGE WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT`` shape for re-fetched crawl pages); keys absent from the
+    store simply insert. Rides ``append_bucketed``'s exactly-once delta
+    protocol; the deposit is marked kind="upsert" in the record's
+    ``kinds`` map so readers/compaction apply later-file-shadows-earlier
+    resolution (``_resolve_bucket``). ``mode="delta"`` is the O(delta)
+    LSM shape (reads resolve shadowing on the fly);
+    ``mode="merge"`` (default) folds touched buckets immediately so
+    reads stay plain single-file scans."""
+    return _ingest(delta_ds, out_dir, key, ingest_id,
+                   kind="upsert", mode=mode)
+
+
+def delete_bucketed(keys_ds, out_dir: str, key: str,
+                    ingest_id: str, mode: str = "merge") -> dict:
+    """EXACTLY-ONCE keyed delete from a bucketed table (the takedown /
+    right-to-be-forgotten path — at 100 TB a delete must not rewrite the
+    store): ``keys_ds`` is a Dataset carrying the key column (or a plain
+    sequence of key values); every row with a listed key disappears.
+    ``mode="delta"`` lands a key-only TOMBSTONE file per touched bucket
+    — O(deleted keys) I/O, reads mask on the fly; ``mode="merge"``
+    (default) folds touched buckets immediately. Exactly-once via the
+    same ingest-id ledger as appends; replays are manifest no-ops."""
+    import ray.data as rd
+
+    if not hasattr(keys_ds, "map_batches"):
+        keys_ds = rd.from_arrow(pa.table({key: pa.array(list(keys_ds))}))
+    return _ingest(keys_ds, out_dir, key, ingest_id,
+                   kind="delete", mode=mode)
+
+
+def _ingest(delta_ds, out_dir: str, key: str, ingest_id: str,
+            kind: str, mode: str) -> dict:
+    """Shared exactly-once deposit machinery for append/upsert/delete —
+    see the public wrappers for semantics."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     assert mode in ("merge", "delta"), mode
+    assert kind in ("append", "upsert", "delete"), kind
 
     manifest = Manifest(out_dir)
     recs = {r["partition_id"]: r for r in manifest.records()
@@ -328,6 +467,8 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
         if ingest_id in rec.get("ingests", []):  # retry after commit
             return stats_schema.empty_table()
         delta = t.drop_columns("part")
+        if kind == "delete":  # tombstone file carries only the key
+            delta = delta.select([key])
         pdir = m.partition_dir(b)
         # the delta ALWAYS lands as a per-ingest file made visible by an
         # atomic record extension — the only exactly-once-safe shape (a
@@ -338,14 +479,25 @@ def append_bucketed(delta_ds, out_dir: str, key: str,
             delta, sort_keys=[(key, "ascending")]))
         name = _delta_name(ingest_id)
         pq.write_table(delta, os.path.join(pdir, name))
-        m.update_record(b, {
-            "n_rows": rec.get("n_rows", 0) + delta.num_rows,
+        updates = {
+            # n_rows counts PHYSICAL data rows listed (an upper bound on
+            # logical rows once shadowing kinds exist; compaction
+            # restores exactness). Tombstones add no data rows — an
+            # empty bucket stays invisibly empty.
+            "n_rows": (rec.get("n_rows", 0) + delta.num_rows
+                       if kind != "delete" else rec.get("n_rows", 0)),
+            "key": key,
             "files": rec.get("files", ["rows.parquet"]) + [name],
             "ingests": rec.get("ingests", []) + [ingest_id],
             # deposits = ingests that wrote ROWS into this bucket (vs the
             # record-only ledger): what snapshot_files needs to decide
             # which listed files predate an as_of ingest
-            "deposits": rec.get("deposits", []) + [ingest_id]})
+            "deposits": rec.get("deposits", []) + [ingest_id]}
+        if kind != "append":
+            kmap = dict(rec.get("kinds", {}))
+            kmap[name] = kind
+            updates["kinds"] = kmap
+        m.update_record(b, updates)
         return pa.table(
             {"bkt": pa.array([b], pa.int64()),
              "n_rows": pa.array([delta.num_rows], pa.int64())},
@@ -409,27 +561,37 @@ def _compact_store(out_dir: str, key: str, min_files: int,
             names = rec.get("files", ["rows.parquet"])
             pdir = mm.partition_dir(b)
             if len(names) >= min_files:
-                parts = [pq.read_table(os.path.join(pdir, n))
+                kind_map = rec.get("kinds", {})
+                pairs = [(os.path.join(pdir, n),
+                          kind_map.get(n, "append"))
                          for n in names
                          if os.path.exists(os.path.join(pdir, n))]
-                merged = pa.concat_tables(parts,
-                                          promote_options="default")
-                merged = merged.take(pc.sort_indices(
-                    merged, sort_keys=[(key, "ascending")]))
-                new_name = "compact-" + hashlib.blake2b(
-                    "\n".join(names).encode(),
-                    digest_size=6).hexdigest() + ".parquet"
-                pq.write_table(merged, os.path.join(pdir, new_name))
-                record = {"n_rows": merged.num_rows,
-                          "files": [new_name],
-                          "ingests": rec.get("ingests", []),
+                # the fold applies upsert/delete shadowing (no-op concat
+                # for append-only history — bytes unchanged); resolved
+                # rows re-sort by key. None = every row tombstoned.
+                merged = _resolve_bucket([p for p, _ in pairs],
+                                         [k for _, k in pairs], key)
+                record = {"ingests": rec.get("ingests", []),
                           # preserved so snapshot reads can DETECT that
                           # the folded history is gone (and refuse)
-                          "deposits": rec.get("deposits", [])}
-                if extra_record_fn is not None:
+                          "deposits": rec.get("deposits", []),
+                          "kinds": {}}
+                if merged is None or merged.num_rows == 0:
+                    record.update({"n_rows": 0, "files": []})
+                    names = []
+                else:
+                    merged = merged.take(pc.sort_indices(
+                        merged, sort_keys=[(key, "ascending")]))
+                    new_name = "compact-" + hashlib.blake2b(
+                        "\n".join(names).encode(),
+                        digest_size=6).hexdigest() + ".parquet"
+                    pq.write_table(merged, os.path.join(pdir, new_name))
+                    record.update({"n_rows": merged.num_rows,
+                                   "files": [new_name]})
+                    names = [new_name]
+                if extra_record_fn is not None and merged is not None:
                     record.update(extra_record_fn(merged))
                 mm.update_record(b, record)
-                names = [new_name]
             # sweep stale unlisted files (prior crashed compactions)
             if os.path.isdir(pdir):
                 for f in os.listdir(pdir):

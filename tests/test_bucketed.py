@@ -735,3 +735,229 @@ def test_bucketed_delta_schema_evolution(ray_session, tmp_path):
         assert df[df["k"] >= 20]["lang"].notna().all(), label
         if label == "delta":
             compact_bucketed(d, key="k")
+
+
+def _kv(ids, tag):
+    return pa.table({"k": pa.array(ids, pa.int64()),
+                     "v": pa.array([f"{tag}{i}" for i in ids])})
+
+
+def test_upsert_bucketed_replaces_and_inserts(ray_session, tmp_path):
+    """MERGE semantics: an upsert delta REPLACES every existing row of
+    its keys and inserts unknown keys; delta mode resolves shadowing at
+    read time, merge mode folds eagerly — identical logical rows."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (read_bucketed, upsert_bucketed,
+                                           write_bucketed)
+
+    exp = {i: f"b{i}" for i in range(30)}
+    exp.update({0: "u0", 7: "u7", 14: "u14", 100: "u100"})
+    for mode in ("delta", "merge"):
+        d = str(tmp_path / f"up_{mode}")
+        write_bucketed(rd.from_arrow(_kv(range(30), "b")), d,
+                       key="k", buckets=4)
+        upsert_bucketed(rd.from_arrow(_kv([0, 7, 14, 100], "u")), d,
+                        key="k", ingest_id="u1", mode=mode)
+        got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+        assert got == exp, mode
+
+
+def test_upsert_replaces_all_rows_of_key(ray_session, tmp_path):
+    """Whole-key replacement: a key with MULTIPLE base rows loses all of
+    them; the upsert's own rows (possibly several) are what remains."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (read_bucketed, upsert_bucketed,
+                                           write_bucketed)
+
+    base = pa.table({"k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                     "v": pa.array(list("abcdef"))})
+    up = pa.table({"k": pa.array([1, 1], pa.int64()),
+                   "v": pa.array(["X", "Y"])})
+    d = str(tmp_path / "multi")
+    write_bucketed(rd.from_arrow(base), d, key="k", buckets=2)
+    upsert_bucketed(rd.from_arrow(up), d, key="k",
+                    ingest_id="u1", mode="delta")
+    got = sorted((r["k"], r["v"]) for r in read_bucketed(d).take_all())
+    assert got == [(1, "X"), (1, "Y"), (2, "d"), (2, "e"), (3, "f")]
+
+
+def test_delete_bucketed_tombstones(ray_session, tmp_path):
+    """Keyed delete: tombstone files mask rows at read time (delta) or
+    fold eagerly (merge); absent keys are a no-op; replay is a manifest
+    no-op; a later upsert can re-insert a deleted key."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (delete_bucketed, read_bucketed,
+                                           upsert_bucketed, write_bucketed)
+
+    for mode in ("delta", "merge"):
+        d = str(tmp_path / f"del_{mode}")
+        write_bucketed(rd.from_arrow(_kv(range(20), "b")), d,
+                       key="k", buckets=4)
+        delete_bucketed([3, 5, 999], d, key="k", ingest_id="x1", mode=mode)
+        exp = {i: f"b{i}" for i in range(20) if i not in (3, 5)}
+        got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+        assert got == exp, mode
+        # replay: exactly-once ledger makes it a pure no-op
+        delete_bucketed([3, 5, 999], d, key="k", ingest_id="x1", mode=mode)
+        got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+        assert got == exp, mode
+        # re-insert a deleted key via a later upsert
+        upsert_bucketed(rd.from_arrow(_kv([3], "n")), d, key="k",
+                        ingest_id="u2", mode=mode)
+        exp[3] = "n3"
+        got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+        assert got == exp, mode
+
+
+def test_upsert_delete_compaction_and_joins(ray_session, tmp_path):
+    """Unresolved (delta) shadowing must give the same answers through
+    every reader: read_bucketed, join_bucketed, agg_bucketed — and
+    compaction folds to the identical logical table."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (agg_bucketed, compact_bucketed,
+                                           delete_bucketed, join_bucketed,
+                                           read_bucketed, upsert_bucketed,
+                                           write_bucketed)
+
+    d = str(tmp_path / "all")
+    write_bucketed(rd.from_arrow(_kv(range(40), "b")), d,
+                   key="k", buckets=8)
+    upsert_bucketed(rd.from_arrow(_kv([0, 8, 16, 50], "u")), d,
+                    key="k", ingest_id="u1", mode="delta")
+    delete_bucketed([8, 9, 10], d, key="k", ingest_id="x1", mode="delta")
+
+    exp = {i: f"b{i}" for i in range(40)}
+    exp.update({0: "u0", 16: "u16", 50: "u50"})
+    for k in (8, 9, 10):
+        exp.pop(k)
+
+    rdir = str(tmp_path / "right")
+    write_bucketed(rd.from_arrow(pa.table(
+        {"k": pa.array(range(0, 60, 2), pa.int64()),
+         "w": pa.array(range(0, 60, 2), pa.int64())})),
+        rdir, key="k", buckets=8)
+
+    j = {(r["k"], r["v"]) for r in join_bucketed(d, rdir, on="k")
+         .take_all()}
+    assert j == {(k, v) for k, v in exp.items() if k % 2 == 0}
+
+    a = {r["k"]: r["count_all"]
+         for r in agg_bucketed(d, "k", [(None, "count_all")]).take_all()}
+    assert a == {k: 1 for k in exp}
+
+    compact_bucketed(d, key="k")
+    got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    assert got == exp
+
+
+def test_delete_entire_bucket_then_compact(ray_session, tmp_path):
+    """Tombstoning EVERY row of a bucket must read back empty and
+    compaction must fold the bucket to an empty record (files=[]),
+    with other buckets untouched."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (compact_bucketed, delete_bucketed,
+                                           read_bucketed, write_bucketed)
+
+    d = str(tmp_path / "wipe")
+    write_bucketed(rd.from_arrow(_kv(range(12), "b")), d,
+                   key="k", buckets=3)
+    # keys 0,3,6,9 share bucket hash(k)%3==0 — wipe them all
+    delete_bucketed([0, 3, 6, 9], d, key="k", ingest_id="x1", mode="delta")
+    exp = {i: f"b{i}" for i in range(12) if i % 3 != 0}
+    got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    assert got == exp
+    compact_bucketed(d, key="k")
+    got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    assert got == exp
+
+
+def test_upsert_delete_time_travel(ray_session, tmp_path):
+    """The ingest ledger reconstructs pre-upsert/pre-delete states:
+    as_of base shows original rows, as_of the upsert shows replaced rows
+    pre-delete; compaction folds history and snapshot reads refuse."""
+    import pytest
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (compact_bucketed, delete_bucketed,
+                                           read_bucketed, upsert_bucketed,
+                                           write_bucketed)
+    from sift_ray.state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    d = str(tmp_path / "tt")
+    write_bucketed(rd.from_arrow(_kv(range(10), "b")), d,
+                   key="k", buckets=2)
+    upsert_bucketed(rd.from_arrow(_kv([2, 4], "u")), d, key="k",
+                    ingest_id="u1", mode="delta")
+    delete_bucketed([4, 6], d, key="k", ingest_id="x1", mode="delta")
+
+    base = {r["k"]: r["v"]
+            for r in read_bucketed(d, as_of=SNAPSHOT_BASE).take_all()}
+    assert base == {i: f"b{i}" for i in range(10)}
+
+    after_up = {r["k"]: r["v"]
+                for r in read_bucketed(d, as_of="u1").take_all()}
+    exp_up = {i: f"b{i}" for i in range(10)}
+    exp_up.update({2: "u2", 4: "u4"})
+    assert after_up == exp_up
+
+    latest = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    exp_l = dict(exp_up)
+    for k in (4, 6):
+        exp_l.pop(k)
+    assert latest == exp_l
+
+    compact_bucketed(d, key="k")
+    with pytest.raises(SnapshotUnavailable):
+        read_bucketed(d, as_of="u1")
+    assert {r["k"]: r["v"] for r in read_bucketed(d).take_all()} == exp_l
+
+
+def test_upsert_crash_window_invisible(ray_session, tmp_path):
+    """A delta file written but never recorded (crash before the record
+    update) must be invisible to readers and safely overwritten by the
+    retry."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (_delta_name, read_bucketed,
+                                           upsert_bucketed, write_bucketed)
+
+    d = str(tmp_path / "crash")
+    write_bucketed(rd.from_arrow(_kv(range(8), "b")), d,
+                   key="k", buckets=2)
+    # simulate the crash: the file lands, the record never updates
+    pq.write_table(_kv([1], "GHOST"),
+                   os.path.join(d, "part-00001", _delta_name("u9")))
+    got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    assert got == {i: f"b{i}" for i in range(8)}  # ghost invisible
+    # the retry overwrites the ghost and commits atomically
+    upsert_bucketed(rd.from_arrow(_kv([1], "u")), d, key="k",
+                    ingest_id="u9", mode="delta")
+    got = {r["k"]: r["v"] for r in read_bucketed(d).take_all()}
+    exp = {i: f"b{i}" for i in range(8)}
+    exp[1] = "u1"
+    assert got == exp
+
+
+def test_upsert_delete_string_keys(ray_session, tmp_path):
+    """Shadowing works on non-integer keys (hashed routing + value-set
+    masks must agree on strings)."""
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (delete_bucketed, read_bucketed,
+                                           upsert_bucketed, write_bucketed)
+
+    base = pa.table({"url": pa.array([f"u{i}" for i in range(10)]),
+                     "v": pa.array(range(10), pa.int64())})
+    d = str(tmp_path / "str")
+    write_bucketed(rd.from_arrow(base), d, key="url", buckets=4)
+    upsert_bucketed(
+        rd.from_arrow(pa.table({"url": pa.array(["u3", "zz"]),
+                                "v": pa.array([33, 99], pa.int64())})),
+        d, key="url", ingest_id="u1", mode="delta")
+    delete_bucketed(["u5", "u6"], d, key="url", ingest_id="x1",
+                    mode="delta")
+    got = {r["url"]: r["v"] for r in read_bucketed(d).take_all()}
+    exp = {f"u{i}": i for i in range(10) if i not in (5, 6)}
+    exp.update({"u3": 33, "zz": 99})
+    assert got == exp
