@@ -771,6 +771,28 @@ def _q_bucketed_time_travel(sf_dir: str):
     return read_bucketed(d, as_of="d1")
 
 
+def _q_zorder_multi_scan(sf_dir: str):
+    """Z-ORDER clustered storage scan (sources/zonemap.py
+    write_zordered/read_multi_range): lineitem lays out on a Morton
+    interleave of (l_partkey, l_suppkey), so BOTH dimension predicates
+    prune files from the manifest zones alone — the multi-dimension
+    layout lever a 1-D sort can't give (pruning ratios pinned in
+    tests); results value-exact vs the plain SQL conjunction."""
+    import tempfile
+
+    import ray.data as rd
+    from sift_ray.sources.zonemap import read_multi_range, write_zordered
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
+    d = tempfile.mkdtemp(prefix="sift_zo_")
+    write_zordered(li, d, cols=["l_partkey", "l_suppkey"], files=16)
+    return read_multi_range(
+        d, {"l_partkey": (100, 500), "l_suppkey": (10, 40)},
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
+
+
 def _q_bucketed_upsert_delete(sf_dir: str):
     """MERGE/upsert + keyed delete on the LSM bucketed store
     (sources/bucketed.py upsert_bucketed/delete_bucketed): the documents
@@ -3015,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_ingest": _q_bucketed_ingest,
         "bucketed_time_travel": _q_bucketed_time_travel,
         "bucketed_upsert_delete": _q_bucketed_upsert_delete,
+        "zorder_multi_scan": _q_zorder_multi_scan,
         "corpus_diff": _q_corpus_diff,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
@@ -3566,6 +3589,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_time_travel": """
             SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+        """,
+        "zorder_multi_scan": """
+            SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            WHERE l_partkey BETWEEN 100 AND 500
+              AND l_suppkey BETWEEN 10 AND 40
         """,
         "bucketed_upsert_delete": """
             WITH merged AS (

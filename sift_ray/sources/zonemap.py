@@ -385,6 +385,195 @@ def read_key_range(out_dir: str, lo: Optional[int] = None,
     return ds.map_batches(exact, batch_format="pyarrow")
 
 
+_ZORDER_META = "zorder_meta.json"
+
+
+def _zorder_key(t: pa.Table, cols, los, steps, bits: int) -> np.ndarray:
+    """Vectorized Morton (Z-order) key: each column quantizes into
+    2^bits equal-width cells, then cell bits interleave — column i
+    contributes bit b at position b*k+i. Nearby (x, y, ...) cells get
+    nearby z values, so a z-sorted layout clusters EVERY listed column
+    at once and each file's per-column [min, max] zones stay tight."""
+    k = len(cols)
+    z = np.zeros(t.num_rows, dtype=np.int64)
+    for i, (c, lo, step) in enumerate(zip(cols, los, steps)):
+        v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.clip((v - lo) // step, 0, (1 << bits) - 1)
+        for b in range(bits):
+            z |= ((q >> b) & 1) << (b * k + i)
+    return z
+
+
+def write_zordered(ds, out_dir: str, cols, files: int = 32,
+                   bits: Optional[int] = None) -> dict:
+    """Z-ORDER (multi-column) clustered sorted storage: rows sort and
+    range-partition on a Morton interleave of ``cols`` (all integer
+    columns), so a range predicate on ANY of the columns — not just a
+    single sort key — prunes files via the per-file column zones that
+    ``write_sorted`` already records. The classic data-layout lever for
+    100 TB fact tables queried along two+ independent dimensions (a
+    1-D sort gives tight zones only for its own key; Z-order gives
+    each of k columns ~file_count^(1/k)-tight zones). Storage,
+    resume, appends (route on the derived key via ``append_sorted``),
+    compaction and time travel are the plain sorted store's —
+    the derived ``_zkey`` column rides in the files. Read back with
+    ``read_multi_range`` (prunes on every predicate column, drops the
+    derived key)."""
+    import ray.data as rd  # noqa: F401  (parity with callers' imports)
+    from ray.data.aggregate import Max, Min
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, _ZORDER_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            zmeta = json.load(f)
+        assert zmeta["cols"] == list(cols), zmeta
+        los, steps, bits = zmeta["los"], zmeta["steps"], zmeta["bits"]
+    else:
+        k = len(cols)
+        assert k >= 1
+        bits = bits or min(16, 63 // k)
+        aggs = [a for c in cols for a in (Min(c), Max(c))]
+        agg = ds.aggregate(*aggs) or {}
+        los, steps = [], []
+        for c in cols:
+            lo = int(agg.get(f"min({c})") or 0)
+            hi = int(agg.get(f"max({c})") or 0)
+            los.append(lo)
+            steps.append(max((hi - lo) // ((1 << bits) - 1), 1)
+                         if hi > lo else 1)
+        zmeta = {"cols": list(cols), "los": los, "steps": steps,
+                 "bits": int(bits)}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(zmeta, f)
+        os.replace(tmp, meta_path)
+
+    cols_l, los_l, steps_l, bits_l = list(cols), los, steps, bits
+
+    def add_z(t: pa.Table) -> pa.Table:
+        z = _zorder_key(t, cols_l, los_l, steps_l, bits_l)
+        return t.append_column("_zkey", pa.array(z, pa.int64()))
+
+    out = write_sorted(ds.map_batches(add_z, batch_format="pyarrow"),
+                       out_dir, key="_zkey", files=files)
+    out["zorder"] = zmeta
+    return out
+
+
+def append_zordered(delta_ds, out_dir: str, ingest_id: str,
+                    mode: str = "merge") -> dict:
+    """Exactly-once ingest into a Z-ordered store: the delta derives its
+    ``_zkey`` from the PERSISTED quantization (identical routing to the
+    original write), then rides ``append_sorted``'s ledger."""
+    with open(os.path.join(out_dir, _ZORDER_META)) as f:
+        zmeta = json.load(f)
+    cols, los = zmeta["cols"], zmeta["los"]
+    steps, bits = zmeta["steps"], zmeta["bits"]
+
+    def add_z(t: pa.Table) -> pa.Table:
+        z = _zorder_key(t, cols, los, steps, bits)
+        return t.append_column("_zkey", pa.array(z, pa.int64()))
+
+    return append_sorted(delta_ds.map_batches(add_z,
+                                              batch_format="pyarrow"),
+                         out_dir, ingest_id=ingest_id, mode=mode)
+
+
+def multi_pruned_paths(out_dir: str, preds: dict,
+                       as_of: Optional[str] = None) -> list:
+    """Files whose per-column zones can satisfy EVERY predicate in
+    ``preds`` ({col: (lo, hi)}, either bound None) — manifest-only, no
+    footer reads. A file missing a zone for some column is
+    conservatively kept."""
+    from .bucketed import _delta_name
+    from ..state.manifest import snapshot_files
+
+    m = Manifest(out_dir)
+    keep = []
+    for rec in m.records():
+        if rec.get("status") != "ok" or rec.get("n_rows", 0) == 0:
+            continue
+        zones = rec.get("zones", {})
+        ok = True
+        for c, (lo, hi) in preds.items():
+            zone = zones.get(c)
+            if zone is None:
+                continue
+            if lo is not None and zone[1] < lo:
+                ok = False
+                break
+            if hi is not None and zone[0] > hi:
+                ok = False
+                break
+        if not ok:
+            continue
+        pdir = m.partition_dir(rec["partition_id"])
+        names = (rec.get("files", ["rows.parquet"]) if as_of is None
+                 else snapshot_files(rec, as_of, _delta_name))
+        for name in names:
+            p = os.path.join(pdir, name)
+            if os.path.exists(p):
+                keep.append(p)
+    return sorted(keep)
+
+
+def read_multi_range(out_dir: str, preds: dict,
+                     columns: Optional[list] = None,
+                     as_of: Optional[str] = None):
+    """Stream rows matching EVERY ``{col: (lo, hi)}`` predicate from a
+    sorted or Z-ordered store. Three pruning levels, now multi-column:
+    manifest zone skip per predicate column, parquet row-group stats
+    pushdown on the conjunction, exact vectorized filter. The derived
+    ``_zkey`` never leaves the read."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    paths = multi_pruned_paths(out_dir, preds, as_of=as_of)
+    want = None
+    if columns is not None:
+        want = list(dict.fromkeys(list(columns) + list(preds)))
+    if not paths:
+        allp = pruned_paths(out_dir)
+        if not allp:
+            return rd.from_items([])
+        sch = pq.read_schema(allp[0])
+        names = want if want is not None else [
+            n for n in sch.names if n != "_zkey"]
+        sch = pa.schema([sch.field(n) for n in names
+                         if sch.get_field_index(n) >= 0])
+        return rd.from_arrow(sch.remove_metadata().empty_table())
+
+    expr = None
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            e = pads.field(c) >= lo
+            expr = e if expr is None else (expr & e)
+        if hi is not None:
+            e = pads.field(c) <= hi
+            expr = e if expr is None else (expr & e)
+    ds = rd.read_parquet(paths, columns=want, filter=expr)
+
+    def exact(t: pa.Table) -> pa.Table:
+        mask = None
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                m1 = pc.greater_equal(t.column(c), lo)
+                mask = m1 if mask is None else pc.and_(mask, m1)
+            if hi is not None:
+                m2 = pc.less_equal(t.column(c), hi)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+        if mask is not None:
+            t = t.filter(mask)
+        if "_zkey" in t.column_names:
+            t = t.drop_columns("_zkey")
+        return t
+
+    return ds.map_batches(exact, batch_format="pyarrow")
+
+
 def join_sorted(left_dir: str, right_dir: str, how: str = "inner"):
     """ZERO-SHUFFLE sort-merge-style join of two range-partitioned sorted
     stores on their sort keys (the storage-side analog of a co-partitioned

@@ -961,3 +961,79 @@ def test_upsert_delete_string_keys(ray_session, tmp_path):
     exp = {f"u{i}": i for i in range(10) if i not in (5, 6)}
     exp.update({"u3": 33, "zz": 99})
     assert got == exp
+
+
+def test_zorder_store_prunes_both_columns(ray_session, tmp_path):
+    """Z-order layout: a range predicate on EITHER interleaved column
+    prunes files from the manifest zones (the multi-dimension win a 1-D
+    sort cannot give), the conjunction prunes hardest, and answers are
+    exactly the plain filter's."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (multi_pruned_paths, pruned_paths,
+                                          read_multi_range, write_sorted,
+                                          write_zordered)
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    t = pa.table({"x": pa.array(rng.randint(0, 1000, n), pa.int64()),
+                  "y": pa.array(rng.randint(0, 1000, n), pa.int64()),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    dz = str(tmp_path / "zo")
+    write_zordered(rd.from_arrow(t).repartition(8), dz,
+                   cols=["x", "y"], files=16)
+
+    got = read_multi_range(dz, {"x": (100, 200), "y": (300, 400)}
+                           ).to_pandas()
+    df = t.to_pandas()
+    exp = df[df.x.between(100, 200) & df.y.between(300, 400)]
+    assert sorted(got["v"]) == sorted(exp["v"])
+    assert "_zkey" not in got.columns
+
+    allp = len(pruned_paths(dz))
+    px = len(multi_pruned_paths(dz, {"x": (100, 200)}))
+    py = len(multi_pruned_paths(dz, {"y": (300, 400)}))
+    pxy = len(multi_pruned_paths(dz, {"x": (100, 200),
+                                      "y": (300, 400)}))
+    # each dimension alone prunes; the conjunction prunes at least as hard
+    assert px < allp and py < allp and pxy <= min(px, py)
+
+    # the 1-D x-sorted layout cannot prune the same y predicate
+    d1 = str(tmp_path / "s1")
+    write_sorted(rd.from_arrow(t).repartition(8), d1, key="x", files=16)
+    assert len(pruned_paths(d1, 300, 400, col="y")) == len(pruned_paths(d1))
+
+
+def test_zorder_append_and_compact(ray_session, tmp_path):
+    """Deltas route through the PERSISTED quantization (identical
+    z-keys), ride the exactly-once ledger, and compaction re-tightens
+    zones without changing answers."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_zordered, compact_sorted,
+                                          read_multi_range, write_zordered)
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    t = pa.table({"x": pa.array(rng.randint(0, 500, n), pa.int64()),
+                  "y": pa.array(rng.randint(0, 500, n), pa.int64()),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    dz = str(tmp_path / "zo")
+    write_zordered(rd.from_arrow(t), dz, cols=["x", "y"], files=8)
+    delta = pa.table({"x": pa.array([150] * 5, pa.int64()),
+                      "y": pa.array([350] * 5, pa.int64()),
+                      "v": pa.array(range(n, n + 5), pa.int64())})
+    append_zordered(rd.from_arrow(delta), dz, ingest_id="a1", mode="delta")
+    # replay is a ledger no-op
+    append_zordered(rd.from_arrow(delta), dz, ingest_id="a1", mode="delta")
+
+    df = t.to_pandas()
+    exp = sorted(df[df.x.between(100, 200) & df.y.between(300, 400)]["v"]
+                 ) + list(range(n, n + 5))
+    got = read_multi_range(dz, {"x": (100, 200), "y": (300, 400)}
+                           ).to_pandas()
+    assert sorted(got["v"]) == sorted(exp)
+    compact_sorted(dz)
+    got2 = read_multi_range(dz, {"x": (100, 200), "y": (300, 400)}
+                            ).to_pandas()
+    assert sorted(got2["v"]) == sorted(exp)
