@@ -58,15 +58,37 @@ def _column_zones(t: pa.Table) -> dict:
     return zones
 
 
-def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
+def _route_parts(meta: dict, v: np.ndarray) -> np.ndarray:
+    """Key values -> range-partition ids under the persisted routing
+    meta: explicit quantile ``bounds`` (balanced under skew) or the
+    legacy equal-width ``lo``/``width`` grid."""
+    bounds = meta.get("bounds")
+    if bounds is not None:
+        return np.searchsorted(np.asarray(bounds, dtype=np.int64), v,
+                               side="right").astype(np.int64)
+    return np.clip((v - meta["lo"]) // meta["width"], 0,
+                   meta["files"] - 1).astype(np.int64)
+
+
+def write_sorted(ds, out_dir: str, key: str, files: int = 32,
+                 boundaries: str = "width") -> dict:
     """Materialize a Dataset as range-partitioned sorted parquet:
-    ``out_dir/part-{i:05d}/rows.parquet`` holds the i-th equal-width key
-    range, sorted by ``key``; the manifest record is the zonemap entry.
-    Integer keys only (timestamps: cast to epoch ints upstream)."""
+    ``out_dir/part-{i:05d}/rows.parquet`` holds the i-th key range,
+    sorted by ``key``; the manifest record is the zonemap entry.
+    Integer keys only (timestamps: cast to epoch ints upstream).
+
+    ``boundaries``: "width" (default) uses ``files`` equal-width ranges
+    — one aggregate pass, but a skewed key concentrates in few files;
+    "quantile" picks the range edges from a distributed quantile sketch
+    (O(P*m) driver state), giving near-equal FILE SIZES under any key
+    distribution — the skew fix the module docstring caveats. Either
+    way the boundaries persist before any file commits, so resumes and
+    later appends route identically."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from ray.data.aggregate import Max, Min
 
+    assert boundaries in ("width", "quantile"), boundaries
     manifest = Manifest(out_dir)
     done = np.array(sorted(b for b in range(files)
                            if manifest.is_done(b)), dtype=np.int64)
@@ -80,7 +102,17 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
             meta = json.load(f)
         assert meta["key"] == key and meta["files"] == files, \
             f"existing store has key={meta['key']} files={meta['files']}"
-        lo, width = meta["lo"], meta["width"]
+    elif boundaries == "quantile":
+        from ..functions.sketch import quantile_sketch
+        qs = tuple(i / files for i in range(1, files))
+        rows = quantile_sketch(ds, key, qs=qs).take_all()
+        # dedupe ties: a heavy value owns one whole range either way
+        bounds = sorted({int(r["value"]) for r in rows})
+        meta = {"key": key, "files": int(files), "bounds": bounds}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
     else:
         # Ray 2.49: aggregate over a fully-empty dataset returns None
         agg = ds.aggregate(Min(key), Max(key)) or {}
@@ -97,7 +129,7 @@ def write_sorted(ds, out_dir: str, key: str, files: int = 32) -> dict:
         def add_part(t: pa.Table) -> pa.Table:
             v = t.column(key).to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            p = np.clip((v - lo) // width, 0, files - 1)
+            p = _route_parts(meta, v)
             keep = ~np.isin(p, done)
             # strip pandas schema metadata: it makes pa.Schema unhashable
             # and Ray's sort reduce logs a per-task warning
@@ -185,7 +217,6 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str,
     with open(os.path.join(out_dir, _META_NAME)) as f:
         meta = json.load(f)
     key, files = meta["key"], meta["files"]
-    lo, width = meta["lo"], meta["width"]
 
     manifest = Manifest(out_dir)
     recs = {r["partition_id"]: r for r in manifest.records()
@@ -197,7 +228,7 @@ def append_sorted(delta_ds, out_dir: str, ingest_id: str,
 
     def add_part(t: pa.Table) -> pa.Table:
         v = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-        p = np.clip((v - lo) // width, 0, files - 1)
+        p = _route_parts(meta, v)
         keep = ~np.isin(p, done)
         t = t.replace_schema_metadata(None).append_column(
             "part", pa.array(p, pa.int64()))
@@ -405,7 +436,8 @@ def _zorder_key(t: pa.Table, cols, los, steps, bits: int) -> np.ndarray:
 
 
 def write_zordered(ds, out_dir: str, cols, files: int = 32,
-                   bits: Optional[int] = None) -> dict:
+                   bits: Optional[int] = None,
+                   boundaries: str = "width") -> dict:
     """Z-ORDER (multi-column) clustered sorted storage: rows sort and
     range-partition on a Morton interleave of ``cols`` (all integer
     columns), so a range predicate on ANY of the columns — not just a
@@ -455,8 +487,11 @@ def write_zordered(ds, out_dir: str, cols, files: int = 32,
         z = _zorder_key(t, cols_l, los_l, steps_l, bits_l)
         return t.append_column("_zkey", pa.array(z, pa.int64()))
 
+    # z-values populate Morton space sparsely, so "quantile" boundaries
+    # balance z-file sizes far better than an equal-width z grid
     out = write_sorted(ds.map_batches(add_z, batch_format="pyarrow"),
-                       out_dir, key="_zkey", files=files)
+                       out_dir, key="_zkey", files=files,
+                       boundaries=boundaries)
     out["zorder"] = zmeta
     return out
 

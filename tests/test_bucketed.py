@@ -1037,3 +1037,45 @@ def test_zorder_append_and_compact(ray_session, tmp_path):
     got2 = read_multi_range(dz, {"x": (100, 200), "y": (300, 400)}
                             ).to_pandas()
     assert sorted(got2["v"]) == sorted(exp)
+
+
+def test_write_sorted_quantile_boundaries_balance_skew(ray_session,
+                                                       tmp_path):
+    """boundaries="quantile" picks range edges from the distributed
+    quantile sketch: under a heavily skewed key the largest file stays
+    near the mean (equal-width concentrates ~half the table in one
+    file), reads answer identically, and appends route through the
+    persisted bounds exactly-once."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_sorted, read_key_range,
+                                          write_sorted)
+    from sift_ray.state.manifest import Manifest
+
+    rng = np.random.RandomState(11)
+    v = rng.exponential(scale=50, size=40000).astype(np.int64)
+    t = pa.table({"k": pa.array(v, pa.int64()),
+                  "x": pa.array(np.arange(40000), pa.int64())})
+
+    dw, dq = str(tmp_path / "w"), str(tmp_path / "q")
+    write_sorted(rd.from_arrow(t).repartition(8), dw, key="k", files=16)
+    write_sorted(rd.from_arrow(t).repartition(8), dq, key="k", files=16,
+                 boundaries="quantile")
+
+    def max_rows(d):
+        return max(r.get("n_rows", 0) for r in Manifest(d).records())
+
+    assert max_rows(dq) < max_rows(dw) / 3  # measured ~2.7k vs ~21.6k
+
+    a = (read_key_range(dw, 20, 120).to_pandas()
+         .sort_values("x").reset_index(drop=True))
+    b = (read_key_range(dq, 20, 120).to_pandas()
+         .sort_values("x").reset_index(drop=True))
+    assert a.equals(b) and len(a) > 0
+
+    delta = pa.table({"k": pa.array([30] * 7, pa.int64()),
+                      "x": pa.array(range(100000, 100007), pa.int64())})
+    append_sorted(rd.from_arrow(delta), dq, ingest_id="a1", mode="delta")
+    append_sorted(rd.from_arrow(delta), dq, ingest_id="a1", mode="delta")
+    c = read_key_range(dq, 30, 30).to_pandas()
+    assert len(c) == int((v == 30).sum()) + 7
