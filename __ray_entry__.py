@@ -793,6 +793,37 @@ def _q_zorder_multi_scan(sf_dir: str):
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
 
 
+def _q_bloom_point_lookup(sf_dir: str):
+    """Per-file BLOOM skip-index point lookup
+    (sources/bloomindex.py): orders lays out by o_custkey (the range
+    dimension), then a point lookup on the UNINDEXED-dimension column
+    o_orderkey reads only bloom-passing files — the secondary-index
+    shape zonemaps and buckets don't cover; exact is_in confirmation
+    makes false positives invisible (pruning ratios pinned in tests)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.sources.bloomindex import build_bloom_index, read_point
+    from sift_ray.sources.zonemap import write_sorted
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    d = tempfile.mkdtemp(prefix="sift_blm_")
+    write_sorted(orders, d, key="o_custkey", files=16)
+    build_bloom_index(d, ["o_orderkey"])
+    # bounded probe set, derived deterministically from the data
+    keys = (orders.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.subtract(t.column("o_orderkey"),
+                        pc.multiply(pc.divide(t.column("o_orderkey"),
+                                              997), 997)), 0))
+        .select(["o_orderkey"]), batch_format="pyarrow").take_all())
+    return read_point(d, "o_orderkey", [r["o_orderkey"] for r in keys],
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def _q_bucketed_upsert_delete(sf_dir: str):
     """MERGE/upsert + keyed delete on the LSM bucketed store
     (sources/bucketed.py upsert_bucketed/delete_bucketed): the documents
@@ -3038,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_time_travel": _q_bucketed_time_travel,
         "bucketed_upsert_delete": _q_bucketed_upsert_delete,
         "zorder_multi_scan": _q_zorder_multi_scan,
+        "bloom_point_lookup": _q_bloom_point_lookup,
         "corpus_diff": _q_corpus_diff,
         "events_asof_join": _q_events_asof_join,
         "events_asof_tolerance": _q_events_asof_tolerance,
@@ -3589,6 +3621,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_time_travel": """
             SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+        """,
+        "bloom_point_lookup": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 997 = 0
         """,
         "zorder_multi_scan": """
             SELECT l_orderkey, l_partkey, l_suppkey, l_quantity

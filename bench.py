@@ -237,7 +237,8 @@ def run_bench() -> dict:
         "oov_rate", "politeness_schedule", "gopher_repetition",
         "events_window_store", "price_quantiles_cont",
         "qty_price_regression", "bucketed_time_travel",
-        "bucketed_upsert_delete", "zorder_multi_scan")
+        "bucketed_upsert_delete", "zorder_multi_scan",
+        "bloom_point_lookup")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

@@ -1079,3 +1079,54 @@ def test_write_sorted_quantile_boundaries_balance_skew(ray_session,
     append_sorted(rd.from_arrow(delta), dq, ingest_id="a1", mode="delta")
     c = read_key_range(dq, 30, 30).to_pandas()
     assert len(c) == int((v == 30).sum()) + 7
+
+
+def test_bloom_index_point_lookup(ray_session, tmp_path):
+    """Per-file bloom skip-index: point lookups on a NON-key column skip
+    bloom-missing files (definite negatives), confirm hits exactly, and
+    unindexed files (fresh deltas, compaction renames) are kept
+    conservatively — pruning is always a correct superset."""
+    import numpy as np
+    import ray.data as rd
+    from sift_ray.sources.bloomindex import (bloom_pruned_paths,
+                                             build_bloom_index, read_point)
+    from sift_ray.sources.zonemap import (append_sorted, compact_sorted,
+                                          pruned_paths, write_sorted)
+
+    rng = np.random.RandomState(5)
+    n = 40000
+    t = pa.table({
+        "ts": pa.array(np.sort(rng.randint(0, 10**6, n)), pa.int64()),
+        "url": pa.array([f"https://ex.com/p{i}"
+                         for i in rng.permutation(n)]),
+        "v": pa.array(np.arange(n), pa.int64())})
+    d = str(tmp_path / "bl")
+    write_sorted(rd.from_arrow(t).repartition(8), d, key="ts", files=16)
+    build_bloom_index(d, ["url"])
+
+    targets = ["https://ex.com/p123", "https://ex.com/p39999",
+               "https://ex.com/p7000"]
+    assert len(bloom_pruned_paths(d, "url", targets)) <= 6 < \
+        len(pruned_paths(d))
+    got = read_point(d, "url", targets).to_pandas()
+    df = t.to_pandas()
+    assert sorted(got["v"]) == sorted(df[df.url.isin(targets)]["v"])
+
+    # absent value: no file passes, result typed-empty
+    assert len(read_point(d, "url", ["https://nowhere/x"]).to_pandas()) == 0
+
+    # fresh delta is unindexed -> conservative keep; incremental rebuild
+    # indexes ONLY the new file
+    delta = pa.table({"ts": pa.array([5] * 3, pa.int64()),
+                      "url": pa.array(["https://ex.com/new1"] * 3),
+                      "v": pa.array([n + 1] * 3, pa.int64())})
+    append_sorted(rd.from_arrow(delta), d, ingest_id="a1", mode="delta")
+    assert len(read_point(d, "url", ["https://ex.com/new1"]
+                          ).to_pandas()) == 3
+    out = build_bloom_index(d, ["url"])
+    assert out["indexed_partitions"] == 1
+
+    # compaction renames files -> blooms lapse, reads stay correct
+    compact_sorted(d)
+    got2 = read_point(d, "url", targets).to_pandas()
+    assert sorted(got2["v"]) == sorted(got["v"])
