@@ -356,6 +356,130 @@ def compact_sorted(out_dir: str, min_files: int = 2) -> dict:
                                         zone_stats)}
 
 
+def delete_range(out_dir: str, lo: Optional[int] = None,
+                 hi: Optional[int] = None,
+                 ingest_id: str = "expire") -> dict:
+    """RETENTION EXPIRY: remove every row with ``lo <= key <= hi``
+    (either bound open) from a sorted/Z-ordered store — the "drop
+    everything older than the cutoff" lifecycle op a 100 TB ledger
+    needs. Files whose zonemap lies FULLY inside the range drop
+    METADATA-ONLY (no data I/O at all — the common case when expiring
+    old time ranges, since files are key-ranged); only boundary files
+    whose zones straddle the cutoff rewrite (one task each); untouched
+    files skip. Exactly-once via the same ingest ledger as appends
+    (replays are manifest no-ops). Expiry destroys history in place:
+    records mark ``truncated_at`` and snapshot reads for states BEFORE
+    the expiry raise ``SnapshotUnavailable`` instead of answering
+    wrong. Returns counts per class."""
+    import hashlib
+
+    import ray.data as rd
+
+    assert lo is not None or hi is not None, "unbounded delete"
+    with open(os.path.join(out_dir, _META_NAME)) as f:
+        key = json.load(f)["key"]
+
+    manifest = Manifest(out_dir)
+    dropped = rewritten = skipped = 0
+    rewrite_parts = []
+    for rec in manifest.records():
+        if rec.get("status") != "ok":
+            continue
+        b = int(rec["partition_id"])
+        if ingest_id in rec.get("ingests", []):  # replay: pure no-op
+            continue
+        kmin, kmax = rec.get("key_min"), rec.get("key_max")
+        empty = rec.get("n_rows", 0) == 0 or kmin is None
+        inside = (not empty
+                  and (lo is None or kmin >= lo)
+                  and (hi is None or kmax <= hi))
+        overlap = (not empty and not inside
+                   and (lo is None or kmax >= lo)
+                   and (hi is None or kmin <= hi))
+        if inside:
+            # metadata-only drop: record first (atomic), files swept after
+            names = rec.get("files", ["rows.parquet"])
+            manifest.update_record(b, {
+                "n_rows": 0, "files": [], "zones": {},
+                "ingests": rec.get("ingests", []) + [ingest_id],
+                "truncated_at": rec.get("truncated_at", []) + [ingest_id]})
+            pdir = manifest.partition_dir(b)
+            for n in names:
+                try:
+                    os.remove(os.path.join(pdir, n))
+                except OSError:
+                    pass
+            dropped += 1
+        elif overlap:
+            rewrite_parts.append(b)
+        else:
+            manifest.update_record(b, {
+                "ingests": rec.get("ingests", []) + [ingest_id]})
+            skipped += 1
+
+    def rewrite_one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        for b in t.column("b").to_pylist():
+            mm = Manifest(out_dir)
+            rec = {r["partition_id"]: r for r in mm.records()}[b]
+            if ingest_id in rec.get("ingests", []):
+                continue
+            names = rec.get("files", ["rows.parquet"])
+            pdir = mm.partition_dir(b)
+            tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(pdir, n)) for n in names
+                 if os.path.exists(os.path.join(pdir, n))],
+                promote_options="default")
+            kept = None
+            if lo is not None:
+                kept = pc.less(tbl.column(key), lo)
+            if hi is not None:
+                k2 = pc.greater(tbl.column(key), hi)
+                kept = k2 if kept is None else pc.or_(kept, k2)
+            tbl = tbl.filter(kept)
+            tbl = tbl.take(pc.sort_indices(
+                tbl, sort_keys=[(key, "ascending")]))
+            # crash protocol of _compact_store: deterministic new name,
+            # invisible until the record update lands; stale swept after
+            new_name = "expire-" + hashlib.blake2b(
+                ("\n".join(names) + "\0" + ingest_id).encode(),
+                digest_size=6).hexdigest() + ".parquet"
+            record = {"ingests": rec.get("ingests", []) + [ingest_id],
+                      "truncated_at": (rec.get("truncated_at", [])
+                                       + [ingest_id]),
+                      "kinds": {}}
+            if tbl.num_rows == 0:
+                record.update({"n_rows": 0, "files": [], "zones": {}})
+                keep_names = []
+            else:
+                pq.write_table(tbl, os.path.join(pdir, new_name))
+                kcol = tbl.column(key)
+                record.update({
+                    "n_rows": tbl.num_rows, "files": [new_name],
+                    "key_min": int(pc.min(kcol).as_py()),
+                    "key_max": int(pc.max(kcol).as_py()),
+                    "zones": _column_zones(tbl)})
+                keep_names = [new_name]
+            mm.update_record(b, record)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet") and f not in keep_names:
+                    try:
+                        os.remove(os.path.join(pdir, f))
+                    except OSError:
+                        pass
+        return pa.table({"b": t.column("b")})
+
+    if rewrite_parts:
+        (rd.from_items([{"b": b} for b in rewrite_parts])
+         .map_batches(rewrite_one, batch_format="pyarrow", batch_size=1)
+         .materialize())
+        rewritten = len(rewrite_parts)
+
+    return {"dropped_files": dropped, "rewritten": rewritten,
+            "untouched": skipped}
+
+
 def read_key_range(out_dir: str, lo: Optional[int] = None,
                    hi: Optional[int] = None,
                    columns: Optional[list] = None,

@@ -138,6 +138,14 @@ def snapshot_files(rec: Dict, as_of: str, delta_name_fn) -> List[str]:
             raise ValueError(f"unknown ingest id {as_of!r} "
                              f"(ledger: {ingests!r})")
         later = ingests[ingests.index(as_of) + 1:]
+    # a retention expiry (zonemap.delete_range) REMOVED rows in place:
+    # states STRICTLY BEFORE it are unreconstructible — refuse, don't
+    # lie (as_of == the expiry itself, or later, reads fine)
+    broken = [t for t in rec.get("truncated_at", []) if t in later]
+    if broken:
+        raise SnapshotUnavailable(
+            f"snapshot {as_of!r}: rows were expired in place by "
+            f"ingests {broken!r}")
     later_dep = [j for j in later if j in rec.get("deposits", [])]
     drop = {delta_name_fn(j) for j in later_dep}
     folded = [j for j in later_dep if delta_name_fn(j) not in names]

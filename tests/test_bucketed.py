@@ -1130,3 +1130,49 @@ def test_bloom_index_point_lookup(ray_session, tmp_path):
     compact_sorted(d)
     got2 = read_point(d, "url", targets).to_pandas()
     assert sorted(got2["v"]) == sorted(got["v"])
+
+
+def test_delete_range_retention_expiry(ray_session, tmp_path):
+    """Retention expiry on the sorted store: files fully inside the
+    expired range drop METADATA-ONLY, exactly one boundary file
+    rewrites, replays are ledger no-ops, snapshot reads for states
+    before the expiry refuse (SnapshotUnavailable), and new appends
+    land in expired ranges again."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+    from sift_ray.sources.zonemap import (append_sorted, delete_range,
+                                          read_key_range, write_sorted)
+    from sift_ray.state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    n = 32000
+    t = pa.table({"ts": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n) * 2, pa.int64())})
+    d = str(tmp_path / "exp")
+    write_sorted(rd.from_arrow(t).repartition(8), d, key="ts", files=16)
+    append_sorted(rd.from_arrow(
+        pa.table({"ts": pa.array([5, 31999], pa.int64()),
+                  "v": pa.array([-1, -2], pa.int64())})),
+        d, ingest_id="a1", mode="delta")
+
+    out = delete_range(d, hi=9499, ingest_id="exp1")  # mid-file cutoff
+    assert out["dropped_files"] == 4 and out["rewritten"] == 1, out
+
+    got = read_key_range(d).to_pandas()
+    # base rows ts 9500..31999 survive + the ts=31999 delta row; the
+    # ts=5 delta row expired with its range
+    assert got["ts"].min() == 9500 and len(got) == (n - 9500) + 1
+
+    assert delete_range(d, hi=9499, ingest_id="exp1") == {
+        "dropped_files": 0, "rewritten": 0, "untouched": 0}
+
+    for snap in ("a1", SNAPSHOT_BASE):
+        with pytest.raises(SnapshotUnavailable):
+            read_key_range(d, as_of=snap)
+
+    append_sorted(rd.from_arrow(
+        pa.table({"ts": pa.array([3], pa.int64()),
+                  "v": pa.array([30], pa.int64())})),
+        d, ingest_id="a2", mode="delta")
+    got3 = read_key_range(d, 0, 100).to_pandas()
+    assert list(got3["ts"]) == [3] and list(got3["v"]) == [30]
