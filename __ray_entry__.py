@@ -870,6 +870,44 @@ def _q_bucketed_upsert_delete(sf_dir: str):
     return read_bucketed(d)
 
 
+def _q_bucketed_cdc(sf_dir: str):
+    """Change-data-capture feed over the LSM ingest ledger
+    (sources/bucketed.py read_changes): after an upsert and a delete
+    land as O(delta) deposits, the feed since base carries exactly
+    those changes (upsert rows + null-padded delete tombstones) reading
+    ONLY the delta files — the downstream-sync shape; value-exact vs
+    the SQL mirror of both deltas (compaction refusal pinned in
+    tests)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from sift_ray.sources.bucketed import (delete_bucketed, read_changes,
+                                           upsert_bucketed, write_bucketed)
+    from sift_ray.state.manifest import SNAPSHOT_BASE
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk_upsert(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 3), 0))
+        return t.set_column(1, "text", pc.binary_join_element_wise(
+            t.column("text"), "!u", ""))
+
+    def mk_delete(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id")
+        keep = pc.equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 6), 6)), 0)
+        return t.filter(keep).select(["doc_id"])
+
+    d = tempfile.mkdtemp(prefix="sift_cdc_")
+    write_bucketed(docs, d, key="doc_id", buckets=8)
+    upsert_bucketed(docs.map_batches(mk_upsert, batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="u1", mode="delta")
+    delete_bucketed(docs.map_batches(mk_delete, batch_format="pyarrow"),
+                    d, key="doc_id", ingest_id="x1", mode="delta")
+    return read_changes(d, SNAPSHOT_BASE)
+
+
 def _q_orders_join_sorted(sf_dir: str):
     """ZERO-SHUFFLE sort-merge join of two range-partitioned sorted
     stores (sources/zonemap.py join_sorted): orders and customer each
@@ -3068,6 +3106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_ingest": _q_bucketed_ingest,
         "bucketed_time_travel": _q_bucketed_time_travel,
         "bucketed_upsert_delete": _q_bucketed_upsert_delete,
+        "bucketed_cdc": _q_bucketed_cdc,
         "zorder_multi_scan": _q_zorder_multi_scan,
         "bloom_point_lookup": _q_bloom_point_lookup,
         "corpus_diff": _q_corpus_diff,
@@ -3625,6 +3664,13 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_orderkey % 997 = 0
+        """,
+        "bucketed_cdc": """
+            SELECT doc_id, text || '!u' AS text, 'upsert' AS _op
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR) AS text, 'delete' AS _op
+            FROM documents WHERE doc_id % 6 = 0
         """,
         "zorder_multi_scan": """
             SELECT l_orderkey, l_partkey, l_suppkey, l_quantity

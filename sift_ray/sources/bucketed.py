@@ -246,6 +246,83 @@ def read_bucketed(out_dir: str, key_values: Optional[Sequence] = None,
     return ds
 
 
+def read_changes(out_dir: str, since: str):
+    """CHANGE-DATA-CAPTURE feed over the LSM ingest ledger: every row
+    deposited AFTER ingest ``since`` (``manifest.SNAPSHOT_BASE`` = all
+    ingests), as a Dataset with an ``_op`` column ("append", "upsert",
+    or "delete" — delete rows are the tombstone keys, other columns
+    null). O(changes): only the per-ingest delta files are read, never
+    the base — the downstream-sync shape (refresh an index, replicate
+    to a serving store) that a full-table diff can't afford at 100 TB.
+    Raises ``SnapshotUnavailable`` if compaction folded any post-
+    ``since`` deposit (the feed would silently miss changes otherwise).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    m = Manifest(out_dir)
+    items = []
+    schema_probe = None
+    for rec in m.records():
+        if rec.get("status") != "ok":
+            continue
+        ledger = rec.get("ingests", [])
+        if since == SNAPSHOT_BASE:
+            later = list(ledger)
+        else:
+            if since not in ledger:
+                raise ValueError(f"unknown ingest id {since!r} "
+                                 f"(ledger: {ledger!r})")
+            later = ledger[ledger.index(since) + 1:]
+        names = rec.get("files", ["rows.parquet"])
+        kind_map = rec.get("kinds", {})
+        pdir = m.partition_dir(rec["partition_id"])
+        for j in later:
+            if j not in rec.get("deposits", []):
+                continue
+            name = _delta_name(j)
+            if name not in names:
+                raise SnapshotUnavailable(
+                    f"changes since {since!r}: deposit {j!r} was "
+                    "compacted into the base — the feed is gone")
+            items.append({"path": os.path.join(pdir, name),
+                          "kind": kind_map.get(name, "append")})
+        if schema_probe is None:
+            for n in names:
+                if kind_map.get(n, "append") != "delete":
+                    p = os.path.join(pdir, n)
+                    if os.path.exists(p):
+                        schema_probe = p
+                        break
+    if schema_probe is None:
+        return rd.from_items([])
+    full = pq.read_schema(schema_probe).remove_metadata()
+    out_schema = full.append(pa.field("_op", pa.string()))
+    if not items:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def load(t: pa.Table) -> pa.Table:
+        tabs = []
+        for p, k in zip(t.column("path").to_pylist(),
+                        t.column("kind").to_pylist()):
+            tbl = pq.read_table(p)
+            cols = []
+            for f in full:  # null-pad tombstones to the full schema
+                if f.name in tbl.column_names:
+                    cols.append(tbl.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, f.type))
+            op = "delete" if k == "delete" else k
+            cols.append(pa.array([op] * tbl.num_rows, pa.string()))
+            tabs.append(pa.table(cols, schema=out_schema))
+        return pa.concat_tables(tabs)
+
+    return (rd.from_items(items)
+            .map_batches(load, batch_format="pyarrow", batch_size=1))
+
+
 def join_bucketed(left_dir: str, right_dir: str, on: str,
                   how: str = "inner",
                   suffix: str = "_r"):

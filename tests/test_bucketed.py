@@ -1176,3 +1176,38 @@ def test_delete_range_retention_expiry(ray_session, tmp_path):
         d, ingest_id="a2", mode="delta")
     got3 = read_key_range(d, 0, 100).to_pandas()
     assert list(got3["ts"]) == [3] and list(got3["v"]) == [30]
+
+
+def test_read_changes_cdc_feed(ray_session, tmp_path):
+    """CDC over the ingest ledger: the feed carries exactly the
+    post-`since` deposits (appends/upserts as rows, deletes as
+    null-padded tombstone keys) reading ONLY delta files, and refuses
+    after compaction folds the history instead of silently missing
+    changes."""
+    import pytest
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, compact_bucketed,
+                                           delete_bucketed, read_changes,
+                                           upsert_bucketed, write_bucketed)
+    from sift_ray.state.manifest import SNAPSHOT_BASE, SnapshotUnavailable
+
+    d = str(tmp_path / "cdc")
+    write_bucketed(rd.from_arrow(_kv(range(20), "b")), d,
+                   key="k", buckets=4)
+    append_bucketed(rd.from_arrow(_kv([100], "a")), d, key="k",
+                    ingest_id="a1", mode="delta")
+    upsert_bucketed(rd.from_arrow(_kv([0, 5], "u")), d, key="k",
+                    ingest_id="u1", mode="delta")
+    delete_bucketed([3], d, key="k", ingest_id="x1", mode="delta")
+
+    ch = read_changes(d, SNAPSHOT_BASE).to_pandas()
+    got = sorted(zip(ch["k"], ch["_op"], ch["v"].fillna("~")))
+    assert got == sorted([(100, "append", "a100"), (0, "upsert", "u0"),
+                          (5, "upsert", "u5"), (3, "delete", "~")])
+
+    ch2 = read_changes(d, "u1").to_pandas()
+    assert sorted(zip(ch2["k"], ch2["_op"])) == [(3, "delete")]
+
+    compact_bucketed(d, key="k")
+    with pytest.raises(SnapshotUnavailable):
+        read_changes(d, "u1")
