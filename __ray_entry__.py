@@ -165,6 +165,16 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Exact Levenshtein<=1 pairs over customer names via the FastSS
+    deletion-neighborhood exchange (functions/fuzzy.py)."""
+    import ray.data as rd
+    from sift_ray.functions.fuzzy import fuzzy_pairs
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    return fuzzy_pairs(ds, id_col="c_custkey", text_col="c_name", k=1)
+
+
 def _q_extract_pdf(sf_dir: str):
     """PDF text extraction (north-rule 'PDF/layout parse' axis) over a
     deterministic synthetic PDF corpus, incl. quarantine rows."""
@@ -3085,6 +3095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": _q_dedup_docs,
         "near_dedup_docs": _q_near_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3718,6 +3729,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, md5(text) AS digest FROM documents
             WHERE md5(text) LIKE '0%'
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "label_centroids": """
             WITH e AS (

@@ -238,7 +238,7 @@ def run_bench() -> dict:
         "events_window_store", "price_quantiles_cont",
         "qty_price_regression", "bucketed_time_travel",
         "bucketed_upsert_delete", "zorder_multi_scan",
-        "bloom_point_lookup", "bucketed_cdc")
+        "bloom_point_lookup", "bucketed_cdc", "fuzzy_name_pairs")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the
