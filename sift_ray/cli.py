@@ -108,6 +108,9 @@ def _build_parser() -> argparse.ArgumentParser:
     bk.add_argument("--compact", action="store_true",
                     help="fold delta files back to one sorted file per "
                          "bucket (no --input needed)")
+    bk.add_argument("--vacuum", action="store_true",
+                    help="remove files no manifest record references "
+                         "(crash leftovers; no --input needed)")
 
     ej = sub.add_parser("export-jsonl",
                         help="export a parquet table as gzip JSONL shards "
@@ -122,7 +125,7 @@ def _build_parser() -> argparse.ArgumentParser:
                              "manifest zonemaps: write, O(delta) append, "
                              "compact, pruned range read")
     zm.add_argument("action", choices=["write", "append", "compact",
-                                       "read"])
+                                       "vacuum", "read"])
     zm.add_argument("--store", required=True)
     zm.add_argument("--input", default=None)
     zm.add_argument("--key", default=None)
@@ -256,9 +259,11 @@ def main(argv=None) -> int:
             from .sources.bucketed import (append_bucketed,
                                            compact_bucketed,
                                            delete_bucketed,
-                                           upsert_bucketed,
+                                           upsert_bucketed, vacuum,
                                            write_bucketed)
-            if args.compact:
+            if args.vacuum:
+                summary = vacuum(args.output)
+            elif args.compact:
                 summary = compact_bucketed(args.output, key=args.key)
             elif args.input is None:
                 raise SystemExit("bucketize: --input is required unless "
@@ -310,6 +315,9 @@ def main(argv=None) -> int:
                                         mode=args.mode)
             elif args.action == "compact":
                 summary = compact_sorted(args.store)
+            elif args.action == "vacuum":
+                from .sources.bucketed import vacuum
+                summary = vacuum(args.store)
             else:
                 rows = (read_key_range(args.store, args.lo, args.hi,
                                        as_of=args.as_of)

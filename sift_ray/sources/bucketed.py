@@ -696,3 +696,49 @@ def compact_bucketed(out_dir: str, key: str,
     return {"compacted": n,
             "buckets": len([r for r in m.records()
                             if r.get("status") == "ok"])}
+
+
+def vacuum(out_dir: str) -> dict:
+    """Remove files no committed manifest record references.
+
+    The crash protocols deliberately leave garbage rather than risk
+    data: an interrupted compaction leaves its unlisted merged file (or
+    the superseded inputs it had not yet deleted), an interrupted
+    ``delete_range`` rewrite leaves the old file unlisted, a killed
+    write leaves a ``.tmp-part-*`` staging dir. Each is invisible to
+    readers (they only open listed files) and each is reclaimed by the
+    NEXT touch of its partition — but a partition never touched again
+    keeps its garbage forever. ``vacuum`` is the explicit reclaim: one
+    driver-side metadata walk (no data I/O) over any manifest store
+    (bucketed, sorted/zonemap, z-ordered, extract-job output).
+
+    Safe while readers are active on a POSIX filesystem (open handles
+    survive the unlink); not safe concurrently with a writer mid-commit
+    on the same store — run it between jobs, like the compactions.
+    Returns {"removed_files": n, "removed_bytes": b, "removed_tmp_dirs": d}.
+    """
+    import shutil
+
+    m = Manifest(out_dir)
+    removed_files = removed_bytes = removed_tmp = 0
+    recs = [r for r in m.records() if r.get("status") == "ok"]
+    for rec in recs:
+        pdir = m.partition_dir(int(rec["partition_id"]))
+        if not os.path.isdir(pdir):
+            continue
+        listed = set(rec.get("files", ["rows.parquet"]))
+        for name in os.listdir(pdir):
+            if name in listed:
+                continue
+            path = os.path.join(pdir, name)
+            if os.path.isfile(path):
+                removed_bytes += os.path.getsize(path)
+                os.remove(path)
+                removed_files += 1
+    for name in os.listdir(out_dir):
+        if name.startswith(".tmp-part-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            removed_tmp += 1
+    return {"removed_files": removed_files,
+            "removed_bytes": removed_bytes,
+            "removed_tmp_dirs": removed_tmp}

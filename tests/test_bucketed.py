@@ -1211,3 +1211,69 @@ def test_read_changes_cdc_feed(ray_session, tmp_path):
     compact_bucketed(d, key="k")
     with pytest.raises(SnapshotUnavailable):
         read_changes(d, "u1")
+
+
+def test_vacuum_reclaims_unlisted_files(ray_session, tmp_path):
+    """vacuum removes crash leftovers (unlisted parquet, .tmp-part dirs)
+    without touching listed files; reads are unchanged; idempotent."""
+    import os
+
+    import ray.data as rd
+    from sift_ray.sources.bucketed import (append_bucketed, read_bucketed,
+                                           vacuum, write_bucketed)
+
+    left, _ = _tables()
+    d = str(tmp_path / "store")
+    write_bucketed(rd.from_arrow(left), d, "k", buckets=4)
+    append_bucketed(rd.from_arrow(left.slice(0, 20)), d, "k",
+                    ingest_id="i1", mode="delta")
+    before = read_bucketed(d).to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+
+    # plant crash leftovers: a stale unlisted parquet inside a live
+    # partition and a .tmp-part staging dir from a killed write
+    stale = os.path.join(d, "part-00000", "compact-deadbeef.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"not even parquet")
+    os.makedirs(os.path.join(d, ".tmp-part-00099"), exist_ok=True)
+    with open(os.path.join(d, ".tmp-part-00099", "x.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    out = vacuum(d)
+    assert out["removed_files"] == 1
+    assert out["removed_tmp_dirs"] == 1
+    assert not os.path.exists(stale)
+    assert not os.path.exists(os.path.join(d, ".tmp-part-00099"))
+
+    after = read_bucketed(d).to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+    again = vacuum(d)
+    assert again["removed_files"] == 0 and again["removed_tmp_dirs"] == 0
+
+
+def test_vacuum_zonemap_store(ray_session, tmp_path):
+    """Same reclaim over the sorted/zonemap store layout."""
+    import os
+
+    import ray.data as rd
+    from sift_ray.sources.bucketed import vacuum
+    from sift_ray.sources.zonemap import read_key_range, write_sorted
+
+    t = pa.table({"k": pa.array(np.arange(500), pa.int64()),
+                  "v": pa.array(np.arange(500) * 3, pa.int64())})
+    d = str(tmp_path / "zstore")
+    write_sorted(rd.from_arrow(t), d, "k", files=8)
+    before = read_key_range(d, 100, 300).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+
+    stale = os.path.join(d, "part-00002", "leftover.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    out = vacuum(d)
+    assert out["removed_files"] == 1 and not os.path.exists(stale)
+
+    after = read_key_range(d, 100, 300).to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
