@@ -146,6 +146,14 @@ def _q_ngram_jaccard(sf_dir: str):
                                k=3, threshold=0.5)
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Max-containment near-dup pairs (isect / min set size): the
+    subset-quote signal Jaccard dilutes — dedup.py metric="containment"."""
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               k=3, threshold=0.6, metric="containment")
+
+
 def _q_cosine_topk_ivf(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.similarity import cosine_topk_ivf
@@ -173,6 +181,36 @@ def _q_fuzzy_name_pairs(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_name"])
     return fuzzy_pairs(ds, id_col="c_custkey", text_col="c_name", k=1)
+
+
+def _q_fuzzy_part_match(sf_dir: str):
+    """Entity-resolution shape: distinct part names on each side of a
+    size split, fuzzily matched across sides at Levenshtein<=2
+    (functions/fuzzy.py::fuzzy_join over the variant-hash exchange)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.fuzzy import _h64, fuzzy_join
+    from sift_ray.functions.shuffle import partitioned_group_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_size"])
+
+    def name_keys(batch):
+        import numpy as np
+        return [np.fromiter((_h64(s) for s in
+                             batch.column("p_name").to_pylist()),
+                            dtype=np.int64, count=batch.num_rows)]
+
+    def side(pred):
+        sub = ds.map_batches(
+            lambda t, p=pred: t.filter(p(t)), batch_format="pyarrow")
+        return partitioned_group_agg(sub, ["p_name"],
+                                     [("p_partkey", "min", "id")],
+                                     key_arrays_fn=name_keys)
+
+    left = side(lambda t: pc.less_equal(t.column("p_size"), 25))
+    right = side(lambda t: pc.greater(t.column("p_size"), 25))
+    return fuzzy_join(left, right, id_col="id", text_col="p_name", k=2)
 
 
 def _q_extract_pdf(sf_dir: str):
@@ -3095,7 +3133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": _q_dedup_docs,
         "near_dedup_docs": _q_near_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_containment_pairs": _q_ngram_containment,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "fuzzy_part_match": _q_fuzzy_part_match,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3736,6 +3776,25 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
             WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "ngram_containment_pairs": _NGRAM_CTE + """
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.isect AS DOUBLE) / least(ca.n, cb.n)
+                       AS containment
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.doc_a
+            JOIN counts cb ON cb.doc_id = i.doc_b
+            WHERE CAST(i.isect AS DOUBLE) / least(ca.n, cb.n) >= 0.6
+        """,
+        "fuzzy_part_match": """
+            WITH l AS (SELECT p_name, min(p_partkey) AS id FROM part
+                       WHERE p_size <= 25 GROUP BY p_name),
+                 r AS (SELECT p_name, min(p_partkey) AS id FROM part
+                       WHERE p_size > 25 GROUP BY p_name)
+            SELECT l.id AS doc_a, r.id AS doc_b,
+                   CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
+            FROM l JOIN r ON abs(length(l.p_name) - length(r.p_name)) <= 2
+                         AND levenshtein(l.p_name, r.p_name) <= 2
         """,
         "label_centroids": """
             WITH e AS (

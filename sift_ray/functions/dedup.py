@@ -1160,8 +1160,16 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
                         concurrency=None, text_col: str = "text",
                         id_col: str = "doc_id",
                         num_parts: Optional[int] = None,
-                        max_df: Optional[int] = None):
+                        max_df: Optional[int] = None,
+                        metric: str = "jaccard"):
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard >= t).
+
+    ``metric="containment"`` scores isect / min(n_a, n_b) instead
+    (max-containment): a short document quoted inside a long one scores
+    ~1.0 where Jaccard is diluted by the length ratio — the
+    RefinedWeb-style subset-duplicate signal. Same exchange plan, same
+    exactness; only the final pure-map denominator and the output score
+    column name change.
 
     Fully distributed, ONE corpus pass, zero driver-side state: the
     inverted index (gram, doc_id, n_doc) is hash-partitioned by gram and
@@ -1212,6 +1220,8 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
             [("isect", "sum", "isect"),
              ("n_a", "min", "n_a"), ("n_b", "min", "n_b")])
 
+    assert metric in ("jaccard", "containment"), metric
+
     def jaccard_map(cols_na="n_a", cols_nb="n_b"):
         def finish(batch: pa.Table) -> pa.Table:
             isect = batch.column("isect").to_numpy(
@@ -1220,14 +1230,17 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
                 zero_copy_only=False).astype(np.float64)
             nb = batch.column(cols_nb).to_numpy(
                 zero_copy_only=False).astype(np.float64)
-            union = na + nb - isect
-            union[union == 0] = 1.0
-            jac = isect / union
+            if metric == "containment":
+                denom = np.minimum(na, nb)
+            else:
+                denom = na + nb - isect
+            denom[denom == 0] = 1.0
+            jac = isect / denom
             keep = jac >= threshold
             return pa.table({
                 "doc_a": batch.column("doc_a").filter(pa.array(keep)),
                 "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-                "jaccard": pa.array(jac[keep], pa.float64()),
+                metric: pa.array(jac[keep], pa.float64()),
             })
         return finish
 
@@ -1257,7 +1270,7 @@ def ngram_jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
+            metric: pa.array([], pa.float64())}))
     if capped.count() == 0:  # nothing was capped: totals need no adjustment
         return inter.map_batches(jaccard_map(), batch_format="pyarrow")
 

@@ -134,7 +134,7 @@ def _lev_banded(a: str, b: str, k: int) -> Optional[int]:
 
 
 def _variant_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
-                  max_len: int) -> pa.Table:
+                  max_len: int, side: int = 0) -> pa.Table:
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     v_keys: list = []
@@ -151,18 +151,22 @@ def _variant_rows(batch: pa.Table, id_col: str, text_col: str, k: int,
         "vkey": pa.array(v_keys, pa.int64()),
         "doc": pa.array(v_ids, pa.int64()),
         "s": pa.array(v_strs, pa.string()),
+        "side": pa.array(np.full(len(v_keys), side, np.int8), pa.int8()),
     })
 
 
-def _bucket_pairs_kernel(k: int, max_bucket: int):
+def _bucket_pairs_kernel(k: int, max_bucket: int, cross_side: bool = False):
     """Partition kernel: group rows by vkey, verify bucket pairs with the
-    banded DP, emit locally-deduped (doc_a, doc_b, dist) rows."""
+    banded DP, emit locally-deduped (doc_a, doc_b, dist) rows. With
+    ``cross_side`` only (side 0, side 1) pairs are emitted, ordered
+    (left id, right id) instead of (min, max)."""
     import pandas as pd
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         vkey = pdf["vkey"].to_numpy()
         docs = pdf["doc"].to_numpy()
         strs = pdf["s"].tolist()
+        sides = pdf["side"].to_numpy()
         order = np.argsort(vkey, kind="stable")
         vk = vkey[order]
         bounds = np.flatnonzero(np.concatenate(([True], vk[1:] != vk[:-1])))
@@ -181,9 +185,14 @@ def _bucket_pairs_kernel(k: int, max_bucket: int):
                 for y in range(x + 1, len(idx)):
                     iy = idx[y]
                     dy = int(docs[iy])
-                    if dx == dy:
-                        continue
-                    key = (dx, dy) if dx < dy else (dy, dx)
+                    if cross_side:
+                        if sides[ix] == sides[iy]:
+                            continue
+                        key = (dx, dy) if sides[ix] == 0 else (dy, dx)
+                    else:
+                        if dx == dy:
+                            continue
+                        key = (dx, dy) if dx < dy else (dy, dx)
                     if key in seen:
                         continue
                     d = _lev_banded(sx, strs[iy], k)
@@ -230,5 +239,42 @@ def fuzzy_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     # the union pins the schema even when every exchange partition came
     # back empty (Ray's empty sort partitions carry no schema)
+    return (out.map_batches(typed, batch_format="pyarrow")
+            .union(rd.from_arrow(_PAIRS_SCHEMA.empty_table())))
+
+
+def fuzzy_join(left, right, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 1, max_len: int = 256,
+               max_bucket: int = 10_000, num_parts: Optional[int] = None):
+    """Fuzzy equi-join: every (left row, right row) pair whose strings are
+    within Levenshtein ``k`` — the entity-resolution shape (catalog
+    reconciliation, crawl-title matching, OCR-noise linking).
+
+    Same machinery as ``fuzzy_pairs`` with the two sides tagged before
+    the variant exchange; the partition kernel only pairs across sides,
+    so the left and right id spaces stay independent. Returns
+    (doc_a = left id, doc_b = right id, dist). Both sides accept the
+    same ``id_col``/``text_col`` names (rename upstream otherwise).
+    """
+    import ray.data as rd
+
+    P = num_parts or default_num_parts()
+    lvar = left.map_batches(
+        lambda t: _variant_rows(t, id_col, text_col, k, max_len, side=0),
+        batch_format="pyarrow")
+    rvar = right.map_batches(
+        lambda t: _variant_rows(t, id_col, text_col, k, max_len, side=1),
+        batch_format="pyarrow")
+    pairs = (add_hash_partition(lvar.union(rvar), ["vkey"], P)
+             .groupby("part")
+             .map_groups(_bucket_pairs_kernel(k, max_bucket,
+                                              cross_side=True),
+                         batch_format="pandas"))
+    out = _distinct_pairs(pairs, extra_agg=("dist", "min", "dist"))
+
+    def typed(t: pa.Table) -> pa.Table:
+        return t.cast(_PAIRS_SCHEMA) if t.num_rows else \
+            _PAIRS_SCHEMA.empty_table()
+
     return (out.map_batches(typed, batch_format="pyarrow")
             .union(rd.from_arrow(_PAIRS_SCHEMA.empty_table())))

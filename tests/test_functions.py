@@ -346,6 +346,53 @@ def test_ngram_hot_gram_cap_completes(ray_session):
     assert dt < 60, f"capped run too slow: {dt}"
 
 
+def test_ngram_containment_finds_subset_quote(ray_session):
+    """A short doc quoted verbatim inside a long one: Jaccard is diluted
+    below threshold, containment (isect / min set size) reads 1.0."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon"          # 3 distinct 3-grams
+    filler = " ".join(f"w{i}" for i in range(60))      # 58 more grams
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "text": [quote, filler + " " + quote,
+                 "totally different tokens on every position here"],
+    })
+
+    jac = ngram_jaccard_pairs(rd.from_pandas(docs), k=3,
+                              threshold=0.5).to_pandas()
+    assert len(jac) == 0  # 3 shared / ~62 union ≈ 0.05: Jaccard misses it
+
+    con = ngram_jaccard_pairs(rd.from_pandas(docs), k=3, threshold=0.9,
+                              metric="containment").to_pandas()
+    assert set(zip(con["doc_a"], con["doc_b"])) == {(1, 2)}
+    assert con["containment"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ngram_containment_with_max_df(ray_session):
+    """Containment composes with the hot-gram cap: capped totals feed the
+    min() denominator the same way they feed the union."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs
+
+    hot = "common shared boilerplate footer"
+    quote = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], np.int64),
+        "text": [f"{hot} {quote}",
+                 f"{hot} {quote} plus many extra tokens here after",
+                 f"{hot} nothing else shared with others qq rr ss",
+                 f"{hot} yet more unrelated body uu vv ww"],
+    })
+    out = ngram_jaccard_pairs(rd.from_pandas(docs), k=3, threshold=0.99,
+                              max_df=2, metric="containment").to_pandas()
+    # only grams with df<=2 count: the quote grams (df=2) survive, the hot
+    # prefix grams (df=4) drop -> (1,2) contained, others share nothing
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    assert out["containment"].iloc[0] == pytest.approx(1.0)
+
+
 # ---------------------------------------------------------------- corpus ops
 
 

@@ -138,3 +138,45 @@ def test_fuzzy_pairs_max_bucket_drops_hub_variant(ray_session):
     assert len(full) == 10  # every pair differs in position 0 only
     capped = _pairs_of(fuzzy_pairs(ds, k=1, num_parts=2, max_bucket=2))
     assert len(capped) < len(full)
+
+
+def test_fuzzy_join_matches_brute_force(ray_session):
+    import ray.data as rd
+    rng = random.Random(23)
+    mk = lambda n: ["".join(rng.choice("abcde") for _ in range(8))
+                    for _ in range(n)]
+    lrows = list(enumerate(mk(40)))
+    # right side: typo'd copies of some left strings + fresh strings,
+    # with an id space that OVERLAPS left's numerically
+    rrows = []
+    for i, (lid, s) in enumerate(lrows[:20]):
+        j = rng.randrange(len(s))
+        rrows.append((i, s[:j] + rng.choice("xyz") + s[j + 1:]))
+    rrows += [(20 + i, s) for i, s in enumerate(mk(20))]
+
+    def to_ds(rows):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    from sift_ray.functions.fuzzy import fuzzy_join
+    for k in (1, 2):
+        got = _pairs_of(fuzzy_join(to_ds(lrows), to_ds(rrows), k=k,
+                                   num_parts=4))
+        want = sorted((la, rb, lev_full(ls, rs))
+                      for la, ls in lrows for rb, rs in rrows
+                      if lev_full(ls, rs) <= k)
+        assert got == want, f"k={k}"
+
+
+def test_fuzzy_join_is_cross_side_only(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.fuzzy import fuzzy_join
+    # two near-identical strings on the SAME side must not pair
+    l = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                "text": pa.array(["abc", "abd"],
+                                                 pa.string())}))
+    r = rd.from_arrow(pa.table({"doc_id": pa.array([7], pa.int64()),
+                                "text": pa.array(["abe"], pa.string())}))
+    got = _pairs_of(fuzzy_join(l, r, k=1, num_parts=4))
+    assert got == [(1, 7, 1), (2, 7, 1)]
