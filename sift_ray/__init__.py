@@ -18,6 +18,29 @@ inside Arrow batches — sift's "corpus" is always the chunks of one document
 
 __version__ = "0.1.0"
 
+
+def _install_empty_schema_warning_filter() -> None:
+    """Drop Ray 2.49's schema-divergence warning ONLY for the empty-new-schema
+    case: Ray's sort-based shuffle emits schema-less empty blocks for empty
+    partitions (upstream streaming_executor_state.py warns unless the OLD
+    schema is the empty one), which floods every small-scale groupby run with
+    false positives. Real schema drift (non-empty vs non-empty) still warns.
+    """
+    import logging
+
+    class _EmptyNewSchemaFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("a RefBundle with a different schema" in msg
+                        and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptyNewSchemaFilter())
+
+
+_install_empty_schema_warning_filter()
+
 __all__ = [
     "SiftConfig", "default_config",
     "to_markdown",

@@ -461,3 +461,25 @@ def test_task_retry_produces_identical_bytes(ray_session, tmp_path):
     assert len(injected) == len(baseline) == n
     for col in ("url", "status", "extracted_md"):
         assert (injected[col].to_numpy() == baseline[col].to_numpy()).all(), col
+
+
+def test_empty_schema_warning_filter_selectivity():
+    """The installed log filter drops ONLY the empty-new-schema variant of
+    Ray's RefBundle divergence warning; real drift still passes."""
+    import logging
+    lg = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    flt = [f for f in lg.filters
+           if type(f).__name__ == "_EmptyNewSchemaFilter"]
+    assert flt, "filter not installed on import of sift_ray"
+    mk = lambda msg: logging.LogRecord("x", logging.WARNING, "f", 1,
+                                       msg, (), None)
+    drop = mk("Operator produced a RefBundle with a different schema "
+              "than the previous one. Previous schema: a: int64, "
+              "new schema: . This may lead to unexpected behavior.")
+    keep = mk("Operator produced a RefBundle with a different schema "
+              "than the previous one. Previous schema: a: int64, "
+              "new schema: a: double. This may lead to unexpected behavior.")
+    assert not flt[0].filter(drop)
+    assert flt[0].filter(keep)
+    assert flt[0].filter(mk("unrelated message"))
