@@ -2789,6 +2789,68 @@ def _q_page_metadata(sf_dir: str):
     return page_metadata(pages)
 
 
+def _q_html_table_cells(sf_dir: str):
+    """HTML <table> grid extraction (webstruct.html_tables): one synthetic
+    page per nation holding a table of its customers, built DISTRIBUTED
+    (groupby nation -> map_groups renders HTML), then the zero-shuffle
+    cell-grid stage. Oracle: DuckDB reconstructs the long-form cell rows
+    relationally (header VALUES cross join + row_number per nation)."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.webstruct import html_tables
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_custkey")
+        nk = int(pdf["c_nationkey"].iloc[0])
+        rows = "".join(
+            f"<tr><td>{k}</td><td>{n}</td></tr>"
+            for k, n in zip(pdf["c_custkey"], pdf["c_name"]))
+        html = ("<html><body><table><tr><th>custkey</th><th>name</th></tr>"
+                + rows + "</table></body></html>")
+        return pd.DataFrame({
+            "url": [f"http://tables.example/nation/{nk}"],
+            "html": [html.encode()]})
+
+    pages = ds.groupby("c_nationkey").map_groups(render,
+                                                 batch_format="pandas")
+    return html_tables(pages)
+
+
+def _q_jsonld_product_fields(sf_dir: str):
+    """JSON-LD (schema.org) field mining (webstruct.jsonld_fields): one
+    synthetic product page per part with an application/ld+json block,
+    rendered map-side, then the zero-shuffle JSON-LD stage emits
+    long-form (key, value) rows. Oracle: DuckDB reconstructs the rows
+    from the part table (keys VALUES cross join)."""
+    import json as _json
+    import pyarrow as _pa
+    import ray.data as rd
+    from sift_ray.functions.webstruct import jsonld_fields
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_brand"])
+
+    def render(batch: _pa.Table) -> _pa.Table:
+        urls, htmls = [], []
+        for pk, nm, br in zip(batch.column("p_partkey").to_pylist(),
+                              batch.column("p_name").to_pylist(),
+                              batch.column("p_brand").to_pylist()):
+            ld = _json.dumps({"@type": "Product", "name": nm,
+                              "sku": pk, "brand": br})
+            urls.append(f"http://shop.example/part/{pk}")
+            htmls.append((
+                "<html><head><script type=\"application/ld+json\">"
+                + ld + "</script></head><body>p</body></html>").encode())
+        return _pa.table({"url": _pa.array(urls, _pa.string()),
+                          "html": _pa.array(htmls, _pa.binary())})
+
+    pages = ds.map_batches(render, batch_format="pyarrow")
+    return jsonld_fields(pages)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Distributed PCA over the embeddings table: one corpus pass of
     second-moment partials, ONE idx-keyed exchange, driver receives
@@ -3136,6 +3198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": _q_ngram_containment,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fuzzy_part_match": _q_fuzzy_part_match,
+        "html_table_cells": _q_html_table_cells,
+        "jsonld_product_fields": _q_jsonld_product_fields,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3785,6 +3849,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = i.doc_a
             JOIN counts cb ON cb.doc_id = i.doc_b
             WHERE CAST(i.isect AS DOUBLE) / least(ca.n, cb.n) >= 0.6
+        """,
+        "html_table_cells": """
+            WITH hdr AS (
+                SELECT 'http://tables.example/nation/'
+                           || CAST(c_nationkey AS VARCHAR) AS url,
+                       CAST(0 AS INTEGER) AS table_idx,
+                       CAST(0 AS INTEGER) AS row_idx,
+                       CAST(h.col_idx AS INTEGER) AS col_idx,
+                       TRUE AS is_header, h.cell, 'ok' AS status
+                FROM (SELECT DISTINCT c_nationkey FROM customer),
+                     (VALUES (0, 'custkey'), (1, 'name')) AS h(col_idx, cell)
+            ), dat AS (
+                SELECT 'http://tables.example/nation/'
+                           || CAST(c_nationkey AS VARCHAR) AS url,
+                       CAST(0 AS INTEGER) AS table_idx,
+                       CAST(rn AS INTEGER) AS row_idx,
+                       CAST(v.col_idx AS INTEGER) AS col_idx,
+                       FALSE AS is_header,
+                       CASE v.col_idx WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+                            ELSE c_name END AS cell,
+                       'ok' AS status
+                FROM (SELECT c_nationkey, c_custkey, c_name,
+                             row_number() OVER (PARTITION BY c_nationkey
+                                                ORDER BY c_custkey) AS rn
+                      FROM customer),
+                     (VALUES (0), (1)) AS v(col_idx)
+            )
+            SELECT * FROM hdr UNION ALL SELECT * FROM dat
+        """,
+        "jsonld_product_fields": """
+            SELECT 'http://shop.example/part/'
+                       || CAST(p_partkey AS VARCHAR) AS url,
+                   CAST(0 AS INTEGER) AS block_idx,
+                   CAST(0 AS INTEGER) AS item_idx,
+                   'Product' AS jsonld_type, k.key,
+                   CASE k.key WHEN 'name' THEN p_name
+                        WHEN 'brand' THEN p_brand
+                        ELSE CAST(p_partkey AS VARCHAR) END AS value
+            FROM part, (VALUES ('brand'), ('name'), ('sku')) AS k(key)
         """,
         "fuzzy_part_match": """
             WITH l AS (SELECT p_name, min(p_partkey) AS id FROM part

@@ -239,7 +239,8 @@ def run_bench() -> dict:
         "qty_price_regression", "bucketed_time_travel",
         "bucketed_upsert_delete", "zorder_multi_scan",
         "bloom_point_lookup", "bucketed_cdc", "fuzzy_name_pairs",
-        "ngram_containment_pairs", "fuzzy_part_match")
+        "ngram_containment_pairs", "fuzzy_part_match",
+        "html_table_cells", "jsonld_product_fields")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the
