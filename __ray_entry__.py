@@ -2851,6 +2851,19 @@ def _q_jsonld_product_fields(sf_dir: str):
     return jsonld_fields(pages)
 
 
+def _q_explode_embeddings(sf_dir: str):
+    """UNNEST WITH ORDINALITY (relational.explode_list): flatten the
+    embedding list column to (vec_id, dim, x) long form — zero-copy
+    pc.list_flatten / list_parent_indices, vectorized ordinality, zero
+    shuffle. Oracle: DuckDB generate_subscripts + unnest."""
+    import ray.data as rd
+    from sift_ray.functions.relational import explode_list
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return explode_list(ds, "embedding", ["vec_id"],
+                        ordinal_col="dim", value_col="x")
+
+
 def _q_embedding_pca(sf_dir: str):
     """Distributed PCA over the embeddings table: one corpus pass of
     second-moment partials, ONE idx-keyed exchange, driver receives
@@ -3200,6 +3213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_part_match": _q_fuzzy_part_match,
         "html_table_cells": _q_html_table_cells,
         "jsonld_product_fields": _q_jsonld_product_fields,
+        "explode_embeddings": _q_explode_embeddings,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3877,6 +3891,13 @@ def oracle_sql() -> dict[str, str]:
                      (VALUES (0), (1)) AS v(col_idx)
             )
             SELECT * FROM hdr UNION ALL SELECT * FROM dat
+        """,
+        "explode_embeddings": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
         """,
         "jsonld_product_fields": """
             SELECT 'http://shop.example/part/'

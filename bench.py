@@ -240,7 +240,8 @@ def run_bench() -> dict:
         "bucketed_upsert_delete", "zorder_multi_scan",
         "bloom_point_lookup", "bucketed_cdc", "fuzzy_name_pairs",
         "ngram_containment_pairs", "fuzzy_part_match",
-        "html_table_cells", "jsonld_product_fields")
+        "html_table_cells", "jsonld_product_fields",
+        "explode_embeddings")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

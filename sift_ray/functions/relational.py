@@ -712,3 +712,35 @@ def dim_revenue(lineitem, dim_path: str, fact_key: str, dim_key: str,
         [("n_items", "sum", "n_items"),
          ("revenue_cents", "sum", "revenue_cents")],
         num_parts=num_parts, key_arrays_fn=label_keys)
+
+
+def explode_list(ds, list_col: str, id_cols: List[str],
+                 ordinal_col: str = "ordinal", value_col: str = "value"):
+    """UNNEST WITH ORDINALITY: flatten an Arrow list column to long form —
+    one row per element, carrying ``id_cols`` and the element's 0-based
+    position. The core relational explode (SQL ``unnest`` /
+    ``generate_subscripts``), done zero-copy per batch:
+    ``pc.list_flatten`` for values, ``pc.list_parent_indices`` + ``take``
+    for the carried columns, a vectorized cumsum for ordinality — no
+    Python loop over rows or elements. Null/empty lists emit no rows
+    (SQL unnest semantics). Map-only, zero shuffle; output size is the
+    total element count, so downstream stages see pre-sized Arrow blocks
+    the streaming executor can spill independently of the parent rows.
+    """
+    def kernel(batch: pa.Table) -> pa.Table:
+        arr = batch.column(list_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        parent = pc.list_parent_indices(arr)
+        values = pc.list_flatten(arr)
+        lengths = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        ordinal = (np.arange(len(values), dtype=np.int64)
+                   - starts[parent.to_numpy(zero_copy_only=False)])
+        cols = {c: pc.take(batch.column(c), parent) for c in id_cols}
+        cols[ordinal_col] = pa.array(ordinal, pa.int64())
+        cols[value_col] = values
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

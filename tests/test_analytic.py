@@ -1071,3 +1071,35 @@ def test_boilerplate_strip_map_side_matches_exchange_path(ray_session,
     monkeypatch.setattr(cp, "_BROADCAST_STRIP_LIMIT", 0)
     got_join = run()
     pd.testing.assert_frame_equal(got_map, got_join)
+
+
+def test_explode_list_ordinality_and_nulls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.relational import explode_list
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d"], pa.string()),
+        "xs": pa.array([[10, 20], [], None, [7]],
+                       pa.list_(pa.int32())),
+    })
+    out = explode_list(rd.from_arrow(tbl), "xs", ["id", "tag"]) \
+        .to_pandas().sort_values(["id", "ordinal"]).reset_index(drop=True)
+    assert out.to_dict("list") == {
+        "id": [1, 1, 4], "tag": ["a", "a", "d"],
+        "ordinal": [0, 1, 0], "value": [10, 20, 7]}
+
+    # sliced-batch safety: run through a multi-block dataset
+    big = pa.table({
+        "id": pa.array(np.arange(100), pa.int64()),
+        "xs": pa.array([[int(i), int(i) + 1] for i in range(100)],
+                       pa.list_(pa.int64())),
+    })
+    got = explode_list(rd.from_arrow(big).repartition(7), "xs", ["id"]) \
+        .to_pandas()
+    assert len(got) == 200
+    assert (got.loc[got.ordinal == 0, "value"].sort_values().to_numpy()
+            == np.arange(100)).all()
+    assert (got["value"] - got["id"] == got["ordinal"]).all()
