@@ -2851,6 +2851,69 @@ def _q_jsonld_product_fields(sf_dir: str):
     return jsonld_fields(pages)
 
 
+def _q_sitemap_entries(sf_dir: str):
+    """Sitemap parsing (webstruct.sitemap_entries): one synthetic
+    sitemap.xml per customer listing its orders (loc + ISO lastmod +
+    changefreq/priority), rendered distributed, then the zero-shuffle
+    entry parser. Oracle: DuckDB reconstructs entries from orders."""
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.webstruct import sitemap_entries
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        ck = int(pdf["o_custkey"].iloc[0])
+        entries = "".join(
+            f"<url><loc>http://sm.example/order/{ok}</loc>"
+            f"<lastmod>{d.strftime('%Y-%m-%d')}</lastmod>"
+            f"<changefreq>weekly</changefreq>"
+            f"<priority>0.5</priority></url>"
+            for ok, d in zip(pdf["o_orderkey"], pdf["o_orderdate"]))
+        xml = ('<?xml version="1.0" encoding="UTF-8"?><urlset>'
+               + entries + "</urlset>")
+        return pd.DataFrame({
+            "url": [f"http://sm.example/customer/{ck}/sitemap.xml"],
+            "html": [xml.encode()]})
+
+    pages = ds.groupby("o_custkey").map_groups(render,
+                                               batch_format="pandas")
+    return sitemap_entries(pages)
+
+
+def _q_robots_meta_flags(sf_dir: str):
+    """Robots-meta indexability flags (webstruct.robots_meta_flags): one
+    synthetic page per customer, noindex/nofollow planted from key
+    residues, one output row per page. Oracle: DuckDB derives the same
+    booleans from c_custkey."""
+    import pyarrow as _pa
+    import ray.data as rd
+    from sift_ray.functions.webstruct import robots_meta_flags
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+
+    def render(batch: _pa.Table) -> _pa.Table:
+        urls, htmls = [], []
+        for ck in batch.column("c_custkey").to_pylist():
+            toks = []
+            if ck % 7 == 0:
+                toks.append("noindex")
+            if ck % 5 == 0:
+                toks.append("nofollow")
+            meta = (f'<meta name="robots" content="{", ".join(toks)}">'
+                    if toks else "")
+            urls.append(f"http://pages.example/c/{ck}")
+            htmls.append((f"<html><head>{meta}</head>"
+                          f"<body>c{ck}</body></html>").encode())
+        return _pa.table({"url": _pa.array(urls, _pa.string()),
+                          "html": _pa.array(htmls, _pa.binary())})
+
+    return robots_meta_flags(ds.map_batches(render, batch_format="pyarrow"))
+
+
 def _q_explode_embeddings(sf_dir: str):
     """UNNEST WITH ORDINALITY (relational.explode_list): flatten the
     embedding list column to (vec_id, dim, x) long form — zero-copy
@@ -3214,6 +3277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_table_cells": _q_html_table_cells,
         "jsonld_product_fields": _q_jsonld_product_fields,
         "explode_embeddings": _q_explode_embeddings,
+        "sitemap_entries": _q_sitemap_entries,
+        "robots_meta_flags": _q_robots_meta_flags,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3891,6 +3956,25 @@ def oracle_sql() -> dict[str, str]:
                      (VALUES (0), (1)) AS v(col_idx)
             )
             SELECT * FROM hdr UNION ALL SELECT * FROM dat
+        """,
+        "sitemap_entries": """
+            SELECT 'http://sm.example/customer/'
+                       || CAST(o_custkey AS VARCHAR) || '/sitemap.xml'
+                       AS url,
+                   'url' AS kind,
+                   'http://sm.example/order/'
+                       || CAST(o_orderkey AS VARCHAR) AS loc,
+                   strftime(o_orderdate, '%Y-%m-%d') AS lastmod,
+                   'weekly' AS changefreq, '0.5' AS priority
+            FROM orders
+        """,
+        "robots_meta_flags": """
+            SELECT 'http://pages.example/c/'
+                       || CAST(c_custkey AS VARCHAR) AS url,
+                   c_custkey % 7 = 0 AS noindex,
+                   c_custkey % 5 = 0 AS nofollow,
+                   'ok' AS status
+            FROM customer
         """,
         "explode_embeddings": """
             SELECT vec_id,

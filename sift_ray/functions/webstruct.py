@@ -300,3 +300,144 @@ def jsonld_fields(pages, max_bytes: int = 50 * 1024 * 1024):
     from .shuffle import TaskStage
     return pages.map_batches(TaskStage(JsonLdStage, max_bytes=max_bytes),
                              batch_format="pyarrow")
+
+
+# --------------------------------------------------------- sitemaps / robots
+
+_SITEMAP_FIELDS = [("url", pa.string()), ("kind", pa.string()),
+                   ("loc", pa.string()), ("lastmod", pa.string()),
+                   ("changefreq", pa.string()), ("priority", pa.string())]
+SITEMAP_SCHEMA = pa.schema(_SITEMAP_FIELDS)
+
+
+class SitemapStage:
+    """Batch kernel: (url, html=sitemap XML bytes) -> one row per
+    <url> (kind="url") or <sitemap> (kind="sitemap", index files) entry.
+    Entries without a <loc> are dropped (the spec requires it); pages
+    that fail to parse emit nothing (miner semantics — the fetch layer
+    owns transport quarantine). Child fields are raw text content, not
+    re-typed: lastmod/priority stay strings so downstream policy decides
+    the parse (crawl schedulers compare lastmod lexically for ISO dates).
+    """
+
+    def __init__(self, max_bytes: int = 50 * 1024 * 1024):
+        self.max_bytes = max_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..dom.parser import parse_html
+
+        cols = {name: [] for name, _ in _SITEMAP_FIELDS}
+        for url, html in zip(batch.column("url").to_pylist(),
+                             batch.column("html").to_pylist()):
+            if html is None:
+                continue
+            if isinstance(html, bytes):
+                if len(html) > self.max_bytes:
+                    continue
+                html = html.decode("utf-8", errors="replace")
+            elif len(html) > self.max_bytes:
+                continue
+            try:
+                root = parse_html(html)
+            except Exception:
+                continue
+            for entry in root.iter_elements():
+                if entry.tag not in ("url", "sitemap"):
+                    continue
+                fields = {}
+                for f in ("loc", "lastmod", "changefreq", "priority"):
+                    node = entry.find_first(f)
+                    if node is not None:
+                        txt = _WS_RE.sub(" ", node.text_content()).strip()
+                        fields[f] = txt or None
+                if not fields.get("loc"):
+                    continue
+                cols["url"].append(url)
+                cols["kind"].append(entry.tag)
+                cols["loc"].append(fields.get("loc"))
+                cols["lastmod"].append(fields.get("lastmod"))
+                cols["changefreq"].append(fields.get("changefreq"))
+                cols["priority"].append(fields.get("priority"))
+        return pa.table({name: pa.array(cols[name], typ)
+                         for name, typ in _SITEMAP_FIELDS})
+
+
+def sitemap_entries(pages, max_bytes: int = 50 * 1024 * 1024):
+    """Dataset of sitemap/sitemap-index entries from (url, html) pages.
+    Map-only, zero shuffle — the frontier-building companion to the
+    robots.txt compliance filter (functions/robots.py)."""
+    from .shuffle import TaskStage
+    return pages.map_batches(TaskStage(SitemapStage, max_bytes=max_bytes),
+                             batch_format="pyarrow")
+
+
+_ROBOTS_META_FIELDS = [("url", pa.string()), ("noindex", pa.bool_()),
+                       ("nofollow", pa.bool_()), ("status", pa.string())]
+ROBOTS_META_SCHEMA = pa.schema(_ROBOTS_META_FIELDS)
+
+_TOKEN_SPLIT_RE = re.compile(r"[,\s]+")
+
+
+class RobotsMetaStage:
+    """Batch kernel: (url, html) -> exactly ONE row per page with the
+    page-level indexability directives. Token semantics per the Robots
+    Meta Tag spec as search engines apply it: every <meta name="robots">
+    contributes tokens (name compared case-insensitively, content split
+    on commas/whitespace, lowercased); the most restrictive wins across
+    duplicates ("none" = noindex + nofollow). Pages with no directive are
+    indexable (noindex=false, nofollow=false). Parse failures quarantine
+    in-row (status, flags false) — a compliance filter must not silently
+    drop OR silently keep an unparseable page; the caller picks."""
+
+    def __init__(self, max_bytes: int = 50 * 1024 * 1024):
+        self.max_bytes = max_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..dom.parser import parse_html
+
+        urls = batch.column("url").to_pylist()
+        noindex, nofollow, status = [], [], []
+        for url, html in zip(urls, batch.column("html").to_pylist()):
+            st, ni, nf = "ok", False, False
+            if html is None:
+                st = "empty"
+            else:
+                if isinstance(html, bytes):
+                    if len(html) > self.max_bytes:
+                        st = "oversize"
+                    else:
+                        html = html.decode("utf-8", errors="replace")
+                elif len(html) > self.max_bytes:
+                    st = "oversize"
+                if st == "ok":
+                    try:
+                        root = parse_html(html)
+                        for m in root.iter_elements("meta"):
+                            if m.get("name").strip().lower() != "robots":
+                                continue
+                            toks = {t for t in _TOKEN_SPLIT_RE.split(
+                                m.get("content").strip().lower()) if t}
+                            if "none" in toks:
+                                ni = nf = True
+                            ni = ni or "noindex" in toks
+                            nf = nf or "nofollow" in toks
+                    except Exception:
+                        st, ni, nf = "error", False, False
+            noindex.append(ni)
+            nofollow.append(nf)
+            status.append(st)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "noindex": pa.array(noindex, pa.bool_()),
+            "nofollow": pa.array(nofollow, pa.bool_()),
+            "status": pa.array(status, pa.string()),
+        })
+
+
+def robots_meta_flags(pages, max_bytes: int = 50 * 1024 * 1024):
+    """Dataset of per-page robots-meta indexability flags from (url, html)
+    pages — the in-page half of crawl compliance (robots.txt is the
+    transport half). Map-only, zero shuffle, one row per page."""
+    from .shuffle import TaskStage
+    return pages.map_batches(TaskStage(RobotsMetaStage, max_bytes=max_bytes),
+                             batch_format="pyarrow")

@@ -175,3 +175,56 @@ def test_html_tables_dataset_roundtrip(ray_session):
     lds = jsonld_fields(pages).to_pandas()
     assert len(lds) == 6
     assert sorted(lds.value.astype(int)) == list(range(6))
+
+
+def test_sitemap_urlset_and_index():
+    from sift_ray.functions.webstruct import SitemapStage
+    sm = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://e.com/a</loc><lastmod>2024-01-02</lastmod>
+           <changefreq>weekly</changefreq><priority>0.8</priority></url>
+      <url><loc> http://e.com/b </loc></url>
+      <url><lastmod>2024-01-01</lastmod></url>
+    </urlset>"""
+    idx = """<sitemapindex>
+      <sitemap><loc>http://e.com/s1.xml</loc>
+               <lastmod>2024-02-03</lastmod></sitemap>
+    </sitemapindex>"""
+    out = _run_stage(SitemapStage(), [
+        ("http://e.com/sitemap.xml", sm.encode()),
+        ("http://e.com/index.xml", idx.encode()),
+        ("http://e.com/broken.xml", None),
+    ])
+    by_loc = {r["loc"]: r for r in out}
+    assert len(out) == 3  # entry without <loc> dropped; None page skipped
+    a = by_loc["http://e.com/a"]
+    assert (a["kind"], a["lastmod"], a["changefreq"], a["priority"]) == \
+        ("url", "2024-01-02", "weekly", "0.8")
+    b = by_loc["http://e.com/b"]
+    assert (b["kind"], b["lastmod"]) == ("url", None)  # loc trimmed
+    s = by_loc["http://e.com/s1.xml"]
+    assert (s["kind"], s["lastmod"]) == ("sitemap", "2024-02-03")
+
+
+def test_robots_meta_union_and_quarantine():
+    from sift_ray.functions.webstruct import RobotsMetaStage
+    out = _run_stage(RobotsMetaStage(max_bytes=200), [
+        ("http://r/0", b"<html><head>"
+                       b"<meta name='ROBOTS' content='NOINDEX, follow'>"
+                       b"<meta name='robots' content='nofollow'>"
+                       b"</head><body>x</body></html>"),
+        ("http://r/1", b"<meta name='robots' content='none'>"),
+        ("http://r/2", b"<html><body>plain</body></html>"),
+        ("http://r/3", b"<meta name='description' content='noindex'>"),
+        ("http://r/4", b"x" * 500),
+        ("http://r/5", None),
+    ])
+    rows = {r["url"]: (r["noindex"], r["nofollow"], r["status"])
+            for r in out}
+    assert len(out) == 6  # exactly one row per page
+    assert rows["http://r/0"] == (True, True, "ok")   # union of two metas
+    assert rows["http://r/1"] == (True, True, "ok")   # none = both
+    assert rows["http://r/2"] == (False, False, "ok")
+    assert rows["http://r/3"] == (False, False, "ok") # wrong meta name
+    assert rows["http://r/4"] == (False, False, "oversize")
+    assert rows["http://r/5"] == (False, False, "empty")
