@@ -146,6 +146,17 @@ def _q_ngram_jaccard(sf_dir: str):
                                k=3, threshold=0.5)
 
 
+def _q_ngram_jaccard_prefix(sf_dir: str):
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs: same answer as
+    ngram_jaccard_pairs (same oracle), but only each doc's prefix grams
+    are exchanged and the hot-last sampled token order keeps stop-grams
+    out of every prefix — the scale path for threshold >= 0.5
+    (dedup.py::ngram_jaccard_pairs_prefix)."""
+    from sift_ray.functions.dedup import ngram_jaccard_pairs_prefix
+    return ngram_jaccard_pairs_prefix(_docs(sf_dir, ["doc_id", "text"]),
+                                      k=3, threshold=0.5)
+
+
 def _q_ngram_containment(sf_dir: str):
     """Max-containment near-dup pairs (isect / min set size): the
     subset-quote signal Jaccard dilutes — dedup.py metric="containment"."""
@@ -3271,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": _q_dedup_docs,
         "near_dedup_docs": _q_near_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_containment_pairs": _q_ngram_containment,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "fuzzy_part_match": _q_fuzzy_part_match,
@@ -3621,6 +3633,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _NGRAM_CTE + """
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) AS jaccard
+            FROM inter i
+            JOIN counts ca ON ca.doc_id = i.doc_a
+            JOIN counts cb ON cb.doc_id = i.doc_b
+            WHERE CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) >= 0.5
+        """,
+        "ngram_jaccard_prefix": _NGRAM_CTE + """
             SELECT i.doc_a, i.doc_b,
                    CAST(i.isect AS DOUBLE) / (ca.n + cb.n - i.isect) AS jaccard
             FROM inter i

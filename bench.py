@@ -188,7 +188,8 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
     table_ops = () if os.environ.get("SIFT_BENCH_EXTRACT_ONLY") else (
         "doc_stats", "exact_dedup", "minhash_lsh_pairs",
-        "simhash_pairs", "ngram_jaccard_pairs", "cosine_topk",
+        "simhash_pairs", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+        "cosine_topk",
         "events_tumbling_window", "events_session_windows",
         "events_hopping_window", "embedding_near_dup_lsh",
         "orders_customer_join", "events_asof_join",

@@ -2557,3 +2557,95 @@ def test_join_sorted_disjoint_keys_empty(ray_session):
                  dr, key="rk", files=2)
     out = join_sorted(dl, dr)
     assert len(out.to_pandas()) == 0
+
+
+def test_ngram_prefix_equals_unfiltered(ray_session):
+    """ngram_jaccard_pairs_prefix must return EXACTLY the unfiltered op's
+    pairs and scores across thresholds (prefix filtering + size filter
+    are pruning-only) — both verify paths exercised."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import (ngram_jaccard_pairs,
+                                          ngram_jaccard_pairs_prefix)
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for i in range(60):
+        body = " ".join(rng.choice(words, rng.randint(5, 25)))
+        if i % 3 == 2:
+            # near-dup of previous: append one word
+            body = texts[-1] + " tailword"
+        texts.append(body)
+        ids.append(i)
+    df = pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+
+    def norm(out):
+        return sorted((int(a), int(b), round(float(j), 12))
+                      for a, b, j in zip(out["doc_a"], out["doc_b"],
+                                         out["jaccard"]))
+
+    for t in (0.4, 0.6, 0.8):
+        base = norm(ngram_jaccard_pairs(
+            rd.from_pandas(df), k=3, threshold=t).to_pandas())
+        for blimit in (100_000, 0):  # broadcast + dual-exchange verify
+            pref = norm(ngram_jaccard_pairs_prefix(
+                rd.from_pandas(df), k=3, threshold=t, num_parts=4,
+                broadcast_limit=blimit).to_pandas())
+            assert pref == base, (t, blimit)
+        assert len(base) > 0 or t == 0.8  # non-vacuous at low thresholds
+
+
+def test_ngram_prefix_hot_gram_exact_and_fast(ray_session):
+    """Planted stop-gram in EVERY doc: the sampled hot-last ordering keeps
+    it out of prefixes, the run completes fast, and — unlike max_df —
+    the result is EXACT (the hot gram still counts in denominators)."""
+    import time
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs_prefix
+
+    n = 4000
+    hot = "the quick brown"
+    texts = [f"{hot} unique{i} filler{i} word{i} tail{i}" for i in range(n)]
+    # plant one true near-dup pair that SHARES the hot gram plus more
+    texts[17] = texts[16] + " extra"
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    t0 = time.time()
+    out = ngram_jaccard_pairs_prefix(rd.from_pandas(df), k=3,
+                                     threshold=0.5).to_pandas()
+    dt = time.time() - t0
+    assert set(zip(out.doc_a, out.doc_b)) == {(16, 17)}
+    # doc16 has 5 grams, doc17 has those 5 + 1 more: J = 5/6 exactly
+    assert out["jaccard"].iloc[0] == pytest.approx(5 / 6)
+    assert dt < 60, f"prefix run too slow: {dt}"
+
+
+def test_ngram_prefix_matches_bruteforce(ray_session):
+    """Randomized parity vs a brute-force double loop over full gram sets
+    (independent of the unfiltered op's implementation)."""
+    import ray.data as rd
+    from sift_ray.functions.dedup import (_distinct_gram_hashes,
+                                          ngram_jaccard_pairs_prefix)
+
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 12)))
+             for _ in range(40)]
+    for i in (6, 21, 33):  # plant near-dups so the check is non-vacuous
+        texts[i] = texts[i - 1] + " planted"
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    t = 0.4
+    sets = [set(_distinct_gram_hashes(x, 3).tolist()) for x in texts]
+    want = set()
+    for a in range(40):
+        for b in range(a + 1, 40):
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= t:
+                want.add((a, b))
+    assert want, "fixture must be non-vacuous"
+    got = ngram_jaccard_pairs_prefix(rd.from_pandas(df), k=3, threshold=t,
+                                     num_parts=3).to_pandas()
+    assert set(zip(got.doc_a, got.doc_b)) == want
