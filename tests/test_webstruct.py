@@ -228,3 +228,35 @@ def test_robots_meta_union_and_quarantine():
     assert rows["http://r/3"] == (False, False, "ok") # wrong meta name
     assert rows["http://r/4"] == (False, False, "oversize")
     assert rows["http://r/5"] == (False, False, "empty")
+
+
+def test_table_grid_invariants_fuzz():
+    """Property fuzz: random tables with random row/colspans must produce
+    a consistent grid — no two cells at the same (row, col), cells placed
+    left-to-right within a row, and deterministic across re-parses."""
+    import random
+    rng = random.Random(99)
+    for trial in range(60):
+        n_rows = rng.randint(1, 6)
+        parts = ["<table>"]
+        for r in range(n_rows):
+            parts.append("<tr>")
+            for c in range(rng.randint(1, 5)):
+                rs = rng.choice([1, 1, 1, 2, 3])
+                cs = rng.choice([1, 1, 1, 2])
+                parts.append(
+                    f'<td rowspan="{rs}" colspan="{cs}">r{r}c{c}</td>')
+            parts.append("</tr>")
+        parts.append("</table>")
+        html = "".join(parts)
+        [cells] = _cells(html)
+        seen_pos = set()
+        last_col_in_row = {}
+        for row, col, _, _ in cells:
+            assert row >= 0 and col >= 0
+            assert (row, col) not in seen_pos, (trial, html)
+            seen_pos.add((row, col))
+            assert col > last_col_in_row.get(row, -1), (trial, html)
+            last_col_in_row[row] = col
+        [cells2] = _cells(html)
+        assert cells2 == cells  # deterministic
