@@ -2894,6 +2894,45 @@ def _q_sitemap_entries(sf_dir: str):
     return sitemap_entries(pages)
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """FLAGSHIP crawl-frontier composition (pipelines/frontier.py):
+    synthesized per-customer sitemaps -> sitemap_entries -> canonical_url
+    -> distributed anti-join against the already-fetched url set (every
+    o_orderkey % 3 == 0) -> per-host politeness schedule. Two exchanges
+    end to end. Oracle: the full composition re-expressed relationally
+    (filter + row_number per host)."""
+    import pandas as pd
+    import pyarrow as _pa
+    import ray.data as rd
+    from sift_ray.pipelines.frontier import build_frontier
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey"])
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        ck = int(pdf["o_custkey"].iloc[0])
+        entries = "".join(
+            f"<url><loc>http://c{ck}.shop.example/order/{ok}</loc></url>"
+            for ok in pdf["o_orderkey"])
+        return pd.DataFrame({
+            "url": [f"http://c{ck}.shop.example/sitemap.xml"],
+            "html": [f"<urlset>{entries}</urlset>".encode()]})
+
+    pages = ds.groupby("o_custkey").map_groups(render,
+                                               batch_format="pandas")
+
+    def seen_rows(batch: _pa.Table) -> _pa.Table:
+        urls = [f"http://c{ck}.shop.example/order/{ok}"
+                for ok, ck in zip(batch.column("o_orderkey").to_pylist(),
+                                  batch.column("o_custkey").to_pylist())
+                if ok % 3 == 0]
+        return _pa.table({"url": _pa.array(urls, _pa.string())})
+
+    seen = ds.map_batches(seen_rows, batch_format="pyarrow")
+    return build_frontier(pages, seen)
+
+
 def _q_robots_meta_flags(sf_dir: str):
     """Robots-meta indexability flags (webstruct.robots_meta_flags): one
     synthetic page per customer, noindex/nofollow planted from key
@@ -3291,6 +3330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_embeddings": _q_explode_embeddings,
         "sitemap_entries": _q_sitemap_entries,
         "robots_meta_flags": _q_robots_meta_flags,
+        "crawl_frontier": _q_crawl_frontier,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3987,6 +4027,22 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d') AS lastmod,
                    'weekly' AS changefreq, '0.5' AS priority
             FROM orders
+        """,
+        "crawl_frontier": """
+            WITH f AS (
+                SELECT 'http://c' || CAST(o_custkey AS VARCHAR)
+                           || '.shop.example/order/'
+                           || CAST(o_orderkey AS VARCHAR) AS url,
+                       'c' || CAST(o_custkey AS VARCHAR)
+                           || '.shop.example' AS host
+                FROM orders WHERE o_orderkey % 3 <> 0
+            )
+            SELECT url, host,
+                   row_number() OVER (PARTITION BY host ORDER BY url)
+                       AS fetch_rank,
+                   (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                       * 1000000 AS slot_us
+            FROM f
         """,
         "robots_meta_flags": """
             SELECT 'http://pages.example/c/'

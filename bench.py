@@ -242,7 +242,8 @@ def run_bench() -> dict:
         "bloom_point_lookup", "bucketed_cdc", "fuzzy_name_pairs",
         "ngram_containment_pairs", "fuzzy_part_match",
         "html_table_cells", "jsonld_product_fields",
-        "explode_embeddings", "sitemap_entries", "robots_meta_flags")
+        "explode_embeddings", "sitemap_entries", "robots_meta_flags",
+        "crawl_frontier")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

@@ -1,0 +1,76 @@
+"""Crawl-frontier build: sitemaps -> canonical URLs -> already-seen
+anti-join -> per-host politeness schedule.
+
+The third flagship composition (after the extraction job and corpus
+prep): the DISCOVERY half of a crawl, stitched entirely from existing
+operators — ``webstruct.sitemap_entries`` (frontier candidates),
+``urls.canonical_url`` (dedupe key normalization), ``shuffle.hash_join
+(how="anti")`` (drop URLs a previous crawl already fetched — a
+corpus-sized seen set, so it must be an exchange, never a broadcast),
+and ``urls.politeness_schedule`` (one fetch slot per host per interval).
+
+Scale shape: two key exchanges total — the anti-join's url-keyed
+exchange and the schedule's host-keyed exchange. Everything else is
+map-only. The seen side ships only its canonical-url column. Hot hosts
+are inherent to scheduling (a 10^7-page host owns 10^7 slots) and bound
+partition sort memory only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+
+def build_frontier(sitemap_pages, seen_urls,
+                   interval_us: int = 1_000_000,
+                   num_parts: Optional[int] = None):
+    """(url, html=sitemap XML) pages + a Dataset with a ``url`` column of
+    already-fetched URLs -> (url, host, fetch_rank, slot_us) dispatch
+    schedule for every NEW url discovered in the sitemaps.
+
+    Both sides are canonicalized with the same ``canonical_url`` before
+    the anti-join, so tracking-param/port/fragment variants of a seen
+    URL never re-enter the frontier. Non-http(s)/unparseable locs drop.
+    """
+    from urllib.parse import urlsplit
+
+    from ..functions.shuffle import hash_join
+    from ..functions.urls import canonical_url, politeness_schedule
+    from ..functions.webstruct import sitemap_entries
+
+    def canon_locs(t: pa.Table) -> pa.Table:
+        kinds = t.column("kind").to_pylist()
+        locs = t.column("loc").to_pylist()
+        out = []
+        for kind, loc in zip(kinds, locs):
+            if kind != "url":
+                continue  # index entries point at more sitemaps, not pages
+            c = canonical_url(loc)
+            if c is not None:
+                out.append(c)
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    def canon_seen(t: pa.Table) -> pa.Table:
+        out = [c for c in (canonical_url(u)
+                           for u in t.column("url").to_pylist())
+               if c is not None]
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    candidates = (sitemap_entries(sitemap_pages)
+                  .map_batches(canon_locs, batch_format="pyarrow"))
+    seen = seen_urls.map_batches(canon_seen, batch_format="pyarrow")
+    fresh = hash_join(candidates, seen, on=["url"], how="anti",
+                      num_parts=num_parts)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = [urlsplit(u).netloc.lower()
+                 for u in t.column("url").to_pylist()]
+        return pa.table({"url": t.column("url"),
+                         "host": pa.array(hosts, pa.string())})
+
+    with_host = fresh.map_batches(add_host, batch_format="pyarrow")
+    return politeness_schedule(with_host, host_col="host", id_col="url",
+                               interval_us=interval_us,
+                               num_parts=num_parts)

@@ -260,3 +260,37 @@ def test_table_grid_invariants_fuzz():
             last_col_in_row[row] = col
         [cells2] = _cells(html)
         assert cells2 == cells  # deterministic
+
+
+def test_build_frontier_composition(ray_session):
+    """Planted end-to-end check: canonicalization unifies tracking-param
+    variants with the seen set, index entries don't enter the frontier,
+    and per-host slots space by the interval."""
+    import ray.data as rd
+    from sift_ray.pipelines.frontier import build_frontier
+
+    sm = (b"<urlset>"
+          b"<url><loc>http://A.com/p1</loc></url>"
+          b"<url><loc>http://a.com/p2?utm_source=x</loc></url>"
+          b"<url><loc>http://a.com/p3</loc></url>"
+          b"<url><loc>http://b.com/q1</loc></url>"
+          b"<url><loc>ftp://a.com/skip</loc></url>"
+          b"</urlset>")
+    idx = (b"<sitemapindex><sitemap>"
+           b"<loc>http://a.com/more.xml</loc>"
+           b"</sitemap></sitemapindex>")
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.com/sitemap.xml",
+                         "http://a.com/index.xml"], pa.string()),
+        "html": pa.array([sm, idx], pa.binary()),
+    }))
+    # p2 was already fetched (under a tracking-param variant)
+    seen = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.com/p2?utm_campaign=y"], pa.string())}))
+    out = (build_frontier(pages, seen, interval_us=500)
+           .to_pandas().sort_values(["host", "fetch_rank"])
+           .reset_index(drop=True))
+    assert out["url"].tolist() == ["http://a.com/p1", "http://a.com/p3",
+                                   "http://b.com/q1"]
+    assert out["fetch_rank"].tolist() == [1, 2, 1]
+    assert out["slot_us"].tolist() == [0, 500, 0]
