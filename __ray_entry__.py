@@ -251,6 +251,34 @@ def _q_extract_pdf(sf_dir: str):
     return extract_pdfs(ds, concurrency=2)
 
 
+def _q_extract_pdf_layout(sf_dir: str):
+    """Positional PDF layout parse (extract_pdf_text(layout=True)): runs
+    carry their Tm/Td text-space origin; baselines cluster into lines,
+    lines sort top-to-bottom, runs left-to-right — PDFs whose content
+    stream draws out of reading order still extract correctly. Corpus
+    plants scrambled-order pages (every draw order is a seeded shuffle);
+    exact reading-order recovery is pinned in tests/test_pdf.py."""
+    import hashlib
+    import random
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.extract.pdf import extract_pdfs, make_positioned_pdf
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf0.01"
+    n = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(sf, 120)
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"sift-ray-pdf-layout-{i}".encode()).hexdigest()
+        runs = [(72, 720 - 14 * j, f"line {j} of doc {i} {h[:8]}")
+                for j in range(6)]
+        random.Random(i).shuffle(runs)  # draw order != reading order
+        rows.append({"url": f"pdf://layout/{i:06d}",
+                     "payload": make_positioned_pdf(runs,
+                                                    compress=(i % 2 == 0))})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    return extract_pdfs(ds, concurrency=2, layout=True)
+
+
 def _q_extract_bucketed(sf_dir: str):
     """Size-bucketed extraction — byte-identical to extract_default_budget
     (asserted in tests/test_ray_pipeline.py); evidences the heavy-tail
@@ -3309,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "max_units": 0, "output_format": "json"}),
         "extract_bucketed": _q_extract_bucketed,
         "extract_pdf": _q_extract_pdf,
+        "extract_pdf_layout": _q_extract_pdf_layout,
         "extract_selector_search": _extract_query({
             "selector": "article", "search_query": "carrot cake",
             "max_units": 0, "counting_method": "words"}),

@@ -129,9 +129,114 @@ def _block_text(block: bytes) -> str:
     return "".join(parts)
 
 
-def extract_pdf_text(data: bytes) -> str:
+# positional tokenizer for layout mode: shows + the operators that move
+# the text-space origin (Td/TD relative, Tm absolute via its e,f terms,
+# T* by the leading, TL setting it)
+_POS_OP_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"
+    rb"|(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(Td|TD)"
+    rb"|(?:-?\d+(?:\.\d+)?\s+){4}(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)"
+    rb"\s+Tm(?![A-Za-z])"
+    rb"|(-?\d+(?:\.\d+)?)\s+TL"
+    rb"|T\*", re.S)
+
+_Y_TOL = 2.0  # same text line if baselines are within 2 text-space units
+
+
+def _block_runs(block: bytes) -> List[tuple]:
+    """(y, x, seq, text) runs of one BT..ET block, tracking the text-space
+    origin through Td/TD/Tm/TL/T* (translation terms only — rotation and
+    scaling are ignored, the right trade for reading-order recovery)."""
+    runs: List[tuple] = []
+    x = y = 0.0
+    leading = 0.0
+    seq = 0
+
+    def show(s: str) -> None:
+        nonlocal seq
+        if s:
+            runs.append((y, x, seq, s))
+            seq += 1
+
+    for m in _POS_OP_RE.finditer(block):
+        op = m.group()
+        if m.group(3) is not None:  # Td / TD
+            tx, ty = float(m.group(1)), float(m.group(2))
+            x += tx
+            y += ty
+            if m.group(3) == b"TD":
+                leading = -ty
+            continue
+        if m.group(4) is not None:  # Tm — absolute e, f
+            x, y = float(m.group(4)), float(m.group(5))
+            continue
+        if m.group(6) is not None:  # TL
+            leading = float(m.group(6))
+            continue
+        if op == b"T*":
+            y -= leading
+            continue
+        if op.endswith(b"TJ"):
+            inner = op[op.index(b"["):op.rindex(b"]") + 1]
+            parts = []
+            for sm in _STR_RE.finditer(inner):
+                if sm.group(1) is not None:
+                    if float(sm.group(1)) < -180:
+                        parts.append(" ")
+                else:
+                    parts.append(_unescape(sm.group()[1:-1])
+                                 .decode("latin-1"))
+            show("".join(parts))
+            continue
+        # (string) Tj / ' / "
+        if op.rstrip().endswith((b"'", b'"')):
+            y -= leading  # ' and " imply T* first
+        lit = op[op.index(b"("):op.rindex(b")") + 1]
+        show(_unescape(lit[1:-1]).decode("latin-1"))
+    return runs
+
+
+def _assemble_runs(runs: List[tuple]) -> str:
+    """Reading order from positioned runs: cluster baselines within
+    ``_Y_TOL`` into lines, lines top-to-bottom (descending y), runs within
+    a line left-to-right (x, then draw order)."""
+    if not runs:
+        return ""
+    runs = sorted(runs, key=lambda r: (-r[0], r[1], r[2]))
+    lines: List[List[tuple]] = [[runs[0]]]
+    cur_y = runs[0][0]
+    for r in runs[1:]:
+        if abs(r[0] - cur_y) <= _Y_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+            cur_y = r[0]
+    out_lines = []
+    for line in lines:
+        line.sort(key=lambda r: (r[1], r[2]))
+        parts = []
+        last_x = None
+        for yy, xx, sq, txt in line:
+            if parts and last_x is not None and xx > last_x:
+                parts.append(" ")
+            parts.append(txt)
+            last_x = xx
+        out_lines.append("".join(parts))
+    return "\n".join(out_lines)
+
+
+def extract_pdf_text(data: bytes, layout: bool = False) -> str:
     """Extract text from a PDF byte string. Raises PdfError when the file is
-    not a PDF or uses unsupported features (so callers can quarantine)."""
+    not a PDF or uses unsupported features (so callers can quarantine).
+
+    ``layout=True`` recovers READING order from text positions instead of
+    trusting content-stream order: runs carry their (x, y) text-space
+    origin through Td/TD/Tm/TL/T*, baselines within 2 units cluster into
+    lines, lines sort top-to-bottom and runs left-to-right — a generator
+    that draws paragraphs out of order (or columns bottom-up) still reads
+    correctly. Stream order (the default) is byte-cheaper and identical
+    on well-behaved single-column files."""
     if not data.startswith(b"%PDF-"):
         raise PdfError("not a PDF (missing %PDF- header)")
     texts: List[str] = []
@@ -142,10 +247,18 @@ def extract_pdf_text(data: bytes) -> str:
         if decoded is None:
             continue
         saw_stream = True
-        for block in _bt_blocks(decoded):
-            t = _block_text(block)
+        if layout:
+            runs: List[tuple] = []
+            for block in _bt_blocks(decoded):
+                runs.extend(_block_runs(block))
+            t = _assemble_runs(runs)
             if t.strip():
                 texts.append(t)
+        else:
+            for block in _bt_blocks(decoded):
+                t = _block_text(block)
+                if t.strip():
+                    texts.append(t)
     if not texts:
         if saw_stream:
             return ""
@@ -158,14 +271,30 @@ def extract_pdf_text(data: bytes) -> str:
 
 # --- deterministic tiny PDF writer (for tests / synthetic corpora) ----------
 
+def _pdf_esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_positioned_pdf(runs: List[tuple], compress: bool = True) -> bytes:
+    """One-page PDF drawing ``(x, y, text)`` runs via absolute Tm, in the
+    GIVEN (possibly non-reading) order — the layout-mode test generator."""
+    content = b"BT /F1 12 Tf " + b" ".join(
+        f"1 0 0 1 {x} {y} Tm ({_pdf_esc(t)}) Tj".encode("latin-1")
+        for x, y, t in runs) + b" ET"
+    return _wrap_pdf(content, compress)
+
+
 def make_simple_pdf(lines: List[str], compress: bool = True) -> bytes:
     """Write a minimal one-page PDF drawing ``lines`` with Tj — a valid file
     per the PDF 1.4 spec, used to synthesize test corpora offline."""
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    esc = _pdf_esc
 
     content = b"BT /F1 12 Tf 72 720 Td 14 TL " + b" ".join(
         f"({esc(line)}) Tj T*".encode("latin-1") for line in lines) + b" ET"
+    return _wrap_pdf(content, compress)
+
+
+def _wrap_pdf(content: bytes, compress: bool = True) -> bytes:
     if compress:
         stream = zlib.compress(content)
         filt = b"/Filter /FlateDecode "
@@ -205,9 +334,11 @@ class PdfExtractStage:
     """
 
     def __init__(self, payload_col: str = "payload",
-                 max_bytes: int = 100 * 1024 * 1024):
+                 max_bytes: int = 100 * 1024 * 1024,
+                 layout: bool = False):
         self.payload_col = payload_col
         self.max_bytes = max_bytes
+        self.layout = layout
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -222,7 +353,7 @@ class PdfExtractStage:
                 errors.append(f"content too large: {len(data)} bytes")
                 continue
             try:
-                t = extract_pdf_text(data)
+                t = extract_pdf_text(data, layout=self.layout)
                 texts.append(t)
                 statuses.append("ok" if t else "empty")
                 errors.append("")
@@ -241,9 +372,12 @@ class PdfExtractStage:
 
 
 def extract_pdfs(ds, payload_col: str = "payload", concurrency: int = 2,
-                 batch_size: Optional[int] = 64):
-    """Dataset of (url, payload[binary]) -> (url, text, status, error)."""
+                 batch_size: Optional[int] = 64, layout: bool = False):
+    """Dataset of (url, payload[binary]) -> (url, text, status, error).
+    ``layout=True`` selects positional reading-order recovery."""
     return ds.map_batches(
-        PdfExtractStage, fn_constructor_kwargs={"payload_col": payload_col},
+        PdfExtractStage,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "layout": layout},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

@@ -95,3 +95,46 @@ def test_backslash_8_9_escapes_drop_backslash():
            + str(len(stream)).encode() + b" >>\nstream\n" + stream
            + b"\nendstream\nendobj\n%%EOF\n")
     assert extract_pdf_text(pdf) == "a8b9c A ok"
+
+
+def test_layout_mode_restores_reading_order():
+    """Runs drawn out of order (and out of column order) must come back in
+    reading order under layout=True; stream order preserves draw order."""
+    from sift_ray.extract.pdf import extract_pdf_text, make_positioned_pdf
+    pdf = make_positioned_pdf([
+        (72, 680, "third line"),
+        (72, 720, "first"),
+        (300, 720, "line"),       # same baseline, right of "first"
+        (72, 700, "second line"),
+    ])
+    assert extract_pdf_text(pdf, layout=True) == \
+        "first line\nsecond line\nthird line"
+    # stream order differs (content order, Tm treated as a move)
+    assert "third line" in extract_pdf_text(pdf)
+
+
+def test_layout_mode_baseline_tolerance_and_td():
+    """Baselines within 2 units cluster into one line; Td/TD/T* relative
+    moves are tracked too."""
+    from sift_ray.extract.pdf import extract_pdf_text, make_positioned_pdf
+    import zlib
+    pdf = make_positioned_pdf([
+        (72, 700.5, "left"),
+        (200, 699.4, "right"),    # 1.1 units below: same line
+        (72, 650, "below"),
+    ])
+    assert extract_pdf_text(pdf, layout=True) == "left right\nbelow"
+
+    # relative-move content: Td then TD (sets leading) then T*
+    from sift_ray.extract.pdf import _wrap_pdf
+    content = (b"BT /F1 12 Tf 72 720 Td (one) Tj "
+               b"0 -14 TD (two) Tj T* (three) Tj ET")
+    pdf2 = _wrap_pdf(content)
+    assert extract_pdf_text(pdf2, layout=True) == "one\ntwo\nthree"
+
+
+def test_layout_mode_matches_stream_on_simple_files():
+    """On a well-behaved top-down file both modes agree."""
+    from sift_ray.extract.pdf import extract_pdf_text, make_simple_pdf
+    pdf = make_simple_pdf(["alpha beta", "gamma delta", "epsilon"])
+    assert extract_pdf_text(pdf, layout=True) == extract_pdf_text(pdf)
