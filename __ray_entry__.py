@@ -2992,6 +2992,15 @@ def _q_robots_meta_flags(sf_dir: str):
     return robots_meta_flags(ds.map_batches(render, batch_format="pyarrow"))
 
 
+def _q_seeded_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle (sharding.seeded_shuffle):
+    md5-rank permutation over the documents table — reproducible
+    training order under any partitioning; one exchange, driver holds
+    P integers. Oracle: SQL row_number over md5 order."""
+    from sift_ray.functions.sharding import seeded_shuffle
+    return seeded_shuffle(_docs(sf_dir, ["doc_id"]), seed=42)
+
+
 def _q_explode_embeddings(sf_dir: str):
     """UNNEST WITH ORDINALITY (relational.explode_list): flatten the
     embedding list column to (vec_id, dim, x) long form — zero-copy
@@ -3357,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_table_cells": _q_html_table_cells,
         "jsonld_product_fields": _q_jsonld_product_fields,
         "explode_embeddings": _q_explode_embeddings,
+        "seeded_shuffle": _q_seeded_shuffle,
         "sitemap_entries": _q_sitemap_entries,
         "robots_meta_flags": _q_robots_meta_flags,
         "crawl_frontier": _q_crawl_frontier,
@@ -4080,6 +4090,13 @@ def oracle_sql() -> dict[str, str]:
                    c_custkey % 5 = 0 AS nofollow,
                    'ok' AS status
             FROM customer
+        """,
+        "seeded_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) - 1
+                        AS BIGINT) AS shuffle_pos
+            FROM documents
         """,
         "explode_embeddings": """
             SELECT vec_id,

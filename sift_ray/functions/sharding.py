@@ -464,3 +464,70 @@ def write_shard_files(docs, shards, out_dir: str, groups: int = 16,
     out = manifest.summary()
     out["groups"] = manifest.records()
     return out
+
+
+def seeded_shuffle(ds, seed: int = 42, id_col: str = "doc_id",
+                   num_parts: Optional[int] = None):
+    """Deterministic seeded GLOBAL shuffle: every row gets its position in
+    the permutation ordered by ``md5(f"{seed}:{id}")`` — the reproducible
+    corpus shuffle a training run needs before sequence packing (same
+    seed = same order on any cluster shape, any partitioning, any retry).
+
+    Same two-pass scan as ``token_shards``: the hex key's first 16 bits
+    range-partition monotonically (lowercase-hex prefix order == string
+    order), pass 1 collects P row-counts on the driver, pass 2 sorts each
+    partition by key and adds its exclusive offset. One exchange;
+    the driver holds P integers. Requires unique ids (md5 rank ties are
+    undefined). Returns (id_col, shuffle_pos). Oracle-exact vs SQL
+    ``row_number() OVER (ORDER BY md5(...))``."""
+    import hashlib
+
+    import ray.data as rd
+
+    P = num_parts or default_num_parts()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                for i in ids]
+        part = np.array([int(k[:4], 16) * P // 65536 for k in keys],
+                        np.int64)
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            "skey": pa.array(keys, pa.string()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    parted = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    counts: dict = {}
+    for batch in (parted.map_batches(
+            lambda t: t.select(["part"]).group_by(["part"])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")):
+        for p, c in zip(batch.column("part").to_pylist(),
+                        batch.column("count_all").to_pylist()):
+            counts[p] = counts.get(p, 0) + c
+    offsets: dict = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if acc == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "shuffle_pos": pa.array([], pa.int64())}))
+
+    def scan(tbl: pa.Table) -> pa.Table:
+        part = int(tbl.column("part")[0].as_py())
+        idx = pc.sort_indices(tbl, sort_keys=[("skey", "ascending")])
+        srt = tbl.take(idx)
+        pos = np.arange(srt.num_rows, dtype=np.int64) \
+            + np.int64(offsets.get(part, 0))
+        return pa.table({
+            id_col: srt.column(id_col),
+            "shuffle_pos": pa.array(pos, pa.int64()),
+        })
+
+    return parted.groupby("part").map_groups(scan, batch_format="pyarrow")

@@ -2649,3 +2649,27 @@ def test_ngram_prefix_matches_bruteforce(ray_session):
     got = ngram_jaccard_pairs_prefix(rd.from_pandas(df), k=3, threshold=t,
                                      num_parts=3).to_pandas()
     assert set(zip(got.doc_a, got.doc_b)) == want
+
+
+def test_seeded_shuffle_matches_reference(ray_session):
+    """Global positions must equal the md5-rank permutation, be a true
+    permutation, and be seed- and partitioning-invariant."""
+    import hashlib
+    import ray.data as rd
+    from sift_ray.functions.sharding import seeded_shuffle
+
+    ids = np.arange(500, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    want = {i: r for r, i in enumerate(
+        sorted(ids.tolist(),
+               key=lambda i: hashlib.md5(f"42:{i}".encode()).hexdigest()))}
+
+    for parts in (3, 8):
+        out = seeded_shuffle(rd.from_pandas(df).repartition(5), seed=42,
+                             num_parts=parts).to_pandas()
+        got = dict(zip(out.doc_id, out.shuffle_pos))
+        assert got == want, parts
+        assert sorted(out.shuffle_pos) == list(range(500))  # permutation
+
+    other = seeded_shuffle(rd.from_pandas(df), seed=7).to_pandas()
+    assert dict(zip(other.doc_id, other.shuffle_pos)) != want  # seed matters
