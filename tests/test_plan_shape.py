@@ -113,3 +113,46 @@ def test_oov_rate_score_pass_zero_exchanges(ray_session, docs):
     # the train pass (vocab_topk) runs eagerly inside; the RETURNED
     # dataset is the score pass and must be shuffle-free
     assert exchange_count(oov_rate(docs, vocab_k=2)) == 0
+
+
+def test_webstruct_stages_zero_exchanges(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.webstruct import (html_tables, jsonld_fields,
+                                              robots_meta_flags,
+                                              sitemap_entries)
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a/1"], pa.string()),
+        "html": pa.array([b"<table><tr><td>x</td></tr></table>"],
+                         pa.binary())}))
+    for fn in (html_tables, jsonld_fields, sitemap_entries,
+               robots_meta_flags):
+        assert exchange_count(fn(pages)) == 0, fn.__name__
+
+
+def test_explode_list_zero_exchanges(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.relational import explode_list
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "xs": pa.array([[1, 2]], pa.list_(pa.int64()))}))
+    assert exchange_count(explode_list(ds, "xs", ["id"])) == 0
+
+
+def test_seeded_shuffle_single_exchange(ray_session, docs):
+    from sift_ray.functions.sharding import seeded_shuffle
+    assert exchange_count(seeded_shuffle(docs, num_parts=2)) == 1
+
+
+def test_crawl_frontier_two_exchanges(ray_session):
+    """The docstring's 'two key exchanges total' claim (anti-join url
+    exchange + politeness host exchange), machine-checked."""
+    import ray.data as rd
+    from sift_ray.pipelines.frontier import build_frontier
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.com/sitemap.xml"], pa.string()),
+        "html": pa.array(
+            [b"<urlset><url><loc>http://a.com/p1</loc></url></urlset>"],
+            pa.binary())}))
+    seen = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.com/p2"], pa.string())}))
+    assert exchange_count(build_frontier(pages, seen, num_parts=2)) == 2
