@@ -2418,6 +2418,35 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_events_range_window(sf_dir: str):
+    """Time-RANGE window frame (analytic.range_window_agg): per event,
+    SUM/COUNT of value-cents over the same user's trailing hour — the
+    value-based frame SQL writes as RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW. One user exchange, per-segment prefix
+    sums + searchsorted boundaries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import range_window_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "v_cents": cents})
+
+    out = range_window_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                           "user_id", "ts", "v_cents",
+                           range_us=3_600_000_000)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "w_sum", "w_cnt"]),
+        batch_format="pyarrow")
+
+
 def _q_events_rank_features(sf_dir: str):
     """Per-user ranking window functions (rank / dense_rank / percent_rank
     / ntile(4) / first_value / last_value) on integer cents with real
@@ -3447,6 +3476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
+        "events_range_window": _q_events_range_window,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
@@ -4733,6 +4763,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate_us, o_orderkey
                        ROWS 2 PRECEDING) AS mov
             FROM t
+        """,
+        "events_range_window": """
+            SELECT event_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS w_sum,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
         """,
         "events_rank_features": """
             WITH t AS (SELECT user_id, event_id,

@@ -213,7 +213,8 @@ def run_bench() -> dict:
         "web_pipeline_shards", "warc_extract", "pmi_topk",
         "blocklist_filter", "assign_splits", "embedding_quantize",
         "decode_jpeg", "bpe_token_counts",
-        "orders_window_features", "events_rank_features", "pricing_rollup",
+        "orders_window_features", "events_rank_features",
+        "events_range_window", "pricing_rollup",
         "weighted_sample_docs",
         "orders_semi_join", "kmeans_clusters", "boilerplate_strip",
         "lineitem_topk_per_order", "robots_filter", "charset_stats",

@@ -1012,3 +1012,60 @@ def grouped_string_agg(ds, group_col: str, value_col: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def range_window_agg(ds, key_col: str, ts_col: str, value_col: str,
+                     range_us: int = 3_600_000_000,
+                     num_parts: Optional[int] = None):
+    """Time-RANGE window frame per key: for every row, the SUM and COUNT
+    of ``value_col`` over rows of the same key whose timestamp lies in
+    ``[ts - range_us, ts]`` — SQL's ``RANGE BETWEEN <interval> PRECEDING
+    AND CURRENT ROW`` (value-based frames, so timestamp TIES are peers
+    and always share one frame), which the row-based ``moving_rows``
+    window cannot express over irregular event streams.
+
+    One key exchange; per partition a lexsort + per-key-segment prefix
+    sums with two ``np.searchsorted`` boundary lookups — O(n log n),
+    fully vectorized within a key. Integer discipline: ``value_col`` must
+    be int64-castable (quantize floats upstream) so distributed sums are
+    exact. Appends ``w_sum`` / ``w_cnt`` to the input columns.
+    Hot keys: one key's rows must fit a partition (same caveat and
+    mitigation path as session_windows / keyed_window_calcs)."""
+    P = num_parts or default_num_parts()
+    rng = np.int64(range_us)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column("w_sum", pa.array([], pa.int64())) \
+                      .append_column("w_cnt", pa.array([], pa.int64()))
+        key = _int64_col(tbl, key_col)
+        ts = _int64_col(tbl, ts_col)
+        idx = np.lexsort((ts, key))
+        tbl = tbl.take(pa.array(idx))
+        key, ts = key[idx], ts[idx]
+        val = _int64_col(tbl, value_col)
+
+        incl = np.cumsum(val)
+        excl = incl - val
+        w_sum = np.empty(n, dtype=np.int64)
+        w_cnt = np.empty(n, dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1]))).tolist()
+        starts.append(n)
+        for si in range(len(starts) - 1):
+            s, e = starts[si], starts[si + 1]
+            seg = ts[s:e]
+            # value-based frame: include ALL peers of the current ts
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - rng, side="left")
+            w_sum[s:e] = incl[s + hi - 1] - excl[s + lo]
+            w_cnt[s:e] = hi - lo
+        return (tbl
+                .append_column("w_sum", pa.array(w_sum, pa.int64()))
+                .append_column("w_cnt", pa.array(w_cnt, pa.int64())))
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(ds, [key_col], P)
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

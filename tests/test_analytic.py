@@ -1103,3 +1103,31 @@ def test_explode_list_ordinality_and_nulls(ray_session):
     assert (got.loc[got.ordinal == 0, "value"].sort_values().to_numpy()
             == np.arange(100)).all()
     assert (got["value"] - got["id"] == got["ordinal"]).all()
+
+
+def test_range_window_agg_matches_bruteforce(ray_session):
+    """Value-based RANGE frame (ties are peers) vs a brute-force double
+    loop, including duplicate timestamps and singleton keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.analytic import range_window_agg
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": rng.randint(0, 5000, n).astype(np.int64),  # dup ts likely
+        "v": rng.randint(-50, 100, n).astype(np.int64),
+    })
+    out = range_window_agg(rd.from_pandas(df).repartition(5),
+                           "user_id", "ts", "v", range_us=700,
+                           num_parts=4).to_pandas()
+    got = {int(r.event_id): (int(r.w_sum), int(r.w_cnt))
+           for r in out.itertuples()}
+    for r in df.itertuples():
+        frame = df[(df.user_id == r.user_id) & (df.ts <= r.ts)
+                   & (df.ts >= r.ts - 700)]
+        assert got[int(r.event_id)] == (int(frame.v.sum()), len(frame)), \
+            r.event_id
