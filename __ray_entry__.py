@@ -2418,6 +2418,32 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_price_zscore(sf_dir: str):
+    """Per-nation standardization of customer balances
+    (analytic.group_zscore): exact integer cents moments, fixed float
+    expression order mirrored in the SQL oracle — feature engineering's
+    groupwise z-score at one exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import group_zscore
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                        pa.int64())
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_nationkey": t.column("c_nationkey"),
+                         "bal_cents": cents})
+
+    out = group_zscore(ds.map_batches(pre, batch_format="pyarrow"),
+                       "c_nationkey", "bal_cents")
+    return out.map_batches(lambda t: t.select(["c_custkey", "z"]),
+                           batch_format="pyarrow")
+
+
 def _q_events_range_window(sf_dir: str):
     """Time-RANGE window frame (analytic.range_window_agg): per event,
     SUM/COUNT of value-cents over the same user's trailing hour — the
@@ -3477,6 +3503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
         "events_range_window": _q_events_range_window,
+        "price_zscore": _q_price_zscore,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
@@ -4763,6 +4790,32 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate_us, o_orderkey
                        ROWS 2 PRECEDING) AS mov
             FROM t
+        """,
+        "price_zscore": """
+            WITH m AS (
+                SELECT c_custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                       SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                           OVER w AS gsum,
+                       SUM(CAST(round(c_acctbal * 100) AS BIGINT)
+                           * CAST(round(c_acctbal * 100) AS BIGINT))
+                           OVER w AS gsq,
+                       CAST(COUNT(*) OVER w AS DOUBLE) AS cnt
+                FROM customer
+                WINDOW w AS (PARTITION BY c_nationkey)
+            )
+            SELECT c_custkey,
+                   CASE WHEN sqrt(greatest(
+                            CAST(gsq AS DOUBLE) / cnt
+                            - (CAST(gsum AS DOUBLE) / cnt)
+                              * (CAST(gsum AS DOUBLE) / cnt), 0)) > 0
+                        THEN (v - CAST(gsum AS DOUBLE) / cnt)
+                             / sqrt(greatest(
+                                 CAST(gsq AS DOUBLE) / cnt
+                                 - (CAST(gsum AS DOUBLE) / cnt)
+                                   * (CAST(gsum AS DOUBLE) / cnt), 0))
+                        ELSE 0.0 END AS z
+            FROM m
         """,
         "events_range_window": """
             SELECT event_id,

@@ -1069,3 +1069,51 @@ def range_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     from .shuffle import add_hash_partition
     parted = add_hash_partition(ds, [key_col], P)
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def group_zscore(ds, key_col: str, value_col: str,
+                 num_parts: Optional[int] = None):
+    """Per-group standardization: z = (x - mean_g) / stddev_pop_g for
+    every row, from EXACT integer moments — ``value_col`` must be
+    int64-castable (quantize floats upstream), so the per-group sums are
+    order-independent; the float math happens once per row from those
+    exact moments, in a fixed expression order that an SQL mirror can
+    reproduce bit-for-bit: mean = sum/cnt, var = sumsq/cnt - mean*mean,
+    z = (x - mean) / sqrt(var). Single-member or constant groups get
+    z = 0 (stddev 0 guard). One key exchange; appends ``z``."""
+    P = num_parts or default_num_parts()
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column("z", pa.array([], pa.float64()))
+        key = _int64_col(tbl, key_col)
+        idx = np.argsort(key, kind="stable")
+        tbl = tbl.take(pa.array(idx))
+        key = key[idx]
+        val = _int64_col(tbl, value_col)
+
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], n)
+        cnt = (ends - starts).astype(np.float64)
+        # int64 cumsums keep the moments EXACT (values are quantized ints;
+        # caller contract: |val| < ~3e9 so val^2 fits int64, and a
+        # partition's sum of squares stays under 2^63)
+        csum = np.concatenate(([0], np.cumsum(val)))
+        csq = np.concatenate(([0], np.cumsum(val * val)))
+        gsum = csum[ends] - csum[starts]
+        gsq = csq[ends] - csq[starts]
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        mean = gsum / cnt
+        var = gsq / cnt - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        z = np.zeros(n, dtype=np.float64)
+        ok = std[seg] > 0
+        z[ok] = (val[ok] - mean[seg][ok]) / std[seg][ok]
+        return tbl.append_column("z", pa.array(z, pa.float64()))
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(ds, [key_col], P)
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -1131,3 +1131,30 @@ def test_range_window_agg_matches_bruteforce(ray_session):
                    & (df.ts >= r.ts - 700)]
         assert got[int(r.event_id)] == (int(frame.v.sum()), len(frame)), \
             r.event_id
+
+
+def test_group_zscore_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.analytic import group_zscore
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "g": rng.randint(0, 9, 300).astype(np.int64),
+        "v": rng.randint(-1000, 1000, 300).astype(np.int64),
+    })
+    # plant a singleton group and a constant group
+    df.loc[df.index[-3:], "g"] = 100
+    df.loc[df.index[-3:], "v"] = 7
+    df.loc[df.index[0], "g"] = 101
+
+    out = group_zscore(rd.from_pandas(df).repartition(4), "g", "v",
+                       num_parts=3).to_pandas()
+    got = dict(zip(out.id, out.z))
+    for g, grp in df.groupby("g"):
+        std = grp.v.std(ddof=0)
+        for r in grp.itertuples():
+            want = 0.0 if std == 0 else (r.v - grp.v.mean()) / std
+            assert abs(got[int(r.id)] - want) < 1e-12, (g, r.id)
