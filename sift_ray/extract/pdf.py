@@ -132,13 +132,16 @@ def _block_text(block: bytes) -> str:
 # positional tokenizer for layout mode: shows + the operators that move
 # the text-space origin (Td/TD relative, Tm absolute via its e,f terms,
 # T* by the leading, TL setting it)
+# PDF real syntax: optional sign, digits with an optional (possibly
+# trailing or leading) decimal point — '4.', '.5', '+7' are all valid
+_NUM = rb"[-+]?(?:\d+\.?\d*|\.\d+)"
 _POS_OP_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|'|\")"
     rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"
-    rb"|(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(Td|TD)"
-    rb"|(?:-?\d+(?:\.\d+)?\s+){4}(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)"
+    rb"|(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)"
+    rb"|(?:" + _NUM + rb"\s+){4}(" + _NUM + rb")\s+(" + _NUM + rb")"
     rb"\s+Tm(?![A-Za-z])"
-    rb"|(-?\d+(?:\.\d+)?)\s+TL"
+    rb"|(" + _NUM + rb")\s+TL"
     rb"|T\*", re.S)
 
 _Y_TOL = 2.0  # same text line if baselines are within 2 text-space units

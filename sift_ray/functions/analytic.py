@@ -1049,19 +1049,36 @@ def range_window_agg(ds, key_col: str, ts_col: str, value_col: str,
 
         incl = np.cumsum(val)
         excl = incl - val
-        w_sum = np.empty(n, dtype=np.int64)
-        w_cnt = np.empty(n, dtype=np.int64)
         starts = np.flatnonzero(
-            np.concatenate(([True], key[1:] != key[:-1]))).tolist()
-        starts.append(n)
-        for si in range(len(starts) - 1):
-            s, e = starts[si], starts[si + 1]
-            seg = ts[s:e]
-            # value-based frame: include ALL peers of the current ts
-            hi = np.searchsorted(seg, seg, side="right")
-            lo = np.searchsorted(seg, seg - rng, side="left")
-            w_sum[s:e] = incl[s + hi - 1] - excl[s + lo]
-            w_cnt[s:e] = hi - lo
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], n)
+        seg = np.repeat(np.arange(len(starts)), ends - starts)
+        seg_min = ts[starts]
+        tsn = ts - seg_min[seg]                       # >= 0 per segment
+        max_range = int(tsn.max()) if n else 0
+        offset = np.int64(max_range + int(rng) + 2)
+        # composite key A = seg*offset + tsn is globally ascending, and
+        # A - rng never dips into the previous segment's A-range (its max
+        # is seg*offset - rng - 2), so TWO global searchsorted calls
+        # replace the per-key Python loop — interpreter cost is O(1) at
+        # any key cardinality. Falls back to the loop only if the
+        # composite would overflow int64 (astronomical seg count x span).
+        if len(starts) * int(offset) < (1 << 62):
+            a = seg.astype(np.int64) * offset + tsn
+            hi = np.searchsorted(a, a, side="right")
+            lo = np.searchsorted(a, a - rng, side="left")
+            w_sum = incl[hi - 1] - excl[lo]
+            w_cnt = (hi - lo).astype(np.int64)
+        else:  # pragma: no cover - requires ~2^62 composite range
+            w_sum = np.empty(n, dtype=np.int64)
+            w_cnt = np.empty(n, dtype=np.int64)
+            for si in range(len(starts)):
+                s, e = int(starts[si]), int(ends[si])
+                sg = ts[s:e]
+                h = np.searchsorted(sg, sg, side="right")
+                l_ = np.searchsorted(sg, sg - rng, side="left")
+                w_sum[s:e] = incl[s + h - 1] - excl[s + l_]
+                w_cnt[s:e] = h - l_
         return (tbl
                 .append_column("w_sum", pa.array(w_sum, pa.int64()))
                 .append_column("w_cnt", pa.array(w_cnt, pa.int64())))

@@ -1387,17 +1387,19 @@ class PrefixGramStage:
         })
 
 
-def _prefix_partition_pairs(max_bucket: int, threshold: float,
+def _prefix_partition_pairs(max_bucket: Optional[int], threshold: float,
                             id_col: str):
     """Partition kernel: per prefix-gram bucket, candidate pairs passing
     the size filter (Jaccard <= min/max, so min_n >= t*max_n is required
     — exact pruning). Locally deduped; global dedupe happens in the
-    shared verify. Buckets > max_bucket are skipped as a safety valve —
-    with hot-last ordering a bucket that large means the sampled hot
-    list missed a stop-gram; the cap bounds worst-case work at the cost
-    of exactness for pairs whose ONLY shared prefix gram was the hot one
-    (raise max_bucket or the hot sample to restore)."""
+    shared verify. ``max_bucket=None`` (the default) bounds NOTHING so
+    exactness holds unconditionally — a stop-gram the sampled hot list
+    missed makes the run slow, never wrong. Setting max_bucket trades
+    exactness for a worst-case bound: oversized buckets are skipped,
+    losing pairs whose ONLY shared prefix gram was the hot one."""
     import pandas as pd
+
+    cap = float("inf") if max_bucket is None else max_bucket
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         order, starts = _sorted_runs(pdf, ["gram"])
@@ -1406,7 +1408,7 @@ def _prefix_partition_pairs(max_bucket: int, threshold: float,
         seen = set()
         for bi in range(len(starts) - 1):
             s, e = starts[bi], starts[bi + 1]
-            if e - s < 2 or e - s > max_bucket:
+            if e - s < 2 or e - s > cap:
                 continue
             pairs = sorted(set(zip(docs[s:e].tolist(), ns[s:e].tolist())))
             for x in range(len(pairs)):
@@ -1430,7 +1432,7 @@ def ngram_jaccard_pairs_prefix(ds, k: int = 3, threshold: float = 0.5,
                                text_col: str = "text",
                                id_col: str = "doc_id",
                                num_parts: Optional[int] = None,
-                               max_bucket: int = 100_000,
+                               max_bucket: Optional[int] = None,
                                broadcast_limit: int = 100_000,
                                hot_sample: int = 10_000,
                                hot_frac: float = 0.05):
@@ -1445,19 +1447,32 @@ def ngram_jaccard_pairs_prefix(ds, k: int = 3, threshold: float = 0.5,
     the large path).
 
     The global token order is ascending hash with sampled-hot grams
-    last: a bounded ``hot_sample``-doc sample estimates stop-grams
-    (appearing in > ``hot_frac`` of sampled docs), which are pushed out
-    of every prefix — the hot-gram quadratic bucket that forces
-    ``max_df`` (approximation) on the unfiltered op simply never forms
-    here, while the result stays EXACT (ordering does not affect
-    correctness, only pruning). Prefer this variant at web scale
-    and threshold >= 0.5 (index volume shrinks ~(1-t)x and no hot bucket
-    forms); the unfiltered op wins at low thresholds (prefixes approach
-    the whole set) and at small corpus sizes, where its single text pass
-    beats this plan's two (prefix build + candidate-blob semi-join)."""
+    last: a bounded ``hot_sample``-doc HEAD sample (``ds.limit`` — the
+    first rows in dataset order, cheap but biased for source-ordered
+    corpora; feed a pre-shuffled dataset or raise ``hot_sample`` when
+    boilerplate is source-local) estimates stop-grams (appearing in >
+    ``hot_frac`` of sampled docs), which are pushed out of every prefix
+    — the hot-gram quadratic bucket that forces ``max_df``
+    (approximation) on the unfiltered op usually never forms here. The
+    ordering does not affect correctness, only pruning: a stop-gram the
+    sample MISSES makes one bucket slow, never the answer wrong, because
+    ``max_bucket`` defaults to None (unbounded). Setting ``max_bucket``
+    installs a worst-case work bound that SKIPS oversized buckets and
+    then this function is no longer exact — pairs whose only shared
+    prefix gram was skipped are lost (the equality claim above holds
+    only for max_bucket=None). Prefer this variant at web scale and
+    threshold >= 0.5 (index volume shrinks ~(1-t)x); the unfiltered op
+    wins at low thresholds (prefixes approach the whole set) and at
+    small corpus sizes, where its single text pass beats this plan's
+    two (prefix build + candidate-blob semi-join)."""
     import functools
     import ray
     import ray.data as rd
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold} — the prefix "
+            f"length n - ceil(t*n) + 1 degenerates outside that range")
 
     P = num_parts or default_num_parts()
 

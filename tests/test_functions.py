@@ -2673,3 +2673,12 @@ def test_seeded_shuffle_matches_reference(ray_session):
 
     other = seeded_shuffle(rd.from_pandas(df), seed=7).to_pandas()
     assert dict(zip(other.doc_id, other.shuffle_pos)) != want  # seed matters
+
+
+def test_ngram_prefix_threshold_validation(ray_session):
+    import ray.data as rd
+    from sift_ray.functions.dedup import ngram_jaccard_pairs_prefix
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs_prefix(ds, threshold=bad)

@@ -138,3 +138,15 @@ def test_layout_mode_matches_stream_on_simple_files():
     from sift_ray.extract.pdf import extract_pdf_text, make_simple_pdf
     pdf = make_simple_pdf(["alpha beta", "gamma delta", "epsilon"])
     assert extract_pdf_text(pdf, layout=True) == extract_pdf_text(pdf)
+
+
+def test_layout_mode_accepts_all_pdf_real_forms():
+    """PDF reals like '4.', '.5', '+7' are valid operands; the layout
+    tokenizer must not skip moves written with them."""
+    from sift_ray.extract.pdf import _wrap_pdf, extract_pdf_text
+    content = (b"BT /F1 12 Tf "
+               b".48 0 0 .48 72. +700 Tm (one) Tj "
+               b"0 -11. Td (two) Tj "
+               b"-.0 -11 Td (three) Tj ET")
+    pdf = _wrap_pdf(content)
+    assert extract_pdf_text(pdf, layout=True) == "one\ntwo\nthree"

@@ -294,3 +294,22 @@ def test_build_frontier_composition(ray_session):
                                    "http://b.com/q1"]
     assert out["fetch_rank"].tolist() == [1, 2, 1]
     assert out["slot_us"].tolist() == [0, 500, 0]
+
+
+def test_build_frontier_dedupes_repeated_discoveries(ray_session):
+    """The same page listed in TWO sitemaps (one via a tracking-param
+    variant) must get exactly one frontier slot."""
+    import ray.data as rd
+    from sift_ray.pipelines.frontier import build_frontier
+
+    sm1 = b"<urlset><url><loc>http://a.com/p1</loc></url></urlset>"
+    sm2 = (b"<urlset><url><loc>http://a.com/p1?utm_source=x</loc></url>"
+           b"<url><loc>http://a.com/p2</loc></url></urlset>")
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["http://a.com/s1.xml", "http://a.com/s2.xml"],
+                        pa.string()),
+        "html": pa.array([sm1, sm2], pa.binary())}))
+    seen = rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+    out = build_frontier(pages, seen).to_pandas().sort_values("url")
+    assert out["url"].tolist() == ["http://a.com/p1", "http://a.com/p2"]
+    assert sorted(out["fetch_rank"].tolist()) == [1, 2]
