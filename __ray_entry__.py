@@ -2418,6 +2418,34 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_events_merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing (analytic.merge_intervals):
+    per-user event intervals [ts, ts + 10*value seconds] merged through
+    overlaps into islands — one exchange, vectorized running-max island
+    detection. Oracle: the classic MAX-OVER ... SUM(CASE) islands SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.analytic import merge_intervals
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        s = pc.cast(t.column("ts"), pa.int64())
+        # DuckDB round() is half-away-from-zero; match it explicitly
+        dur = pc.max_element_wise(
+            pc.cast(pc.round(pc.multiply(t.column("value"), 10.0),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()),
+            pa.scalar(0, pa.int64()))
+        e = pc.add(s, pc.multiply(dur, pa.scalar(1_000_000, pa.int64())))
+        return pa.table({"user_id": t.column("user_id"), "s": s, "e": e})
+
+    return merge_intervals(ds.map_batches(pre, batch_format="pyarrow"),
+                           "user_id", "s", "e")
+
+
 def _q_price_zscore(sf_dir: str):
     """Per-nation standardization of customer balances
     (analytic.group_zscore): exact integer cents moments, fixed float
@@ -3503,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
         "events_range_window": _q_events_range_window,
+        "events_merge_intervals": _q_events_merge_intervals,
         "price_zscore": _q_price_zscore,
         "events_rank_features": _q_events_rank_features,
         "pricing_rollup": _q_pricing_rollup,
@@ -4790,6 +4819,29 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate_us, o_orderkey
                        ROWS 2 PRECEDING) AS mov
             FROM t
+        """,
+        "events_merge_intervals": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + greatest(CAST(round(value * 10) AS BIGINT), 0)
+                         * 1000000 AS e
+                FROM events
+            ), m AS (
+                SELECT *, MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                FROM iv
+            ), g AS (
+                SELECT *, SUM(CASE WHEN pm IS NULL OR s > pm
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS isl
+                FROM m
+            )
+            SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, isl
         """,
         "price_zscore": """
             WITH m AS (

@@ -1134,3 +1134,77 @@ def group_zscore(ds, key_col: str, value_col: str,
     from .shuffle import add_hash_partition
     parted = add_hash_partition(ds, [key_col], P)
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def merge_intervals(ds, key_col: str, start_col: str, end_col: str,
+                    num_parts: Optional[int] = None):
+    """Coalesce overlapping/touching intervals per key (gaps-and-islands):
+    rows whose [start, end] ranges chain through overlaps merge into one
+    island; returns (key, island_start, island_end, n_events) — visit
+    stitching, downtime merging, copyright-span dedup. Touching counts
+    as overlapping (start == previous max end joins the island).
+
+    One key exchange; per partition a lexsort + vectorized running-max
+    island detection and run-boundary aggregation (no Python loop over
+    rows or keys). Integer discipline: start/end must be int64-castable
+    (timestamps cast implicitly)."""
+    P = num_parts or default_num_parts()
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part")
+        n = tbl.num_rows
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "island_start": pa.array([], pa.int64()),
+            "island_end": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        key = _int64_col(tbl, key_col)
+        s = _int64_col(tbl, start_col)
+        e = _int64_col(tbl, end_col)
+        idx = np.lexsort((e, s, key))
+        key, s, e = key[idx], s[idx], e[idx]
+
+        kstarts = np.concatenate(([True], key[1:] != key[:-1]))
+        run_max = np.maximum.accumulate(e)
+        # running max of e RESET per key: subtract per-key baseline trick —
+        # recompute with segment-aware accumulate via np.fmax over offsets
+        # is messy; instead null out cross-key carryover by recomputing
+        # cummax within segments using the "subtract segment base" method:
+        seg_id = np.cumsum(kstarts) - 1
+        # cummax within segments: offset e by seg_id * BIG so the global
+        # cummax never carries across segments, then remove the offset
+        span = int(e.max() - e.min()) + 1 if n else 1
+        base = e.min()
+        n_segs = int(seg_id[-1]) + 1
+        if n_segs * span < (1 << 62):
+            comp = (e - base) + seg_id * np.int64(span)
+            run_max = np.maximum.accumulate(comp) \
+                - seg_id * np.int64(span) + base
+        else:  # pragma: no cover - requires ~2^62 composite range
+            run_max = np.empty(n, dtype=np.int64)
+            seg_bounds = np.append(np.flatnonzero(kstarts), n)
+            for si in range(len(seg_bounds) - 1):
+                a, b = int(seg_bounds[si]), int(seg_bounds[si + 1])
+                run_max[a:b] = np.maximum.accumulate(e[a:b])
+        prev_max = np.empty(n, dtype=np.int64)
+        prev_max[1:] = run_max[:-1]
+        new_island = kstarts.copy()
+        new_island[1:] |= s[1:] > prev_max[1:]
+        island = np.cumsum(new_island) - 1  # global island ordinal
+
+        istarts = np.flatnonzero(new_island)
+        iends = np.append(istarts[1:], n)
+        # island_end = max e in island = run_max at the island's last row
+        return pa.table({
+            key_col: pa.array(key[istarts], pa.int64()),
+            "island_start": pa.array(s[istarts], pa.int64()),
+            "island_end": pa.array(run_max[iends - 1], pa.int64()),
+            "n_events": pa.array((iends - istarts).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(ds, [key_col], P)
+    return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -1158,3 +1158,36 @@ def test_group_zscore_matches_pandas(ray_session):
         for r in grp.itertuples():
             want = 0.0 if std == 0 else (r.v - grp.v.mean()) / std
             assert abs(got[int(r.id)] - want) < 1e-12, (g, r.id)
+
+
+def test_merge_intervals_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.analytic import merge_intervals
+
+    rng = np.random.RandomState(4)
+    n = 500
+    s = rng.randint(0, 10_000, n).astype(np.int64)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 15, n).astype(np.int64),
+        "s": s,
+        "e": s + rng.randint(0, 400, n).astype(np.int64),
+    })
+    out = merge_intervals(rd.from_pandas(df).repartition(4), "k", "s", "e",
+                          num_parts=3).to_pandas()
+    got = sorted(map(tuple, out[["k", "island_start", "island_end",
+                                 "n_events"]].itertuples(index=False)))
+    want = []
+    for k, grp in df.groupby("k"):
+        ivs = sorted(zip(grp.s, grp.e))
+        cur_s, cur_e, cnt = ivs[0][0], ivs[0][1], 1
+        for a, b in ivs[1:]:
+            if a <= cur_e:  # touching joins
+                cur_e = max(cur_e, b)
+                cnt += 1
+            else:
+                want.append((k, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = a, b, 1
+        want.append((k, cur_s, cur_e, cnt))
+    assert got == sorted(want)
