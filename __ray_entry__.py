@@ -2418,6 +2418,45 @@ def _q_session_windows(sf_dir: str):
     return session_windows(ds, gap_s=1800)
 
 
+def _q_orders_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (relational.rrf_fuse, Cormack et al. 2009)
+    of two exact global rankings of orders — by price (desc) and by
+    recency (desc) — the hybrid-retrieval combiner shape. Rankings via
+    sharding.global_rank (two-pass ordered scan), fusion via one FULL
+    OUTER id exchange + fixed-order IEEE float map the SQL oracle
+    mirrors bit-for-bit. Only the top half by price is ranked in list A
+    so the outer join's missing-side zero is exercised."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from sift_ray.functions.relational import rrf_fuse
+    from sift_ray.functions.sharding import global_rank
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice",
+                                  "o_orderdate"])
+
+    def pre(t: "pa.Table") -> "pa.Table":
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        return pa.table({"doc_id": t.column("o_orderkey"),
+                         "cents": cents,
+                         "ep": pc.cast(t.column("o_orderdate"),
+                                       pa.int64())})
+
+    base = ds.map_batches(pre, batch_format="pyarrow").materialize()
+    half = base.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(
+            t.column("doc_id"), pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow")
+    rank_price = global_rank(half, "cents", id_col="doc_id",
+                             descending=True)
+    rank_fresh = global_rank(base, "ep", id_col="doc_id",
+                             descending=True)
+    return rrf_fuse(rank_price, rank_fresh, id_col="doc_id", k=60)
+
+
 def _q_events_merge_intervals(sf_dir: str):
     """Gaps-and-islands interval coalescing (analytic.merge_intervals):
     per-user event intervals [ts, ts + 10*value seconds] merged through
@@ -3005,6 +3044,37 @@ def _q_sitemap_entries(sf_dir: str):
     return sitemap_entries(pages)
 
 
+def _q_robots_sitemaps(sf_dir: str):
+    """Sitemap discovery from robots.txt (robots.robots_sitemaps):
+    synthesized per-supplier robots files (mixed-case directives, a
+    relative URL, suppliers without any), zero shuffle. Oracle: DuckDB
+    reconstructs the discovered rows from supplier."""
+    import pyarrow as _pa
+    import ray.data as rd
+    from sift_ray.functions.robots import robots_sitemaps
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey"])
+
+    def render(batch: _pa.Table) -> _pa.Table:
+        hosts, txts = [], []
+        for sk in batch.column("s_suppkey").to_pylist():
+            host = f"s{sk}.example.com"
+            if sk % 4 == 0:
+                txt = "User-agent: *\nDisallow: /tmp\n"  # none declared
+            else:
+                txt = (f"User-agent: *\nAllow: /\n"
+                       f"Sitemap: https://{host}/sitemap-{sk}.xml\n")
+                if sk % 3 == 0:
+                    txt += "sitemap: /extra.xml\n"  # relative + lowercase
+            hosts.append(host)
+            txts.append(txt)
+        return _pa.table({"host": _pa.array(hosts, _pa.string()),
+                          "robots_txt": _pa.array(txts, _pa.string())})
+
+    return robots_sitemaps(ds.map_batches(render, batch_format="pyarrow"))
+
+
 def _q_crawl_frontier(sf_dir: str):
     """FLAGSHIP crawl-frontier composition (pipelines/frontier.py):
     synthesized per-customer sitemaps -> sitemap_entries -> canonical_url
@@ -3453,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": _q_sitemap_entries,
         "robots_meta_flags": _q_robots_meta_flags,
         "crawl_frontier": _q_crawl_frontier,
+        "robots_sitemaps": _q_robots_sitemaps,
         "simple_size_limit_words20": _q_size_limit_words,
         "multimodal_features": _q_multimodal,
         "decode_bmp": _q_decode_bmp,
@@ -3531,6 +3602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": _q_events_gap_fill,
         "orders_window_features": _q_orders_window_features,
         "events_range_window": _q_events_range_window,
+        "orders_rrf": _q_orders_rrf,
         "events_merge_intervals": _q_events_merge_intervals,
         "price_zscore": _q_price_zscore,
         "events_rank_features": _q_events_rank_features,
@@ -4152,6 +4224,18 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d') AS lastmod,
                    'weekly' AS changefreq, '0.5' AS priority
             FROM orders
+        """,
+        "robots_sitemaps": """
+            WITH s AS (SELECT s_suppkey AS k,
+                              's' || CAST(s_suppkey AS VARCHAR)
+                                  || '.example.com' AS host
+                       FROM supplier WHERE s_suppkey % 4 <> 0)
+            SELECT host, 'https://' || host || '/sitemap-'
+                       || CAST(k AS VARCHAR) || '.xml' AS sitemap_url
+            FROM s
+            UNION ALL
+            SELECT host, 'http://' || host || '/extra.xml' AS sitemap_url
+            FROM s WHERE k % 3 = 0
         """,
         "crawl_frontier": """
             WITH f AS (
@@ -4819,6 +4903,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate_us, o_orderkey
                        ROWS 2 PRECEDING) AS mov
             FROM t
+        """,
+        "orders_rrf": """
+            WITH ra_ AS (
+                SELECT o_orderkey AS doc_id,
+                       row_number() OVER (
+                           ORDER BY CAST(round(o_totalprice * 100)
+                                         AS BIGINT) DESC,
+                                    o_orderkey) AS ra
+                FROM orders WHERE o_orderkey % 2 = 0
+            ), rb_ AS (
+                SELECT o_orderkey AS doc_id,
+                       row_number() OVER (
+                           ORDER BY epoch_us(o_orderdate) DESC,
+                                    o_orderkey) AS rb
+                FROM orders
+            )
+            SELECT COALESCE(ra_.doc_id, rb_.doc_id) AS doc_id,
+                   (CASE WHEN ra IS NULL THEN 0.0
+                         ELSE 1.0 / (60 + ra) END)
+                   + (CASE WHEN rb IS NULL THEN 0.0
+                           ELSE 1.0 / (60 + rb) END) AS rrf
+            FROM ra_ FULL OUTER JOIN rb_ ON ra_.doc_id = rb_.doc_id
         """,
         "events_merge_intervals": """
             WITH iv AS (

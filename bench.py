@@ -214,7 +214,8 @@ def run_bench() -> dict:
         "blocklist_filter", "assign_splits", "embedding_quantize",
         "decode_jpeg", "bpe_token_counts",
         "orders_window_features", "events_rank_features",
-        "events_range_window", "price_zscore", "events_merge_intervals", "pricing_rollup",
+        "events_range_window", "price_zscore", "events_merge_intervals",
+        "orders_rrf", "robots_sitemaps", "pricing_rollup",
         "weighted_sample_docs",
         "orders_semi_join", "kmeans_clusters", "boilerplate_strip",
         "lineitem_topk_per_order", "robots_filter", "charset_stats",

@@ -744,3 +744,45 @@ def explode_list(ds, list_col: str, id_cols: List[str],
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def rrf_fuse(rank_a, rank_b, id_col: str = "doc_id",
+             rank_col: str = "global_rank", k: int = 60,
+             num_parts: Optional[int] = None):
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse two rankings of
+    the same id space by score = 1/(k+rank_a) + 1/(k+rank_b), an id
+    missing from one ranking contributing 0 from that side — the
+    standard hybrid-retrieval combiner (BM25 list + embedding list).
+
+    One id-keyed FULL OUTER hash-join exchange, then a pure map: the
+    float math is two IEEE divisions and one addition in fixed order, so
+    an SQL mirror reproduces it bit-for-bit. Returns (id, rrf) unsorted
+    (feed topk_per_group / global_rank downstream for the cut)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+
+    def side(ds, name):
+        return ds.map_batches(
+            lambda t, nm=name: pa.table({
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                nm: pc.cast(t.column(rank_col), pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = hash_join(side(rank_a, "_ra"), side(rank_b, "_rb"),
+                       on=[id_col], how="full", num_parts=num_parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        ra = t.column("_ra").to_numpy(zero_copy_only=False)
+        rb = t.column("_rb").to_numpy(zero_copy_only=False)
+        # nulls arrive as NaN in the float view; a missing side adds 0
+        ra = np.asarray(ra, dtype=np.float64)
+        rb = np.asarray(rb, dtype=np.float64)
+        sa = np.where(np.isnan(ra), 0.0, 1.0 / (k + ra))
+        sb = np.where(np.isnan(rb), 0.0, 1.0 / (k + rb))
+        return pa.table({
+            id_col: t.column(id_col),
+            "rrf": pa.array(sa + sb, pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -205,3 +205,41 @@ def robots_filter(pages, robots, user_agent: str = "sift",
             ["robots", "allowed"])
 
     return checked.map_batches(keep, batch_format="pyarrow")
+
+
+def robots_sitemaps(robots_ds, text_col: str = "robots_txt",
+                    host_col: str = "host"):
+    """Sitemap discovery from robots.txt: every ``Sitemap:`` directive
+    (RFC 9309 §2.3 'other records' / sitemaps.org protocol — the
+    directive is user-agent-INDEPENDENT and may appear anywhere in the
+    file, any case, multiple times). Returns (host, sitemap_url) rows —
+    the seed list ``pipelines.frontier.build_frontier`` fetches next.
+    Map-only, zero shuffle; relative sitemap URLs resolve against the
+    host (scheme http, the crawl layer upgrades), malformed lines drop.
+    """
+    import re as _re
+    from urllib.parse import urljoin
+
+    import pyarrow as _pa
+
+    line_re = _re.compile(r"^\s*sitemap\s*:\s*(\S+)\s*$",
+                          _re.IGNORECASE | _re.MULTILINE)
+
+    def kernel(t: _pa.Table) -> _pa.Table:
+        hosts_out, urls_out = [], []
+        for host, text in zip(t.column(host_col).to_pylist(),
+                              t.column(text_col).to_pylist()):
+            if not text:
+                continue
+            for m in line_re.finditer(text):
+                u = m.group(1)
+                if "://" not in u:  # relative per sitemaps.org erratum
+                    u = urljoin(f"http://{host}/", u)
+                hosts_out.append(host)
+                urls_out.append(u[:2000])
+        return _pa.table({
+            host_col: _pa.array(hosts_out, _pa.string()),
+            "sitemap_url": _pa.array(urls_out, _pa.string()),
+        })
+
+    return robots_ds.map_batches(kernel, batch_format="pyarrow")

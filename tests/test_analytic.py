@@ -1191,3 +1191,25 @@ def test_merge_intervals_matches_bruteforce(ray_session):
                 cur_s, cur_e, cnt = a, b, 1
         want.append((k, cur_s, cur_e, cnt))
     assert got == sorted(want)
+
+
+def test_rrf_fuse_matches_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.relational import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "global_rank": [1, 2, 3, 4]})
+    b = pd.DataFrame({"doc_id": [3, 4, 5],
+                      "global_rank": [1, 2, 3]})
+    out = rrf_fuse(rd.from_pandas(a), rd.from_pandas(b), k=60,
+                   num_parts=3).to_pandas()
+    got = dict(zip(out.doc_id, out.rrf))
+    assert len(got) == 5
+    assert got[1] == 1 / 61
+    assert got[3] == 1 / 63 + 1 / 61   # in both rankings
+    assert got[5] == 1 / 63            # only in b
+    # fused order puts the doubly-ranked docs first
+    order = sorted(got, key=got.get, reverse=True)
+    assert set(order[:2]) == {3, 4}

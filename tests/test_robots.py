@@ -120,3 +120,22 @@ def test_robots_filter_distributed(ray_session):
     assert len(audit) == 60
     assert set(audit.columns) >= {"url", "payload", "host", "allowed"}
     assert audit["allowed"].sum() == len(out)
+
+
+def test_robots_sitemaps_discovery(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.robots import robots_sitemaps
+
+    txt_a = ("User-agent: *\nDisallow: /private\n"
+             "SITEMAP: https://a.com/sitemap.xml\n"
+             "sitemap:   /sitemap-extra.xml  \n")
+    txt_b = "User-agent: sift\nAllow: /\n"     # no sitemap line
+    ds = rd.from_arrow(pa.table({
+        "host": pa.array(["a.com", "b.com", "c.com"], pa.string()),
+        "robots_txt": pa.array([txt_a, txt_b, None], pa.string()),
+    }))
+    out = robots_sitemaps(ds).to_pandas().sort_values("sitemap_url")
+    assert out["sitemap_url"].tolist() == [
+        "http://a.com/sitemap-extra.xml", "https://a.com/sitemap.xml"]
+    assert set(out["host"]) == {"a.com"}
