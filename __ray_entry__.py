@@ -2083,6 +2083,63 @@ def _q_pagerank_customers(sf_dir: str):
     return pagerank(edges, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
 
 
+_BFS_SEEDS = [1, 2, 3]
+_BFS_HOPS = 4
+
+
+def _q_bfs_orders(sf_dir: str):
+    """Multi-source BFS hop distance (functions/linkgraph.py
+    bfs_distances) over the same deterministic orders-derived edge list
+    as pagerank_customers, seeds = custkeys {1,2,3}, 4 hops. Hop
+    distance is the unique shortest walk length, so the result is
+    partition-invariant and the oracle is a bounded recursive CTE
+    taking min(dist) over all walk rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import bfs_distances
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    C = orders.max("o_custkey")
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        dst = 1 + (ok * 26544357) % C
+        return pa.table({"src": pa.array(ck, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = orders.map_batches(mk_edges, batch_format="pyarrow")
+    return bfs_distances(edges, _BFS_SEEDS, max_hops=_BFS_HOPS)
+
+
+_TRI_NODES = 500
+
+
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count (functions/linkgraph.py triangle_count,
+    degree-oriented wedge counting) over a deterministic dense graph
+    derived from orders by folding orderkeys into a {1..500} node space
+    — both engines derive the identical edge list, so the single count
+    is value-exact vs DuckDB's canonical u<v<w three-way self-join."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.linkgraph import triangle_count
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        src = 1 + (ok * 2654435761) % _TRI_NODES
+        dst = 1 + (ok * 40503) % _TRI_NODES
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = orders.map_batches(mk_edges, batch_format="pyarrow")
+    return triangle_count(edges)
+
+
 def _pagerank_oracle_sql(iters: int, scale: int) -> str:
     """The identical integer recurrence as an unrolled chain of CTEs —
     one (dang, contrib, state) triple per iteration."""
@@ -3639,6 +3696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "pagerank_customers": _q_pagerank_customers,
+        "bfs_orders": _q_bfs_orders,
+        "triangle_count_orders": _q_triangle_count,
         "normalize_text": _q_normalize_text,
         "orders_customer_full_join": _q_orders_customer_full_join,
         "url_dedup": _q_url_dedup,
@@ -5712,6 +5771,40 @@ def oracle_sql() -> dict[str, str]:
         """
     d["pagerank_customers"] = _pagerank_oracle_sql(_PAGERANK_ITERS,
                                                    _PAGERANK_SCALE)
+    d["bfs_orders"] = f"""
+            WITH RECURSIVE edges AS (
+                SELECT o_custkey AS src,
+                       1 + (o_orderkey * 26544357)
+                           % (SELECT max(o_custkey) FROM orders) AS dst
+                FROM orders
+            ),
+            walk(node, dist) AS (
+                SELECT CAST(s.node AS BIGINT), CAST(0 AS BIGINT)
+                FROM (VALUES {', '.join(f'({s})' for s in _BFS_SEEDS)})
+                     s(node)
+                UNION
+                SELECT CAST(e.dst AS BIGINT), w.dist + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.dist < {_BFS_HOPS}
+            )
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """
+    d["triangle_count_orders"] = f"""
+            WITH canon AS (
+                SELECT DISTINCT
+                       least(1 + (o_orderkey * 2654435761) % {_TRI_NODES},
+                             1 + (o_orderkey * 40503) % {_TRI_NODES}) AS u,
+                       greatest(1 + (o_orderkey * 2654435761) % {_TRI_NODES},
+                                1 + (o_orderkey * 40503) % {_TRI_NODES}) AS v
+                FROM orders
+                WHERE 1 + (o_orderkey * 2654435761) % {_TRI_NODES}
+                      <> 1 + (o_orderkey * 40503) % {_TRI_NODES}
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM canon e1
+            JOIN canon e2 ON e2.u = e1.v
+            JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+        """
     d["normalize_text"] = r"""
             WITH norm AS (
                 SELECT doc_id, text AS orig,

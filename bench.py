@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "repetition_stats",
         "shipping_priority", "price_quantiles", "heavy_hitter_users",
         "price_quantiles_by_priority", "pagerank_customers",
+        "bfs_orders", "triangle_count_orders",
         "page_outlinks", "url_dedup", "normalize_text", "html_stats",
         "split_sentences", "ngram_counts", "incremental_ingest",
         "orders_join_bloom", "price_histogram", "compression_ratio",

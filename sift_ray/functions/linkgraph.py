@@ -481,3 +481,376 @@ def pagerank_hosts(host_edges_ds, iters: int = 6,
         lambda t: pa.table({"host": t.column("host"),
                             "rank": pc.cast(t.column("rank"), i64)}),
         batch_format="pyarrow")
+
+
+_SERIAL_BFS_LIMIT = 2_000_000
+
+
+def bfs_distances(edges, seeds, max_hops: int = 6,
+                  num_parts: Optional[int] = None):
+    """Multi-source BFS hop distance over an int64 edge list (src, dst):
+    returns (node, dist) for every node reachable from ``seeds`` within
+    ``max_hops`` directed hops (seeds themselves at dist 0). This is the
+    crawl-depth computation a frontier scheduler runs from its seed list
+    (and the generic reachability primitive for graph curation).
+
+    Distributed shape (hop-synchronous frontier BFS): state is a
+    node-proportional (node, dist) Dataset; per hop the CURRENT frontier
+    (nodes at dist == h, a map-side filter of state) joins the edge table
+    through ONE src-keyed exchange (``hash_join`` post hook emits the
+    partition-distinct successor set), and state folds the successors in
+    through ONE node-keyed group-min exchange. Driver traffic per hop is
+    a single integer (new-node count, which also terminates the loop
+    early when a hop discovers nothing). Like ``pagerank``, iteration
+    state is re-materialized per hop with its block count capped at P —
+    Ray's sort exchange emits roughly as many blocks as it receives, so
+    an uncapped loop compounds block count per iteration.
+
+    Below the ``_SERIAL_BFS_LIMIT`` edge gate the identical BFS runs
+    driver-serial on numpy CSR adjacency (bit-identical by construction:
+    hop distance is unique, so there is no order dependence anywhere).
+
+    Determinism: dist is the unique shortest hop count — partitioning
+    cannot change it; the SQL oracle is a bounded recursive CTE taking
+    ``min(dist)`` over all walk rows, which equals BFS distance for every
+    node within the bound.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import (default_num_parts, hash_join,
+                          partitioned_group_agg)
+
+    i64 = pa.int64()
+    seeds = sorted({int(s) for s in seeds})
+    out_schema = pa.schema([("node", i64), ("dist", i64)])
+    if not seeds:
+        return rd.from_arrow(out_schema.empty_table())
+
+    P = num_parts or default_num_parts()
+
+    edges64 = edges.map_batches(
+        lambda t: (pa.table({"src": pa.array([], i64),
+                             "dst": pa.array([], i64)})
+                   if t.num_rows == 0 or "src" not in t.column_names
+                   else pa.table({"src": pc.cast(t.column("src"), i64),
+                                  "dst": pc.cast(t.column("dst"), i64)})),
+        batch_format="pyarrow").materialize()
+    n_edges = edges64.count()
+
+    if 3 * n_edges <= _SERIAL_BFS_LIMIT:
+        ed = pa.concat_tables(
+            [pa.schema([("src", i64), ("dst", i64)]).empty_table()]
+            + list(edges64.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+        ).combine_chunks()
+        src_v = ed.column("src").to_numpy(zero_copy_only=False)
+        dst_v = ed.column("dst").to_numpy(zero_copy_only=False)
+        node = np.unique(np.concatenate(
+            [src_v, dst_v, np.asarray(seeds, np.int64)]))
+        n = len(node)
+        # CSR adjacency sorted by src
+        order = np.argsort(src_v, kind="stable")
+        s_sorted = np.searchsorted(node, src_v[order])
+        d_sorted = np.searchsorted(node, dst_v[order])
+        starts = np.searchsorted(s_sorted, np.arange(n))
+        ends = np.searchsorted(s_sorted, np.arange(n) + 1)
+        dist = np.full(n, -1, np.int64)
+        frontier = np.searchsorted(node, np.asarray(seeds, np.int64))
+        dist[frontier] = 0
+        for h in range(max_hops):
+            if len(frontier) == 0:
+                break
+            # vectorized neighbor expansion: concat CSR ranges of the
+            # frontier via repeat + offset arithmetic (no per-node loop)
+            cnt = ends[frontier] - starts[frontier]
+            tot = int(cnt.sum())
+            if tot == 0:
+                break
+            base = np.repeat(starts[frontier], cnt)
+            offs = np.arange(tot) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            nbr = d_sorted[base + offs]
+            nbr = np.unique(nbr)
+            new = nbr[dist[nbr] < 0]
+            dist[new] = h + 1
+            frontier = new
+        keep = dist >= 0
+        return rd.from_arrow(pa.table({
+            "node": pa.array(node[keep], i64),
+            "dist": pa.array(dist[keep], i64)}))
+
+    # ---- distributed hop-synchronous BFS ----
+    state = rd.from_arrow(pa.table({
+        "node": pa.array(seeds, i64),
+        "dist": pa.array(np.zeros(len(seeds), np.int64), i64)}))
+    state = state.repartition(min(P, len(seeds))).materialize()
+
+    succ_schema = pa.schema([("node", i64), ("dist", i64)])
+
+    for h in range(max_hops):
+        hh = h  # bind loop var
+
+        def frontier_rows(t: pa.Table, hh=hh) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.schema([("src", i64)]).empty_table()
+            f = t.filter(pc.equal(t.column("dist"), hh))
+            return pa.table({"src": f.column("node")})
+
+        frontier = state.map_batches(frontier_rows,
+                                     batch_format="pyarrow")
+
+        def succ(joined: pa.Table, hh=hh) -> pa.Table:
+            # partition-local distinct successors, dist = h + 1
+            d = pc.unique(joined.column("dst").combine_chunks())
+            return pa.table({
+                "node": pc.cast(d, i64),
+                "dist": pa.array(np.full(len(d), hh + 1, np.int64),
+                                 i64)})
+
+        cands = hash_join(edges64, frontier, on="src", how="semi",
+                          num_parts=P,
+                          left_types={"src": i64, "dst": i64},
+                          right_types={"src": i64},
+                          post=succ)
+        cands = cands.map_batches(_tolerate_empty(succ_schema),
+                                  batch_format="pyarrow")
+        # fold successors into state: min(dist) per node — existing
+        # dists are <= h, successors are h+1, so min preserves BFS dist
+        state = partitioned_group_agg(
+            state.union(cands), ["node"], [("dist", "min", "dist")],
+            num_parts=P)
+        state = state.map_batches(_tolerate_empty(out_schema),
+                                  batch_format="pyarrow") \
+                     .repartition(P).materialize()
+        new_count = state.map_batches(
+            lambda t, hh=hh: pa.table({"c": pa.array(
+                [0 if t.num_rows == 0 or "dist" not in t.column_names
+                 else pc.sum(pc.cast(pc.equal(t.column("dist"), hh + 1),
+                                     i64)).as_py() or 0], i64)}),
+            batch_format="pyarrow").sum("c")
+        if not new_count:
+            break
+
+    return state
+
+
+_SERIAL_TRI_LIMIT = 2_000_000
+
+
+def triangle_count(edges, num_parts: Optional[int] = None):
+    """Exact triangle count of the UNDIRECTED simple graph induced by an
+    int64 edge list (direction, multiplicity, and self-loops ignored).
+    Returns a one-row Dataset {"triangles": int64} — the classic graph
+    statistic (clustering/spam signals on the host graph).
+
+    Distributed shape (degree-oriented wedge counting, the standard
+    MapReduce algorithm): canonicalize to distinct u<v edges (ONE pair
+    exchange), compute degrees (ONE node exchange), orient every edge
+    from its lower-(deg, id) endpoint to the higher — per-node oriented
+    out-degree is then O(sqrt(m)), which bounds wedge work at O(m^1.5)
+    regardless of hot-vertex skew. Wedges (pairs of out-neighbors of one
+    node, ordered by the same total order) are generated per adjacency
+    group (ONE src exchange) and matched against the oriented edge set
+    with a composite-key ``hash_join`` (semi; ONE exchange); each
+    triangle {a<b<c in the order} is counted exactly once, at its
+    minimum vertex. Driver traffic: one integer.
+
+    Below the edge gate the identical oriented algorithm runs
+    driver-serial on numpy (sorted-array membership instead of the
+    join). Triangle count is orientation-invariant, so the SQL oracle is
+    the plain u<v<w three-way self-join.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import (default_num_parts, hash_join,
+                          partitioned_group_agg)
+
+    i64 = pa.int64()
+    P = num_parts or default_num_parts()
+
+    def canon(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"u": pa.array([], i64),
+                             "v": pa.array([], i64)})
+        s = pc.cast(t.column("src"), i64).to_numpy(zero_copy_only=False)
+        d = pc.cast(t.column("dst"), i64).to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        # in-batch distinct combiner
+        uv = np.unique(np.stack([u, v], axis=1), axis=0)
+        return pa.table({"u": pa.array(uv[:, 0], i64),
+                         "v": pa.array(uv[:, 1], i64)})
+
+    canon_edges = edges.map_batches(canon, batch_format="pyarrow")
+
+    n_raw = 0
+    one_row = pa.schema([("triangles", i64)])
+
+    # distinct (u, v): one composite-key exchange
+    dedup = partitioned_group_agg(canon_edges, ["u", "v"],
+                                  [(None, "count", "_c")],
+                                  num_parts=P).map_batches(
+        lambda t: (pa.table({"u": pa.array([], i64),
+                             "v": pa.array([], i64)})
+                   if t.num_rows == 0 or "u" not in t.column_names
+                   else t.select(["u", "v"])),
+        batch_format="pyarrow").materialize()
+    m = dedup.count()
+    if m == 0:
+        return rd.from_arrow(pa.table({"triangles": pa.array([0], i64)}))
+
+    if 3 * m <= _SERIAL_TRI_LIMIT:
+        ed = pa.concat_tables(
+            [pa.schema([("u", i64), ("v", i64)]).empty_table()]
+            + list(dedup.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"))
+        ).combine_chunks()
+        u = ed.column("u").to_numpy(zero_copy_only=False)
+        v = ed.column("v").to_numpy(zero_copy_only=False)
+        node, inv = np.unique(np.concatenate([u, v]),
+                              return_inverse=True)
+        ui, vi = inv[:len(u)], inv[len(u):]
+        n = len(node)
+        deg = np.bincount(ui, minlength=n) + np.bincount(vi, minlength=n)
+        # orient low (deg, id) -> high (deg, id)
+        fwd = (deg[ui] < deg[vi]) | ((deg[ui] == deg[vi]) & (ui < vi))
+        a = np.where(fwd, ui, vi)
+        b = np.where(fwd, vi, ui)
+        # sorted oriented edge keys for membership tests
+        ekey = np.sort(a.astype(np.int64) * n + b)
+        # wedges per source node, vectorized over CSR ranges
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        starts = np.searchsorted(a_s, np.arange(n))
+        ends = np.searchsorted(a_s, np.arange(n) + 1)
+        cnt = ends - starts
+        total = 0
+        # group nodes by out-degree bucket to bound temp memory
+        for lo in np.nonzero(cnt >= 2)[0]:
+            nb = b_s[starts[lo]:ends[lo]]
+            # order out-neighbors by the orientation total order
+            nb = nb[np.lexsort((nb, deg[nb]))]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            wk = nb[ii].astype(np.int64) * n + nb[jj]
+            pos = np.searchsorted(ekey, wk)
+            total += int(np.sum((pos < len(ekey)) & (ekey[pos] == wk)))
+        return rd.from_arrow(pa.table({"triangles":
+                                       pa.array([total], i64)}))
+
+    # ---- distributed path ----
+    # degrees: explode endpoints, one node exchange
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.table({"node": pa.array([], i64)})
+        return pa.table({"node": pa.chunked_array(
+            [t.column("u").combine_chunks(),
+             t.column("v").combine_chunks()], type=i64)})
+
+    deg = partitioned_group_agg(
+        dedup.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], [(None, "count", "deg")], num_parts=P)
+
+    # join deg onto both endpoints (two exchanges), then orient
+    def as_u(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["u", "deg_u"]) \
+            if t.num_rows and "node" in t.column_names \
+            else pa.table({"u": pa.array([], i64),
+                           "deg_u": pa.array([], i64)})
+
+    def as_v(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["v", "deg_v"]) \
+            if t.num_rows and "node" in t.column_names \
+            else pa.table({"v": pa.array([], i64),
+                           "deg_v": pa.array([], i64)})
+
+    with_du = hash_join(dedup, deg.map_batches(as_u,
+                                               batch_format="pyarrow"),
+                        on="u", num_parts=P,
+                        left_types={"u": i64, "v": i64},
+                        right_types={"u": i64, "deg_u": i64})
+    with_both = hash_join(with_du,
+                          deg.map_batches(as_v, batch_format="pyarrow"),
+                          on="v", num_parts=P,
+                          left_types={"u": i64, "v": i64, "deg_u": i64},
+                          right_types={"v": i64, "deg_v": i64})
+
+    ori_schema = pa.schema([("a", i64), ("b", i64),
+                            ("deg_b", i64)])
+
+    def orient(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return ori_schema.empty_table()
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "a": pa.array(np.where(fwd, u, v), i64),
+            "b": pa.array(np.where(fwd, v, u), i64),
+            "deg_b": pa.array(np.where(fwd, dv, du), i64)})
+
+    oriented = with_both.map_batches(orient,
+                                     batch_format="pyarrow").materialize()
+
+    # wedges: adjacency grouped by a (one exchange), pairs of
+    # out-neighbors ordered by (deg, id)
+    wedge_schema = pa.schema([("b", i64), ("c", i64)])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return wedge_schema.empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, db, a))  # by a, then (deg_b, b)
+        a_s, b_s = a[order], b[order]
+        starts = np.searchsorted(a_s, np.unique(a_s))
+        bounds = np.append(starts, len(a_s))
+        outs, outc = [], []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s < 2:
+                continue
+            nb = b_s[s:e]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            outs.append(nb[ii])
+            outc.append(nb[jj])
+        if not outs:
+            return wedge_schema.empty_table()
+        return pa.table({"b": pa.array(np.concatenate(outs), i64),
+                         "c": pa.array(np.concatenate(outc), i64)})
+
+    from .shuffle import add_hash_partition
+    parted = add_hash_partition(oriented, ["a"], P)
+    wedge_ds = parted.groupby("part").map_groups(wedges,
+                                                 batch_format="pyarrow")
+    wedge_ds = wedge_ds.map_batches(_tolerate_empty(wedge_schema),
+                                    batch_format="pyarrow")
+
+    ori_bc = oriented.map_batches(
+        lambda t: (wedge_schema.empty_table()
+                   if t.num_rows == 0 or "a" not in t.column_names
+                   else pa.table({"b": t.column("a"),
+                                  "c": t.column("b")})),
+        batch_format="pyarrow")
+
+    def count_part(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], i64)})
+
+    matched = hash_join(wedge_ds, ori_bc, on=["b", "c"], how="semi",
+                        num_parts=P,
+                        left_types={"b": i64, "c": i64},
+                        right_types={"b": i64, "c": i64},
+                        post=count_part)
+    total = matched.map_batches(
+        lambda t: (pa.table({"n": pa.array([0], i64)})
+                   if t.num_rows == 0 or "n" not in t.column_names
+                   else t),
+        batch_format="pyarrow").sum("n")
+    return rd.from_arrow(pa.table({"triangles":
+                                   pa.array([int(total or 0)], i64)}))

@@ -485,12 +485,18 @@ def hash_join(left, right, on, how: str = "inner",
             rt = tbl.filter(pc.equal(side, 1)).select(ons)
             if multi:
                 jt = "left semi" if how == "semi" else "left anti"
-                return lt.join(rt, keys=ons, join_type=jt)
-            rkeys = rt.column(on).combine_chunks()
-            if len(rkeys) == 0:
-                return lt if how == "anti" else lt.schema.empty_table()
-            hit = pc.is_in(lt.column(on), value_set=rkeys)
-            return lt.filter(hit if how == "semi" else pc.invert(hit))
+                res = lt.join(rt, keys=ons, join_type=jt)
+            else:
+                rkeys = rt.column(on).combine_chunks()
+                if len(rkeys) == 0:
+                    res = lt if how == "anti" else lt.schema.empty_table()
+                else:
+                    hit = pc.is_in(lt.column(on), value_set=rkeys)
+                    res = lt.filter(hit if how == "semi"
+                                    else pc.invert(hit))
+            # ``post`` applies to anti/semi too (same exchange-folding
+            # contract as the inner/left path below)
+            return post(res) if post is not None else res
         # split sides in Arrow BEFORE pandas: the padded null columns are
         # dropped here, so dtypes survive (a combined to_pandas would turn
         # every padded int column into float64)

@@ -198,3 +198,121 @@ def test_pagerank_serial_and_distributed_paths_identical(ray_session,
                            iters=4).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_serial, got_dist)
+
+
+def _ref_bfs(edges, seeds, max_hops):
+    from collections import defaultdict, deque
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_distances_serial_and_distributed(ray_session, monkeypatch):
+    """Hop distances equal a reference BFS on both the gated serial path
+    and the forced hop-synchronous distributed path (distance is the
+    unique shortest hop count — partitioning cannot change it)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import sift_ray.functions.linkgraph as lg
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 50, 400)
+    dst = rng.integers(0, 60, 400)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    seeds = [0, 5, 17]
+    ref = _ref_bfs(zip(src.tolist(), dst.tolist()), seeds, 3)
+
+    out = lg.bfs_distances(rd.from_arrow(t).repartition(4), seeds,
+                           max_hops=3).to_pandas()
+    assert dict(zip(out.node, out.dist)) == ref
+
+    monkeypatch.setattr(lg, "_SERIAL_BFS_LIMIT", 0)
+    out2 = lg.bfs_distances(rd.from_arrow(t).repartition(4), seeds,
+                            max_hops=3, num_parts=8).to_pandas()
+    assert dict(zip(out2.node, out2.dist)) == ref
+
+
+def test_bfs_distances_early_stop_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    import sift_ray.functions.linkgraph as lg
+
+    # chain 1->2->3; max_hops far beyond diameter must terminate early
+    t = pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    out = lg.bfs_distances(rd.from_arrow(t), [1], max_hops=6).to_pandas()
+    assert dict(zip(out.node, out.dist)) == {1: 0, 2: 1, 3: 2}
+    # no seeds -> typed empty
+    out = lg.bfs_distances(rd.from_arrow(t), [], max_hops=3)
+    assert out.count() == 0
+    # seed disconnected from everything is still reported at dist 0
+    out = lg.bfs_distances(rd.from_arrow(t), [99], max_hops=3).to_pandas()
+    assert dict(zip(out.node, out.dist)) == {99: 0}
+
+
+def _ref_triangles(src, dst):
+    from collections import defaultdict
+    und = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    nbr = defaultdict(set)
+    for u, v in und:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    return sum(len(nbr[u] & nbr[v]) for u, v in und) // 3
+
+
+def test_triangle_count_serial_and_distributed(ray_session, monkeypatch):
+    """Triangle count equals the naive reference on both the serial
+    oriented counter and the forced distributed wedge-join path
+    (direction, multi-edges, and self-loops ignored)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import sift_ray.functions.linkgraph as lg
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 40, 500).tolist()
+    dst = rng.integers(0, 40, 500).tolist()
+    # plant self-loops and duplicate edges: both must be ignored
+    src += [7, 7, 8]
+    dst += [7, 8, 7]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    ref = _ref_triangles(src, dst)
+    assert ref > 0
+
+    out = lg.triangle_count(rd.from_arrow(t).repartition(4)).to_pandas()
+    assert int(out.triangles[0]) == ref
+
+    monkeypatch.setattr(lg, "_SERIAL_TRI_LIMIT", 0)
+    out2 = lg.triangle_count(rd.from_arrow(t).repartition(4),
+                             num_parts=8).to_pandas()
+    assert int(out2.triangles[0]) == ref
+
+
+def test_triangle_count_empty_and_acyclic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    import sift_ray.functions.linkgraph as lg
+
+    t = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    assert int(lg.triangle_count(rd.from_arrow(t)).to_pandas()
+               .triangles[0]) == 0
+    # a path graph has no triangles
+    t = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                  "dst": pa.array([2, 3, 4], pa.int64())})
+    assert int(lg.triangle_count(rd.from_arrow(t)).to_pandas()
+               .triangles[0]) == 0
