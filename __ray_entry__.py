@@ -450,6 +450,19 @@ def _q_decode_gif(sf_dir: str):
     return decode_gifs(rd.from_pandas(pd.DataFrame(rows)))
 
 
+def _digest_payload(batch):
+    """Replace a binary ``payload`` column with its sha256 hex digest —
+    an exact pin on the bytes that stays hashable/sortable through the
+    driver's DuckDB-side oracle compare (BLOB -> bytearray is unhashable)."""
+    import hashlib
+    import pyarrow as pa
+    payloads = batch.column("payload").to_pylist()
+    sha = [hashlib.sha256(p).hexdigest() if p is not None else None
+           for p in payloads]
+    return batch.drop_columns(["payload"]).append_column(
+        "payload_sha", pa.array(sha, pa.string()))
+
+
 def _q_resize_images(sf_dir: str):
     """Real image resize (area-average resample via phash overlap
     matrices, BMP re-encode) over a mixed synthetic BMP/PNG corpus with
@@ -476,8 +489,12 @@ def _q_resize_images(sf_dir: str):
                 .astype(np.uint8).reshape(h, w, 3)
             payload = make_png(px)
         rows.append({"doc_id": i, "payload": payload})
-    return resize_images(rd.from_pandas(pd.DataFrame(rows)),
-                         out_w=16, out_h=16)
+    out = resize_images(rd.from_pandas(pd.DataFrame(rows)),
+                        out_w=16, out_h=16)
+    # driver-facing projection: digest the thumbnail bytes (exact pin on
+    # the full payload) — raw BLOB columns are unhashable bytearrays on
+    # the DuckDB side of the oracle compare
+    return out.map_batches(_digest_payload, batch_format="pyarrow")
 
 
 def _q_sample_frames(sf_dir: str):
@@ -503,7 +520,8 @@ def _q_sample_frames(sf_dir: str):
                       for f in range(1 + i % 6)]
             payload = make_gif(frames, pal)
         rows.append({"doc_id": i, "payload": payload})
-    return sample_frames(rd.from_pandas(pd.DataFrame(rows)), every_n=2)
+    out = sample_frames(rd.from_pandas(pd.DataFrame(rows)), every_n=2)
+    return out.map_batches(_digest_payload, batch_format="pyarrow")
 
 
 def _q_audio_features(sf_dir: str):
@@ -5905,4 +5923,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE md5(d.text) NOT IN (
                 SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)"""
+    # Golden-parquet oracles for the non-SQL-expressible queries
+    # (readability/markdown extraction, PDF parse, image/audio decode):
+    # DuckDB reads the frozen sf0.01 output minted by
+    # tools/mint_driver_goldens.py, giving these queries the same
+    # rows+schema+hash teeth as the SQL-recomputed oracles — the inputs
+    # are deterministic synthetic corpora, so any value drift is a real
+    # behavior change (and tests/test_oracle.py re-checks every one of
+    # these per pytest run against a fresh recompute).
+    from tools.mint_driver_goldens import GOLDEN_QUERIES, OUT_DIR
+    for name in GOLDEN_QUERIES:
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        d[name] = f"SELECT * FROM read_parquet('{path}')"
     return d
