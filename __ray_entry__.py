@@ -3092,30 +3092,32 @@ def _q_sitemap_entries(sf_dir: str):
     sitemap.xml per customer listing its orders (loc + ISO lastmod +
     changefreq/priority), rendered distributed, then the zero-shuffle
     entry parser. Oracle: DuckDB reconstructs entries from orders."""
-    import pandas as pd
+    import pyarrow as _pa
     import ray.data as rd
     from sift_ray.functions.webstruct import sitemap_entries
 
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("o_orderkey")
-        ck = int(pdf["o_custkey"].iloc[0])
-        entries = "".join(
-            f"<url><loc>http://sm.example/order/{ok}</loc>"
-            f"<lastmod>{d.strftime('%Y-%m-%d')}</lastmod>"
-            f"<changefreq>weekly</changefreq>"
-            f"<priority>0.5</priority></url>"
-            for ok, d in zip(pdf["o_orderkey"], pdf["o_orderdate"]))
-        xml = ('<?xml version="1.0" encoding="UTF-8"?><urlset>'
-               + entries + "</urlset>")
-        return pd.DataFrame({
-            "url": [f"http://sm.example/customer/{ck}/sitemap.xml"],
-            "html": [xml.encode()]})
+    # vectorized partition-kernel render (see _q_crawl_frontier)
+    def render_part(t: _pa.Table) -> _pa.Table:
+        df = t.to_pandas().sort_values(["o_custkey", "o_orderkey"])
+        ent = ("<url><loc>http://sm.example/order/"
+               + df["o_orderkey"].astype(str) + "</loc><lastmod>"
+               + df["o_orderdate"].dt.strftime("%Y-%m-%d")
+               + "</lastmod><changefreq>weekly</changefreq>"
+               + "<priority>0.5</priority></url>")
+        g = ent.groupby(df["o_custkey"].to_numpy(), sort=True).agg("".join)
+        urls = ("http://sm.example/customer/" + g.index.astype(str)
+                + "/sitemap.xml")
+        html = ('<?xml version="1.0" encoding="UTF-8"?><urlset>' + g
+                + "</urlset>").str.encode("utf-8")
+        return _pa.table({"url": _pa.array(urls, _pa.string()),
+                          "html": _pa.array(html.to_numpy(), _pa.binary())})
 
-    pages = ds.groupby("o_custkey").map_groups(render,
-                                               batch_format="pandas")
+    from sift_ray.functions.shuffle import add_hash_partition
+    pages = add_hash_partition(ds, ["o_custkey"], 64).groupby(
+        "part").map_groups(render_part, batch_format="pyarrow")
     return sitemap_entries(pages)
 
 
@@ -3157,7 +3159,6 @@ def _q_crawl_frontier(sf_dir: str):
     o_orderkey % 3 == 0) -> per-host politeness schedule. Two exchanges
     end to end. Oracle: the full composition re-expressed relationally
     (filter + row_number per host)."""
-    import pandas as pd
     import pyarrow as _pa
     import ray.data as rd
     from sift_ray.pipelines.frontier import build_frontier
@@ -3165,25 +3166,38 @@ def _q_crawl_frontier(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_orderkey", "o_custkey"])
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("o_orderkey")
-        ck = int(pdf["o_custkey"].iloc[0])
-        entries = "".join(
-            f"<url><loc>http://c{ck}.shop.example/order/{ok}</loc></url>"
-            for ok in pdf["o_orderkey"])
-        return pd.DataFrame({
-            "url": [f"http://c{ck}.shop.example/sitemap.xml"],
-            "html": [f"<urlset>{entries}</urlset>".encode()]})
+    # fixture render: one custkey exchange + vectorized partition kernel.
+    # NOT per-group map_groups (15k python calls dominated this query's
+    # bench wall) and NOT zero-shuffle per-batch rendering (customers
+    # scatter across input blocks, so block-local rendering yields ~10x
+    # more one-entry sitemap pages and ~10x more parse_html calls
+    # downstream — measured slower than the exchange)
+    def render_part(t: _pa.Table) -> _pa.Table:
+        df = t.to_pandas().sort_values(["o_custkey", "o_orderkey"])
+        ck = df["o_custkey"].astype(str)
+        ent = ("<url><loc>http://c" + ck + ".shop.example/order/"
+               + df["o_orderkey"].astype(str) + "</loc></url>")
+        g = ent.groupby(df["o_custkey"].to_numpy(), sort=True).agg("".join)
+        urls = ("http://c" + g.index.astype(str)
+                + ".shop.example/sitemap.xml")
+        html = ("<urlset>" + g + "</urlset>").str.encode("utf-8")
+        return _pa.table({"url": _pa.array(urls, _pa.string()),
+                          "html": _pa.array(html.to_numpy(), _pa.binary())})
 
-    pages = ds.groupby("o_custkey").map_groups(render,
-                                               batch_format="pandas")
+    from sift_ray.functions.shuffle import add_hash_partition
+    pages = add_hash_partition(ds, ["o_custkey"], 64).groupby(
+        "part").map_groups(render_part, batch_format="pyarrow")
 
     def seen_rows(batch: _pa.Table) -> _pa.Table:
-        urls = [f"http://c{ck}.shop.example/order/{ok}"
-                for ok, ck in zip(batch.column("o_orderkey").to_pylist(),
-                                  batch.column("o_custkey").to_pylist())
-                if ok % 3 == 0]
-        return _pa.table({"url": _pa.array(urls, _pa.string())})
+        import numpy as np
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        m = ok % 3 == 0
+        urls = np.char.add(
+            np.char.add(np.char.add("http://c", ck[m].astype("U")),
+                        ".shop.example/order/"),
+            ok[m].astype("U"))
+        return _pa.table({"url": _pa.array(urls.tolist(), _pa.string())})
 
     seen = ds.map_batches(seen_rows, batch_format="pyarrow")
     return build_frontier(pages, seen)

@@ -53,14 +53,64 @@ def canonical_url(u: str) -> Optional[str]:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Fast-path predicate: URLs this regex matches are ALREADY canonical
+# except possibly for a missing path ("http://a.com" -> append "/"):
+# lowercase scheme and host, no userinfo/port (no '@'/':' in the host
+# charclass), no trailing host dot (last char must be alnum), no query,
+# no fragment, no whitespace. Everything else falls back to the exact
+# per-row canonical_url — the fast path is identity-or-slash, so it can
+# never diverge from the slow path (equality property-tested in
+# tests/test_urls.py).
+_FAST_CANON_PAT = r"^https?://[a-z0-9.-]*[a-z0-9](/[^?#\s]*)?$"
+_NO_PATH_PAT = r"^https?://[^/]+$"
+
+
+def canonical_urls_array(col) -> pa.Array:
+    """Vectorized ``canonical_url`` over an Arrow string column: Arrow RE2
+    kernels classify each row; already-canonical rows (the overwhelming
+    majority of real crawl URLs) pass through zero-copy, and only the
+    rest run the per-row Python canonicalizer."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return pa.array([], pa.string())
+    fast = pc.fill_null(
+        pc.match_substring_regex(col, _FAST_CANON_PAT),
+        False).to_numpy(zero_copy_only=False)
+    no_path = pc.fill_null(pc.match_substring_regex(col, _NO_PATH_PAT),
+                           False)
+    with_slash = pc.binary_join_element_wise(col, "/", "")
+    out = pc.if_else(no_path, with_slash, col)
+    slow = ~fast
+    if slow.any():
+        idx = np.flatnonzero(slow)
+        slow_in = col.take(pa.array(idx, pa.int64())).to_pylist()
+        slow_out = pa.array(
+            [canonical_url(u) if u is not None else None for u in slow_in],
+            pa.string())
+        out = pc.replace_with_mask(out, pa.array(slow), slow_out)
+    return out if isinstance(out, pa.Array) else out.combine_chunks()
+
+
+def host_of_urls(col) -> pa.Array:
+    """Vectorized netloc extraction for ALREADY-CANONICAL URLs (lowercase
+    host guaranteed by canonical_url): one RE2 kernel, null where the
+    value is not an http(s) URL."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ex = pc.extract_regex(col, r"^https?://(?P<host>[^/?#]+)")
+    return pc.struct_field(ex, "host")
+
+
 def canonicalize_urls(ds, url_col: str = "url",
                       out_col: str = "canonical_url"):
     """Append the canonical form of ``url_col`` (null where unparseable).
-    Zero shuffle."""
+    Zero shuffle, vectorized fast path."""
     def fn(t: pa.Table) -> pa.Table:
-        canon = [canonical_url(u) if u is not None else None
-                 for u in t.column(url_col).to_pylist()]
-        return t.append_column(out_col, pa.array(canon, pa.string()))
+        return t.append_column(out_col,
+                               canonical_urls_array(t.column(url_col)))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 

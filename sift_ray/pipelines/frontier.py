@@ -37,29 +37,22 @@ def build_frontier(sitemap_pages, seen_urls,
     the anti-join, so tracking-param/port/fragment variants of a seen
     URL never re-enter the frontier. Non-http(s)/unparseable locs drop.
     """
-    from urllib.parse import urlsplit
+    import pyarrow.compute as pc
 
     from ..functions.shuffle import hash_join
-    from ..functions.urls import canonical_url, politeness_schedule
+    from ..functions.urls import (canonical_urls_array, host_of_urls,
+                                  politeness_schedule)
     from ..functions.webstruct import sitemap_entries
 
     def canon_locs(t: pa.Table) -> pa.Table:
-        kinds = t.column("kind").to_pylist()
-        locs = t.column("loc").to_pylist()
-        out = []
-        for kind, loc in zip(kinds, locs):
-            if kind != "url":
-                continue  # index entries point at more sitemaps, not pages
-            c = canonical_url(loc)
-            if c is not None:
-                out.append(c)
-        return pa.table({"url": pa.array(out, pa.string())})
+        # index entries point at more sitemaps, not pages
+        pages_only = t.filter(pc.equal(t.column("kind"), "url"))
+        canon = canonical_urls_array(pages_only.column("loc"))
+        return pa.table({"url": canon.drop_null()})
 
     def canon_seen(t: pa.Table) -> pa.Table:
-        out = [c for c in (canonical_url(u)
-                           for u in t.column("url").to_pylist())
-               if c is not None]
-        return pa.table({"url": pa.array(out, pa.string())})
+        canon = canonical_urls_array(t.column("url"))
+        return pa.table({"url": canon.drop_null()})
 
     candidates = (sitemap_entries(sitemap_pages)
                   .map_batches(canon_locs, batch_format="pyarrow"))
@@ -82,10 +75,9 @@ def build_frontier(sitemap_pages, seen_urls,
                       num_parts=num_parts)
 
     def add_host(t: pa.Table) -> pa.Table:
-        hosts = [urlsplit(u).netloc.lower()
-                 for u in t.column("url").to_pylist()]
+        # urls here are canonical (lowercase netloc), so one RE2 kernel
         return pa.table({"url": t.column("url"),
-                         "host": pa.array(hosts, pa.string())})
+                         "host": host_of_urls(t.column("url"))})
 
     with_host = fresh.map_batches(add_host, batch_format="pyarrow")
     return politeness_schedule(with_host, host_col="host", id_col="url",

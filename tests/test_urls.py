@@ -81,3 +81,67 @@ def test_assign_splits_host_grouped_and_balanced(ray_session):
     out2 = assign_splits(rd.from_pandas(df).repartition(2)).to_pandas()
     assert out.sort_values("url").split.tolist() == \
         out2.sort_values("url").split.tolist()
+
+
+ADVERSARIAL_URLS = [
+    None, "", "   ", "not a url", "ftp://a.com/x", "mailto:a@b.com",
+    "http://Example.COM/Path", "http://example.com", "http://example.com/",
+    "https://example.com:443/x", "https://example.com:8443/x",
+    "http://example.com:80/x", "http://example.com:8080/x",
+    "http://user:pw@example.com/x", "http://example.com./x",
+    "http://example.com/x?utm_source=a&b=2&a=1",
+    "http://example.com/x?b=2&a=1#frag", "http://example.com/#frag",
+    "http://example.com/x?", "http://example.com/x?a",
+    "  http://example.com/x  ", "http://exa mple.com/x",
+    "http://example.com//double//slash", "http://example.com/a%20b",
+    "http://example.com/UPPER/Case", "http://example.com/x;param=1",
+    "http://xn--bcher-kva.example/x", "http://[::1]:8080/x",
+    "http://[::1]/x", "http://:80/x", "http:///x", "http://?q=1",
+    "HTTP://EXAMPLE.COM/X", "http://-dash.example/x",
+    "http://dash-.example/x", "http://a/x", "http://9.9.9.9/x",
+    "http://example.com/x?gclid=1&keep=2&fbclid=3&ref=z",
+    "http://example.com/x?z=1&z=0&a=9",  # param sort by (key, value)
+    "http://example.com/tab\tchar", "http://example.com/x\n",
+]
+
+
+def test_canonical_urls_array_matches_per_row():
+    import pyarrow as pa
+    from sift_ray.functions.urls import canonical_url, canonical_urls_array
+    col = pa.array(ADVERSARIAL_URLS, pa.string())
+    got = canonical_urls_array(col).to_pylist()
+    want = [canonical_url(u) if u is not None else None
+            for u in ADVERSARIAL_URLS]
+    assert got == want
+
+
+def test_canonical_urls_array_property():
+    """Randomized cross-check: assembled URL soup, vectorized == per-row."""
+    import random
+    import pyarrow as pa
+    from sift_ray.functions.urls import canonical_url, canonical_urls_array
+    rng = random.Random(7)
+    schemes = ["http", "https", "HTTP", "ftp", ""]
+    hosts = ["example.com", "Sub.Example.com", "a.b-c.de", "x", "x.",
+             "127.0.0.1", "[::1]", "", "ex_ample.com"]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    paths = ["", "/", "/a/b", "/A%2fB", "//x", "/x;y"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x&a=1", "?a"]
+    frags = ["", "#f"]
+    urls = []
+    for _ in range(600):
+        urls.append(rng.choice(schemes) + "://" + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + rng.choice(queries) + rng.choice(frags))
+    got = canonical_urls_array(pa.array(urls, pa.string())).to_pylist()
+    want = [canonical_url(u) for u in urls]
+    assert got == want
+
+
+def test_host_of_urls():
+    import pyarrow as pa
+    from sift_ray.functions.urls import host_of_urls
+    col = pa.array(["http://a.com/x", "https://b.io:8080/", "http://c.de",
+                    "not a url", None], pa.string())
+    assert host_of_urls(col).to_pylist() == \
+        ["a.com", "b.io:8080", "c.de", None, None]
