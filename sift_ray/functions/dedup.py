@@ -837,6 +837,28 @@ _EMPTY_JACCARD = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                             ("jaccard", pa.float64())])
 
 
+def _pair_jaccard_from_blobs(sh_a, sh_b) -> np.ndarray:
+    """Exact Jaccard per candidate pair from two lists of (unique, any
+    order) uint64-set blobs, in ONE vectorized pass: concat every pair's
+    two sets tagged with the pair index; a value seen twice under one
+    pair index is one intersection hit (each side is duplicate-free)."""
+    npairs = len(sh_a)
+    la = np.fromiter((len(x or b"") >> 3 for x in sh_a),
+                     np.int64, count=npairs)
+    lb = np.fromiter((len(x or b"") >> 3 for x in sh_b),
+                     np.int64, count=npairs)
+    g = np.frombuffer(
+        b"".join((x or b"") + (y or b"") for x, y in zip(sh_a, sh_b)),
+        dtype=np.uint64)
+    pid = np.repeat(np.arange(npairs, dtype=np.int64), la + lb)
+    order = np.lexsort((g, pid))
+    gs, ps = g[order], pid[order]
+    dup = (gs[1:] == gs[:-1]) & (ps[1:] == ps[:-1])
+    isect = np.bincount(ps[1:][dup], minlength=npairs)
+    union = la + lb - isect
+    return np.where(union > 0, isect / np.maximum(union, 1), 0.0)
+
+
 class _JaccardVerifyStage:
     """Map-side exact-Jaccard verify against a broadcast candidate shingle
     map (fetched once per actor). Used ONLY below the broadcast threshold —
@@ -849,59 +871,45 @@ class _JaccardVerifyStage:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("doc_a").to_pylist()
-        b_ids = batch.column("doc_b").to_pylist()
-        keep_a, keep_b, keep_j = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa = np.frombuffer(self.smap.get(a, b""), dtype=np.uint64)
-            sb = np.frombuffer(self.smap.get(b, b""), dtype=np.uint64)
-            isect = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - isect
-            j = isect / union if union else 0.0
-            if j >= self.threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                keep_j.append(j)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        get = self.smap.get
+        j = _pair_jaccard_from_blobs([get(x, b"") for x in a.tolist()],
+                                     [get(y, b"") for y in b.tolist()])
+        keep = j >= self.threshold
         return pa.table({
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(keep_j, pa.float64()),
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(j[keep], pa.float64()),
         })
 
 
-def _minhash_verify_broadcast(ds, pairs_tbl, needed, set_fn,
-                              threshold: float, text_col: str, id_col: str):
+def _minhash_verify_broadcast(shingles, pairs_tbl, threshold: float):
     """Small-candidate verification: dedupe the (int) candidate pairs on
-    the driver, broadcast the candidate shingle blobs once, verify
-    map-side. Two cheap stages instead of two blob-carrying exchanges.
-    ``set_fn(text) -> np.uint64 array`` defines the exact set whose
-    Jaccard is verified (char shingles for minhash, word k-grams for the
-    prefix-filtered join)."""
-    import pyarrow.compute as pc
+    the driver, broadcast the candidate shingle blobs once (pulled from
+    the already-materialized shingles dataset the caller size-gated),
+    verify map-side. Two cheap stages instead of two blob-carrying
+    exchanges."""
     import ray
     import ray.data as rd
 
     a, b, _ = _dedupe_pair_rows(pairs_tbl)
 
-    def cand_sh(batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
-        blobs = [set_fn(t or "").tobytes()
-                 for t in sub.column(text_col).to_pylist()]
-        return pa.table({
-            "id": pc.cast(sub.column(id_col), pa.int64()),
-            "sh": pa.array(blobs, pa.binary()),
-        })
-
     smap: Dict[int, bytes] = {}
-    for batch in (ds.map_batches(cand_sh, batch_format="pyarrow")
-                  .iter_batches(batch_size=4096, batch_format="pyarrow")):
-        smap.update(zip(batch.column("id").to_pylist(),
+    for batch in shingles.iter_batches(batch_size=4096,
+                                       batch_format="pyarrow"):
+        smap.update(zip(batch.column("jkey").to_pylist(),
                         batch.column("sh").to_pylist()))
     ref = ray.put(smap)
     pairs_ds = rd.from_arrow(pa.table({
         "doc_a": pa.array(a, pa.int64()),
         "doc_b": pa.array(b, pa.int64()),
     }))
+    # from_arrow yields ONE block; split it so the verify parallelizes
+    # (16 B/pair rows — the repartition is driver-local and cheap)
+    nparts = max(1, min(64, len(a) // 20_000))
+    if nparts > 1:
+        pairs_ds = pairs_ds.repartition(nparts)
     # plain tasks with per-process cached state (ObjectRefs are hashable):
     # below the broadcast gate the pair list is small, and a 2-actor pool's
     # spawn latency would dominate the whole verify stage
@@ -915,7 +923,8 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
                       concurrency=None, text_col: str = "text",
                       id_col: str = "doc_id", num_parts: Optional[int] = None,
                       max_bucket: int = 200,
-                      broadcast_limit: int = 100_000):
+                      broadcast_limit: int = 2_000_000,
+                      blob_broadcast_bytes: int = 256 * 1024 * 1024):
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
     Band triples are hash-partitioned by bucket key and candidate pairs
@@ -966,18 +975,25 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
     import functools
     return _exact_jaccard_verify(
         ds, partials, functools.partial(_shingle_hash_set, k=shingle_k),
-        jaccard_threshold, text_col, id_col, P, broadcast_limit)
+        jaccard_threshold, text_col, id_col, P, broadcast_limit,
+        blob_broadcast_bytes)
 
 
 def _exact_jaccard_verify(ds, partials, set_fn, threshold: float,
                           text_col: str, id_col: str, P: int,
-                          broadcast_limit: int):
+                          broadcast_limit: int,
+                          blob_broadcast_bytes: int = 256 * 1024 * 1024):
     """Shared exact-Jaccard verification over a candidate-pair Dataset:
     dedupes pairs, computes each candidate doc's hash set via ``set_fn``
     map-side (broadcast id-set semi-join), then verifies on one of two
-    size-gated paths — driver broadcast of the blobs below
-    ``broadcast_limit`` pairs, two blob-attaching key exchanges above it
-    (candidate-proportional, zero driver blob state). Used by
+    size-gated paths. The broadcast path ships the blob map once per
+    worker and verifies map-side; it is taken when BOTH measured costs
+    fit — candidate pairs <= ``broadcast_limit`` (driver/pair-list state;
+    the driver already holds the int pair list either way, the gate
+    bounds the per-task replica) AND actual blob bytes (measured from
+    the materialized shingles, O(candidate DOCS) not O(pairs)) <=
+    ``blob_broadcast_bytes`` (per-worker heap). Past either bound: two
+    blob-attaching key exchanges, zero driver blob state. Used by
     minhash_lsh_pairs (char-shingle sets) and ngram_jaccard_pairs_prefix
     (word k-gram sets — there the verified Jaccard IS the exact answer)."""
     import pyarrow.compute as pc
@@ -998,10 +1014,6 @@ def _exact_jaccard_verify(ds, partials, set_fn, threshold: float,
         pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False)),
         pa.int64())
 
-    if n_partial <= broadcast_limit:
-        return _minhash_verify_broadcast(ds, pairs_tbl, needed, set_fn,
-                                         threshold, text_col, id_col)
-
     def cand_shingles(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.is_in(batch.column(id_col), value_set=needed))
         blobs = [set_fn(t or "").tobytes()
@@ -1016,6 +1028,13 @@ def _exact_jaccard_verify(ds, partials, set_fn, threshold: float,
 
     shingles = ds.map_batches(cand_shingles,
                               batch_format="pyarrow").materialize()
+
+    if n_partial <= broadcast_limit:
+        # measured blob volume (Dataset.size_bytes of the materialized
+        # shingles bounds the smap from above) decides broadcastability
+        if (shingles.size_bytes() or 0) <= blob_broadcast_bytes:
+            return _minhash_verify_broadcast(shingles, pairs_tbl,
+                                             threshold)
 
     def pair_rows_a(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -1053,24 +1072,21 @@ def _exact_jaccard_verify(ds, partials, set_fn, threshold: float,
         smap = dict(zip(sh_rows.column("jkey").to_pylist(),
                         sh_rows.column("sh").to_pylist()))
         pair_t = tbl.filter(pa.array(side == 1))
-        a = pair_t.column("doc_a").to_pylist()
-        b = pair_t.column("doc_b").to_pylist()
+        npairs = pair_t.num_rows
+        if npairs == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        a = pair_t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = pair_t.column("doc_b").to_numpy(zero_copy_only=False)
         sh_a = pair_t.column("sh").to_pylist()
-        keep_a, keep_b, keep_j = [], [], []
-        for x, y, blob in zip(a, b, sh_a):
-            sa = np.frombuffer(blob or b"", dtype=np.uint64)
-            sb = np.frombuffer(smap.get(y, b""), dtype=np.uint64)
-            isect = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - isect
-            j = isect / union if union else 0.0
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                keep_j.append(j)
+        sh_b = [smap.get(y, b"") for y in b.tolist()]
+        j = _pair_jaccard_from_blobs(sh_a, sh_b)
+        keep = j >= threshold
         return pa.table({
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(keep_j, pa.float64()),
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(j[keep], pa.float64()),
         })
 
     return (add_hash_partition(stage_a.union(shingles), ["jkey"], P)
@@ -1360,7 +1376,7 @@ class PrefixGramStage:
         import math
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        g_out, d_out, n_out = [], [], []
+        g_out, d_out, n_out, p_out = [], [], [], []
         for i, t in zip(ids, texts):
             h = _distinct_gram_hashes(t or "", self.k)
             n = len(h)
@@ -1375,15 +1391,20 @@ class PrefixGramStage:
             g_out.append(pref)
             d_out.append(np.full(L, i, np.int64))
             n_out.append(np.full(L, n, np.int64))
+            # gram's rank in the doc's ordered gram list — feeds the
+            # PPJoin positional filter in the bucket kernel
+            p_out.append(np.arange(L, dtype=np.int64))
         if not g_out:
             return pa.table({"gram": pa.array([], pa.int64()),
                              self.id_col: pa.array([], pa.int64()),
-                             "n_doc": pa.array([], pa.int64())})
+                             "n_doc": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
         return pa.table({
             "gram": pa.array(np.concatenate(g_out).astype(np.int64),
                              pa.int64()),
             self.id_col: pa.array(np.concatenate(d_out), pa.int64()),
             "n_doc": pa.array(np.concatenate(n_out), pa.int64()),
+            "pos": pa.array(np.concatenate(p_out), pa.int64()),
         })
 
 
@@ -1405,26 +1426,47 @@ def _prefix_partition_pairs(max_bucket: Optional[int], threshold: float,
         order, starts = _sorted_runs(pdf, ["gram"])
         docs = pdf[id_col].to_numpy()[order]
         ns = pdf["n_doc"].to_numpy()[order]
-        seen = set()
+        pos = pdf["pos"].to_numpy()[order]
+        out_a, out_b = [], []
         for bi in range(len(starts) - 1):
             s, e = starts[bi], starts[bi + 1]
-            if e - s < 2 or e - s > cap:
+            m = e - s
+            if m < 2 or m > cap:
                 continue
-            pairs = sorted(set(zip(docs[s:e].tolist(), ns[s:e].tolist())))
-            for x in range(len(pairs)):
-                dx, nx = pairs[x]
-                for y in range(x + 1, len(pairs)):
-                    dy, ny = pairs[y]
-                    if dx == dy:
-                        continue
-                    lo, hi = (nx, ny) if nx <= ny else (ny, nx)
-                    if lo + 1e-9 < threshold * hi:
-                        continue  # size filter: J <= lo/hi < t
-                    seen.add((dx, dy) if dx < dy else (dy, dx))
-        if not seen:
+            d, n, p = docs[s:e], ns[s:e], pos[s:e]
+            ii, jj = np.triu_indices(m, 1)
+            dx, dy = d[ii], d[jj]
+            nx, ny = n[ii], n[jj]
+            lo = np.minimum(nx, ny)
+            hi = np.maximum(nx, ny)
+            # size filter: J <= lo/hi, exact (epsilon only widens)
+            keep = (dx != dy) & (lo + 1e-9 >= threshold * hi)
+            # PPJoin positional filter (Xiao et al. 2008): sharing gram g
+            # at ranks (px, py), overlap <= min(px,py) + 1 +
+            # min(nx-px-1, ny-py-1); Jaccard >= t needs overlap >=
+            # ceil(t*(nx+ny)/(1+t)). Every bound is valid for the TRUE
+            # overlap, so a pair above threshold passes in EVERY bucket —
+            # rejecting here can never lose a real pair (epsilon rounds
+            # alpha down, keeping borderline pairs).
+            px, py = p[ii], p[jj]
+            alpha = np.ceil(threshold * (nx + ny) / (1.0 + threshold)
+                            - 1e-9)
+            ub = (np.minimum(px, py) + 1
+                  + np.minimum(nx - px - 1, ny - py - 1))
+            keep &= ub >= alpha
+            if keep.any():
+                a, b = dx[keep], dy[keep]
+                swap = a > b
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                out_a.append(a2)
+                out_b.append(b2)
+        if not out_a:
             return _empty_pairs_df()
-        arr = np.array(sorted(seen), dtype=np.int64)
-        return pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1]})
+        ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)],
+                      axis=1)
+        ab = np.unique(ab, axis=0)  # local dedupe; global in the verify
+        return pd.DataFrame({"doc_a": ab[:, 0], "doc_b": ab[:, 1]})
     return fn
 
 
@@ -1433,7 +1475,8 @@ def ngram_jaccard_pairs_prefix(ds, k: int = 3, threshold: float = 0.5,
                                id_col: str = "doc_id",
                                num_parts: Optional[int] = None,
                                max_bucket: Optional[int] = None,
-                               broadcast_limit: int = 100_000,
+                               broadcast_limit: int = 2_000_000,
+                               blob_broadcast_bytes: int = 256 * 1024 * 1024,
                                hot_sample: int = 10_000,
                                hot_frac: float = 0.05):
     """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
@@ -1483,20 +1526,20 @@ def ngram_jaccard_pairs_prefix(ds, k: int = 3, threshold: float = 0.5,
     hot_ref = None
     if hot_sample > 0:
         def batch_hot(batch: pa.Table) -> pa.Table:
-            from collections import Counter
-            c: Counter = Counter()
-            nd = 0
-            for t in batch.column(text_col).to_pylist():
-                c.update(_distinct_gram_hashes(t or "", k).tolist())
-                nd += 1
+            texts = batch.column(text_col).to_pylist()
+            nd = len(texts)
+            sets = [_distinct_gram_hashes(t or "", k) for t in texts]
+            allh = (np.concatenate(sets) if sets
+                    else np.empty(0, np.uint64))
+            vals, cnts = np.unique(allh, return_counts=True)
             cut = max(1, int(hot_frac * nd / 2))
+            m = cnts >= cut
             # gram hashes are >>1-shifted, so they fit int64 and are >= 0;
             # gram = -1 is the per-batch doc-count sentinel row
-            hot_items = [(g, n) for g, n in c.items() if n >= cut]
             return pa.table({
-                "gram": pa.array([g for g, _ in hot_items] + [-1],
-                                 pa.int64()),
-                "df": pa.array([n for _, n in hot_items] + [nd],
+                "gram": pa.array(
+                    np.r_[vals[m].astype(np.int64), -1], pa.int64()),
+                "df": pa.array(np.r_[cnts[m].astype(np.int64), nd],
                                pa.int64()),
             })
 
@@ -1528,7 +1571,8 @@ def ngram_jaccard_pairs_prefix(ds, k: int = 3, threshold: float = 0.5,
                             batch_format="pandas")).materialize()
     return _exact_jaccard_verify(
         ds, partials, functools.partial(_distinct_gram_hashes, k=k),
-        threshold, text_col, id_col, P, broadcast_limit)
+        threshold, text_col, id_col, P, broadcast_limit,
+        blob_broadcast_bytes)
 
 
 def ngram_jaccard_matrix(texts: List[str], k: int = 5) -> np.ndarray:

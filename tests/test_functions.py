@@ -2592,6 +2592,11 @@ def test_ngram_prefix_equals_unfiltered(ray_session):
                 rd.from_pandas(df), k=3, threshold=t, num_parts=4,
                 broadcast_limit=blimit).to_pandas())
             assert pref == base, (t, blimit)
+        # oversize measured blobs force the exchange path too
+        pref = norm(ngram_jaccard_pairs_prefix(
+            rd.from_pandas(df), k=3, threshold=t, num_parts=4,
+            blob_broadcast_bytes=0).to_pandas())
+        assert pref == base, (t, "blob gate")
         assert len(base) > 0 or t == 0.8  # non-vacuous at low thresholds
 
 
