@@ -73,23 +73,49 @@ class BruteForceTopK:
 
 
 class KnnJoinStage:
-    """Per-batch exact k-NN against the broadcast right side, TILED: the
-    right matrix is scanned in bounded-size tiles with a running top-k
-    merge per left row, so worker memory is (batch x k) + one tile
-    regardless of right-side size. At cluster scale the right side is
-    sharded into such tiles by construction (one ``ray.put`` per tile);
-    this kernel is the inner loop either way."""
+    """Per-batch exact k-NN against a TILED right side with a running
+    top-k merge per left row, so worker memory is (batch x k) + one tile
+    regardless of right-side size. Two tile sources, same inner loop:
 
-    def __init__(self, right_ref, k: int, tile_rows: int = 65536,
+    * ``right_ref`` — one broadcast dict (small right sides): scanned in
+      ``tile_rows`` slices of the in-memory matrix.
+    * ``tile_refs`` — the right Dataset's own materialized block refs
+      (corpus-scale): each tile is ``ray.get``-fetched per use — a
+      zero-copy shared-memory read once the block is node-local, the
+      object store owns placement/spill, and NO single process ever
+      holds the full right side."""
+
+    def __init__(self, right_ref=None, tile_refs=None, k: int = 3,
+                 tile_rows: int = 65536,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
         import ray
-        r = ray.get(right_ref)  # fetched once per worker process
-        self.r_ids = np.asarray(r["ids"], dtype=np.int64)
-        self.r_mat = _normalize(np.asarray(r["matrix"], dtype=np.float64))
         self.k = k
         self.tile_rows = tile_rows
         self.vec_col = vec_col
         self.id_col = id_col
+        self.tile_refs = tile_refs
+        if tile_refs is None:
+            r = ray.get(right_ref)  # fetched once per worker process
+            self.r_ids = np.asarray(r["ids"], dtype=np.int64)
+            self.r_mat = _normalize(np.asarray(r["matrix"],
+                                               dtype=np.float64))
+
+    def _iter_tiles(self):
+        """Yield (ids, unit matrix) tiles from either source."""
+        if self.tile_refs is None:
+            for lo in range(0, len(self.r_ids), self.tile_rows):
+                yield (self.r_ids[lo:lo + self.tile_rows],
+                       self.r_mat[lo:lo + self.tile_rows])
+            return
+        import ray
+        for ref in self.tile_refs:
+            t = ray.get(ref)  # node-local shared memory after first fetch
+            if t.num_rows == 0:
+                continue
+            # vectors were unit-normalized by the distributed prep stage
+            yield (t.column(self.id_col).to_numpy(zero_copy_only=False)
+                   .astype(np.int64),
+                   _to_matrix(t.column(self.vec_col)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col).to_pylist(),
@@ -99,13 +125,12 @@ class KnnJoinStage:
         keep = self.k + 1  # +1 so dropping self still leaves k
         best_s = np.full((n, 0), -np.inf)
         best_i = np.zeros((n, 0), dtype=np.int64)
-        for lo in range(0, len(self.r_ids), self.tile_rows):
-            tile = self.r_mat[lo:lo + self.tile_rows]
+        for t_ids, tile in self._iter_tiles():
             sims = mat @ tile.T  # (n, tile)
             cand_s = np.concatenate([best_s, sims], axis=1)
             cand_i = np.concatenate(
-                [best_i, np.broadcast_to(self.r_ids[lo:lo + self.tile_rows],
-                                         (n, sims.shape[1]))], axis=1)
+                [best_i, np.broadcast_to(t_ids, (n, sims.shape[1]))],
+                axis=1)
             if cand_s.shape[1] > keep:
                 part = np.argpartition(-cand_s, keep - 1, axis=1)[:, :keep]
                 rows = np.arange(n)[:, None]
@@ -135,45 +160,53 @@ class KnnJoinStage:
 
 def knn_join(ds, k: int = 3, vec_col: str = "embedding",
              id_col: str = "vec_id", concurrency=None,
-             max_broadcast_rows: int = 2_000_000):
+             broadcast_bytes: int = 256 * 1024 * 1024,
+             tile_rows: int = 65536):
     """Exact k-NN SELF-join: every row joined to its k nearest neighbors
     by cosine (self excluded), rank-deterministic (cos DESC, id ASC).
     Returns (vec_id, nn_id, rank) — integer output, so the check is exact.
 
-    Scale shape: the LEFT side streams in batches; the RIGHT side is
-    broadcast once (``ray.put``) and scanned in bounded tiles inside the
-    kernel with a running top-k merge. For right sides past single-node
-    memory, broadcast per-tile refs and union the per-tile top-k with one
-    final (vec_id)-keyed reduction — same kernel, one more exchange."""
+    Scale shape: vectors are unit-normalized DISTRIBUTED and materialized
+    once; the LEFT side then streams in batches against that right side.
+    Below ``broadcast_bytes`` (measured) the right side ships as one
+    broadcast matrix; above it, the materialized dataset's own block refs
+    become the tiles — each task ``ray.get``s one tile at a time
+    (node-local zero-copy after first fetch, object-store placement and
+    spill), keeping per-task memory at (batch x k) + one tile with NO
+    upper bound on right-side size. Both paths run the identical running
+    top-k merge kernel and are equality-tested."""
     import ray
 
-    ids, mats = [], []
-    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.extend(b.column(id_col).to_pylist())
-        mats.append(_to_matrix(b.column(vec_col)))
-        if len(ids) > max_broadcast_rows:
-            # single-ref broadcast is only right while the right side fits
-            # one node; past that, use the per-tile-refs shape documented
-            # above instead of silently collecting the corpus
-            raise ValueError(
-                f"knn_join right side exceeds max_broadcast_rows="
-                f"{max_broadcast_rows}; shard the right side into tile "
-                f"refs (see docstring) for corpus-scale self-joins")
-    right = {"ids": np.asarray(ids, dtype=np.int64),
-             "matrix": np.concatenate(mats, axis=0) if mats else
-             np.zeros((0, 1))}
-    ref = ray.put(right)
+    def prep(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch.column(vec_col)))
+        return pa.table({
+            id_col: pa.compute.cast(batch.column(id_col), pa.int64()),
+            vec_col: pa.array(list(mat), pa.list_(pa.float64())),
+        })
+
+    right_norm = ds.map_batches(prep, batch_format="pyarrow").materialize()
 
     from .shuffle import TaskStage
+    if (right_norm.size_bytes() or 0) <= broadcast_bytes:
+        ids, mats = [], []
+        for b in right_norm.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"):
+            ids.extend(b.column(id_col).to_pylist())
+            mats.append(_to_matrix(b.column(vec_col)))
+        right = {"ids": np.asarray(ids, dtype=np.int64),
+                 "matrix": np.concatenate(mats, axis=0) if mats else
+                 np.zeros((0, 1))}
+        kwargs = {"right_ref": ray.put(right)}
+    else:
+        kwargs = {"tile_refs": tuple(right_norm.to_arrow_refs())}
+
+    common = {"k": k, "vec_col": vec_col, "id_col": id_col,
+              "tile_rows": tile_rows, **kwargs}
     if concurrency is None:
-        return ds.map_batches(
-            TaskStage(KnnJoinStage, right_ref=ref, k=k, vec_col=vec_col,
-                      id_col=id_col),
-            batch_format="pyarrow")
-    return ds.map_batches(
-        KnnJoinStage,
-        fn_constructor_kwargs={"right_ref": ref, "k": k, "vec_col": vec_col,
-                               "id_col": id_col},
+        return right_norm.map_batches(TaskStage(KnnJoinStage, **common),
+                                      batch_format="pyarrow")
+    return right_norm.map_batches(
+        KnnJoinStage, fn_constructor_kwargs=common,
         batch_format="pyarrow", concurrency=concurrency)
 
 

@@ -558,6 +558,29 @@ def test_knn_join_tiling_invariance_and_self_exclusion(ray_session):
     assert tiled.equals(untiled)
 
 
+def test_knn_join_block_ref_tile_path_matches_broadcast(ray_session):
+    """broadcast_bytes=0 forces the corpus-scale path (the materialized
+    right side's own block refs as tiles, fetched per task) — results
+    must equal the broadcast path exactly, under multi-block layouts
+    larger than the old broadcast row cap would ever see proportionally."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from sift_ray.functions.similarity import knn_join
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(257, 8)
+    df = pd.DataFrame({"vec_id": range(257),
+                       "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df).repartition(7)
+    base = (knn_join(ds, k=3).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    tiles = (knn_join(ds, k=3, broadcast_bytes=0, tile_rows=64)
+             .to_pandas().sort_values(["vec_id", "rank"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, tiles)
+    assert len(base) == 257 * 3
+
+
 def test_png_roundtrip_all_filters():
     import numpy as np
     from sift_ray.functions.multimodal import PngDecodeStage, make_png
