@@ -141,7 +141,7 @@ def select(root: Node, selector: str) -> List[Node]:
     sequences = [_parse_sequence(group) for group in selector.split(",")]
     out: List[Node] = []
     seen = set()
-    for node in root.iter():
+    for node in root.iter_list():
         if node.type != ELEMENT or node.tag.startswith("#"):
             continue
         for seq in sequences:

@@ -82,7 +82,7 @@ def _link_density(node: Node) -> float:
     if text_len == 0:
         return 0.0
     link_len = 0
-    for a in node.iter_elements("a"):
+    for a in node.elements_list("a"):
         coeff = 0.3 if a.get("href", "").startswith("#") else 1.0
         link_len += int(len(_inner_text(a)) * coeff)
     return link_len / text_len
@@ -318,7 +318,7 @@ def _has_block_child(node: Node) -> bool:
 
 def _remove_nodes(root: Node, tags: Tuple[str, ...]) -> None:
     tagset = frozenset(tags)
-    doomed = [n for n in root.iter()
+    doomed = [n for n in root.iter_list()
               if n.type == ELEMENT and n.tag in tagset]
     for n in doomed:
         n.remove()
@@ -326,7 +326,7 @@ def _remove_nodes(root: Node, tags: Tuple[str, ...]) -> None:
 
 def _strip_scripts_and_comments(root: Node) -> None:
     doomed: List[Node] = []
-    for n in root.iter():
+    for n in root.iter_list():
         if n.type == COMMENT:
             doomed.append(n)
         elif n.type == ELEMENT and n.tag in ("script", "style", "noscript"):
@@ -418,7 +418,7 @@ class Readability:
         idx = _TextIndex(page)  # tree is stable from here until cleanup
 
         elements_to_score: List[Node] = []
-        for node in page.iter():
+        for node in page.iter_list():
             if node.type != ELEMENT:
                 continue
             if node.tag in _DEFAULT_TAGS_TO_SCORE:
@@ -541,7 +541,7 @@ class Readability:
         if not (flags & FLAG_STRIP_UNLIKELYS):
             return
         doomed: List[Node] = []
-        for node in page.iter():
+        for node in page.iter_list():
             if node.type != ELEMENT or node.tag in ("body", "a", "html"):
                 continue
             match_str = node.class_id
@@ -569,7 +569,7 @@ class Readability:
         self._clean_conditionally(article, "div", flags, cache)
         # remove empty paragraphs
         idx = cache[0] or _TextIndex(article)
-        doomed = [p for p in article.iter_elements("p")
+        doomed = [p for p in article.elements_list("p")
                   if idx.text(p) == ""
                   and not any(c.type == ELEMENT and c.tag in ("img", "embed",
                                                               "object", "iframe")
@@ -580,7 +580,7 @@ class Readability:
     def _clean_headers(self, article: Node, flags: int) -> None:
         doomed = []
         for tag in ("h1", "h2"):
-            for h in article.iter_elements(tag):
+            for h in article.elements_list(tag):
                 if _class_weight(h, flags) < 0:
                     doomed.append(h)
         for h in doomed:
@@ -601,7 +601,7 @@ class Readability:
             idx = _TextIndex(article)
             if cache is not None:
                 cache[0] = idx
-        for node in article.iter_elements(tag):
+        for node in article.elements_list(tag):
             if node is article:
                 continue
             weight = _class_weight(node, flags)
@@ -669,12 +669,12 @@ class Readability:
     def _fix_relative_uris(self, article: Node) -> None:
         if not self.base_url:
             return
-        for a in article.iter_elements("a"):
+        for a in article.elements_list("a"):
             href = a.get("href")
             if href and not href.startswith(("#", "http://", "https://",
                                              "mailto:", "data:")):
                 a.attrs["href"] = urljoin(self.base_url, href)
-        for img in article.iter_elements("img"):
+        for img in article.elements_list("img"):
             src = img.get("src")
             if src and not src.startswith(("http://", "https://", "data:")):
                 img.attrs["src"] = urljoin(self.base_url, src)

@@ -38,6 +38,104 @@ _CL100K_PAT = _regex.compile(
 
 _PIECE = 4  # deterministic fallback: <=4 chars per token piece
 
+# Env var naming a tiktoken-format vocabulary file (one `base64(bytes) rank`
+# pair per line, e.g. cl100k_base.tiktoken). When present, TokenCounter
+# counts/truncates with REAL byte-pair encoding over that vocabulary —
+# closing the one reference-parity divergence (token_counter.go:18-79 uses
+# tiktoken cl100k_base) wherever a vocab file exists. Absent (this offline
+# sandbox), the documented deterministic fallback below applies.
+VOCAB_ENV = "SIFT_RAY_CL100K_VOCAB"
+
+
+def _load_ranks(path: str) -> dict:
+    """Parse a tiktoken-format vocab file into {bytes: rank}."""
+    import base64
+
+    ranks: dict = {}
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            token_b64, _, rank_s = line.partition(b" ")
+            ranks[base64.b64decode(token_b64)] = int(rank_s)
+    return ranks
+
+
+class BPEncoder:
+    """Byte-pair encoder over a {bytes: rank} table (the published BPE
+    inference algorithm: greedily merge the adjacent pair with the lowest
+    merge rank until none remains). Pre-tokenization uses the public
+    cl100k regex; special tokens are not handled (the reference counts
+    plain document text, token_counter.go:40-53)."""
+
+    def __init__(self, ranks: dict):
+        self.ranks = ranks
+        self.decoder = {rank: tok for tok, rank in ranks.items()}
+
+    def _merge_ranks(self, piece: bytes) -> List[int]:
+        ranks = self.ranks
+        whole = ranks.get(piece)
+        if whole is not None:
+            return [whole]
+        # parts[i] = start offset of part i; sentinel at len(piece)
+        parts = list(range(len(piece) + 1))
+        while len(parts) > 2:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 2):
+                r = ranks.get(piece[parts[i]:parts[i + 2]])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            del parts[best_i + 1]
+        out = []
+        for i in range(len(parts) - 1):
+            sub = piece[parts[i]:parts[i + 1]]
+            r = ranks.get(sub)
+            if r is None:  # byte absent from the vocab: unencodable
+                raise KeyError(sub)
+            out.append(r)
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        out: List[int] = []
+        for m in _CL100K_PAT.finditer(text):
+            out.extend(self._merge_ranks(m.group().encode("utf-8")))
+        return out
+
+    def count(self, text: str) -> int:
+        n = 0
+        for m in _CL100K_PAT.finditer(text):
+            n += len(self._merge_ranks(m.group().encode("utf-8")))
+        return n
+
+    def decode(self, tokens: List[int]) -> str:
+        data = b"".join(self.decoder[t] for t in tokens)
+        # tiktoken decodes with errors="replace": a truncation that lands
+        # mid-codepoint yields U+FFFD, same as the reference's behavior
+        return data.decode("utf-8", errors="replace")
+
+
+_REAL_BPE = None
+_REAL_BPE_PATH = None
+
+
+def _real_bpe():
+    """Load (and cache per process) the real-vocab encoder if configured."""
+    global _REAL_BPE, _REAL_BPE_PATH
+    import os
+
+    path = os.environ.get(VOCAB_ENV, "")
+    if not path:
+        return None
+    if _REAL_BPE is None or _REAL_BPE_PATH != path:
+        _REAL_BPE = BPEncoder(_load_ranks(path))
+        _REAL_BPE_PATH = path
+    return _REAL_BPE
+
 
 class WordCounter:
     """Whitespace-split word counting (word_counter.go:18-29)."""
@@ -60,13 +158,20 @@ class CharCounter:
 
 
 class TokenCounter:
-    """Deterministic offline stand-in for tiktoken cl100k_base.
+    """cl100k_base token counting (token_counter.go:18-79).
 
-    encode() -> list of string pieces; decode() -> exact concatenation, so
-    slicing the token list and decoding yields a true prefix of the text.
+    With a vocabulary file configured (``SIFT_RAY_CL100K_VOCAB``), all
+    counting and truncation runs the real byte-pair encoding over it —
+    byte-parity with the reference's tiktoken calls. Otherwise this is the
+    deterministic offline stand-in: encode() -> list of string pieces;
+    decode() -> exact concatenation, so slicing the token list and
+    decoding yields a true prefix of the text.
     """
 
     name = "tokens (cl100k_base)"
+
+    def __init__(self):
+        self._bpe = _real_bpe()
 
     def encode(self, text: str) -> List[str]:
         if not text:
@@ -87,6 +192,8 @@ class TokenCounter:
     def count(self, text: str) -> int:
         if not text:
             return 0
+        if self._bpe is not None:
+            return self._bpe.count(text)
         # fast path: count without materializing the piece list
         n = 0
         for m in _CL100K_PAT.finditer(text):
@@ -98,6 +205,11 @@ class TokenCounter:
         """Exact-token truncation (token_counter.go:55-79)."""
         if max_tokens <= 0 or not text:
             return ""
+        if self._bpe is not None:
+            ids = self._bpe.encode(text)
+            if len(ids) <= max_tokens:
+                return text
+            return self._bpe.decode(ids[:max_tokens])
         tokens = self.encode(text)
         if len(tokens) <= max_tokens:
             return text
