@@ -49,6 +49,43 @@ GOLDEN_QUERIES = [
     "resize_images",
     "sample_frames",
     "audio_features",
+    # Parallelism-stable rows-only queries (verified bit-stable across
+    # 4-cpu vs 8-cpu sessions by tools/check_query_determinism.py —
+    # sketches with fixed seeds, fixed-point graph ranks, deterministic
+    # map kernels). NOT pinned: price_quantiles{,_by_priority} and
+    # web_pipeline_shards (GK-sketch / shard boundaries vary with
+    # partition merge order), kmeans_clusters (list centroid column),
+    # url_dedup (binary html column — BLOBs are unhashable in the
+    # DuckDB-side compare).
+    "approx_distinct_users",
+    "approx_distinct_by_priority",
+    "quality_classifier",
+    "image_phash_pairs",
+    "robots_filter",
+    "charset_stats",
+    "anchor_topk",
+    "warc_extract",
+    "html_stats",
+    "bpe_merges",
+    "assign_splits",
+    "decode_jpeg",
+    "bpe_token_counts",
+    "compression_ratio",
+    "page_outlinks",
+    "host_graph",
+    "url_rank",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprints",
+    "page_metadata",
+    "embedding_pca",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "chunk_stats",
+    "embedding_near_dup_lsh",
+    "semdedup_keep",
+    "cosine_topk_ivf",
+    "tfidf_best_chunk",
 ]
 
 
@@ -60,9 +97,17 @@ def _to_arrow(result):
     if isinstance(result, pd.DataFrame):
         return pa.Table.from_pandas(result, preserve_index=False)
     # ray.data.Dataset — concat the block tables to preserve exact types
+    # (a block may be a pandas DataFrame when the last stage ran in
+    # pandas batch format)
     import ray
-    refs = result.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_rows]
+    blocks = ray.get(result.to_arrow_refs())
+    tables = []
+    for b in blocks:
+        if isinstance(b, pd.DataFrame):
+            if len(b):
+                tables.append(pa.Table.from_pandas(b, preserve_index=False))
+        elif b.num_rows:
+            tables.append(b)
     return pa.concat_tables(tables, promote_options="default")
 
 
