@@ -570,22 +570,26 @@ def pivot_counts(ds, row_col: str, col_col: str,
     row_type = None  # resolved in the kernel from real data
 
     def kernel(tbl: pa.Table) -> pa.Table:
+        # numpy pivot (replaces a pandas pivot_table per partition): rows
+        # = np.unique over ALL row ids (a row with no matching col value
+        # still gets a zero row), columns = the fixed `cols` list
         tbl = tbl.drop_columns("part")
-        folded = (tbl.group_by([row_col, col_col])
+        folded = (tbl.group_by([row_col, col_col], use_threads=False)
                   .aggregate([("n", "sum")])
                   .rename_columns([row_col, col_col, "n"]))
-        pdf = folded.to_pandas()
-        wide = (pdf[pdf[col_col].isin(cols)]
-                .pivot_table(index=row_col, columns=col_col, values="n",
-                             aggfunc="sum", fill_value=0))
-        base = pdf[[row_col]].drop_duplicates().set_index(row_col)
-        wide = wide.reindex(base.index).reindex(columns=cols) \
-            .fillna(0).astype("int64")
-        out = {row_col: pa.Array.from_pandas(
-            wide.index.to_series().reset_index(drop=True),
-            type=folded.schema.field(row_col).type)}
-        for v, name in zip(cols, out_names):
-            out[name] = pa.array(wide[v].to_numpy(), pa.int64())
+        rvals = folded.column(row_col).to_numpy(zero_copy_only=False)
+        cvals = folded.column(col_col).to_numpy(zero_copy_only=False)
+        nvals = folded.column("n").to_numpy(zero_copy_only=False)
+        urows, rpos = np.unique(rvals, return_inverse=True)
+        mat = np.zeros((len(urows), len(cols)), np.int64)
+        for j, v in enumerate(cols):
+            sel = cvals == v
+            # (row, col) pairs are unique post-fold: direct assignment
+            mat[rpos[sel], j] = nvals[sel]
+        out = {row_col: pa.array(urows,
+                                 folded.schema.field(row_col).type)}
+        for j, name in enumerate(out_names):
+            out[name] = pa.array(mat[:, j], pa.int64())
         return pa.table(out)
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
@@ -1002,14 +1006,26 @@ def grouped_string_agg(ds, group_col: str, value_col: str,
     parted = add_hash_partition(proj, [group_col], P, key_arrays_fn=keys)
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        pdf = tbl.drop_columns("part").to_pandas()
-        pdf = pdf.sort_values([group_col, order_col], kind="stable")
-        agg = (pdf.groupby(group_col, sort=True, dropna=False)[value_col]
-               .agg(lambda s: sep.join("" if v is None else str(v)
-                                       for v in s)))
-        out = agg.reset_index()
-        out.columns = [group_col, "agg"]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow sort + numpy segment bounds (replaces a pandas sort +
+        # per-group lambda); values keep Python str() formatting so the
+        # joined text matches the oracle exactly
+        tbl = tbl.drop_columns("part").sort_by(
+            [(group_col, "ascending"), (order_col, "ascending")])
+        gtype = tbl.schema.field(group_col).type
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(value_col).to_pylist()
+        if len(g) == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "agg": pa.array([], pa.string())})
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(g))
+        joined = [sep.join("" if v is None else str(v)
+                           for v in vals[s:e])
+                  for s, e in zip(starts, ends)]
+        return pa.table({group_col: pa.array(g[starts], gtype),
+                         "agg": pa.array(joined, pa.string())})
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
 

@@ -271,7 +271,6 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
     a user's rows co-locate once and the per-step reduction is min().
 
     Returns (step 1-based, event_type, n_users)."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     from .shuffle import (add_hash_partition, default_num_parts,
@@ -299,16 +298,38 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
     parted = add_hash_partition(rows, ["u"], P)
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        pdf = tbl.drop_columns("part").to_pandas()
+        # numpy sequential-match kernel (replaces a pandas map/groupby per
+        # step): carry (sorted users, completion ts) across steps; each
+        # step keeps its events strictly after the user's previous-step
+        # completion and takes the per-user min via lexsort + first-mark
+        u_all = tbl.column("u").to_numpy(zero_copy_only=False)
+        s_all = tbl.column("step").to_numpy(zero_copy_only=False)
+        t_all = tbl.column("t").to_numpy(zero_copy_only=False)
         counts = []
-        cur = None                     # Series: user -> completion ts
+        users = None                   # sorted user ids completing so far
+        tdone = None                   # parallel completion timestamps
         for i in range(len(steps)):
-            mine = pdf[pdf["step"] == i]
-            if cur is not None:
-                prev = mine["u"].map(cur)
-                mine = mine[mine["t"] > prev.fillna(np.inf)]
-            cur = mine.groupby("u")["t"].min()
-            counts.append(len(cur))
+            mask = s_all == i
+            u, t = u_all[mask], t_all[mask]
+            if users is not None:
+                if len(users) == 0:   # nobody completed the prior step
+                    counts.append(0)
+                    continue
+                idx = np.searchsorted(users, u)
+                idx_c = np.minimum(idx, len(users) - 1)
+                hit = (idx < len(users)) & (users[idx_c] == u)
+                keep = hit & (t > np.where(hit, tdone[idx_c], 0))
+                u, t = u[keep], t[keep]
+            if len(u) == 0:
+                users, tdone = u, t
+                counts.append(0)
+                continue
+            order = np.lexsort((t, u))
+            u, t = u[order], t[order]
+            first = np.ones(len(u), dtype=bool)
+            first[1:] = u[1:] != u[:-1]
+            users, tdone = u[first], t[first]
+            counts.append(len(users))
         return pa.table({
             "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
             "event_type": pa.array(steps, pa.string()),
@@ -340,7 +361,6 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
     distinct active weeks vectorized, pre-aggregating to (cohort, week,
     n) partials; a tiny second exchange folds partials (output is
     weeks^2-bounded, independent of corpus size). Zero driver state."""
-    import pandas as pd
     import pyarrow.compute as pc
 
     from .shuffle import add_hash_partition, default_num_parts
@@ -359,19 +379,30 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
     parted = add_hash_partition(rows, ["u"], P)
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        pdf = (tbl.drop_columns("part").to_pandas()
-               .drop_duplicates(["u", "wk"]))
-        if len(pdf) == 0:
+        # pure numpy segment kernel (no pandas copy): lexsort by (u, wk),
+        # drop duplicate (u, wk) rows, broadcast each user's first (= min)
+        # week as its cohort, then count (cohort, wk) pairs
+        if tbl.num_rows == 0:
             return pa.table({"cohort_w": pa.array([], pa.int64()),
                              "active_w": pa.array([], pa.int64()),
                              "n_users": pa.array([], pa.int64())})
-        pdf["cohort_w"] = pdf.groupby("u")["wk"].transform("min")
-        g = (pdf.groupby(["cohort_w", "wk"]).size()
-             .reset_index(name="n_users"))
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        wk = tbl.column("wk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        u, wk = u[keep], wk[keep]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(first) - 1
+        cohort = wk[first][seg]  # user's min week (rows are wk-sorted)
+        pairs = np.stack([cohort, wk], axis=1)
+        uniq, n = np.unique(pairs, axis=0, return_counts=True)
         return pa.table({
-            "cohort_w": pa.array(g["cohort_w"].to_numpy(), pa.int64()),
-            "active_w": pa.array(g["wk"].to_numpy(), pa.int64()),
-            "n_users": pa.array(g["n_users"].to_numpy(), pa.int64())})
+            "cohort_w": pa.array(uniq[:, 0], pa.int64()),
+            "active_w": pa.array(uniq[:, 1], pa.int64()),
+            "n_users": pa.array(n.astype(np.int64), pa.int64())})
 
     partials = parted.groupby("part").map_groups(kernel,
                                                  batch_format="pyarrow")
@@ -417,38 +448,63 @@ def gap_fill(ds, window_s: int = 300, user_col: str = "user_id",
     parted = add_hash_partition(rows, ["user_id"], P)
 
     def kernel(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
-        pdf = tbl.drop_columns("part").to_pandas()
-        if len(pdf) == 0:
+        # Arrow group-agg for the partial combine, numpy for the grid
+        # expansion, searchsorted for the grid<-partial alignment (the
+        # pandas merge this replaces) — no DataFrame copy per partition
+        if tbl.num_rows == 0:
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "win": pa.array([], pa.int64()),
                              "n_events": pa.array([], pa.int64()),
                              "min_value": pa.array([], pa.float64()),
                              "max_value": pa.array([], pa.float64())})
         # combine per-batch partials for the same (user, win)
-        pdf = (pdf.groupby(["user_id", "win"], sort=False)
-               .agg(n_events=("n_events", "sum"),
-                    min_value=("min_value", "min"),
-                    max_value=("max_value", "max")).reset_index())
-        span = (pdf.groupby("user_id")["win"].agg(["min", "max"])
-                .reset_index())
-        counts = (span["max"] - span["min"] + 1).to_numpy(np.int64)
-        uid = np.repeat(span["user_id"].to_numpy(), counts)
+        comb = (tbl.drop_columns("part")
+                .group_by(["user_id", "win"], use_threads=False)
+                .aggregate([("n_events", "sum"), ("min_value", "min"),
+                            ("max_value", "max")]))
+        uidc = comb.column("user_id").to_numpy(zero_copy_only=False)
+        winc = comb.column("win").to_numpy(zero_copy_only=False)
+        order = np.lexsort((winc, uidc))
+        uidc, winc = uidc[order], winc[order]
+        nev = comb.column("n_events_sum").to_numpy(
+            zero_copy_only=False)[order]
+        vmin = comb.column("min_value_min").to_numpy(
+            zero_copy_only=False)[order]
+        vmax = comb.column("max_value_max").to_numpy(
+            zero_copy_only=False)[order]
+        first = np.ones(len(uidc), dtype=bool)
+        first[1:] = uidc[1:] != uidc[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(uidc))
+        lo = winc[starts]                     # per-user min win (sorted)
+        hi = winc[ends - 1]                   # per-user max win
+        counts = (hi - lo + 1).astype(np.int64)
+        uid = np.repeat(uidc[starts], counts)
         offs = np.arange(counts.sum()) - np.repeat(
             np.cumsum(counts) - counts, counts)
-        win = np.repeat(span["min"].to_numpy(), counts) + offs
-        grid = pd.DataFrame({"user_id": uid, "win": win})
-        out = grid.merge(pdf, on=["user_id", "win"], how="left")
-        n = out["n_events"].fillna(0).to_numpy(np.int64)
+        win = np.repeat(lo, counts) + offs
+        # align grid rows to combined partials: both are (user, win)-sorted
+        # and every partial key exists in the grid, so one searchsorted on
+        # a composite rank suffices
+        grid_seg = np.repeat(np.arange(len(starts)), counts)
+        part_seg = np.cumsum(first) - 1
+        WIDE = np.int64(1) << 40              # wins are window indexes << 2^40
+        gkey = grid_seg * WIDE + (win - np.repeat(lo, counts))
+        pkey = part_seg * WIDE + (winc - lo[part_seg])
+        pos = np.searchsorted(gkey, pkey)
+        n = np.zeros(len(gkey), np.int64)
+        n[pos] = nev
+        mn = np.full(len(gkey), np.nan)
+        mn[pos] = vmin
+        mx = np.full(len(gkey), np.nan)
+        mx[pos] = vmax
         return pa.table({
-            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
-            "win": pa.array(out["win"].to_numpy(), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "win": pa.array(win, pa.int64()),
             "n_events": pa.array(n, pa.int64()),
-            # from_pandas=True: the gap rows' NaN must become SQL NULL
-            "min_value": pa.array(out["min_value"], type=pa.float64(),
-                                  from_pandas=True),
-            "max_value": pa.array(out["max_value"], type=pa.float64(),
-                                  from_pandas=True)})
+            # gap rows' NaN must become SQL NULL
+            "min_value": pa.array(mn, pa.float64(), from_pandas=True),
+            "max_value": pa.array(mx, pa.float64(), from_pandas=True)})
 
     return parted.groupby("part").map_groups(kernel,
                                              batch_format="pyarrow")
