@@ -140,6 +140,37 @@ def _q_near_dedup_docs(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Exact maximal duplicated spans (Lee et al. 2021 substring dedup,
+    winnowing-anchored distributed formulation, spandedup.py)."""
+    from sift_ray.functions.spandedup import duplicate_spans
+    return duplicate_spans(_docs(sf_dir, ["doc_id", "text"]),
+                           min_len=40, k=12)
+
+
+def _q_strip_duplicate_spans(sf_dir: str):
+    """Corpus with later-occurrence duplicated spans removed; projected to
+    (doc_id, n_chars, digest) so the result stays compact and hashable."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from sift_ray.functions.spandedup import strip_duplicate_spans
+    out = strip_duplicate_spans(_docs(sf_dir, ["doc_id", "text"]),
+                                min_len=40, k=12)
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            "digest": pa.array(
+                [hashlib.sha256(x.encode()).hexdigest() for x in texts],
+                pa.string())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from sift_ray.functions.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
@@ -3600,6 +3631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "dedup_docs": _q_dedup_docs,
         "near_dedup_docs": _q_near_dedup_docs,
+        "duplicate_spans": _q_duplicate_spans,
+        "strip_duplicate_spans": _q_strip_duplicate_spans,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_containment_pairs": _q_ngram_containment,

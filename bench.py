@@ -220,7 +220,8 @@ def run_bench() -> dict:
     # criterion measures the headline extraction pipeline only)
     import __ray_entry__ as entrymod
     table_ops = () if os.environ.get("SIFT_BENCH_EXTRACT_ONLY") else (
-        "doc_stats", "exact_dedup", "minhash_lsh_pairs",
+        "doc_stats", "exact_dedup", "duplicate_spans",
+        "strip_duplicate_spans", "minhash_lsh_pairs",
         "simhash_pairs", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
         "cosine_topk",
         "events_tumbling_window", "events_session_windows",

@@ -1,0 +1,209 @@
+"""Exact duplicate-span detection/removal (functions/spandedup.py).
+
+The decisive check is equality with a brute-force reference: enumerate ALL
+shared k-grams between every doc pair (no winnowing), extend each to its
+maximal span, keep spans >= min_len — the winnowed distributed result must
+equal it exactly (Schleimer et al.'s guarantee says winnowing never loses
+a span of length >= w + k - 1, and extension makes the result independent
+of WHICH anchor inside the span was selected)."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from sift_ray.functions.spandedup import (
+    WinnowStage, _kgram_hashes, _winnow_positions, duplicate_spans,
+    strip_duplicate_spans, winnow_fingerprints)
+
+K = 8
+MIN_LEN = 24
+
+
+def brute_force_spans(docs, k=K, min_len=MIN_LEN):
+    """All maximal cross-doc duplicated spans >= min_len, via every shared
+    k-gram (no sampling)."""
+    grams = {}
+    for did, text in docs.items():
+        for p in range(len(text) - k + 1):
+            grams.setdefault(text[p:p + k], []).append((did, p))
+    out = set()
+    for occ in grams.values():
+        for i in range(len(occ)):
+            for j in range(i + 1, len(occ)):
+                (da, sa), (db, sb) = occ[i], occ[j]
+                if da == db:
+                    continue
+                if da > db:
+                    (da, sa), (db, sb) = (db, sb), (da, sa)
+                ta, tb = docs[da], docs[db]
+                lo_a, lo_b = sa, sb
+                while lo_a > 0 and lo_b > 0 and ta[lo_a - 1] == tb[lo_b - 1]:
+                    lo_a, lo_b = lo_a - 1, lo_b - 1
+                hi_a, hi_b = sa + k, sb + k
+                while (hi_a < len(ta) and hi_b < len(tb)
+                       and ta[hi_a] == tb[hi_b]):
+                    hi_a, hi_b = hi_a + 1, hi_b + 1
+                if hi_a - lo_a >= min_len:
+                    out.add((da, lo_a, db, lo_b, hi_a - lo_a))
+    return out
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+
+def _spans_set(ds):
+    df = ds.to_pandas()
+    if len(df) == 0:   # Ray: empty dataset -> 0-column DataFrame
+        return set()
+    return {tuple(int(v) for v in row)
+            for row in df[["doc_a", "start_a", "doc_b", "start_b",
+                           "length"]].itertuples(index=False)}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(7)
+    docs = {}
+    base = _rand_text(rng, 400)
+    shared1 = _rand_text(rng, 60)     # long planted duplicate
+    shared2 = _rand_text(rng, 30)     # second, shorter duplicate
+    docs[0] = base[:100] + shared1 + base[100:200]
+    docs[1] = base[200:260] + shared1 + shared2 + base[260:300]
+    docs[2] = _rand_text(rng, 150) + shared2 + _rand_text(rng, 40)
+    docs[3] = _rand_text(rng, 250)    # no duplicates
+    for i in range(4, 12):            # noise docs
+        docs[i] = _rand_text(rng, rng.randrange(60, 220))
+    return docs
+
+
+def _ds_of(docs, nblocks=1):
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(nblocks) if nblocks > 1 else ds
+
+
+def test_kgram_hash_positional():
+    codes = np.frombuffer("abcabc".encode("utf-32-le"), np.uint32)
+    h = _kgram_hashes(codes.astype(np.uint64), 3)
+    assert len(h) == 4
+    assert h[0] == h[3]               # same 3-gram content
+    assert h[0] != h[1]
+
+
+def test_winnow_guarantee_brute():
+    # every w-window of hashes must have >= 1 selected position that is a
+    # minimum of that window
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**63, 500).astype(np.uint64)
+    w = 17
+    sel = set(_winnow_positions(h, w).tolist())
+    for i in range(len(h) - w + 1):
+        window = h[i:i + w]
+        m = window.min()
+        assert any((i + j) in sel and window[j] == m
+                   for j in range(w)), f"window {i} unrepresented"
+
+
+def test_winnow_short_doc():
+    assert len(_winnow_positions(np.empty(0, np.uint64), 5)) == 0
+    assert _winnow_positions(np.array([7, 3, 9], np.uint64), 10).tolist() \
+        == [1]
+
+
+def test_stage_skips_tiny_docs(ray_session):
+    ds = _ds_of({1: "ab", 2: ""})
+    out = winnow_fingerprints(ds, k=K, w=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_matches_brute_force(ray_session, corpus):
+    got = _spans_set(duplicate_spans(_ds_of(corpus), min_len=MIN_LEN, k=K))
+    want = brute_force_spans(corpus)
+    assert got == want
+    assert len(want) >= 2             # the fixture really plants spans
+
+
+def test_partition_invariance(ray_session, corpus):
+    a = _spans_set(duplicate_spans(_ds_of(corpus, 1), min_len=MIN_LEN,
+                                   k=K))
+    b = _spans_set(duplicate_spans(_ds_of(corpus, 7), min_len=MIN_LEN,
+                                   k=K))
+    assert a == b
+
+
+def test_exchange_path_equals_broadcast(ray_session, corpus):
+    a = _spans_set(duplicate_spans(_ds_of(corpus), min_len=MIN_LEN, k=K))
+    b = _spans_set(duplicate_spans(_ds_of(corpus), min_len=MIN_LEN, k=K,
+                                   text_broadcast_bytes=0))
+    assert a == b
+
+
+def test_no_false_positives_disjoint(ray_session):
+    docs = {0: "a" * 0 + "".join(chr(97 + (i * 7 + 3) % 8)
+                                 for i in range(300)),
+            1: "".join(chr(105 + (i * 5 + 1) % 8) for i in range(300))}
+    # alphabets {a..h} vs {i..p}: nothing can match
+    got = _spans_set(duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K))
+    assert got == set()
+
+
+def test_strip_removes_later_occurrence(ray_session, corpus):
+    spans = brute_force_spans(corpus)
+    out = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN,
+                                k=K).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert set(got) == set(corpus)
+    # first occurrences (doc_a side) survive byte-identical
+    cut_docs = {db for (_, _, db, _, _) in spans}
+    for did, text in corpus.items():
+        if did not in cut_docs:
+            assert got[did] == text, did
+        else:
+            assert len(got[did]) < len(text)
+    # the planted shared1 block no longer appears twice anywhere
+    all_text = "\n".join(got.values())
+    for (da, sa, db, sb, ln) in spans:
+        dup = corpus[da][sa:sa + ln]
+        assert all_text.count(dup) <= 1
+
+
+def test_strip_idempotent(ray_session, corpus):
+    once = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN,
+                                 k=K).to_pandas()
+    docs2 = dict(zip((int(x) for x in once["doc_id"]), once["text"]))
+    twice = strip_duplicate_spans(_ds_of(docs2), min_len=MIN_LEN,
+                                  k=K).to_pandas()
+    got2 = dict(zip((int(x) for x in twice["doc_id"]), twice["text"]))
+    assert got2 == docs2
+
+
+def test_max_df_caps_hot_anchor(ray_session):
+    # one 60-char block shared by 30 docs: with max_df below the bucket
+    # size the hot anchors drop (documented cap); with a high cap all
+    # pairs appear
+    rng = random.Random(11)
+    block = _rand_text(rng, 60)
+    docs = {i: _rand_text(rng, 50) + block + _rand_text(rng, 50)
+            for i in range(30)}
+    full = duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K,
+                           max_df=2000).to_pandas()
+    assert len(full) >= 30 * 29 / 2
+    capped = duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K,
+                             max_df=5).to_pandas()
+    assert len(capped) < len(full)
+
+
+def test_winnow_density(ray_session):
+    # selection density ~2/w of k-gram positions, the published bound
+    rng = random.Random(5)
+    text = _rand_text(rng, 5000)
+    stage = WinnowStage(k=K, w=41)
+    out = stage(pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "text": pa.array([text], pa.string())}))
+    density = out.num_rows / (len(text) - K + 1)
+    assert density < 2.5 / 41 * 2    # generous factor-2 headroom

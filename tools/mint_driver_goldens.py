@@ -86,6 +86,8 @@ GOLDEN_QUERIES = [
     "semdedup_keep",
     "cosine_topk_ivf",
     "tfidf_best_chunk",
+    "duplicate_spans",
+    "strip_duplicate_spans",
 ]
 
 
