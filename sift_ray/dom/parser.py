@@ -131,6 +131,28 @@ class Node:
     # generator — saves one frame resume per node, which is ~15% of the
     # whole extract kernel across the full-page walks.
 
+    def release_tree(self) -> None:
+        """Break the parent/children reference cycles of the WHOLE tree
+        this node belongs to (walks up to the root first). A DOM tree is
+        pure cyclic garbage once rendering is done — breaking the cycles
+        lets refcounting reclaim it immediately instead of leaving ~10^5
+        objects per page for the cycle collector to trace (measured
+        +15-18% extract throughput single-core, more under many-worker
+        memory contention)."""
+        node: "Node" = self
+        while node.parent is not None:
+            node = node.parent
+        stack = [node]
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
+            c = n.children
+            if c:
+                extend(c)
+                n.children = []
+            n.parent = None
+
     def iter_list(self) -> List["Node"]:
         out: List["Node"] = []
         append = out.append

@@ -33,24 +33,35 @@ def extract_with_selector(html: str, selector: str) -> str:
     as <tag>innerHTML</tag>, join with newline, convert to markdown."""
     doc = parse_html(html)
     try:
-        matches = select(doc, selector)
-    except SelectorError as exc:
-        raise ExtractError(f"failed to parse selector: {exc}") from exc
-    if not matches:
-        raise SelectorNotFoundError(
-            f"no elements found matching selector: {selector}")
-    parts = [f"<{m.tag}>{inner_html(m)}</{m.tag}>" for m in matches]
-    return convert_to_markdown("\n".join(parts))
+        try:
+            matches = select(doc, selector)
+        except SelectorError as exc:
+            raise ExtractError(f"failed to parse selector: {exc}") from exc
+        if not matches:
+            raise SelectorNotFoundError(
+                f"no elements found matching selector: {selector}")
+        parts = [f"<{m.tag}>{inner_html(m)}</{m.tag}>" for m in matches]
+        return convert_to_markdown("\n".join(parts))
+    finally:
+        doc.release_tree()
 
 
 def extract_main_content(html: str, base_url: str = "") -> str:
     """Readability main-content extraction -> markdown (extract.go:42-56).
     Renders straight from the article DOM node — no serialize+reparse."""
     doc = parse_html(html)
-    article = extract_article_node(doc, base_url, html=html)
-    if article is None:
-        return ""
-    return markdown_from_node(article)
+    try:
+        article = extract_article_node(doc, base_url, html=html)
+        if article is None:
+            return ""
+        try:
+            return markdown_from_node(article)
+        finally:
+            # article may live in a tree re-parsed inside readability,
+            # distinct from ``doc`` — release both (Node.release_tree)
+            article.release_tree()
+    finally:
+        doc.release_tree()
 
 
 def convert_all_html(html: str) -> str:

@@ -250,7 +250,10 @@ def _finalize_markdown(markdown: str) -> str:
 def convert_to_markdown(html_string: str) -> str:
     """HTML string -> clean markdown (convertToMarkdown, extract.go:107-147)."""
     root = parse_html(html_string)
-    return _finalize_markdown(render_markdown(root))
+    try:
+        return _finalize_markdown(render_markdown(root))
+    finally:
+        root.release_tree()  # break DOM cycles: refcount frees, not the GC
 
 
 def markdown_from_node(root: Node) -> str:
