@@ -130,16 +130,18 @@ def winnow_fingerprints(ds, k: int = 16, w: int = 49,
                           batch_format="pyarrow")
 
 
-def _anchor_pairs_kernel(max_df: int):
+def _anchor_pairs_kernel(max_df: int, within_doc: bool = False):
     """Per-partition candidate generation: within each fp bucket, pair
-    every cross-document (doc,pos) combination (doc_a < doc_b). Buckets
-    larger than ``max_df`` rows are dropped (hot boilerplate strings —
-    the documented exactness cap, same lever as ngram_jaccard's)."""
+    every cross-document (doc,pos) combination (doc_a < doc_b) — plus,
+    with ``within_doc``, same-document position pairs (pos_a < pos_b,
+    the self-repetition case of Lee et al.). Buckets larger than
+    ``max_df`` rows are dropped (hot boilerplate strings — the
+    documented exactness cap, same lever as ngram_jaccard's)."""
     def fn(tbl: pa.Table) -> pa.Table:
         fp = tbl.column("fp").to_numpy(zero_copy_only=False)
         doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         pos = tbl.column("pos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, fp))
+        order = np.lexsort((pos, doc, fp))
         fp, doc, pos = fp[order], doc[order], pos[order]
         first = np.ones(len(fp), dtype=bool)
         first[1:] = fp[1:] != fp[:-1]
@@ -152,7 +154,9 @@ def _anchor_pairs_kernel(max_df: int):
                 continue
             i, j = np.triu_indices(n, 1)
             da, db = doc[s + i], doc[s + j]
-            keep = da != db          # cross-document anchors only
+            # cross-document anchors; optionally same-doc distinct-position
+            # anchors (the (doc,pos) rows are sorted, so i<j => pos_a<pos_b)
+            keep = (da != db) | within_doc
             out_a.append(da[keep])
             out_b.append(db[keep])
             out_pa.append(pos[s + i][keep])
@@ -243,6 +247,7 @@ class _SpanVerifyBroadcast:
 def duplicate_spans(ds, min_len: int = 100, k: int = 16,
                     text_col: str = "text", id_col: str = "doc_id",
                     max_df: int = 50, num_parts: Optional[int] = None,
+                    within_doc: bool = False,
                     text_broadcast_bytes: int = 256 * 1024 * 1024):
     """All maximal cross-document duplicated spans of length >= min_len
     CHARACTERS: (doc_a, start_a, doc_b, start_b, length), doc_a < doc_b,
@@ -253,7 +258,11 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
 
     Dual verify path on measured candidate-text bytes: broadcast text map
     below ``text_broadcast_bytes``, two doc-keyed text-attaching
-    exchanges above (no driver text state)."""
+    exchanges above (no driver text state).
+
+    ``within_doc=True`` additionally reports same-document repeats
+    (doc_a == doc_b, start_a < start_b) — Lee et al.'s self-repetition
+    case; overlapping self-matches surface tandem repeats."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
@@ -267,7 +276,7 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
                               id_col=id_col)
     anchors = (add_hash_partition(fps, ["fp"], P)
                .groupby("part")
-               .map_groups(_anchor_pairs_kernel(max_df),
+               .map_groups(_anchor_pairs_kernel(max_df, within_doc),
                            batch_format="pyarrow")).materialize()
 
     # candidate doc id set (ints on the driver — candidate-proportional)

@@ -207,3 +207,33 @@ def test_winnow_density(ray_session):
                           "text": pa.array([text], pa.string())}))
     density = out.num_rows / (len(text) - K + 1)
     assert density < 2.5 / 41 * 2    # generous factor-2 headroom
+
+
+def test_within_doc_spans(ray_session):
+    rng = random.Random(21)
+    rep = _rand_text(rng, 40)
+    docs = {0: _rand_text(rng, 80) + rep + _rand_text(rng, 55)
+            + rep + _rand_text(rng, 30),
+            1: _rand_text(rng, 120)}
+    cross_only = _spans_set(duplicate_spans(_ds_of(docs), min_len=MIN_LEN,
+                                            k=K))
+    assert cross_only == set()        # no cross-doc duplicates planted
+    within = _spans_set(duplicate_spans(_ds_of(docs), min_len=MIN_LEN,
+                                        k=K, within_doc=True))
+    assert any(da == db == 0 and ln >= 40
+               for (da, sa, db, sb, ln) in within)
+    for (da, sa, db, sb, ln) in within:
+        assert sa < sb                # ordered self-pairs
+        assert docs[da][sa:sa + ln] == docs[db][sb:sb + ln]
+
+
+def test_within_doc_strip_tandem(ray_session):
+    rng = random.Random(22)
+    rep = _rand_text(rng, 40)
+    pre, mid, post = (_rand_text(rng, 70), _rand_text(rng, 60),
+                      _rand_text(rng, 45))
+    docs = {5: pre + rep + mid + rep + post}
+    out = strip_duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K)
+    # strip only consumes cross-doc spans by default: unchanged
+    assert dict(zip(*[out.to_pandas()[c] for c in ("doc_id", "text")]))[5] \
+        == docs[5]
