@@ -369,19 +369,21 @@ def _verify_spans_exchange(anchors, texts, k: int, min_len: int, P: int):
 def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_df: int = 50,
-                          num_parts: Optional[int] = None):
+                          num_parts: Optional[int] = None,
+                          within_doc: bool = False):
     """Lee-et-al. removal policy over ``duplicate_spans``: every
     duplicated span is CUT from its higher-doc_id occurrence (the first
     occurrence in doc_id order survives), overlapping cut ranges merged
-    per document. Returns (doc_id, text) with spans removed; documents
-    without duplicates pass through unchanged."""
+    per document. ``within_doc=True`` also cuts same-document repeats at
+    their LATER position (start_b side). Returns (doc_id, text) with
+    spans removed; documents without duplicates pass through unchanged."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
     spans = duplicate_spans(ds, min_len=min_len, k=k, text_col=text_col,
                             id_col=id_col, max_df=max_df,
-                            num_parts=num_parts)
+                            num_parts=num_parts, within_doc=within_doc)
     P = num_parts or default_num_parts()
 
     cuts = spans.map_batches(

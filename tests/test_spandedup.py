@@ -237,3 +237,19 @@ def test_within_doc_strip_tandem(ray_session):
     # strip only consumes cross-doc spans by default: unchanged
     assert dict(zip(*[out.to_pandas()[c] for c in ("doc_id", "text")]))[5] \
         == docs[5]
+
+
+def test_within_doc_strip(ray_session):
+    rng = random.Random(23)
+    rep = _rand_text(rng, 40)
+    pre, mid, post = (_rand_text(rng, 70), _rand_text(rng, 60),
+                      _rand_text(rng, 45))
+    docs = {5: pre + rep + mid + rep + post}
+    out = strip_duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K,
+                                within_doc=True).to_pandas()
+    got = dict(zip((int(x) for x in out["doc_id"]), out["text"]))[5]
+    # the later repeat (with any extension into identical surroundings)
+    # is cut; the first occurrence survives
+    assert got.count(rep) == 1
+    assert got.startswith(pre + rep)
+    assert len(got) <= len(docs[5]) - len(rep)
