@@ -8,9 +8,12 @@ Prints ONE JSON line:
 --scaling: runs the headline pipeline in fresh taskset-pinned processes at
 two 4x cpu pairings (4 vs 16, 8 vs 32) over the SAME corpus (warmed page
 cache) and reports throughputs, per-leg hypervisor steal_pct, and scaling
-efficiency (sandbox stand-in for N vs 4N nodes, see BASELINE.md; the
-criterion pairing is 4->16 because the VM's CPU quota throttles 32-vcpu
-load by 25-36%).
+efficiency (sandbox stand-in for N vs 4N nodes, see BASELINE.md). The
+criterion pairing is 8->32 under the node-equalized methodology (the
+complement cores run the same extract kernel during the small leg, so
+each leg measures per-core throughput on a fully-busy box — the symmetry
+real identical-node clusters have); raw idle-complement readings are
+reported alongside as *_raw.
 """
 
 from __future__ import annotations
