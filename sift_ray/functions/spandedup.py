@@ -370,20 +370,28 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_df: int = 50,
                           num_parts: Optional[int] = None,
-                          within_doc: bool = False):
+                          within_doc: bool = False,
+                          spans=None):
     """Lee-et-al. removal policy over ``duplicate_spans``: every
     duplicated span is CUT from its higher-doc_id occurrence (the first
     occurrence in doc_id order survives), overlapping cut ranges merged
     per document. ``within_doc=True`` also cuts same-document repeats at
     their LATER position (start_b side). Returns (doc_id, text) with
-    spans removed; documents without duplicates pass through unchanged."""
+    spans removed; documents without duplicates pass through unchanged.
+
+    Pass a precomputed ``spans`` Dataset (the ``duplicate_spans`` output)
+    to apply the policy without re-detecting — at corpus scale the
+    detection pass is the expensive half and its result is typically
+    materialized once and consumed by audits AND the strip."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
-    spans = duplicate_spans(ds, min_len=min_len, k=k, text_col=text_col,
-                            id_col=id_col, max_df=max_df,
-                            num_parts=num_parts, within_doc=within_doc)
+    if spans is None:
+        spans = duplicate_spans(ds, min_len=min_len, k=k,
+                                text_col=text_col, id_col=id_col,
+                                max_df=max_df, num_parts=num_parts,
+                                within_doc=within_doc)
     P = num_parts or default_num_parts()
 
     cuts = spans.map_batches(

@@ -253,3 +253,12 @@ def test_within_doc_strip(ray_session):
     assert got.count(rep) == 1
     assert got.startswith(pre + rep)
     assert len(got) <= len(docs[5]) - len(rep)
+
+
+def test_strip_with_precomputed_spans(ray_session, corpus):
+    pre = duplicate_spans(_ds_of(corpus), min_len=MIN_LEN, k=K)
+    a = strip_duplicate_spans(_ds_of(corpus), spans=pre).to_pandas()
+    b = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN,
+                              k=K).to_pandas()
+    assert (dict(zip(a["doc_id"], a["text"]))
+            == dict(zip(b["doc_id"], b["text"])))
