@@ -140,6 +140,21 @@ def _q_near_dedup_docs(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """FastCDC content-defined chunk table (cdc.py; small-size params so
+    KB-scale synthetic docs still split into multiple chunks)."""
+    from sift_ray.functions.cdc import cdc_chunks
+    return cdc_chunks(_docs(sf_dir, ["doc_id", "text"]),
+                      min_size=64, avg_size=256, max_size=1024)
+
+
+def _q_cdc_dedup_stats(sf_dir: str):
+    """Corpus-wide chunk-level dedup statistics per document."""
+    from sift_ray.functions.cdc import cdc_dedup_stats
+    return cdc_dedup_stats(_docs(sf_dir, ["doc_id", "text"]),
+                           min_size=64, avg_size=256, max_size=1024)
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact maximal duplicated spans (Lee et al. 2021 substring dedup,
     winnowing-anchored distributed formulation, spandedup.py)."""
@@ -3633,6 +3648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_docs": _q_near_dedup_docs,
         "duplicate_spans": _q_duplicate_spans,
         "strip_duplicate_spans": _q_strip_duplicate_spans,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_containment_pairs": _q_ngram_containment,

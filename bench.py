@@ -223,7 +223,7 @@ def run_bench() -> dict:
     # criterion measures the headline extraction pipeline only)
     import __ray_entry__ as entrymod
     table_ops = () if os.environ.get("SIFT_BENCH_EXTRACT_ONLY") else (
-        "doc_stats", "exact_dedup", "duplicate_spans",
+        "doc_stats", "exact_dedup", "duplicate_spans", "cdc_dedup_stats",
         "strip_duplicate_spans", "minhash_lsh_pairs",
         "simhash_pairs", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
         "cosine_topk",

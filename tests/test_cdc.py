@@ -1,0 +1,108 @@
+"""FastCDC content-defined chunking (functions/cdc.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from sift_ray.functions.cdc import (_GEAR, cdc_boundaries, cdc_chunks,
+                                    cdc_dedup_stats, gear_hashes)
+
+MIN, AVG, MAX = 64, 256, 1024
+
+
+def _seq_gear(data: np.ndarray) -> np.ndarray:
+    """The sequential reference recurrence h = (h << 1) + gear[b]."""
+    h = np.uint64(0)
+    out = np.empty(len(data), np.uint64)
+    one = np.uint64(1)
+    for i, b in enumerate(data):
+        h = (h << one) + _GEAR[b]
+        out[i] = h
+    return out
+
+
+def _rand_bytes(seed, n):
+    return np.random.default_rng(seed).integers(0, 256, n).astype(np.uint8)
+
+
+def test_gear_hashes_match_sequential():
+    data = _rand_bytes(1, 3000)
+    np.testing.assert_array_equal(gear_hashes(data), _seq_gear(data))
+
+
+def test_gear_hashes_short_inputs():
+    for n in (0, 1, 2, 63, 64, 65):
+        data = _rand_bytes(n + 10, n)
+        np.testing.assert_array_equal(gear_hashes(data), _seq_gear(data))
+
+
+def test_boundaries_cover_and_bound():
+    data = _rand_bytes(2, 50_000)
+    ends = cdc_boundaries(data, MIN, AVG, MAX)
+    assert ends[-1] == len(data)
+    assert np.all(np.diff(ends) > 0)
+    lens = np.diff(np.r_[0, ends])
+    assert lens.max() <= MAX
+    # every chunk except possibly the last respects the minimum
+    assert np.all(lens[:-1] >= MIN)
+    # average lands in the right decade
+    assert AVG / 4 <= lens.mean() <= AVG * 4
+
+
+def test_boundaries_resynchronize_after_insert():
+    base = _rand_bytes(3, 30_000)
+    shifted = np.concatenate([_rand_bytes(4, 137), base])
+    e1 = set(cdc_boundaries(base, MIN, AVG, MAX).tolist())
+    e2 = set((cdc_boundaries(shifted, MIN, AVG, MAX) - 137).tolist())
+    # content-defined: most boundaries survive a 137-byte prefix insert
+    common = len(e1 & e2)
+    assert common >= 0.7 * len(e1), (common, len(e1))
+
+
+def test_empty_input():
+    assert len(cdc_boundaries(np.empty(0, np.uint8), MIN, AVG, MAX)) == 0
+
+
+def _docs_ds(docs, nblocks=1):
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(nblocks) if nblocks > 1 else ds
+
+
+def _text(seed, n):
+    rng = np.random.default_rng(seed)
+    return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+
+def test_cdc_chunks_table(ray_session):
+    docs = {1: _text(5, 4000), 2: _text(6, 100), 3: ""}
+    out = cdc_chunks(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                     max_size=MAX).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}      # empty doc emits nothing
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    assert d1["length"].sum() == 4000
+    assert (d1["offset"].to_numpy()
+            == np.r_[0, d1["length"].cumsum().to_numpy()[:-1]]).all()
+
+
+def test_dedup_stats_planted(ray_session):
+    a = _text(7, 5000)
+    docs = {1: a, 2: a, 3: _text(8, 3000)}   # doc 2 duplicates doc 1
+    out = cdc_dedup_stats(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                          max_size=MAX).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_chunks"] == 0     # first occurrence
+    assert out.loc[2, "dup_chunks"] == out.loc[2, "n_chunks"]
+    assert out.loc[2, "dup_bytes"] == out.loc[2, "total_bytes"] == 5000
+    assert out.loc[3, "dup_chunks"] == 0
+
+
+def test_dedup_stats_partition_invariance(ray_session):
+    docs = {i: _text(10 + i % 4, 2000 + 100 * (i % 3)) for i in range(12)}
+    a = cdc_dedup_stats(_docs_ds(docs, 1), min_size=MIN, avg_size=AVG,
+                        max_size=MAX).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = cdc_dedup_stats(_docs_ds(docs, 5), min_size=MIN, avg_size=AVG,
+                        max_size=MAX).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

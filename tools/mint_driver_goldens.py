@@ -88,6 +88,8 @@ GOLDEN_QUERIES = [
     "tfidf_best_chunk",
     "duplicate_spans",
     "strip_duplicate_spans",
+    "cdc_chunks",
+    "cdc_dedup_stats",
 ]
 
 
