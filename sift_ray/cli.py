@@ -165,6 +165,26 @@ def _build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--positional", action="store_true",
                     help="store token positions (enables phrase queries)")
 
+    dsp = sub.add_parser("dedup-spans",
+                         help="exact duplicate-span detection/removal "
+                              "(Lee et al. 2021 substring dedup via "
+                              "winnowing anchors)")
+    dsp.add_argument("action", choices=["detect", "strip"])
+    dsp.add_argument("--input", required=True,
+                     help="parquet table with id/text columns")
+    dsp.add_argument("--output", required=True,
+                     help="output parquet directory")
+    dsp.add_argument("--id-col", default="doc_id")
+    dsp.add_argument("--text-col", default="text")
+    dsp.add_argument("--min-len", type=int, default=100,
+                     help="minimum duplicated span length (chars)")
+    dsp.add_argument("--k", type=int, default=16,
+                     help="anchor k-gram size")
+    dsp.add_argument("--max-df", type=int, default=50,
+                     help="hot-anchor bucket cap (boilerplate)")
+    dsp.add_argument("--within-doc", action="store_true",
+                     help="also detect/cut same-document repeats")
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -353,6 +373,23 @@ def main(argv=None) -> int:
                 for _, r in res.iterrows():
                     print(json.dumps({"doc_id": int(r["doc_id"]),
                                       "score_micro": int(r["score_micro"])}))
+        elif args.cmd == "dedup-spans":
+            import ray.data as rd
+
+            from .functions.spandedup import (duplicate_spans,
+                                              strip_duplicate_spans)
+            docs = rd.read_parquet(args.input,
+                                   columns=[args.id_col, args.text_col])
+            kw = dict(min_len=args.min_len, k=args.k, max_df=args.max_df,
+                      text_col=args.text_col, id_col=args.id_col,
+                      within_doc=args.within_doc)
+            if args.action == "detect":
+                out = duplicate_spans(docs, **kw)
+            else:
+                out = strip_duplicate_spans(docs, **kw)
+            out.write_parquet(args.output)
+            print(json.dumps({"action": args.action, "rows": out.count(),
+                              "output": args.output}))
         elif args.cmd == "gen-corpus":
             from .sources.pages import write_pages_corpus
             out = write_pages_corpus(args.output, args.pages, args.seed,

@@ -262,3 +262,24 @@ def test_strip_with_precomputed_spans(ray_session, corpus):
                               k=K).to_pandas()
     assert (dict(zip(a["doc_id"], a["text"]))
             == dict(zip(b["doc_id"], b["text"])))
+
+
+def test_cli_dedup_spans(ray_session, corpus, tmp_path):
+    import json
+    import pyarrow.parquet as pq
+
+    from sift_ray.cli import main
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(corpus), pa.int64()),
+        "text": pa.array(list(corpus.values()), pa.string())}), str(src))
+    out = tmp_path / "spans"
+    assert main(["dedup-spans", "detect", "--input", str(src),
+                 "--output", str(out), "--min-len", str(MIN_LEN),
+                 "--k", str(K)]) == 0
+    det = pq.ParquetDataset(str(out)).read().to_pandas()
+    got = {tuple(int(v) for v in r) for r in
+           det[["doc_a", "start_a", "doc_b", "start_b",
+                "length"]].itertuples(index=False)}
+    assert got == brute_force_spans(corpus)
