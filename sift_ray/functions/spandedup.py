@@ -371,7 +371,8 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
                           max_df: int = 50,
                           num_parts: Optional[int] = None,
                           within_doc: bool = False,
-                          spans=None):
+                          spans=None,
+                          cuts_broadcast_limit: int = 2_000_000):
     """Lee-et-al. removal policy over ``duplicate_spans``: every
     duplicated span is CUT from its higher-doc_id occurrence (the first
     occurrence in doc_id order survives), overlapping cut ranges merged
@@ -430,7 +431,50 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
     doc_cuts = (add_hash_partition(cuts, ["doc_id"], P)
                 .groupby("part")
                 .map_groups(lambda t: fold_doc_cuts(t.drop_columns("part")),
-                            batch_format="pyarrow"))
+                            batch_format="pyarrow")).materialize()
+
+    def _slice(text: str, cut: Optional[str]) -> str:
+        if cut is None or cut == "":
+            return text
+        pieces = []
+        prev = 0
+        for rng in cut.split(";"):
+            cs, ce = rng.split(":")
+            pieces.append(text[prev:int(cs)])
+            prev = int(ce)
+        pieces.append(text[prev:])
+        return "".join(pieces)
+
+    # size-gated application (the repo's dual-path convention): the cuts
+    # table is duplicate-proportional — usually a tiny fraction of the
+    # corpus — so below the gate it broadcasts once per worker and the
+    # corpus NEVER crosses an exchange (zero-shuffle map); past the gate
+    # one doc-keyed hash join attaches cuts distributively.
+    n_cut_docs = doc_cuts.count()
+    if n_cut_docs <= cuts_broadcast_limit:
+        cmap: Dict[int, str] = {}
+        for t in doc_cuts.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+            cmap.update(zip(t.column("doc_id").to_pylist(),
+                            t.column("cuts").to_pylist()))
+        ref = ray.put(cmap)
+
+        class _ApplyBroadcast:
+            def __init__(self, cuts_ref):
+                self.cmap: Dict[int, str] = ray.get(cuts_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                texts = batch.column(text_col).to_pylist()
+                get = self.cmap.get
+                out = [_slice(txt, get(int(i))) for i, txt
+                       in zip(ids, texts)]
+                return pa.table({
+                    "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                    "text": pa.array(out, pa.string())})
+
+        return ds.map_batches(TaskStage(_ApplyBroadcast, cuts_ref=ref),
+                              batch_format="pyarrow")
 
     from .shuffle import hash_join
     docs = ds.map_batches(
@@ -448,19 +492,7 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
         cuts_col = (tbl.column("cuts").to_pylist()
                     if "cuts" in tbl.column_names
                     else [None] * tbl.num_rows)
-        out = []
-        for text, cut in zip(texts, cuts_col):
-            if cut is None or cut == "":
-                out.append(text)
-                continue
-            pieces = []
-            prev = 0
-            for rng in cut.split(";"):
-                cs, ce = rng.split(":")
-                pieces.append(text[prev:int(cs)])
-                prev = int(ce)
-            pieces.append(text[prev:])
-            out.append("".join(pieces))
+        out = [_slice(t, c) for t, c in zip(texts, cuts_col)]
         return pa.table({"doc_id": tbl.column("doc_id"),
                          "text": pa.array(out, pa.string())})
 

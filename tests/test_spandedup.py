@@ -283,3 +283,12 @@ def test_cli_dedup_spans(ray_session, corpus, tmp_path):
            det[["doc_a", "start_a", "doc_b", "start_b",
                 "length"]].itertuples(index=False)}
     assert got == brute_force_spans(corpus)
+
+
+def test_strip_join_path_equals_broadcast(ray_session, corpus):
+    a = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN,
+                              k=K).to_pandas()
+    b = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN, k=K,
+                              cuts_broadcast_limit=0).to_pandas()
+    assert (dict(zip(a["doc_id"], a["text"]))
+            == dict(zip(b["doc_id"], b["text"])))
