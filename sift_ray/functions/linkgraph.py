@@ -56,6 +56,13 @@ def _page_outlinks(url: str, html: str, max_links: int):
     from ..dom.parser import parse_html
 
     root = parse_html(html)
+    try:
+        return _page_links_from_root(root, url, max_links)
+    finally:
+        root.release_tree()
+
+
+def _page_links_from_root(root, url, max_links):
     base = url
     for b in root.iter_elements("base"):
         href = b.get("href").strip()

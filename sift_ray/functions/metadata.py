@@ -50,6 +50,13 @@ def _page_metadata(url: str, html: str) -> dict:
     from ..dom.parser import parse_html
 
     root = parse_html(html)
+    try:
+        return _metadata_from_root(root, url)
+    finally:
+        root.release_tree()
+
+
+def _metadata_from_root(root, url):
     out = {"title": None, "description": None, "og_title": None,
            "og_description": None, "canonical_url": None,
            "html_lang": None, "published": None}

@@ -171,6 +171,7 @@ class HtmlTablesStage:
             elif len(html) > self.max_bytes:
                 quarantine(url, "oversize")
                 continue
+            root = None
             try:
                 root = parse_html(html)
                 n_emitted = 0
@@ -194,6 +195,9 @@ class HtmlTablesStage:
                     quarantine(url, "overflow")
             except Exception:
                 quarantine(url, "error")
+            finally:
+                if root is not None:
+                    root.release_tree()
         return pa.table(
             {name: pa.array(cols[name], typ) for name, typ in _TABLE_FIELDS})
 
@@ -266,32 +270,39 @@ class JsonLdStage:
                 root = parse_html(html)
             except Exception:
                 continue
-            for b_idx, script in enumerate(
-                    s for s in root.iter_elements("script")
-                    if s.get("type").strip().lower()
-                    == "application/ld+json"):
-                try:
-                    items = _jsonld_items(script.text_content())
-                except (ValueError, RecursionError):
-                    continue
-                for i_idx, item in enumerate(items):
-                    t = item.get("@type")
-                    if isinstance(t, list):
-                        t = t[0] if t and isinstance(t[0], str) else None
-                    if not isinstance(t, str):
-                        t = None
-                    for key in sorted(k for k in item if k != "@type"):
-                        val = _scalar_str(item[key])
-                        if val is None:
-                            continue
-                        cols["url"].append(url)
-                        cols["block_idx"].append(b_idx)
-                        cols["item_idx"].append(i_idx)
-                        cols["jsonld_type"].append(t)
-                        cols["key"].append(key)
-                        cols["value"].append(val)
+            try:
+                self._emit_blocks(root, url, cols)
+            finally:
+                root.release_tree()
         return pa.table(
             {name: pa.array(cols[name], typ) for name, typ in _LDJSON_FIELDS})
+
+    @staticmethod
+    def _emit_blocks(root, url, cols):
+        for b_idx, script in enumerate(
+                s for s in root.iter_elements("script")
+                if s.get("type").strip().lower()
+                == "application/ld+json"):
+            try:
+                items = _jsonld_items(script.text_content())
+            except (ValueError, RecursionError):
+                continue
+            for i_idx, item in enumerate(items):
+                t = item.get("@type")
+                if isinstance(t, list):
+                    t = t[0] if t and isinstance(t[0], str) else None
+                if not isinstance(t, str):
+                    t = None
+                for key in sorted(k for k in item if k != "@type"):
+                    val = _scalar_str(item[key])
+                    if val is None:
+                        continue
+                    cols["url"].append(url)
+                    cols["block_idx"].append(b_idx)
+                    cols["item_idx"].append(i_idx)
+                    cols["jsonld_type"].append(t)
+                    cols["key"].append(key)
+                    cols["value"].append(val)
 
 
 def jsonld_fields(pages, max_bytes: int = 50 * 1024 * 1024):
@@ -341,25 +352,32 @@ class SitemapStage:
                 root = parse_html(html)
             except Exception:
                 continue
-            for entry in root.iter_elements():
-                if entry.tag not in ("url", "sitemap"):
-                    continue
-                fields = {}
-                for f in ("loc", "lastmod", "changefreq", "priority"):
-                    node = entry.find_first(f)
-                    if node is not None:
-                        txt = _WS_RE.sub(" ", node.text_content()).strip()
-                        fields[f] = txt or None
-                if not fields.get("loc"):
-                    continue
-                cols["url"].append(url)
-                cols["kind"].append(entry.tag)
-                cols["loc"].append(fields.get("loc"))
-                cols["lastmod"].append(fields.get("lastmod"))
-                cols["changefreq"].append(fields.get("changefreq"))
-                cols["priority"].append(fields.get("priority"))
+            try:
+                self._emit_entries(root, url, cols)
+            finally:
+                root.release_tree()
         return pa.table({name: pa.array(cols[name], typ)
                          for name, typ in _SITEMAP_FIELDS})
+
+    @staticmethod
+    def _emit_entries(root, url, cols):
+        for entry in root.iter_elements():
+            if entry.tag not in ("url", "sitemap"):
+                continue
+            fields = {}
+            for f in ("loc", "lastmod", "changefreq", "priority"):
+                node = entry.find_first(f)
+                if node is not None:
+                    txt = _WS_RE.sub(" ", node.text_content()).strip()
+                    fields[f] = txt or None
+            if not fields.get("loc"):
+                continue
+            cols["url"].append(url)
+            cols["kind"].append(entry.tag)
+            cols["loc"].append(fields.get("loc"))
+            cols["lastmod"].append(fields.get("lastmod"))
+            cols["changefreq"].append(fields.get("changefreq"))
+            cols["priority"].append(fields.get("priority"))
 
 
 def sitemap_entries(pages, max_bytes: int = 50 * 1024 * 1024):
@@ -410,6 +428,7 @@ class RobotsMetaStage:
                 elif len(html) > self.max_bytes:
                     st = "oversize"
                 if st == "ok":
+                    root = None
                     try:
                         root = parse_html(html)
                         for m in root.iter_elements("meta"):
@@ -423,6 +442,9 @@ class RobotsMetaStage:
                             nf = nf or "nofollow" in toks
                     except Exception:
                         st, ni, nf = "error", False, False
+                    finally:
+                        if root is not None:
+                            root.release_tree()
             noindex.append(ni)
             nofollow.append(nf)
             status.append(st)
