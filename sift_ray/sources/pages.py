@@ -167,7 +167,11 @@ def gen_page(index: int, seed: int = 42) -> Dict[str, object]:
         kind = "normal"
     # plain-text shadow
     from ..dom.parser import parse_html
-    text = " ".join(parse_html(html).text_content().split())
+    _root = parse_html(html)
+    try:
+        text = " ".join(_root.text_content().split())
+    finally:
+        _root.release_tree()
     return {
         "url": f"https://fixtures.test/{kind}/{index:09d}",
         "warc_ts": _EPOCH_US + index * 1_000_000,
