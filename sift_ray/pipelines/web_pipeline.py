@@ -99,10 +99,13 @@ def clean_docs_pipeline(docs, dedup_min_words: int = 4,
                         strip_boilerplate: bool = False,
                         boiler_min_docs: int = 3,
                         boiler_max_frac: float = 0.5,
+                        strip_spans_min_len: Optional[int] = None,
                         num_parts: Optional[int] = None):
     """The corpus-wide cleaning half of phase 2: optional per-host
-    boilerplate strip, then corpus-wide line dedup; returns the cleaned
-    (doc_id, text) docs whose text is what actually lands in shards."""
+    boilerplate strip, optional exact duplicate-span removal (Lee et al.
+    2021; pass ``strip_spans_min_len`` to enable, e.g. 200), then
+    corpus-wide line dedup; returns the cleaned (doc_id, text) docs
+    whose text is what actually lands in shards."""
     from ..functions.corpus import line_dedup
 
     if strip_boilerplate:
@@ -110,6 +113,10 @@ def clean_docs_pipeline(docs, dedup_min_words: int = 4,
         docs = boilerplate_strip(docs, min_docs=boiler_min_docs,
                                  max_frac=boiler_max_frac,
                                  host_col="host", num_parts=num_parts)
+    if strip_spans_min_len is not None:
+        from ..functions.spandedup import strip_duplicate_spans
+        docs = strip_duplicate_spans(docs, min_len=strip_spans_min_len,
+                                     num_parts=num_parts)
     deduped = line_dedup(docs, min_words=dedup_min_words,
                          num_parts=num_parts)
     return deduped.map_batches(
@@ -121,6 +128,7 @@ def build_shards_pipeline(docs, shard_tokens: int = 2000,
                           strip_boilerplate: bool = False,
                           boiler_min_docs: int = 3,
                           boiler_max_frac: float = 0.5,
+                          strip_spans_min_len: Optional[int] = None,
                           num_parts: Optional[int] = None):
     """Phase 2 (corpus-wide): normalized docs -> packed shard table
     (doc_id, n_tokens, start_offset, shard_id). Optional per-host
@@ -133,6 +141,7 @@ def build_shards_pipeline(docs, shard_tokens: int = 2000,
         docs, dedup_min_words=dedup_min_words,
         strip_boilerplate=strip_boilerplate,
         boiler_min_docs=boiler_min_docs, boiler_max_frac=boiler_max_frac,
+        strip_spans_min_len=strip_spans_min_len,
         num_parts=num_parts)
     return token_shards(cleaned, shard_tokens=shard_tokens,
                         num_parts=num_parts)
@@ -146,6 +155,7 @@ def web_corpus_pipeline(pages, cfg=None, shard_tokens: int = 2000,
                         strip_boilerplate: bool = False,
                         boiler_min_docs: int = 3,
                         boiler_max_frac: float = 0.5,
+                        strip_spans_min_len: Optional[int] = None,
                         num_parts: Optional[int] = None):
     """pages (url, html) -> packed shard table (doc_id, n_tokens,
     start_offset, shard_id): phase 1 + phase 2 fused as one lazy Dataset
@@ -165,6 +175,7 @@ def web_corpus_pipeline(pages, cfg=None, shard_tokens: int = 2000,
                                  strip_boilerplate=strip_boilerplate,
                                  boiler_min_docs=boiler_min_docs,
                                  boiler_max_frac=boiler_max_frac,
+                                 strip_spans_min_len=strip_spans_min_len,
                                  num_parts=num_parts)
 
 

@@ -292,3 +292,32 @@ def test_strip_join_path_equals_broadcast(ray_session, corpus):
                               cuts_broadcast_limit=0).to_pandas()
     assert (dict(zip(a["doc_id"], a["text"]))
             == dict(zip(b["doc_id"], b["text"])))
+
+
+def test_web_pipeline_span_strip(ray_session, tmp_path):
+    """strip_spans_min_len wired into the flagship composition: a planted
+    cross-document duplicated block shrinks the victim doc's token
+    count; other docs' shard rows are unchanged."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sift_ray.pipelines.web_pipeline import build_shards_pipeline
+
+    rng = random.Random(31)
+    blk = " ".join(_rand_text(rng, 5) for _ in range(40))  # 40 words
+    mk = lambda n: " ".join(_rand_text(rng, 6) for _ in range(n))
+    docs = {1: mk(60) + " " + blk, 2: blk + " " + mk(50), 3: mk(80)}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    plain = build_shards_pipeline(ds, shard_tokens=10_000).to_pandas() \
+        .set_index("doc_id")
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    stripped = build_shards_pipeline(
+        ds2, shard_tokens=10_000,
+        strip_spans_min_len=100).to_pandas().set_index("doc_id")
+    assert stripped.loc[2, "n_tokens"] < plain.loc[2, "n_tokens"]
+    assert stripped.loc[1, "n_tokens"] == plain.loc[1, "n_tokens"]
+    assert stripped.loc[3, "n_tokens"] == plain.loc[3, "n_tokens"]
