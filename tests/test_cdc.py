@@ -106,3 +106,36 @@ def test_dedup_stats_partition_invariance(ray_session):
                         max_size=MAX).to_pandas() \
         .sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+# ---- property-based: the vectorized gear hash equals the sequential
+# recurrence on arbitrary byte strings, and chunk boundaries partition
+# the input under arbitrary size params
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SET = settings(max_examples=20, deadline=None,
+                suppress_health_check=[HealthCheck.data_too_large])
+
+
+@_SET
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_property_gear_matches_sequential(data):
+    arr = np.frombuffer(data, np.uint8)
+    np.testing.assert_array_equal(gear_hashes(arr), _seq_gear(arr))
+
+
+@_SET
+@given(data=st.binary(min_size=1, max_size=20_000),
+       mn=st.integers(16, 64))
+def test_property_boundaries_partition(data, mn):
+    arr = np.frombuffer(data, np.uint8)
+    ends = cdc_boundaries(arr, min_size=mn, avg_size=mn * 4,
+                          max_size=mn * 16)
+    assert ends[-1] == len(arr)
+    lens = np.diff(np.r_[0, ends])
+    assert lens.min() > 0
+    assert lens.max() <= mn * 16
+    if len(lens) > 1:
+        assert np.all(lens[:-1] >= mn)

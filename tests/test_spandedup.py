@@ -321,3 +321,31 @@ def test_web_pipeline_span_strip(ray_session, tmp_path):
     assert stripped.loc[2, "n_tokens"] < plain.loc[2, "n_tokens"]
     assert stripped.loc[1, "n_tokens"] == plain.loc[1, "n_tokens"]
     assert stripped.loc[3, "n_tokens"] == plain.loc[3, "n_tokens"]
+
+
+# ---- property-based (hypothesis): winnowed distributed result equals the
+# brute-force all-shared-k-grams reference on ARBITRARY corpora
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SET = settings(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                       HealthCheck.data_too_large])
+
+_texts = st.lists(st.text(alphabet="abcd ", min_size=0, max_size=120),
+                  min_size=2, max_size=6)
+
+
+@_SET
+@given(texts=_texts, seed=st.integers(0, 9))
+def test_property_spans_match_brute(ray_session, texts, seed):
+    rng = random.Random(seed)
+    shared = _rand_text(rng, 40)
+    docs = {}
+    for i, t in enumerate(texts):
+        # plant the shared block into a random subset so duplicates exist
+        docs[i] = (t + shared + t[::-1]) if rng.random() < 0.5 else t
+    got = _spans_set(duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K,
+                                     max_df=10_000))
+    assert got == brute_force_spans(docs)
