@@ -58,17 +58,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def _kgram_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     """Mixed polynomial hash of every k-gram of a uint32 code-point array
     (length n -> n-k+1 hashes). Windowed matmul in uint64 (wrap-around
-    arithmetic is part of the hash definition)."""
+    arithmetic is part of the hash definition; ``errstate`` silences the
+    intended-overflow scalar warning)."""
     n = len(codes)
     if n < k:
         return np.empty(0, np.uint64)
-    powers = np.empty(k, np.uint64)
-    powers[k - 1] = np.uint64(1)
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * _B
-    win = np.lib.stride_tricks.sliding_window_view(
-        codes.astype(np.uint64), k)
-    return _mix64((win * powers).sum(axis=1, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, np.uint64)
+        powers[k - 1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _B
+        win = np.lib.stride_tricks.sliding_window_view(
+            codes.astype(np.uint64), k)
+        return _mix64((win * powers).sum(axis=1, dtype=np.uint64))
 
 
 def _winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
@@ -76,16 +78,49 @@ def _winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
     k-gram hashes of that window's LEFTMOST argmin. Any substring of
     length >= w + k - 1 contains a full window in both of its copies, and
     identical hash subsequences select the identical relative position —
-    the no-false-negative guarantee. O(m*w) vectorized argmin (documents
-    are small; m*w stays far under 10^8 for multi-100KB docs)."""
+    the no-false-negative guarantee.
+
+    O(m) regardless of w via the van Herk / Gil-Werman two-pass sliding
+    minimum adapted to LEFTMOST argmin: blocks of size w, each window
+    [i, i+w-1] = (suffix of block(i) from i) + (prefix of block(i+w-1) up
+    to i+w-1). Prefix argmin records on strict <, suffix (scanned
+    right-to-left) on <= — both yield the leftmost index; on a cross-part
+    tie the suffix side wins (its indices are smaller)."""
     m = len(h)
     if m == 0:
         return np.empty(0, np.int64)
     if m <= w:
         return np.array([int(np.argmin(h))], np.int64)
-    wins = np.lib.stride_tricks.sliding_window_view(h, w)
-    sel = wins.argmin(axis=1) + np.arange(m - w + 1)
-    return np.unique(sel).astype(np.int64)
+    nb = -(-m // w)
+    pad = nb * w - m
+    hp = (np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+          if pad else h)
+    blocks = hp.reshape(nb, w)
+    col = np.arange(w, dtype=np.int64)
+    base = (np.arange(nb, dtype=np.int64) * w)[:, None]
+
+    pmin = np.minimum.accumulate(blocks, axis=1)
+    rec = np.empty((nb, w), dtype=bool)
+    rec[:, 0] = True
+    rec[:, 1:] = blocks[:, 1:] < pmin[:, :-1]
+    pidx = np.maximum.accumulate(np.where(rec, col, -1), axis=1) + base
+
+    rb = blocks[:, ::-1]
+    smin_r = np.minimum.accumulate(rb, axis=1)
+    rec_r = np.empty((nb, w), dtype=bool)
+    rec_r[:, 0] = True
+    rec_r[:, 1:] = rb[:, 1:] <= smin_r[:, :-1]
+    sidx = ((np.int64(w - 1)
+             - np.maximum.accumulate(np.where(rec_r, col, -1),
+                                     axis=1))[:, ::-1] + base)
+    smin = smin_r[:, ::-1]
+
+    i = np.arange(m - w + 1, dtype=np.int64)
+    j = i + w - 1
+    sv = smin.ravel()[i]
+    pv = pmin.ravel()[j]
+    sel = np.where(sv <= pv, sidx.ravel()[i], pidx.ravel()[j])
+    return np.unique(sel)
 
 
 class WinnowStage:
@@ -248,7 +283,8 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
                     text_col: str = "text", id_col: str = "doc_id",
                     max_df: int = 50, num_parts: Optional[int] = None,
                     within_doc: bool = False,
-                    text_broadcast_bytes: int = 256 * 1024 * 1024):
+                    text_broadcast_bytes: int = 256 * 1024 * 1024,
+                    id_broadcast_limit: int = 50_000_000):
     """All maximal cross-document duplicated spans of length >= min_len
     CHARACTERS: (doc_a, start_a, doc_b, start_b, length), doc_a < doc_b,
     byte-exact (anchors are winnowing-guaranteed, then verified and
@@ -256,9 +292,18 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
     all-shared-k-gram computation, tested). ``max_df`` caps hot-anchor
     buckets (boilerplate), the one documented exactness trade-off.
 
-    Dual verify path on measured candidate-text bytes: broadcast text map
-    below ``text_broadcast_bytes``, two doc-keyed text-attaching
-    exchanges above (no driver text state).
+    Dual paths, both gated on MEASURED sizes (Dataset metadata — nothing
+    is pulled to the driver to measure):
+
+    * candidate-id filter — the distinct candidate doc-id set is computed
+      distributed (one int-only exchange); below ``id_broadcast_limit``
+      it broadcasts once as a sorted int64 array (map-side searchsorted,
+      zero text movement), above it the corpus filter becomes a
+      bloom-prefiltered semi hash-join (no driver id state).
+    * verify — broadcast text map below ``text_broadcast_bytes``
+      (measured via ``size_bytes()``); above it the partition-cogrouped
+      exchange of ``_verify_spans_exchange`` (text moves once per needing
+      partition, never per anchor, no driver text state).
 
     ``within_doc=True`` additionally reports same-document repeats
     (doc_a == doc_b, start_a < start_b) — Lee et al.'s self-repetition
@@ -279,29 +324,61 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
                .map_groups(_anchor_pairs_kernel(max_df, within_doc),
                            batch_format="pyarrow")).materialize()
 
-    # candidate doc id set (ints on the driver — candidate-proportional)
-    cand: set = set()
-    for t in anchors.iter_batches(batch_size=65536,
-                                  batch_format="pyarrow"):
-        cand.update(t.column("doc_a").to_pylist())
-        cand.update(t.column("doc_b").to_pylist())
-    if not cand:
+    def ids_proj(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(
+            np.unique(np.concatenate([a, b])), pa.int64())})
+
+    def distinct_ids(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns("part")
+        return t.group_by(t.column_names, use_threads=False).aggregate([])
+
+    cand_ids = (add_hash_partition(
+        anchors.map_batches(ids_proj, batch_format="pyarrow"),
+        ["doc_id"], P)
+        .groupby("part")
+        .map_groups(distinct_ids, batch_format="pyarrow")).materialize()
+    n_cand = cand_ids.count()
+    if n_cand == 0:
         return rd.from_arrow(_pairs_to_table([]))
-    cand_ref = ray.put(np.fromiter(cand, np.int64, len(cand)))
 
-    def cand_texts(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, ray.get(cand_ref))
-        return pa.table({
-            "doc_id": pa.array(ids[keep], pa.int64()),
-            "text": pc.cast(batch.column(text_col).filter(
-                pa.array(keep)), pa.string())})
+    if n_cand <= id_broadcast_limit:
+        cand = np.sort(np.concatenate(
+            [t.column("doc_id").to_numpy(zero_copy_only=False)
+             for t in cand_ids.iter_batches(batch_size=1 << 20,
+                                            batch_format="pyarrow")]))
+        cand_ref = ray.put(cand)
 
-    texts = ds.map_batches(cand_texts,
-                           batch_format="pyarrow").materialize()
-    tbytes = 0
-    for blk in ray.get(texts.to_arrow_refs()):
-        tbytes += blk.nbytes if hasattr(blk, "nbytes") else 0
+        def cand_texts(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            cs = ray.get(cand_ref)       # zero-copy shared-memory read
+            ix = np.searchsorted(cs, ids)
+            inb = ix < len(cs)
+            keep = np.zeros(len(ids), bool)
+            keep[inb] = cs[ix[inb]] == ids[inb]
+            return pa.table({
+                "doc_id": pa.array(ids[keep].astype(np.int64),
+                                   pa.int64()),
+                "text": pc.cast(batch.column(text_col).filter(
+                    pa.array(keep)), pa.string())})
+
+        texts = ds.map_batches(cand_texts, batch_format="pyarrow")
+    else:
+        from .shuffle import hash_join
+        docs_proj = ds.map_batches(
+            lambda t: pa.table({
+                "doc_id": pc.cast(t.column(id_col), pa.int64()),
+                "text": pc.cast(t.column(text_col), pa.string())}),
+            batch_format="pyarrow")
+        texts = hash_join(
+            docs_proj, cand_ids, on="doc_id", how="semi", num_parts=P,
+            left_types={"doc_id": pa.int64(), "text": pa.string()},
+            right_types={"doc_id": pa.int64()},
+            bloom_prefilter=max(1 << 20, 16 * n_cand))
+
+    texts = texts.materialize()
+    tbytes = texts.size_bytes() or 0
 
     if tbytes <= text_broadcast_bytes:
         tmap: Dict[int, str] = {}
@@ -328,42 +405,127 @@ def duplicate_spans(ds, min_len: int = 100, k: int = 16,
             .map_groups(distinct, batch_format="pyarrow"))
 
 
-def _verify_spans_exchange(anchors, texts, k: int, min_len: int, P: int):
-    """Above-gate path: attach doc_a text via one doc_a-keyed exchange,
-    then doc_b text via a doc_b-keyed exchange whose partition kernel
-    runs the verify+extend — text moves at most twice, all state
-    candidate-proportional."""
-    from .shuffle import hash_join
-
-    a_texts = texts.map_batches(
-        lambda t: t.rename_columns(["doc_a", "text_a"]),
-        batch_format="pyarrow")
-    b_texts = texts.map_batches(
-        lambda t: t.rename_columns(["doc_b", "text_b"]),
-        batch_format="pyarrow")
-    j1 = hash_join(anchors, a_texts, on="doc_a", num_parts=P)
-    j2 = hash_join(j1, b_texts, on="doc_b", num_parts=P)
-
-    def kernel(tbl: pa.Table) -> pa.Table:
-        rows = []
+def _partition_needs(anchors_p, P: int):
+    """Distinct (dst_part, doc_id) pairs over a part-tagged anchor table:
+    which verify partition needs which document's text. Ints only; row
+    count is bounded by candidate-docs x needing-partitions (<= n_docs*P)
+    and is INDEPENDENT of the anchor count — the guard that keeps the
+    above-gate verify free of per-anchor text amplification (tested by a
+    many-anchors-per-pair fixture)."""
+    def needs_proj(tbl: pa.Table) -> pa.Table:
+        part = tbl.column("part").to_numpy(zero_copy_only=False)
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
         b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
-        pa_ = tbl.column("pos_a").to_numpy(zero_copy_only=False)
-        pb = tbl.column("pos_b").to_numpy(zero_copy_only=False)
-        ta = tbl.column("text_a").to_pylist()
-        tb = tbl.column("text_b").to_pylist()
-        seen = set()
-        for i in range(len(a)):
-            res = _extend_pairs({int(a[i]): ta[i], int(b[i]): tb[i]},
-                                a[i:i + 1], pa_[i:i + 1], b[i:i + 1],
-                                pb[i:i + 1], k, min_len)
-            for key in res:
-                if key not in seen:
-                    seen.add(key)
-                    rows.append(key)
-        return _pairs_to_table(rows)
+        pairs = np.unique(np.stack(
+            [np.concatenate([part, part]),
+             np.concatenate([a, b])], axis=1), axis=0)
+        return pa.table({"dst_part": pa.array(pairs[:, 0], pa.int64()),
+                         "doc_id": pa.array(pairs[:, 1], pa.int64())})
 
-    return j2.map_batches(kernel, batch_format="pyarrow")
+    def distinct(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns("part")
+        return t.group_by(t.column_names, use_threads=False).aggregate([])
+
+    return (add_hash_partition(
+        anchors_p.map_batches(needs_proj, batch_format="pyarrow"),
+        ["doc_id", "dst_part"], P)
+        .groupby("part")
+        .map_groups(distinct, batch_format="pyarrow"))
+
+
+def _verify_spans_exchange(anchors, texts, k: int, min_len: int, P: int):
+    """Above-gate path: co-partition anchors with exactly the texts their
+    verify partition needs. Anchors are part-tagged by (doc_a, doc_b); the
+    distinct (dst_part, doc_id) needs table of ``_partition_needs`` drives
+    ONE doc-keyed join that ships each candidate text to each needing
+    partition at most once — text movement is partition-proportional
+    (<= needing-partitions x doc size), NEVER per anchor, and no text
+    touches the driver. The union-cogroup kernel builds the partition's
+    doc->text dict and verifies+extends all of its anchors in one call."""
+    import pyarrow.compute as pc
+
+    from .shuffle import hash_join
+
+    ap = add_hash_partition(anchors, ["doc_a", "doc_b"], P).materialize()
+    needs = _partition_needs(ap, P)
+    rep = hash_join(
+        texts, needs, on="doc_id", num_parts=P,
+        left_types={"doc_id": pa.int64(), "text": pa.string()},
+        right_types={"doc_id": pa.int64(), "dst_part": pa.int64()})
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_a": pa.nulls(n, pa.int64()),
+            "pos_a": pa.nulls(n, pa.int64()),
+            "doc_b": pa.nulls(n, pa.int64()),
+            "pos_b": pa.nulls(n, pa.int64()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "text": pc.cast(t.column("text"), pa.string()),
+            "part": pc.cast(t.column("dst_part"), pa.int64())})
+
+    def tag_anchors(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_a": t.column("doc_a"), "pos_a": t.column("pos_a"),
+            "doc_b": t.column("doc_b"), "pos_b": t.column("pos_b"),
+            "doc_id": pa.nulls(n, pa.int64()),
+            "text": pa.nulls(n, pa.string()),
+            "part": t.column("part")})
+
+    both = ap.map_batches(tag_anchors, batch_format="pyarrow").union(
+        rep.map_batches(tag_texts, batch_format="pyarrow"))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        is_text = pc.is_valid(tbl.column("doc_id"))
+        tt = tbl.filter(is_text)
+        tmap = dict(zip(tt.column("doc_id").to_pylist(),
+                        tt.column("text").to_pylist()))
+        at = tbl.filter(pc.invert(is_text))
+        return _pairs_to_table(_extend_pairs(
+            tmap,
+            at.column("doc_a").to_numpy(zero_copy_only=False),
+            at.column("pos_a").to_numpy(zero_copy_only=False),
+            at.column("doc_b").to_numpy(zero_copy_only=False),
+            at.column("pos_b").to_numpy(zero_copy_only=False),
+            k, min_len))
+
+    return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def _slice(text: Optional[str], cut: Optional[str]) -> Optional[str]:
+    """Remove the ';'-joined 'start:end' ranges of ``cut`` from ``text``
+    (ranges pre-merged and sorted by ``strip_duplicate_spans``)."""
+    if cut is None or cut == "" or text is None:
+        return text
+    pieces = []
+    prev = 0
+    for rng in cut.split(";"):
+        cs, ce = rng.split(":")
+        pieces.append(text[prev:int(cs)])
+        prev = int(ce)
+    pieces.append(text[prev:])
+    return "".join(pieces)
+
+
+class _ApplyCutsBroadcast:
+    """Below-gate strip application: cuts map broadcast once per worker,
+    ``text_col`` rewritten in place, every other column passed through —
+    the corpus never crosses an exchange."""
+
+    def __init__(self, cuts_ref, id_col: str, text_col: str):
+        import ray
+        self.cmap: Dict[int, str] = ray.get(cuts_ref)
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pylist()
+        get = self.cmap.get
+        out = [_slice(txt, get(int(i))) for i, txt in zip(ids, texts)]
+        return batch.set_column(
+            batch.column_names.index(self.text_col), self.text_col,
+            pa.array(out, pa.string()))
 
 
 def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
@@ -377,8 +539,12 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
     duplicated span is CUT from its higher-doc_id occurrence (the first
     occurrence in doc_id order survives), overlapping cut ranges merged
     per document. ``within_doc=True`` also cuts same-document repeats at
-    their LATER position (start_b side). Returns (doc_id, text) with
-    spans removed; documents without duplicates pass through unchanged.
+    their LATER position (start_b side). Returns the INPUT rows with the
+    ``text_col`` column rewritten (spans removed) and every other column
+    passed through unchanged — the operator composes mid-pipeline
+    (url/host/metadata survive); documents without duplicates pass
+    through untouched. The input must not already carry a ``cuts``
+    column (reserved by the above-gate join path).
 
     Pass a precomputed ``spans`` Dataset (the ``duplicate_spans`` output)
     to apply the policy without re-detecting — at corpus scale the
@@ -433,18 +599,6 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
                 .map_groups(lambda t: fold_doc_cuts(t.drop_columns("part")),
                             batch_format="pyarrow")).materialize()
 
-    def _slice(text: str, cut: Optional[str]) -> str:
-        if cut is None or cut == "":
-            return text
-        pieces = []
-        prev = 0
-        for rng in cut.split(";"):
-            cs, ce = rng.split(":")
-            pieces.append(text[prev:int(cs)])
-            prev = int(ce)
-        pieces.append(text[prev:])
-        return "".join(pieces)
-
     # size-gated application (the repo's dual-path convention): the cuts
     # table is duplicate-proportional — usually a tiny fraction of the
     # corpus — so below the gate it broadcasts once per worker and the
@@ -459,41 +613,35 @@ def strip_duplicate_spans(ds, min_len: int = 100, k: int = 16,
                             t.column("cuts").to_pylist()))
         ref = ray.put(cmap)
 
-        class _ApplyBroadcast:
-            def __init__(self, cuts_ref):
-                self.cmap: Dict[int, str] = ray.get(cuts_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                texts = batch.column(text_col).to_pylist()
-                get = self.cmap.get
-                out = [_slice(txt, get(int(i))) for i, txt
-                       in zip(ids, texts)]
-                return pa.table({
-                    "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                    "text": pa.array(out, pa.string())})
-
-        return ds.map_batches(TaskStage(_ApplyBroadcast, cuts_ref=ref),
-                              batch_format="pyarrow")
+        return ds.map_batches(
+            TaskStage(_ApplyCutsBroadcast, cuts_ref=ref, id_col=id_col,
+                      text_col=text_col),
+            batch_format="pyarrow")
 
     from .shuffle import hash_join
-    docs = ds.map_batches(
-        lambda t: pa.table({
-            "doc_id": pc.cast(t.column(id_col), pa.int64()),
-            "text": pc.cast(t.column(text_col), pa.string())}),
-        batch_format="pyarrow")
-    joined = hash_join(docs, doc_cuts, on="doc_id", how="left",
-                       num_parts=P)
+    # above the gate: ONE doc-keyed left join attaches cuts to the full
+    # input rows (metadata rides the exchange — inherent to pass-through
+    # past the broadcast gate) and the kernel rewrites text_col in place
+    cuts_side = doc_cuts
+    if id_col != "doc_id":
+        cuts_side = doc_cuts.map_batches(
+            lambda t: t.rename_columns([id_col, "cuts"]),
+            batch_format="pyarrow")
+    joined = hash_join(ds, cuts_side, on=id_col, how="left", num_parts=P,
+                       right_types={id_col: pa.int64(),
+                                    "cuts": pa.string()})
 
     def apply_cuts(tbl: pa.Table) -> pa.Table:
-        texts = tbl.column("text").to_pylist()
+        texts = tbl.column(text_col).to_pylist()
         # a fully-empty cuts side can leave the left join without the
         # column at all (no block carried the padded schema)
         cuts_col = (tbl.column("cuts").to_pylist()
                     if "cuts" in tbl.column_names
                     else [None] * tbl.num_rows)
         out = [_slice(t, c) for t, c in zip(texts, cuts_col)]
-        return pa.table({"doc_id": tbl.column("doc_id"),
-                         "text": pa.array(out, pa.string())})
+        tbl = tbl.set_column(tbl.column_names.index(text_col), text_col,
+                             pa.array(out, pa.string()))
+        return (tbl.drop_columns("cuts")
+                if "cuts" in tbl.column_names else tbl)
 
     return joined.map_batches(apply_cuts, batch_format="pyarrow")

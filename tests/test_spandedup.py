@@ -349,3 +349,93 @@ def test_property_spans_match_brute(ray_session, texts, seed):
     got = _spans_set(duplicate_spans(_ds_of(docs), min_len=MIN_LEN, k=K,
                                      max_df=10_000))
     assert got == brute_force_spans(docs)
+
+
+def test_winnow_equals_quadratic_brute():
+    """The O(m) van Herk/Gil-Werman argmin must equal the direct O(m*w)
+    leftmost sliding argmin for every w — including dense ties, w ~ m,
+    and values equal to the padding sentinel."""
+    def quad(h, w):
+        m = len(h)
+        if m == 0:
+            return np.empty(0, np.int64)
+        if m <= w:
+            return np.array([int(np.argmin(h))], np.int64)
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        return np.unique(wins.argmin(axis=1)
+                         + np.arange(m - w + 1)).astype(np.int64)
+
+    rng = np.random.default_rng(17)
+    cases = []
+    for m in (1, 2, 50, 503):
+        cases.append(rng.integers(0, 2**63, m).astype(np.uint64))
+        cases.append(rng.integers(0, 8, m).astype(np.uint64))  # ties
+        cases.append(np.full(m, np.uint64(0xFFFFFFFFFFFFFFFF)))
+    for h in cases:
+        m = len(h)
+        for w in (1, 2, 3, 17, 64, max(1, m - 1), m, m + 5):
+            got = _winnow_positions(h, w)
+            assert got.tolist() == quad(h, w).tolist(), (m, w)
+
+
+def test_partition_needs_bounded(ray_session):
+    """Anchor-count independence: 500 anchors for ONE doc pair must yield
+    a needs table of exactly 2 rows (one per doc for the one partition) —
+    the guard against per-anchor text amplification on the exchange
+    path."""
+    from sift_ray.functions.shuffle import add_hash_partition
+    from sift_ray.functions.spandedup import _partition_needs
+
+    n = 500
+    anchors = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1] * n, pa.int64()),
+        "pos_a": pa.array(list(range(n)), pa.int64()),
+        "doc_b": pa.array([2] * n, pa.int64()),
+        "pos_b": pa.array(list(range(n)), pa.int64())}))
+    for nblocks in (1, 5):
+        src = anchors.repartition(nblocks) if nblocks > 1 else anchors
+        ap = add_hash_partition(src, ["doc_a", "doc_b"], 8)
+        needs = _partition_needs(ap, 8).to_pandas()
+        assert len(needs) == 2
+        assert set(needs["doc_id"]) == {1, 2}
+        assert needs["dst_part"].nunique() == 1
+
+
+def test_forced_above_all_gates_equals_broadcast(ray_session):
+    """Boilerplate-heavy corpus (many anchors per doc pair) with BOTH
+    scale gates forced: id semi-join + partition-cogrouped exchange
+    verify must equal the broadcast result and the brute force."""
+    rng = random.Random(41)
+    blk = _rand_text(rng, 120)
+    docs = {i: _rand_text(rng, 30) + blk + _rand_text(rng, 30)
+            for i in range(8)}
+    a = _spans_set(duplicate_spans(_ds_of(docs, 3), min_len=MIN_LEN, k=K,
+                                   max_df=10_000))
+    b = _spans_set(duplicate_spans(_ds_of(docs, 3), min_len=MIN_LEN, k=K,
+                                   max_df=10_000, text_broadcast_bytes=0,
+                                   id_broadcast_limit=0))
+    assert a == b == brute_force_spans(docs)
+
+
+def test_strip_metadata_passthrough(ray_session, corpus):
+    """strip composes mid-pipeline: custom id/text column names honored,
+    url/host metadata columns preserved, on BOTH the broadcast and the
+    join application paths."""
+    urls = {d: f"https://ex.com/{d}" for d in corpus}
+    t = pa.table({
+        "page_id": pa.array(list(corpus), pa.int64()),
+        "url": pa.array([urls[d] for d in corpus], pa.string()),
+        "body": pa.array(list(corpus.values()), pa.string()),
+        "host": pa.array(["ex.com"] * len(corpus), pa.string())})
+    want = strip_duplicate_spans(_ds_of(corpus), min_len=MIN_LEN,
+                                 k=K).to_pandas()
+    want = dict(zip((int(x) for x in want["doc_id"]), want["text"]))
+    for kw in ({}, {"cuts_broadcast_limit": 0}):
+        out = strip_duplicate_spans(
+            rd.from_arrow(t), min_len=MIN_LEN, k=K, id_col="page_id",
+            text_col="body", **kw).to_pandas()
+        assert set(out.columns) == {"page_id", "url", "body", "host"}
+        got = {int(r.page_id): (r.url, r.body, r.host)
+               for r in out.itertuples(index=False)}
+        for d in corpus:
+            assert got[d] == (urls[d], want[d], "ex.com")
