@@ -1756,11 +1756,38 @@ def _q_doc_freq_topk(sf_dir: str):
 
 
 def _q_price_quantiles(sf_dir: str):
-    """Approximate quantiles of o_totalprice via the two-level mergeable
-    weighted-quantile summary (rank error ~1/m per level) — the
-    continuous-column companion to the exact word_count_quantiles. No
-    oracle entry (approximate by construction); the test suite bounds the
-    rank error vs the exact quantile at <2%."""
+    """Approximate quantiles of o_totalprice via DDSketch (Masson et al.,
+    VLDB 2019): deterministic log-spaced buckets with exact integer
+    counts, so the result is bit-identical at any parallelism AND the
+    oracle recomputes it in SQL (ln-bucket + window cumsum) —
+    value-exact, not just rank-bounded. Returns (q_pct, bucket); bucket
+    -> value via sketch.dd_bucket_value (relative error <= 1%)."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import ddsketch_quantiles
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_totalprice"])
+    return ddsketch_quantiles(ds, "o_totalprice")
+
+
+def _q_price_quantiles_by_priority(sf_dir: str):
+    """Per-group DDSketch quantiles (o_totalprice by o_orderpriority):
+    per-batch (key, bucket) count combiner, one (key, bucket)-keyed
+    exchange, per-key quantile kernel in a key-keyed exchange — no
+    driver state, deterministic, SQL-oracle-exact."""
+    import ray.data as rd
+    from sift_ray.functions.sketch import ddsketch_quantiles_by
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_totalprice"])
+    return ddsketch_quantiles_by(ds, "o_orderpriority", "o_totalprice")
+
+
+def _q_price_quantiles_gk(sf_dir: str):
+    """Approximate quantiles via the two-level mergeable GK-style
+    weighted-quantile summary (rank error ~1/m per level) — kept as the
+    order-dependent companion to the deterministic DDSketch variant
+    above. Rows-only BY CONSTRUCTION: the summary's compression points
+    depend on partition merge order, so no exact oracle can exist; the
+    test suite bounds the rank error vs the exact quantile at <2%."""
     import ray.data as rd
     from sift_ray.functions.sketch import quantile_sketch
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
@@ -1768,12 +1795,10 @@ def _q_price_quantiles(sf_dir: str):
     return quantile_sketch(ds, "o_totalprice")
 
 
-def _q_price_quantiles_by_priority(sf_dir: str):
-    """Per-group approximate quantiles (o_totalprice by o_orderpriority)
-    via the grouped mergeable weighted-quantile summary: per-batch
-    per-group compression, ONE key-hash exchange, partition-local fold.
-    No oracle entry (approximate by construction); the test suite bounds
-    the per-group rank error at <3%."""
+def _q_price_quantiles_gk_by_priority(sf_dir: str):
+    """Per-group GK-style approximate quantiles (order-dependent,
+    rows-only by construction — see _q_price_quantiles_gk); per-group
+    rank error bounded at <3% by tests."""
     import ray.data as rd
     from sift_ray.functions.sketch import quantile_sketch_by
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
@@ -1868,7 +1893,19 @@ def _q_embedding_quantize(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     out, _ = embedding_quantize(ds)
-    return out
+
+    def hex_pack(t: "pa.Table") -> "pa.Table":
+        # canonical encoding for the driver compare: the int8 vector as
+        # a hex string (2's-complement bytes) — order-insensitive,
+        # hashable, lossless
+        import numpy as np
+        import pyarrow as pa
+        qs = [np.asarray(v, np.int8).tobytes().hex()
+              for v in t.column("q").to_pylist()]
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "q_hex": pa.array(qs, pa.string())})
+
+    return out.map_batches(hex_pack, batch_format="pyarrow")
 
 
 def _q_web_pipeline(sf_dir: str):
@@ -2105,7 +2142,21 @@ def _q_url_dedup(sf_dir: str):
         return pa.concat_tables([t.select(["url", "warc_ts", "html"]), dup])
 
     doubled = pages.map_batches(plant_dups, batch_format="pyarrow")
-    return url_dedup(doubled, ts_col="warc_ts")
+    deduped = url_dedup(doubled, ts_col="warc_ts")
+
+    def digest_html(t: pa.Table) -> pa.Table:
+        # canonical encoding for the driver compare: the binary html
+        # column as a sha256 hex digest (BLOBs are unhashable in the
+        # DuckDB-side value compare); the payload survives losslessly
+        # in the real pipeline — this projection is query-surface only
+        import hashlib
+        hx = [hashlib.sha256(b).hexdigest() if b is not None else None
+              for b in t.column("html").to_pylist()]
+        return pa.table({"url": t.column("url"),
+                         "warc_ts": t.column("warc_ts"),
+                         "html_sha": pa.array(hx, pa.string())})
+
+    return deduped.map_batches(digest_html, batch_format="pyarrow")
 
 
 def _q_normalize_text(sf_dir: str):
@@ -3777,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk": _q_anchor_topk,
         "price_quantiles": _q_price_quantiles,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
+        "price_quantiles_gk": _q_price_quantiles_gk,
+        "price_quantiles_gk_by_priority": _q_price_quantiles_gk_by_priority,
         "pagerank_customers": _q_pagerank_customers,
         "bfs_orders": _q_bfs_orders,
         "triangle_count_orders": _q_triangle_count,
@@ -5987,14 +6040,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE md5(d.text) NOT IN (
                 SELECT md5(text) FROM documents WHERE doc_id % 7 <> 0)"""
-    # Golden-parquet oracles for the non-SQL-expressible queries
-    # (readability/markdown extraction, PDF parse, image/audio decode):
-    # DuckDB reads the frozen sf0.01 output minted by
-    # tools/mint_driver_goldens.py, giving these queries the same
-    # rows+schema+hash teeth as the SQL-recomputed oracles — the inputs
-    # are deterministic synthetic corpora, so any value drift is a real
-    # behavior change (and tests/test_oracle.py re-checks every one of
-    # these per pytest run against a fresh recompute).
+    # DDSketch quantiles: the oracle recomputes the deterministic
+    # log-bucket histogram and rank rule in SQL. gamma is embedded as
+    # repr() so both engines parse the identical double; the 1e-9
+    # epsilon inside ceil() makes boundary values bucket identically
+    # under numpy's and DuckDB's ln() (see sketch._dd_bucket).
+    from sift_ray.functions.sketch import _dd_gamma
+    _g = repr(_dd_gamma(0.01))
+    d["price_quantiles"] = f"""
+            WITH b AS (SELECT CAST(ceil(ln(o_totalprice)/ln({_g}) - 1e-9)
+                                   AS BIGINT) AS bucket,
+                              count(*) AS c
+                       FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+                 s AS (SELECT bucket,
+                              sum(c) OVER (ORDER BY bucket) AS cum,
+                              sum(c) OVER () AS n FROM b),
+                 q(q_pct) AS (VALUES (1),(25),(50),(75),(99))
+            SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+                   min(s.bucket) AS bucket
+            FROM s CROSS JOIN q
+            WHERE s.cum > CAST(q.q_pct AS DOUBLE)/100.0*(s.n-1)
+            GROUP BY 1"""
+    d["price_quantiles_by_priority"] = f"""
+            WITH b AS (SELECT o_orderpriority AS k,
+                              CAST(ceil(ln(o_totalprice)/ln({_g}) - 1e-9)
+                                   AS BIGINT) AS bucket,
+                              count(*) AS c
+                       FROM orders WHERE o_totalprice > 0 GROUP BY 1, 2),
+                 s AS (SELECT k, bucket,
+                              sum(c) OVER (PARTITION BY k
+                                           ORDER BY bucket) AS cum,
+                              sum(c) OVER (PARTITION BY k) AS n FROM b),
+                 q(q_pct) AS (VALUES (1),(25),(50),(75),(99))
+            SELECT s.k AS o_orderpriority,
+                   CAST(q.q_pct AS BIGINT) AS q_pct,
+                   min(s.bucket) AS bucket
+            FROM s CROSS JOIN q
+            WHERE s.cum > CAST(q.q_pct AS DOUBLE)/100.0*(s.n-1)
+            GROUP BY 1, 2"""
+    # GOLDEN PINS (not independent oracles) for the non-SQL-expressible
+    # queries (readability/markdown extraction, PDF parse, image/audio
+    # decode): DuckDB reads the frozen sf0.01 output minted by
+    # tools/mint_driver_goldens.py FROM THIS IMPLEMENTATION. Unlike the
+    # SQL-recomputed oracles above — which independently derive the
+    # answer — a pin freezes the minting-time behavior: it catches any
+    # subsequent drift (same rows+schema+hash teeth; inputs are
+    # deterministic synthetic corpora, and tests/test_oracle.py
+    # re-checks each one per pytest run against a fresh recompute) but
+    # cannot catch a bug already present when minted. Those queries'
+    # ground truth lives in the ported reference assertions and
+    # byte-exact goldens under tests/. When an operator's behavior
+    # legitimately changes, re-mint with
+    # `python tools/mint_driver_goldens.py NAME...` and commit the new
+    # parquet alongside the change that justifies it.
     from tools.mint_driver_goldens import GOLDEN_QUERIES, OUT_DIR
     for name in GOLDEN_QUERIES:
         path = os.path.join(OUT_DIR, f"{name}.parquet")

@@ -1008,23 +1008,33 @@ def grouped_string_agg(ds, group_col: str, value_col: str,
     def kernel(tbl: pa.Table) -> pa.Table:
         # Arrow sort + numpy segment bounds (replaces a pandas sort +
         # per-group lambda); values keep Python str() formatting so the
-        # joined text matches the oracle exactly
+        # joined text matches the oracle exactly. Group boundaries come
+        # from the ARROW column (validity mask + null-filled not_equal),
+        # never a numpy view: an int64 key column with nulls converts to
+        # float64 (NaN != NaN would split the null group per row, and
+        # large ids lose exactness past 2^53). Null keys form ONE group,
+        # matching pandas groupby(dropna=False) and SQL GROUP BY.
+        import pyarrow.compute as pc
         tbl = tbl.drop_columns("part").sort_by(
             [(group_col, "ascending"), (order_col, "ascending")])
         gtype = tbl.schema.field(group_col).type
-        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        col = tbl.column(group_col).combine_chunks()
+        n = len(col)
         vals = tbl.column(value_col).to_pylist()
-        if len(g) == 0:
+        if n == 0:
             return pa.table({group_col: pa.array([], gtype),
                              "agg": pa.array([], pa.string())})
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = g[1:] != g[:-1]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        neq = pc.fill_null(pc.not_equal(col.slice(1), col.slice(0, n - 1)),
+                           False).to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = neq | (valid[1:] != valid[:-1])
         starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], len(g))
+        ends = np.append(starts[1:], n)
         joined = [sep.join("" if v is None else str(v)
                            for v in vals[s:e])
                   for s, e in zip(starts, ends)]
-        return pa.table({group_col: pa.array(g[starts], gtype),
+        return pa.table({group_col: col.take(pa.array(starts)),
                          "agg": pa.array(joined, pa.string())})
 
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")

@@ -250,20 +250,6 @@ def _first_per_sorted_unit(cand: pa.Table,
     return srt.filter(first)
 
 
-def _first_unit_occurrence_mask(t: pa.Table, unit_col: str = "unit"):
-    """Boolean keep-mask marking each unit string's FIRST row in current
-    table order — Arrow group_by on a row-index column (binary-safe; the
-    pandas ``duplicated`` idiom truncates at NUL bytes)."""
-    import pyarrow.compute as pc
-
-    n = t.num_rows
-    ids = pa.array(np.arange(n, dtype=np.int64))
-    firsts = (pa.table({"unit": t.column(unit_col), "_i": ids})
-              .group_by(["unit"]).aggregate([("_i", "min")])
-              .column("_i_min"))
-    return pc.is_in(ids, value_set=firsts.combine_chunks())
-
-
 def _reassemble_docs(units, num_parts: int, join_delim: str):
     """Rebuild (doc_id, text, n_units) from surviving (doc_id, unit_no,
     unit) rows: ONE doc_id exchange, partition-local sort + group-concat.
@@ -367,12 +353,18 @@ def line_dedup(ds, delimiter: str = "\n", min_words: int = 1,
         elif normalize is not None:
             raise ValueError(f"unknown normalize mode: {normalize!r}")
         t = pa.table(cols)
-        # in-batch combiner: rows arrive in (doc_id, unit_no) order, so the
-        # first occurrence is the in-batch lexicographic winner; Arrow mask
-        # (binary-safe — pandas `duplicated` truncates at NUL bytes)
-        keep = pc.or_(pc.invert(t.column("elig")),
-                      _first_unit_occurrence_mask(t, key_col))
-        return t.filter(keep)
+        # in-batch combiner: keep each key's lexicographically smallest
+        # (doc_id, unit_no) IN THIS BATCH — the same rule the global
+        # winner pass applies. First-in-table-order is NOT equivalent:
+        # doc_ids are url hashes, so batch row order is not doc_id order,
+        # and a combiner keeping a non-minimal occurrence would discard
+        # the true global winner map-side, making the surviving
+        # occurrence depend on batch composition (parallelism-unstable).
+        # Arrow throughout (binary-safe — pandas `duplicated` truncates
+        # at NUL bytes).
+        inelig = t.filter(pc.invert(t.column("elig")))
+        won = _first_per_sorted_unit(t.filter(t.column("elig")), key_col)
+        return pa.concat_tables([won, inelig])
 
     units = ds.map_batches(explode, batch_format="pyarrow")
     return _dedup_units(units, num_parts=num_parts, join_delim=delimiter)
@@ -463,8 +455,10 @@ def span_dedup(ds, span_words: int = 8, id_col: str = "doc_id",
             "unit_no": pa.array(spans["span_no"].to_numpy(), pa.int64()),
             "unit": pa.array(spans["word"], pa.string()),
         })
-        # in-batch combiner (Arrow, binary-safe — see line_dedup)
-        t = t.filter(_first_unit_occurrence_mask(t))
+        # in-batch combiner: per-key lexicographic (doc_id, unit_no)
+        # minimum, matching the global winner rule (see line_dedup — a
+        # first-in-table-order combiner is batch-composition-dependent)
+        t = _first_per_sorted_unit(t)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "unit_no": t.column("unit_no"),

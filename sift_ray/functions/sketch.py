@@ -38,10 +38,20 @@ def _hash64_any(col) -> np.ndarray:
     first, see ``_null_mask``): ints vectorized, other types via blake2b
     per value. Hashing is consistent within a column type; equal values of
     DIFFERENT Arrow types (int 1 vs float 1.0) hash differently — pick one
-    column type upstream."""
+    column type upstream. Nullable int columns stay EXACT: nulls are
+    filled with 0 on the Arrow side before hashing (a numpy conversion
+    would degrade the whole column to float64 — NaN-cast warnings and
+    >2^53 ids rounding together), so null hashes like 0 — harmless for
+    partition routing (co-location only) and invisible to
+    COUNT(DISTINCT) callers, which mask nulls per the contract above."""
     import hashlib
     if pa.types.is_integer(col.type):
-        return _hash64_ints(col.to_numpy(zero_copy_only=False))
+        if col.null_count:
+            import pyarrow.compute as pc
+            vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        else:
+            vals = col.to_numpy(zero_copy_only=False)
+        return _hash64_ints(vals)
     vals = col.to_pylist()
     return np.fromiter(
         (int.from_bytes(
@@ -631,3 +641,178 @@ def exact_distinct(ds, cols, num_parts: Optional[int] = None):
     total = int(sum(r["n"] for r in partials.take_all()))
     return rd.from_arrow(pa.table({"n_distinct": pa.array([total],
                                                           pa.int64())}))
+
+
+# ---- DDSketch: DETERMINISTIC mergeable quantiles ------------------------
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def _dd_bucket(x: np.ndarray, gamma: float) -> np.ndarray:
+    """DDSketch bucket index of positive values: ceil(ln(x)/ln(gamma)),
+    computed with a 1e-9 downward epsilon so a value mathematically ON a
+    bucket boundary lands in the same bucket under any IEEE libm (numpy
+    here, DuckDB in the oracle — their ln() may differ by ~1 ulp, 7
+    orders of magnitude inside the epsilon)."""
+    return np.ceil(np.log(x) / np.log(gamma) - 1e-9).astype(np.int64)
+
+
+def dd_bucket_value(bucket, alpha: float = 0.01) -> float:
+    """Representative value of a DDSketch bucket (the paper's midpoint
+    2*gamma^i/(gamma+1)); relative error <= alpha."""
+    g = _dd_gamma(alpha)
+    return 2.0 * g ** int(bucket) / (g + 1.0)
+
+
+def _dd_quantile_kernel(buckets: np.ndarray, counts: np.ndarray,
+                        qs) -> list:
+    """(q_pct, bucket) rows from a bucket histogram: for each q the first
+    bucket (ascending) whose cumulative count exceeds q/100*(n-1) — the
+    same rank convention the SQL oracle spells out."""
+    order = np.argsort(buckets)
+    b = buckets[order]
+    cum = np.cumsum(counts[order])
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = (q / 100.0) * (n - 1)
+        i = int(np.searchsorted(cum, rank, side="right"))
+        out.append((int(q), int(b[i])))
+    return out
+
+
+def ddsketch_quantiles(ds, col: str, qs=(1, 25, 50, 75, 99),
+                       alpha: float = 0.01,
+                       num_parts: Optional[int] = None):
+    """DETERMINISTIC approximate quantiles of a positive numeric column
+    via DDSketch (Masson, Rim & Lee, VLDB 2019): fixed log-spaced buckets
+    with relative-error bound ``alpha``. Bucket counts are exact integers
+    and bucket boundaries depend only on the VALUE — never on batch or
+    partition layout — so unlike the GK-style ``quantile_sketch`` the
+    result is bit-identical at any parallelism AND recomputable by a SQL
+    oracle (ln-bucket + window cumsum). Non-positive / null values are
+    dropped (DDSketch's log buckets need x > 0; use value_histogram for
+    signed data). Returns (q_pct:int64, bucket:int64) — turn a bucket
+    into its value estimate with :func:`dd_bucket_value`.
+
+    Shape: per-batch bucket+count combiner (O(distinct buckets) ~
+    O(log(range)/alpha) rows per batch), ONE bucket-keyed exchange, and a
+    driver fold over <= a few thousand bucket rows — driver and exchange
+    volume are bucket-proportional, never corpus-proportional."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .shuffle import partitioned_group_agg
+
+    g = _dd_gamma(alpha)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64()).drop_null() \
+            .to_numpy(zero_copy_only=False)
+        x = x[x > 0]
+        if len(x) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        b, c = np.unique(_dd_bucket(x, g), return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = partitioned_group_agg(ds.map_batches(partial,
+                                                batch_format="pyarrow"),
+                                 ["bucket"], [("c", "sum", "c")],
+                                 num_parts=num_parts)
+    rows = hist.take_all()           # <= bucket count: bounded, tiny
+    if not rows:
+        return rd.from_arrow(pa.table({
+            "q_pct": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64())}))
+    b = np.array([r["bucket"] for r in rows], np.int64)
+    c = np.array([r["c"] for r in rows], np.int64)
+    out = _dd_quantile_kernel(b, c, qs)
+    return rd.from_arrow(pa.table({
+        "q_pct": pa.array([q for q, _ in out], pa.int64()),
+        "bucket": pa.array([bk for _, bk in out], pa.int64())}))
+
+
+def ddsketch_quantiles_by(ds, key_col: str, col: str,
+                          qs=(1, 25, 50, 75, 99), alpha: float = 0.01,
+                          num_parts: Optional[int] = None):
+    """Per-group :func:`ddsketch_quantiles` at unbounded group count:
+    per-batch (key, bucket) count combiner, ONE (key, bucket)-keyed
+    exchange to exact counts, then a key-keyed exchange whose partition
+    kernel computes each group's quantiles — no driver state at all.
+    Returns (key_col, q_pct:int64, bucket:int64)."""
+    import pyarrow.compute as pc
+
+    from .shuffle import (add_hash_partition, default_num_parts,
+                          partitioned_group_agg)
+
+    g = _dd_gamma(alpha)
+    P = num_parts or default_num_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(col), pa.float64())
+        keep = pc.and_kleene(pc.is_valid(x),
+                             pc.greater(x, pa.scalar(0.0)))
+        t = batch.filter(pc.fill_null(keep, False))
+        xv = pc.cast(t.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        kt = pa.table({key_col: t.column(key_col),
+                       "bucket": pa.array(_dd_bucket(xv, g), pa.int64())})
+        agg = kt.group_by([key_col, "bucket"], use_threads=False) \
+                .aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "bucket", "c"])
+
+    def kb_keys(batch: pa.Table):
+        colk = batch.column(key_col)
+        ka = (colk.to_numpy(zero_copy_only=False)
+              if pa.types.is_integer(colk.type) and colk.null_count == 0
+              else _hash64_any(colk).astype(np.int64))
+        return [ka, batch.column("bucket").to_numpy(zero_copy_only=False)]
+
+    hist = partitioned_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "bucket"], [("c", "sum", "c")], num_parts=num_parts,
+        key_arrays_fn=kb_keys)
+
+    def keys(batch: pa.Table):
+        colk = batch.column(key_col)
+        if pa.types.is_integer(colk.type) and colk.null_count == 0:
+            return [colk.to_numpy(zero_copy_only=False)]
+        return [_hash64_any(colk).astype(np.int64)]
+
+    parted = add_hash_partition(hist, [key_col], P, key_arrays_fn=keys)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns("part").sort_by(
+            [(key_col, "ascending"), ("bucket", "ascending")])
+        ktype = tbl.schema.field(key_col).type
+        if tbl.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "q_pct": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        kcol = tbl.column(key_col).combine_chunks()
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        c = tbl.column("c").to_numpy(zero_copy_only=False)
+        n = len(kcol)
+        neq = pc.fill_null(
+            pc.not_equal(kcol.slice(1), kcol.slice(0, n - 1)),
+            True).to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = neq
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        out_k, out_q, out_b = [], [], []
+        for s, e in zip(starts, ends):
+            for q, bk in _dd_quantile_kernel(b[s:e], c[s:e], qs):
+                out_k.append(s)
+                out_q.append(q)
+                out_b.append(bk)
+        return pa.table({
+            key_col: kcol.take(pa.array(out_k, pa.int64())),
+            "q_pct": pa.array(out_q, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64())})
+
+    return parted.groupby("part").map_groups(kernel,
+                                             batch_format="pyarrow")

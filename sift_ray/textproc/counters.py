@@ -174,6 +174,15 @@ class TokenCounter:
         self._bpe = _real_bpe()
 
     def encode(self, text: str) -> List[str]:
+        """OFFLINE-FALLBACK representation only: string pieces whose
+        concatenation is exactly ``text``. This is deliberately NOT
+        routed through the real-vocab BPE (its tokens are byte slices
+        that can split UTF-8 codepoints, so per-token ``str`` pieces
+        could not concatenate back losslessly) — therefore in real-vocab
+        mode ``len(encode(text)) != count(text)``. Callers needing
+        vocab-consistent numbers must use ``count()`` /
+        ``create_partial_text()``, which do honor ``SIFT_RAY_CL100K_VOCAB``;
+        integer token ids are available via ``_real_bpe().encode``."""
         if not text:
             return []
         out: List[str] = []

@@ -962,6 +962,26 @@ def test_grouped_string_agg(ray_session):
                                            "c": "q"}
 
 
+def test_grouped_string_agg_null_keys(ray_session):
+    """Null group keys form ONE group (pandas dropna=False / SQL GROUP BY
+    semantics) and large int64 keys stay exact — both break if the kernel
+    views a nullable int key as float64 (NaN != NaN; 2^53 rounding)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.analytic import grouped_string_agg
+
+    big = (1 << 60) + 1
+    t = pa.table({"g": pa.array([None, 7, None, big, 7, None, big + 1],
+                                pa.int64()),
+                  "v": pa.array(["a", "p", "b", "x", "q", "c", "y"]),
+                  "o": pa.array([1, 1, 2, 1, 2, 3, 1], pa.int64())})
+    rows = grouped_string_agg(rd.from_arrow(t).repartition(3), "g", "v",
+                              "o", sep="|", num_parts=4).take_all()
+    got = {r["g"]: r["agg"] for r in rows}   # Arrow rows: exact ints/None
+    assert got == {None: "a|b|c", 7: "p|q", big: "x", big + 1: "y"}
+    assert len(rows) == 4
+
+
 def test_ohlc_window_matches_pandas(ray_session):
     """OHLC bars against a pandas replica: open/close by (ts, event_id)
     order incl. timestamp ties, low/high/n exact, partition invariant."""

@@ -694,6 +694,32 @@ def test_line_dedup_in_batch_combiner_and_first_wins(ray_session):
     assert out.text[0] == "dup line here\nmiddle bit x"
 
 
+def test_line_dedup_combiner_keeps_lexicographic_min(ray_session):
+    """The in-batch combiner must keep each key's lexicographically
+    smallest (doc_id, unit_no) — NOT the first row in batch order.
+    Batch order is url-hash order, so a first-in-order combiner silently
+    discards the true global winner map-side and the surviving
+    occurrence becomes batch-composition-dependent (this was the
+    web_pipeline_shards 4-vs-8-cpu instability). Here the HIGHER doc_id
+    appears first in the batch; the line must still survive in the
+    lower doc_id, identically at every blocking."""
+    import ray.data as rd
+    from sift_ray.functions.corpus import line_dedup
+    df = pd.DataFrame({
+        "doc_id": [9, 2, 5],      # batch order != doc_id order
+        "text": ["shared dup line\nnine only line",
+                 "two only line\nshared dup line",
+                 "shared dup line"],
+    })
+    for nblocks in (1, 3):
+        src = rd.from_pandas(df).repartition(nblocks)
+        out = (line_dedup(src, min_words=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        got = dict(zip(out.doc_id, out.text))
+        assert got == {2: "two only line\nshared dup line",
+                       9: "nine only line"}, nblocks
+
+
 def test_span_dedup_exact_duplicate_doc_vanishes(ray_session):
     import ray.data as rd
     from sift_ray.functions.corpus import span_dedup
@@ -2710,3 +2736,64 @@ def test_ngram_prefix_threshold_validation(ray_session):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError):
             ngram_jaccard_pairs_prefix(ds, threshold=bad)
+
+
+def test_ddsketch_quantiles_deterministic_and_bounded(ray_session):
+    """DDSketch quantiles: (a) bit-identical under any partitioning —
+    the property the GK-style quantile_sketch lacks; (b) bucket midpoint
+    within the alpha=1% relative-error bound of the exact quantile
+    (matching rank convention q*(n-1), first cum > rank)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import (dd_bucket_value,
+                                           ddsketch_quantiles)
+
+    rng = np.random.default_rng(5)
+    x = np.abs(rng.lognormal(4.0, 1.2, 20_000)) + 0.01
+    t = pa.table({"v": pa.array(x, pa.float64())})
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        df = (ddsketch_quantiles(ds, "v").to_pandas()
+              .sort_values("q_pct").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    xs = np.sort(x)
+    n = len(xs)
+    for q, b in zip(outs[0]["q_pct"], outs[0]["bucket"]):
+        rank = (q / 100.0) * (n - 1)
+        exact = xs[int(np.ceil(rank)) if rank != int(rank) else int(rank)]
+        est = dd_bucket_value(b)
+        assert abs(est - exact) <= 0.021 * exact, (q, est, exact)
+
+
+def test_ddsketch_quantiles_by_matches_ungrouped(ray_session):
+    """Grouped DDSketch == ungrouped DDSketch run per group; non-positive
+    and null values dropped; string keys partition correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from sift_ray.functions.sketch import (ddsketch_quantiles,
+                                           ddsketch_quantiles_by)
+
+    rng = np.random.default_rng(9)
+    ks, vs = [], []
+    for k in ("alpha", "beta", "gamma"):
+        n = int(rng.integers(500, 1500))
+        ks += [k] * n
+        vs += list(np.abs(rng.lognormal(3.0, 1.0, n)) + 0.01)
+    ks += ["alpha", "beta"]
+    vs += [-5.0, None]                    # dropped on both paths
+    t = pa.table({"k": pa.array(ks, pa.string()),
+                  "v": pa.array(vs, pa.float64())})
+    grouped = (ddsketch_quantiles_by(rd.from_arrow(t).repartition(4),
+                                     "k", "v").to_pandas()
+               .sort_values(["k", "q_pct"]).reset_index(drop=True))
+    for k in ("alpha", "beta", "gamma"):
+        sub = t.filter(pa.compute.equal(t.column("k"), k))
+        single = (ddsketch_quantiles(rd.from_arrow(sub), "v").to_pandas()
+                  .sort_values("q_pct").reset_index(drop=True))
+        gsub = grouped[grouped["k"] == k].reset_index(drop=True)
+        assert gsub["q_pct"].tolist() == single["q_pct"].tolist()
+        assert gsub["bucket"].tolist() == single["bucket"].tolist(), k

@@ -52,11 +52,16 @@ GOLDEN_QUERIES = [
     # Parallelism-stable rows-only queries (verified bit-stable across
     # 4-cpu vs 8-cpu sessions by tools/check_query_determinism.py —
     # sketches with fixed seeds, fixed-point graph ranks, deterministic
-    # map kernels). NOT pinned: price_quantiles{,_by_priority} and
-    # web_pipeline_shards (GK-sketch / shard boundaries vary with
-    # partition merge order), kmeans_clusters (list centroid column),
-    # url_dedup (binary html column — BLOBs are unhashable in the
-    # DuckDB-side compare).
+    # map kernels). NOT pinned: ONLY price_quantiles_gk{,_by_priority} —
+    # the GK-style summary is order-dependent by construction (its
+    # compression points vary with partition merge order; rank error is
+    # bounded by tests instead). Everything else in queries() has either
+    # a SQL-recomputed oracle or a pin here: price_quantiles{,_by_
+    # priority} moved to deterministic DDSketch with full SQL oracles;
+    # web_pipeline_shards became stable once line_dedup's in-batch
+    # combiner kept the lexicographic-min occurrence; url_dedup /
+    # embedding_quantize expose canonical encodings (sha256 hex, int8
+    # hex-pack); kmeans_clusters was already scalar and stable.
     "approx_distinct_users",
     "approx_distinct_by_priority",
     "quality_classifier",
@@ -90,6 +95,10 @@ GOLDEN_QUERIES = [
     "strip_duplicate_spans",
     "cdc_chunks",
     "cdc_dedup_stats",
+    "url_dedup",
+    "kmeans_clusters",
+    "embedding_quantize",
+    "web_pipeline_shards",
 ]
 
 
