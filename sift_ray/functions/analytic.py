@@ -253,14 +253,14 @@ def grouping_sets(ds, key_cols: Sequence[str], aggs: List[AggSpec],
         """Map-side int64 key arrays for any key type (strings hash; the
         kernel re-groups by the TRUE columns, so collisions stay exact)."""
         def fn(batch: pa.Table):
-            from .sketch import _hash64_any
+            from .sketch import _hash64_route
             arrs = []
             for c in cols:
                 col = batch.column(c)
                 if pa.types.is_integer(col.type):
                     arrs.append(col.to_numpy(zero_copy_only=False))
                 else:
-                    arrs.append(_hash64_any(col).astype(np.int64))
+                    arrs.append(_hash64_route(col).astype(np.int64))
             return arrs
         return fn
 
@@ -561,8 +561,8 @@ def pivot_counts(ds, row_col: str, col_col: str,
         col = batch.column(row_col)
         if pa.types.is_integer(col.type):
             return [col.to_numpy(zero_copy_only=False)]
-        from .sketch import _hash64_any
-        return [_hash64_any(col).astype(np.int64)]
+        from .sketch import _hash64_route
+        return [_hash64_route(col).astype(np.int64)]
 
     rows = ds.map_batches(partial, batch_format="pyarrow")
     parted = add_hash_partition(rows, [row_col], P, key_arrays_fn=key_fn)
@@ -997,8 +997,8 @@ def grouped_string_agg(ds, group_col: str, value_col: str,
         col = batch.column(group_col)
         if pa.types.is_integer(col.type) and col.null_count == 0:
             return [col.to_numpy(zero_copy_only=False)]
-        from .sketch import _hash64_any
-        return [_hash64_any(col).astype(np.int64)]
+        from .sketch import _hash64_route
+        return [_hash64_route(col).astype(np.int64)]
 
     proj = ds.map_batches(
         lambda t: t.select([group_col, value_col, order_col]),

@@ -689,6 +689,80 @@ def bench_kgrams(bench_rows: Sequence[Tuple[int, str]],
     return [(g, sorted(s)) for g, s in owners.items()]
 
 
+class DecontSubstrStage:
+    """Map-side exact-substring decontamination against a broadcast
+    gram state (``ray.put`` once, fetched once per worker process via
+    TaskStage's instance cache — the gram list is never pickled per
+    task). See :func:`decontaminate` for the prefilter contract."""
+
+    def __init__(self, state_ref, kin: int, id_col: str = "doc_id",
+                 out_cols: Optional[tuple] = None):
+        import ray
+        st = ray.get(state_ref)
+        self.grams = st["grams"]
+        self.iu, self.bloom = st["iu"], st["bloom"]
+        self.mbits, self.gmap = st["mbits"], st["gmap"]
+        self.kin, self.id_col, self.out_cols = kin, id_col, out_cols
+
+    def _suspects(self, batch: pa.Table) -> dict:
+        """row index -> candidate gram indices: the grams whose interior
+        word-gram appears word-aligned in that row — a sound superset of
+        the row's actual substring matches, so the exact check only ever
+        tests candidate grams against candidate rows."""
+        import pyarrow.compute as pc
+        kin = self.kin
+        splits = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(
+            zero_copy_only=False)
+        keep_w = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, parent = flat.filter(pa.array(keep_w)), parent[keep_w]
+        out: dict = {}
+        if len(parent) >= kin:
+            gh = _gram_hashes(_hash_word_array(flat), kin)
+            valid = parent[:len(gh)] == parent[kin - 1:kin - 1 + len(gh)]
+            gh, gp = gh[valid], parent[:len(valid)][valid]
+            cand = np.ones(len(gh), dtype=bool)
+            for idx in _bloom_probes(gh, self.mbits):
+                cand &= (self.bloom[(idx >> np.uint64(3)).astype(np.int64)]
+                         >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            gh, gp = gh[cand], gp[cand]
+            if len(gh):
+                pos = np.searchsorted(self.iu, gh)
+                pos_c = np.minimum(pos, len(self.iu) - 1)
+                okm = self.iu[pos_c] == gh
+                for h, p in zip(gh[okm].tolist(), gp[okm].tolist()):
+                    out.setdefault(p, set()).update(self.gmap[h])
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        cand = self._suspects(batch)
+        if cand:
+            ids = batch.column(self.id_col).to_numpy(
+                zero_copy_only=False)
+            rows = sorted(cand)
+            texts = batch.column("text").take(
+                pa.array(rows, pa.int64())).to_pylist()
+            drop_rows = []
+            for r, txt in zip(rows, texts):
+                if txt is None:
+                    continue
+                did = ids[r]
+                for gi in cand[r]:
+                    g, own = self.grams[gi]
+                    if g in txt and (len(own) > 1 or own[0] != did):
+                        drop_rows.append(r)
+                        break
+            if drop_rows:
+                m = np.ones(batch.num_rows, dtype=bool)
+                m[drop_rows] = False
+                out = batch.filter(pa.array(m))
+        return out.select(list(self.out_cols)) if self.out_cols else out
+
+
 def decontaminate(ds, bench_rows: Sequence[Tuple[int, str]], k: int = 4,
                   id_col: str = "doc_id",
                   out_cols: Optional[List[str]] = None):
@@ -699,23 +773,66 @@ def decontaminate(ds, bench_rows: Sequence[Tuple[int, str]], k: int = 4,
     anchor word boundaries).
 
     ``bench_rows``: (doc_id, text) of the benchmark set — small by
-    construction; its gram list is computed once on the driver and
-    captured by the map-side filter (broadcast once per task process).
-    """
+    construction; its gram state is computed once on the driver,
+    ``ray.put`` once, and fetched once per worker process.
+
+    Cost shape: a per-gram substring pass over every row would be
+    O(grams x corpus bytes). Instead a SOUND vectorized prefilter marks
+    suspicious rows first: a substring occurrence of "w1 .. wk" contains
+    literal spaces around its interior words, so the target must contain
+    the gram's interior (k-2)-gram WORD-ALIGNED — testable with the
+    hashed word-gram membership machinery of ``decontaminate_grams``
+    (O(batch words), gram-count independent). The exact per-gram
+    substring + ownership check then runs only per (suspect row,
+    candidate gram) pair; clean rows (the overwhelming majority of a
+    real corpus) never enter it. Byte-identical to the naive loop (the
+    prefilter is a superset; the drop rule is re-derived exactly on the
+    suspects). k <= 2 has no interior word, so it falls back to the
+    full per-gram loop."""
     import pyarrow.compute as pc
 
+    import ray
+
+    from .shuffle import TaskStage
+
     grams = bench_kgrams(bench_rows, k)
+    kin = k - 2
+    if grams and kin >= 1:
+        ih = np.array([
+            _gram_hashes(_hash_word_array(g.split(" ")[1:k - 1]), kin)[0]
+            for g, _ in grams], np.uint64)
+        iu = np.unique(ih)
+        mbits = 1 << max(6, int(np.ceil(np.log2(len(iu) * 16))))
+        bloom = np.zeros(mbits >> 3, np.uint8)
+        for idx in _bloom_probes(iu, mbits):
+            np.bitwise_or.at(
+                bloom, (idx >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        gmap: dict = {}
+        for gi, h in enumerate(ih.tolist()):
+            gmap.setdefault(h, []).append(gi)
+        ref = ray.put({"grams": grams, "iu": iu, "bloom": bloom,
+                       "mbits": mbits, "gmap": gmap})
+        return ds.map_batches(
+            TaskStage(DecontSubstrStage, state_ref=ref, kin=kin,
+                      id_col=id_col,
+                      out_cols=tuple(out_cols) if out_cols else None),
+            batch_format="pyarrow")
 
     def keep(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        ids = batch.column(id_col)
-        drop = None
-        for g, gram_owners in grams:
-            m = pc.match_substring(text, g)
-            if len(gram_owners) == 1:
-                m = pc.and_(m, pc.not_equal(ids, gram_owners[0]))
-            drop = m if drop is None else pc.or_(drop, m)
-        out = batch if drop is None else batch.filter(pc.invert(drop))
+        # k <= 2 (no interior word to prefilter on) or empty benchmark:
+        # the full per-gram vectorized substring loop (small-k rarity)
+        out = batch
+        if grams:
+            text = batch.column("text")
+            bids = batch.column(id_col)
+            drop = None
+            for g, gram_owners in grams:
+                m = pc.match_substring(text, g)
+                if len(gram_owners) == 1:
+                    m = pc.and_(m, pc.not_equal(bids, gram_owners[0]))
+                drop = m if drop is None else pc.or_(drop, m)
+            out = batch.filter(pc.invert(drop))
         return out.select(out_cols) if out_cols else out
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -1518,7 +1635,7 @@ def ngram_counts(ds, n: int = 3, min_count: int = 2,
     of (gram, partial) rows -> partition-local sum + HAVING filter (all
     rows of a gram co-locate, so the threshold is exact)."""
     import pyarrow.compute as pc
-    from .sketch import _hash64_any
+    from .sketch import _hash64_route
 
     P = num_parts or default_num_parts()
 
@@ -1551,7 +1668,7 @@ def ngram_counts(ds, n: int = 3, min_count: int = 2,
     rows = ds.map_batches(partial, batch_format="pyarrow")
 
     def gram_hash(batch: pa.Table):
-        return [_hash64_any(batch.column("gram")).astype(np.int64)]
+        return [_hash64_route(batch.column("gram")).astype(np.int64)]
 
     counts = partitioned_group_agg(rows, ["gram"], [("cnt", "sum", "cnt")],
                                    num_parts=P, key_arrays_fn=gram_hash)
@@ -1612,7 +1729,7 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
     import ray.data as rd
 
     from .shuffle import hash_join
-    from .sketch import _hash64_any
+    from .sketch import _hash64_route
 
     P = num_parts or default_num_parts()
 
@@ -1648,7 +1765,7 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
         return pa.concat_tables(tables)
 
     def gram_hash(batch: pa.Table):
-        return [_hash64_any(batch.column("gram")).astype(np.int64)]
+        return [_hash64_route(batch.column("gram")).astype(np.int64)]
 
     counts = partitioned_group_agg(
         ds.map_batches(fused_partial, batch_format="pyarrow"),

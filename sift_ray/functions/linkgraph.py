@@ -141,7 +141,7 @@ def host_edges(edges, num_parts: Optional[int] = None):
     (in-batch pre-aggregation via Arrow group_by happens inside the
     partition kernel)."""
     from .shuffle import partitioned_group_agg
-    from .sketch import _hash64_any
+    from .sketch import _hash64_route
 
     def to_hosts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "src" not in t.column_names:
@@ -155,8 +155,8 @@ def host_edges(edges, num_parts: Optional[int] = None):
     hosts = edges.map_batches(to_hosts, batch_format="pyarrow")
 
     def key_hash(batch: pa.Table):
-        return [_hash64_any(batch.column("src_host")).astype(np.int64),
-                _hash64_any(batch.column("dst_host")).astype(np.int64)]
+        return [_hash64_route(batch.column("src_host")).astype(np.int64),
+                _hash64_route(batch.column("dst_host")).astype(np.int64)]
 
     return partitioned_group_agg(hosts, ["src_host", "dst_host"],
                                  [(None, "count", "n")],

@@ -322,8 +322,8 @@ def grouped_topk(ds, group_col: str, order_col: str, tiebreak_col: str,
         col = batch.column(group_col)
         if pa.types.is_integer(col.type):
             return [col.to_numpy(zero_copy_only=False)]
-        from .sketch import _hash64_any
-        return [_hash64_any(col).astype(np.int64)]
+        from .sketch import _hash64_route
+        return [_hash64_route(col).astype(np.int64)]
 
     cands = ds.map_batches(local_topk, batch_format="pandas")
     parted = add_hash_partition(cands, [group_col], P, key_arrays_fn=key_fn)
@@ -383,14 +383,14 @@ def set_op(left, right, cols: List[str], op: str,
               .union(right.map_batches(tag(1), batch_format="pyarrow")))
 
     def key_fn(batch: pa.Table):
-        from .sketch import _hash64_any
+        from .sketch import _hash64_route
         arrs = []
         for c in cols:
             col = batch.column(c)
             if pa.types.is_integer(col.type) and col.null_count == 0:
                 arrs.append(col.to_numpy(zero_copy_only=False))
             else:
-                arrs.append(_hash64_any(col).astype(np.int64))
+                arrs.append(_hash64_route(col).astype(np.int64))
         return arrs
 
     parted = add_hash_partition(tagged, cols, P, key_arrays_fn=key_fn)

@@ -157,14 +157,14 @@ def build_key_bloom(ds, col: str, mbits: int = 1 << 23):
     use on the smaller / cheap-to-recompute side."""
     import ray
 
-    from .sketch import _hash64_any
+    from .sketch import _hash64_route
 
     nbytes = mbits >> 3
 
     def fold(t: pa.Table) -> pa.Table:
         bits = np.zeros(nbytes, np.uint8)
         if t.num_rows > 0 and col in t.column_names:
-            h = _hash64_any(t.column(col))
+            h = _hash64_route(t.column(col))
             for idx in _bloom_probes2(h, mbits):
                 np.bitwise_or.at(
                     bits, (idx >> np.uint64(3)).astype(np.int64),
@@ -205,10 +205,10 @@ class BloomFilterStage:
         self.col, self.mode = col, mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .sketch import _hash64_any
+        from .sketch import _hash64_route
         if t.num_rows == 0:
             return t
-        h = _hash64_any(t.column(self.col))
+        h = _hash64_route(t.column(self.col))
         ok = np.ones(len(h), dtype=bool)
         for idx in _bloom_probes2(h, self.mbits):
             ok &= ((self.bits[(idx >> np.uint64(3)).astype(np.int64)]
@@ -236,7 +236,7 @@ def detect_salt(ds, key_cols: List[str], num_parts: int,
     seen = 0
 
     def key_hashes(t: pa.Table) -> pa.Table:
-        from .sketch import _hash64_any
+        from .sketch import _hash64_route
         arrs = []
         for c in key_cols:
             col = t.column(c)
@@ -244,7 +244,7 @@ def detect_salt(ds, key_cols: List[str], num_parts: int,
                 arrs.append(col.to_numpy(zero_copy_only=False)
                             .astype(np.int64))
             else:
-                arrs.append(_hash64_any(col).astype(np.int64))
+                arrs.append(_hash64_route(col).astype(np.int64))
         return pa.table({"__k": pa.array(mix64(arrs), pa.int64())})
 
     proj = ds.map_batches(key_hashes, batch_format="pyarrow")
@@ -458,8 +458,8 @@ def hash_join(left, right, on, how: str = "inner",
             if pa.types.is_integer(col.type):
                 arrs.append(col.to_numpy(zero_copy_only=False))
             else:
-                from .sketch import _hash64_any
-                arrs.append(_hash64_any(col).astype(np.int64))
+                from .sketch import _hash64_route
+                arrs.append(_hash64_route(col).astype(np.int64))
         if salt is not None:
             arrs.append(batch.column("_salt")
                         .to_numpy(zero_copy_only=False))

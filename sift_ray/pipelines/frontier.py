@@ -9,11 +9,12 @@ operators — ``webstruct.sitemap_entries`` (frontier candidates),
 corpus-sized seen set, so it must be an exchange, never a broadcast),
 and ``urls.politeness_schedule`` (one fetch slot per host per interval).
 
-Scale shape: three key exchanges total — a url-keyed DISTINCT over the
-candidates (the same page is legitimately listed in many sitemaps and
-under many tracking-param variants; without the distinct it would get
-multiple politeness slots), the anti-join's url-keyed exchange, and the
-schedule's host-keyed exchange. Everything else is map-only. The seen
+Scale shape: TWO key exchanges total — the anti-join's url-keyed
+exchange, whose partition kernel also applies the candidate DISTINCT
+(the same page is legitimately listed in many sitemaps and under many
+tracking-param variants; all copies of a url co-locate in the join's
+exchange, so the distinct folds in via the ``post`` hook instead of
+paying its own exchange), and the schedule's host-keyed exchange. Everything else is map-only. The seen
 side ships only its canonical-url column. Hot hosts are inherent to
 scheduling (a 10^7-page host owns 10^7 slots) and bound partition sort
 memory only.
@@ -57,22 +58,21 @@ def build_frontier(sitemap_pages, seen_urls,
     candidates = (sitemap_entries(sitemap_pages)
                   .map_batches(canon_locs, batch_format="pyarrow"))
 
-    # distinct: one url-keyed exchange (strings hashed map-side)
-    from ..functions.shuffle import partitioned_group_agg
-    from ..functions.sketch import _hash64_any
-    import numpy as np
-
-    def url_keys(batch: pa.Table):
-        return [_hash64_any(batch.column("url")).astype(np.int64)]
-
-    distinct = partitioned_group_agg(
-        candidates, ["url"], [(None, "count", "_n")],
-        key_arrays_fn=url_keys).map_batches(
-            lambda t: t.select(["url"]), batch_format="pyarrow")
-
     seen = seen_urls.map_batches(canon_seen, batch_format="pyarrow")
-    fresh = hash_join(distinct, seen, on=["url"], how="anti",
-                      num_parts=num_parts)
+
+    # the candidate DISTINCT folds into the anti-join's url-keyed
+    # exchange via the ``post`` hook (all copies of a url co-locate
+    # there anyway) — one exchange instead of two. Type hints are
+    # load-bearing: an unhinted join's schema() probe would execute the
+    # whole candidate pipeline once for the probe and again for real.
+    def distinct_urls(t: pa.Table) -> pa.Table:
+        return t.group_by(["url"], use_threads=False).aggregate([])
+
+    fresh = hash_join(candidates, seen, on=["url"], how="anti",
+                      num_parts=num_parts,
+                      left_types={"url": pa.string()},
+                      right_types={"url": pa.string()},
+                      post=distinct_urls)
 
     def add_host(t: pa.Table) -> pa.Table:
         # urls here are canonical (lowercase netloc), so one RE2 kernel

@@ -207,7 +207,7 @@ def fetch_pages(ds, concurrency=2, threads: int = 16,
 
         from ..functions.shuffle import (add_hash_partition,
                                          default_num_parts)
-        from ..functions.sketch import _hash64_any
+        from ..functions.sketch import _hash64_route
 
         P = num_parts or default_num_parts()
 
@@ -215,7 +215,7 @@ def fetch_pages(ds, concurrency=2, threads: int = 16,
             hosts = pa.array(
                 [urlsplit(u).netloc.lower()
                  for u in batch.column(url_col).to_pylist()], pa.string())
-            return [_hash64_any(hosts).astype(np.int64)]
+            return [_hash64_route(hosts).astype(np.int64)]
 
         parted = add_hash_partition(ds, [url_col], P,
                                     key_arrays_fn=host_keys)

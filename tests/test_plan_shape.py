@@ -143,10 +143,10 @@ def test_seeded_shuffle_single_exchange(ray_session, docs):
     assert exchange_count(seeded_shuffle(docs, num_parts=2)) == 1
 
 
-def test_crawl_frontier_three_exchanges(ray_session):
-    """The docstring's 'three key exchanges total' claim (candidate url
-    DISTINCT + anti-join url exchange + politeness host exchange),
-    machine-checked."""
+def test_crawl_frontier_two_exchanges(ray_session):
+    """The docstring's 'TWO key exchanges total' claim (anti-join url
+    exchange with the candidate DISTINCT folded in via the join's
+    ``post`` hook + politeness host exchange), machine-checked."""
     import ray.data as rd
     from sift_ray.pipelines.frontier import build_frontier
     pages = rd.from_arrow(pa.table({
@@ -156,4 +156,4 @@ def test_crawl_frontier_three_exchanges(ray_session):
             pa.binary())}))
     seen = rd.from_arrow(pa.table({
         "url": pa.array(["http://a.com/p2"], pa.string())}))
-    assert exchange_count(build_frontier(pages, seen, num_parts=2)) == 3
+    assert exchange_count(build_frontier(pages, seen, num_parts=2)) == 2
