@@ -155,6 +155,32 @@ def _q_cdc_dedup_stats(sf_dir: str):
                            min_size=64, avg_size=256, max_size=1024)
 
 
+def _q_cdc_dedup_docs(sf_dir: str):
+    """Chunk-level dedup materializer (cdc.cdc_dedup_docs): payloads
+    rewritten with globally-duplicate CDC chunks removed — the chunk
+    store's write path. Projected to (doc_id, n_bytes, digest) so the
+    binary payload stays hashable in the driver compare."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from sift_ray.functions.cdc import cdc_dedup_docs
+
+    out = cdc_dedup_docs(_docs(sf_dir, ["doc_id", "text"]),
+                         min_size=64, avg_size=256, max_size=1024)
+
+    def project(t: pa.Table) -> pa.Table:
+        data = t.column("data").to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bytes": pa.array([len(b) for b in data], pa.int64()),
+            "digest": pa.array(
+                [hashlib.sha256(b).hexdigest() for b in data],
+                pa.string())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _q_duplicate_spans(sf_dir: str):
     """Exact maximal duplicated spans (Lee et al. 2021 substring dedup,
     winnowing-anchored distributed formulation, spandedup.py)."""
@@ -3729,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_duplicate_spans": _q_strip_duplicate_spans,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
+        "cdc_dedup_docs": _q_cdc_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ngram_jaccard_prefix": _q_ngram_jaccard_prefix,
         "ngram_containment_pairs": _q_ngram_containment,

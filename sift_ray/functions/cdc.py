@@ -40,12 +40,13 @@ def _gear_table(seed: int = 0x3779B97F4A7C15) -> np.ndarray:
     """Deterministic 256-entry uint64 gear table via splitmix64."""
     out = np.empty(256, np.uint64)
     x = np.uint64(seed)
-    for i in range(256):
-        x = x + np.uint64(0x9E3779B97F4A7C15)
-        z = x
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        out[i] = z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):   # wraparound is the definition
+        for i in range(256):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[i] = z ^ (z >> np.uint64(31))
     return out
 
 
@@ -225,3 +226,177 @@ def cdc_dedup_stats(ds, data_col: str = "text", id_col: str = "doc_id",
             .groupby("part")
             .map_groups(lambda t: fold(t.drop_columns("part")),
                         batch_format="pyarrow"))
+
+
+def _cut_payload(raw: bytes, starts, ends) -> bytes:
+    """Remove the sorted, disjoint [start, end) byte ranges from raw
+    (CDC chunks never overlap within a document)."""
+    pieces = []
+    prev = 0
+    for s, e in zip(starts, ends):
+        pieces.append(raw[prev:s])
+        prev = e
+    pieces.append(raw[prev:])
+    return b"".join(pieces)
+
+
+class _CdcApplyCutsBroadcast:
+    """Below-gate cut application: duplicate-chunk ranges broadcast once
+    per worker; the corpus never crosses an exchange."""
+
+    def __init__(self, cuts_ref, data_col: str, id_col: str):
+        import ray
+        self.cmap = ray.get(cuts_ref)
+        self.data_col, self.id_col = data_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(self.data_col).to_pylist()
+        out_ids, out_data = [], []
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            cut = self.cmap.get(int(ids[i]))
+            out_ids.append(int(ids[i]))
+            out_data.append(raw if cut is None
+                            else _cut_payload(raw, cut[0], cut[1]))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "data": pa.array(out_data, pa.binary())})
+
+
+def cdc_dedup_docs(ds, data_col: str = "text", id_col: str = "doc_id",
+                   min_size: int = 2048, avg_size: int = 8192,
+                   max_size: int = 65536,
+                   num_parts: Optional[int] = None,
+                   cuts_broadcast_limit: int = 2_000_000):
+    """Chunk-level dedup MATERIALIZER — completes the CDC family: rewrite
+    every payload with its globally-duplicate chunks removed (the chunk
+    whose identical-hash twin occurs earlier in (doc_id, offset) order is
+    dropped; the first occurrence survives byte-identical) — the
+    write-path of a content-addressed chunk store, where each stored
+    payload keeps only chunks it introduced. Returns (doc_id:int64,
+    data:binary) — binary because cut points are CONTENT-defined byte
+    boundaries, which need not respect UTF-8 codepoints in string input
+    (string payloads are measured and cut on their UTF-8 encoding,
+    exactly as ``cdc_chunks`` hashes them).
+
+    Shape: reuses the stats family's first-occurrence exchange — ONE
+    chunk-hash exchange emits only the duplicate ranges (doc_id, offset,
+    length), duplication-proportional. Application is size-gated (the
+    repo's dual-path convention): below ``cuts_broadcast_limit``
+    cut-docs the ranges broadcast once per worker and the corpus never
+    crosses an exchange; above it ONE doc-keyed hash join attaches
+    ranges distributively. Removed bytes per doc always equal
+    ``cdc_dedup_stats``'s dup_bytes (tested)."""
+    import pyarrow.compute as pc
+    import ray
+
+    P = num_parts or default_num_parts()
+    chunks = cdc_chunks(ds, data_col, id_col, min_size, avg_size,
+                        max_size)
+
+    def dup_cuts(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("chunk_hash").to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        o = tbl.column("offset").to_numpy(zero_copy_only=False)
+        ln = tbl.column("length").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d, h))
+        h, d, o, ln = h[order], d[order], o[order], ln[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        dup = ~first
+        return pa.table({
+            "doc_id": pa.array(d[dup], pa.int64()),
+            "offset": pa.array(o[dup], pa.int64()),
+            "length": pa.array(ln[dup], pa.int64())})
+
+    def key_h(batch: pa.Table):
+        return [batch.column("chunk_hash").to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+
+    cuts = (add_hash_partition(chunks, ["chunk_hash"], P,
+                               key_arrays_fn=key_h)
+            .groupby("part")
+            .map_groups(lambda t: dup_cuts(t.drop_columns("part")),
+                        batch_format="pyarrow"))
+
+    def fold_doc_cuts(tbl: pa.Table) -> pa.Table:
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        o = tbl.column("offset").to_numpy(zero_copy_only=False)
+        ln = tbl.column("length").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d))
+        d, o, ln = d[order], o[order], ln[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(d))
+        out_d, out_cuts = [], []
+        for s, e in zip(starts, ends):
+            out_d.append(int(d[s]))
+            out_cuts.append(";".join(
+                f"{int(a)}:{int(a) + int(b)}"
+                for a, b in zip(o[s:e], ln[s:e])))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "cuts": pa.array(out_cuts, pa.string())})
+
+    doc_cuts = (add_hash_partition(cuts, ["doc_id"], P)
+                .groupby("part")
+                .map_groups(lambda t: fold_doc_cuts(t.drop_columns("part")),
+                            batch_format="pyarrow")).materialize()
+
+    def _parse(cut: str):
+        ranges = [r.split(":") for r in cut.split(";")]
+        return ([int(a) for a, _ in ranges], [int(b) for _, b in ranges])
+
+    n_cut_docs = doc_cuts.count()
+    if n_cut_docs <= cuts_broadcast_limit:
+        cmap = {}
+        for t in doc_cuts.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+            for did, cut in zip(t.column("doc_id").to_pylist(),
+                                t.column("cuts").to_pylist()):
+                cmap[did] = _parse(cut)
+        ref = ray.put(cmap)
+        return ds.map_batches(
+            TaskStage(_CdcApplyCutsBroadcast, cuts_ref=ref,
+                      data_col=data_col, id_col=id_col),
+            batch_format="pyarrow")
+
+    from .shuffle import hash_join
+    docs = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column(id_col), pa.int64()),
+            "data": (pc.cast(t.column(data_col), pa.large_binary())
+                     if pa.types.is_string(t.column(data_col).type)
+                     or pa.types.is_large_string(t.column(data_col).type)
+                     else t.column(data_col))}),
+        batch_format="pyarrow")
+    joined = hash_join(docs, doc_cuts, on="doc_id", how="left",
+                       num_parts=P,
+                       left_types={"doc_id": pa.int64(),
+                                   "data": pa.large_binary()},
+                       right_types={"doc_id": pa.int64(),
+                                    "cuts": pa.string()})
+
+    def apply_cuts(tbl: pa.Table) -> pa.Table:
+        vals = tbl.column("data").to_pylist()
+        cuts_col = (tbl.column("cuts").to_pylist()
+                    if "cuts" in tbl.column_names
+                    else [None] * tbl.num_rows)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids, out = [], []
+        for i, (v, c) in enumerate(zip(vals, cuts_col)):
+            if v is None:      # null payloads drop, as on the broadcast path
+                continue
+            raw = bytes(v)
+            out_ids.append(int(ids[i]))
+            if c is None or c == "":
+                out.append(raw)
+            else:
+                s, e = _parse(c)
+                out.append(_cut_payload(raw, s, e))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "data": pa.array(out, pa.binary())})
+
+    return joined.map_batches(apply_cuts, batch_format="pyarrow")

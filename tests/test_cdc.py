@@ -15,9 +15,10 @@ def _seq_gear(data: np.ndarray) -> np.ndarray:
     h = np.uint64(0)
     out = np.empty(len(data), np.uint64)
     one = np.uint64(1)
-    for i, b in enumerate(data):
-        h = (h << one) + _GEAR[b]
-        out[i] = h
+    with np.errstate(over="ignore"):   # wraparound is the definition
+        for i, b in enumerate(data):
+            h = (h << one) + _GEAR[b]
+            out[i] = h
     return out
 
 
@@ -139,3 +140,59 @@ def test_property_boundaries_partition(data, mn):
     assert lens.max() <= mn * 16
     if len(lens) > 1:
         assert np.all(lens[:-1] >= mn)
+
+
+def test_dedup_docs_planted(ray_session):
+    """Materializer: doc 2 (an exact copy of doc 1) loses ALL its bytes;
+    doc 1 and the unrelated doc 3 survive byte-identical; removed bytes
+    per doc equal cdc_dedup_stats' dup_bytes."""
+    from sift_ray.functions.cdc import cdc_dedup_docs, cdc_dedup_stats
+    a = _text(7, 5000)
+    docs = {1: a, 2: a, 3: _text(8, 3000)}
+    out = cdc_dedup_docs(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                         max_size=MAX).to_pandas().set_index("doc_id")
+    assert out.loc[1, "data"] == a.encode()
+    assert out.loc[2, "data"] == b""
+    assert out.loc[3, "data"] == docs[3].encode()
+    stats = cdc_dedup_stats(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                            max_size=MAX).to_pandas().set_index("doc_id")
+    for d in docs:
+        removed = len(docs[d].encode()) - len(out.loc[d, "data"])
+        assert removed == stats.loc[d, "dup_bytes"], d
+
+
+def test_dedup_docs_partial_overlap(ray_session):
+    """A doc sharing a long prefix with an earlier doc loses exactly its
+    duplicate chunks (chunk-aligned, so the shared tail chunk that
+    differs survives) and the survivor bytes are a subsequence of the
+    original payload."""
+    from sift_ray.functions.cdc import cdc_dedup_docs, cdc_dedup_stats
+    a = _text(9, 6000)
+    docs = {1: a, 2: a[:4500] + _text(10, 2000)}
+    out = cdc_dedup_docs(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                         max_size=MAX).to_pandas().set_index("doc_id")
+    stats = cdc_dedup_stats(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                            max_size=MAX).to_pandas().set_index("doc_id")
+    assert stats.loc[2, "dup_bytes"] > 0     # the fixture really overlaps
+    assert (len(docs[2].encode()) - len(out.loc[2, "data"])
+            == stats.loc[2, "dup_bytes"])
+    # survivors are the non-duplicate chunks in order: subsequence check
+    d2 = out.loc[2, "data"].decode()
+    it = iter(docs[2])
+    assert all(ch in it for ch in d2) or d2 == ""
+
+
+def test_dedup_docs_partition_and_path_invariance(ray_session):
+    """Same output at any blocking and on the forced join path as on the
+    broadcast path."""
+    from sift_ray.functions.cdc import cdc_dedup_docs
+    a = _text(11, 5000)
+    docs = {i: (a if i % 2 else _text(20 + i, 2500)) for i in range(8)}
+    base = cdc_dedup_docs(_docs_ds(docs), min_size=MIN, avg_size=AVG,
+                          max_size=MAX).to_pandas()
+    base = dict(zip(base["doc_id"], base["data"]))
+    for kw in ({"num_parts": 5}, {"cuts_broadcast_limit": 0}):
+        got = cdc_dedup_docs(_docs_ds(docs, 4), min_size=MIN,
+                             avg_size=AVG, max_size=MAX,
+                             **kw).to_pandas()
+        assert dict(zip(got["doc_id"], got["data"])) == base, kw

@@ -833,7 +833,7 @@ def test_exactsubstr_partition_invariance(ray_session):
     assert outs[0].equals(outs[1])
     assert 20 not in set(outs[0].doc_id)   # full dup vanished
     got25 = outs[0][outs[0].doc_id == 25]
-    assert got25.text.iloc[0] == tail and int(got25.n_removed) == 40
+    assert got25.text.iloc[0] == tail and int(got25.n_removed.iloc[0]) == 40
 
 
 def test_pii_scrub_patterns_and_order():

@@ -95,6 +95,7 @@ GOLDEN_QUERIES = [
     "strip_duplicate_spans",
     "cdc_chunks",
     "cdc_dedup_stats",
+    "cdc_dedup_docs",
     "url_dedup",
     "kmeans_clusters",
     "embedding_quantize",
