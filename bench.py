@@ -283,7 +283,9 @@ def run_bench() -> dict:
         "ngram_containment_pairs", "fuzzy_part_match",
         "html_table_cells", "jsonld_product_fields",
         "explode_embeddings", "sitemap_entries", "robots_meta_flags",
-        "crawl_frontier", "extract_pdf_layout", "seeded_shuffle")
+        "crawl_frontier", "extract_pdf_layout", "seeded_shuffle",
+        "cdc_dedup_docs", "price_quantiles_gk",
+        "price_quantiles_gk_by_priority")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the
