@@ -769,8 +769,14 @@ def rrf_fuse(rank_a, rank_b, id_col: str = "doc_id",
                 nm: pc.cast(t.column(rank_col), pa.int64())}),
             batch_format="pyarrow")
 
+    # type hints are load-bearing: each side is (downstream of) a
+    # groupby output, so an unhinted join's schema() probe would execute
+    # both ranking pipelines once for the probe and again for real
     joined = hash_join(side(rank_a, "_ra"), side(rank_b, "_rb"),
-                       on=[id_col], how="full", num_parts=num_parts)
+                       on=[id_col], how="full", num_parts=num_parts,
+                       left_types={id_col: pa.int64(), "_ra": pa.int64()},
+                       right_types={id_col: pa.int64(),
+                                    "_rb": pa.int64()})
 
     def score(t: pa.Table) -> pa.Table:
         ra = t.column("_ra").to_numpy(zero_copy_only=False)

@@ -952,3 +952,53 @@ def test_detect_salt_and_auto_join(ray_session):
                       on="k", num_parts=8, salt="auto").to_pandas()
             .sort_values(["k", "lv"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(auto, base)
+
+
+def test_hash64_route_backend_invariance(ray_session, monkeypatch):
+    """Routing hashes may differ between backends (polars xxhash vs the
+    blake2b fallback) — RESULTS must not: equal keys co-locate under
+    either, and kernels re-group by true keys. Pin (a) the fallback path
+    works when polars is unavailable, (b) a string-keyed join's result
+    is identical under both backends."""
+    import builtins
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sift_ray.functions import sketch
+    from sift_ray.functions.shuffle import hash_join
+    from sift_ray.functions.sketch import _hash64_any, _hash64_route
+
+    col = pa.chunked_array([pa.array(["a", "bb", None, "a", "ccc"])])
+    fast = _hash64_route(col)
+    assert fast.dtype == np.uint64 and len(fast) == 5
+    assert fast[0] == fast[3]                 # equal keys co-locate
+
+    real_import = builtins.__import__
+
+    def no_polars(name, *a, **k):
+        if name == "polars":
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_polars)
+    slow = _hash64_route(col)
+    monkeypatch.undo()
+    assert (slow == _hash64_any(col)).all()   # fallback == stable hash
+
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": ["x", "y", "z", "x"], "a": [1, 2, 3, 4]}))
+    r = rd.from_pandas(pd.DataFrame({"k": ["x", "z"], "b": [10, 30]}))
+    types = {"k": pa.string()}
+    want = (hash_join(l, r, on="k", how="inner",
+                      left_types={**types, "a": pa.int64()},
+                      right_types={**types, "b": pa.int64()})
+            .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    monkeypatch.setattr(sketch, "_hash64_route", sketch._hash64_any)
+    got = (hash_join(l, r, on="k", how="inner",
+                     left_types={**types, "a": pa.int64()},
+                     right_types={**types, "b": pa.int64()})
+           .to_pandas().sort_values(["k", "a"]).reset_index(drop=True))
+    monkeypatch.undo()
+    assert got.equals(want)
