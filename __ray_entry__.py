@@ -691,13 +691,13 @@ def _q_approx_distinct_by_priority(sf_dir: str):
     # exact: per-batch distinct-pair combiner -> distinct over (priority,
     # custkey) via the partitioned groupby -> tiny bounded-key count
     from sift_ray.functions.shuffle import partitioned_group_agg
-    from sift_ray.functions.sketch import _hash64_any
+    from sift_ray.functions.sketch import _hash64_route
 
     ds2 = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                           columns=["o_orderpriority", "o_custkey"])
 
     def keyfn(batch: pa.Table):
-        return [_hash64_any(batch.column("o_orderpriority")).astype(np.int64),
+        return [_hash64_route(batch.column("o_orderpriority")).astype(np.int64),
                 batch.column("o_custkey").to_numpy(zero_copy_only=False)]
 
     pairs = partitioned_group_agg(
@@ -2362,7 +2362,7 @@ def _q_url_rank(sf_dir: str):
     import ray.data as rd
     from sift_ray.functions.linkgraph import extract_outlinks, pagerank_hosts
     from sift_ray.functions.shuffle import partitioned_group_agg
-    from sift_ray.functions.sketch import _hash64_any
+    from sift_ray.functions.sketch import _hash64_route
 
     corpus = _pages_corpus_for(sf_dir)
     pages = rd.read_parquet(corpus, columns=["url", "html"])
@@ -2376,8 +2376,8 @@ def _q_url_rank(sf_dir: str):
 
     def key_hash(batch: "pa.Table"):
         import numpy as np
-        return [_hash64_any(batch.column("src_host")).astype("int64"),
-                _hash64_any(batch.column("dst_host")).astype("int64")]
+        return [_hash64_route(batch.column("src_host")).astype("int64"),
+                _hash64_route(batch.column("dst_host")).astype("int64")]
 
     edges = partitioned_group_agg(
         extract_outlinks(pages).map_batches(as_host_cols,
@@ -3459,9 +3459,9 @@ def _q_anchor_topk(sf_dir: str):
     pairs = edges.map_batches(pre, batch_format="pyarrow")
 
     def key_fn(batch: "pa.Table"):
-        from sift_ray.functions.sketch import _hash64_any
+        from sift_ray.functions.sketch import _hash64_route
         import numpy as np
-        return [_hash64_any(batch.column("dst")).astype(np.int64)]
+        return [_hash64_route(batch.column("dst")).astype(np.int64)]
 
     counts = partitioned_group_agg(
         pairs, ["dst", "anchor"], [(None, "count_all", "n")],
@@ -3497,9 +3497,9 @@ def _q_events_user_type_join(sf_dir: str):
 
         def key_fn(batch: "pa.Table"):
             import numpy as np
-            from sift_ray.functions.sketch import _hash64_any
+            from sift_ray.functions.sketch import _hash64_route
             return [batch.column("user_id").to_numpy(zero_copy_only=False),
-                    _hash64_any(batch.column("event_type"))
+                    _hash64_route(batch.column("event_type"))
                     .astype(np.int64)]
 
         return partitioned_group_agg(rows, ["user_id", "event_type"],
