@@ -185,6 +185,22 @@ def _build_parser() -> argparse.ArgumentParser:
     dsp.add_argument("--within-doc", action="store_true",
                      help="also detect/cut same-document repeats")
 
+    cdc = sub.add_parser("cdc",
+                         help="content-defined chunking (FastCDC) family: "
+                              "chunk table, corpus dedup stats, or the "
+                              "chunk-store dedup materializer")
+    cdc.add_argument("action", choices=["chunks", "stats", "dedup"])
+    cdc.add_argument("--input", required=True,
+                     help="parquet table with id + payload columns")
+    cdc.add_argument("--output", required=True,
+                     help="output parquet directory")
+    cdc.add_argument("--id-col", default="doc_id")
+    cdc.add_argument("--data-col", default="text",
+                     help="payload column (string or binary)")
+    cdc.add_argument("--min-size", type=int, default=2048)
+    cdc.add_argument("--avg-size", type=int, default=8192)
+    cdc.add_argument("--max-size", type=int, default=65536)
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -387,6 +403,22 @@ def main(argv=None) -> int:
                 out = duplicate_spans(docs, **kw)
             else:
                 out = strip_duplicate_spans(docs, **kw)
+            out.write_parquet(args.output)
+            print(json.dumps({"action": args.action, "rows": out.count(),
+                              "output": args.output}))
+        elif args.cmd == "cdc":
+            import ray.data as rd
+
+            from .functions.cdc import (cdc_chunks, cdc_dedup_docs,
+                                        cdc_dedup_stats)
+            docs = rd.read_parquet(args.input,
+                                   columns=[args.id_col, args.data_col])
+            kw = dict(data_col=args.data_col, id_col=args.id_col,
+                      min_size=args.min_size, avg_size=args.avg_size,
+                      max_size=args.max_size)
+            fn = {"chunks": cdc_chunks, "stats": cdc_dedup_stats,
+                  "dedup": cdc_dedup_docs}[args.action]
+            out = fn(docs, **kw)
             out.write_parquet(args.output)
             print(json.dumps({"action": args.action, "rows": out.count(),
                               "output": args.output}))

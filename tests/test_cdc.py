@@ -196,3 +196,32 @@ def test_dedup_docs_partition_and_path_invariance(ray_session):
                              avg_size=AVG, max_size=MAX,
                              **kw).to_pandas()
         assert dict(zip(got["doc_id"], got["data"])) == base, kw
+
+
+def test_cli_cdc(ray_session, tmp_path):
+    """CLI surface for the CDC family: chunks / stats / dedup all write
+    parquet; dedup removes the planted duplicate's bytes."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sift_ray.cli import main
+
+    a = _text(31, 4000)
+    docs = {1: a, 2: a, 3: _text(32, 2000)}
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}), str(src))
+    for action in ("chunks", "stats", "dedup"):
+        out = tmp_path / action
+        assert main(["cdc", action, "--input", str(src),
+                     "--output", str(out), "--min-size", str(MIN),
+                     "--avg-size", str(AVG), "--max-size", str(MAX)]) == 0
+    ded = pq.ParquetDataset(str(tmp_path / "dedup")).read().to_pandas() \
+        .set_index("doc_id")
+    assert ded.loc[2, "data"] == b""
+    assert ded.loc[1, "data"] == a.encode()
+    st = pq.ParquetDataset(str(tmp_path / "stats")).read().to_pandas() \
+        .set_index("doc_id")
+    assert st.loc[2, "dup_bytes"] == 4000
