@@ -1934,6 +1934,50 @@ def _q_embedding_quantize(sf_dir: str):
     return out.map_batches(hex_pack, batch_format="pyarrow")
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encode (pq.pq_encode, Jégou et al. 2011):
+    m=4 one-byte codes per embedding — the 16x-memory ANN path beyond
+    int8 scalar quantization. Codebooks from the deterministic
+    fixed-point per-subspace kmeans_fit; code hex-packed for the driver
+    compare."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sift_ray.functions.pq import pq_encode, pq_train
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=4, n_clusters=16, n_iter=3)
+    out = pq_encode(ds, books)
+
+    def hex_code(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "code_hex": pa.array(
+                [c.hex() for c in t.column("code").to_pylist()],
+                pa.string())})
+
+    return out.map_batches(hex_code, batch_format="pyarrow")
+
+
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN search (pq.pq_topk): per-query top-10 by
+    asymmetric integer distance over the encoded table — broadcast LUTs,
+    per-batch local top-k under the exact global (adist, id) order, one
+    query-keyed exchange. Deterministic end to end (fixed-point
+    codebooks, integer ADC, tie -> lowest id)."""
+    import ray.data as rd
+
+    from sift_ray.functions.pq import pq_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    # fixed query ids (vec_id is a dense 0..n-1 domain) — a limit()-based
+    # pick would depend on block layout and break parallelism stability
+    return pq_topk(ds, list(range(8)), k=10, m=4, n_clusters=16,
+                   n_iter=3)
+
+
 def _q_web_pipeline(sf_dir: str):
     """THE end-to-end composition: raw pages -> byte-level triage ->
     readability extract (byte-identical per url) -> unicode normalize ->
@@ -3897,6 +3941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sentences": _q_split_sentences,
         "html_stats": _q_html_stats,
         "web_pipeline_shards": _q_web_pipeline,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
         "embedding_quantize": _q_embedding_quantize,
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,

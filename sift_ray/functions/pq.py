@@ -1,0 +1,199 @@
+"""Product quantization ANN (Jégou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011) — the
+memory-scale path of the similarity family. Where ``embedding_quantize``
+cuts storage 4x (int8 per dimension), PQ stores ``m`` ONE-BYTE codes per
+vector (d=64, m=8 -> 32x), and queries scan codes with per-subspace
+distance lookup tables (asymmetric distance computation, ADC) — no
+decode, one table lookup + add per subspace per vector.
+
+Determinism discipline (repo convention): codebooks come from the
+fixed-point distributed ``kmeans_fit`` per subspace (integer arithmetic,
+bit-identical under any partitioning), encoding minimizes INTEGER
+squared distance with tie -> lowest code, and ADC distances are exact
+int64 sums of per-subspace integer distances — so train/encode/search
+are all layout-invariant and golden-pinnable.
+
+Operators:
+
+* ``pq_train``     — (m, k, d/m) int64-micro codebooks; m distributed
+                     k-means trainings (one partial-sum exchange per
+                     iteration each).
+* ``pq_encode``    — zero-shuffle map: (id, code binary: m uint8 bytes).
+* ``pq_topk``      — per-query ADC top-k over the encoded table:
+                     broadcast LUTs, per-batch local top-k combiner, ONE
+                     query-keyed exchange (grouped_topk) — driver holds
+                     codebooks + q x k rows only.
+
+Scale shape: training cost is m x kmeans_fit (subsample upstream for
+10^12-row corpora — any deterministic id-hash filter keeps the pipeline
+reproducible); encode and scan are single passes; the scan's exchange
+volume is (queries x k) rows per batch, never corpus-proportional.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .similarity import _fetch_vectors, _to_matrix, kmeans_fit
+
+
+def _subspace_dists(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """(n, k) integer squared distances of int64-micro rows to one
+    subspace codebook — k-loop like kmeans_fit (bounded memory)."""
+    n, k = Xq.shape[0], book.shape[0]
+    d2 = np.empty((n, k), dtype=np.int64)
+    for c in range(k):
+        diff = Xq - book[c]
+        d2[:, c] = np.einsum("ij,ij->i", diff, diff)
+    return d2
+
+
+def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             num_parts: Optional[int] = None,
+             scale_bits: int = 20) -> np.ndarray:
+    """Train the m per-subspace codebooks on the full table. Returns an
+    (m, n_clusters, d/m) int64 array of codeword micros. d must divide
+    evenly by m."""
+    first = ds.limit(1).take_all()
+    if not first:
+        raise ValueError("pq_train: empty dataset")
+    d = len(first[0][vec_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    books = []
+    for j in range(m):
+        lo = j * sub
+
+        def proj(t: pa.Table, lo=lo) -> pa.Table:
+            mat = _to_matrix(t.column(vec_col))
+            block = (mat[:, lo:lo + sub] if mat.size
+                     else np.empty((0, sub)))
+            flat = pa.array(block.astype(np.float64).ravel(),
+                            pa.float64())
+            return pa.table({
+                id_col: t.column(id_col),
+                vec_col: pa.FixedSizeListArray.from_arrays(flat, sub)})
+
+        C, _ = kmeans_fit(ds.map_batches(proj, batch_format="pyarrow"),
+                          n_clusters=n_clusters, n_iter=n_iter,
+                          vec_col=vec_col, id_col=id_col,
+                          num_parts=num_parts, scale_bits=scale_bits)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id", scale_bits: int = 20):
+    """(id, code) rows — code is m bytes, one uint8 codeword index per
+    subspace (ties -> lowest index; exact integer distances). Zero
+    shuffle; codebooks broadcast once via ray.put."""
+    import ray
+
+    m, k, sub = codebooks.shape
+    if k > 256:
+        raise ValueError("pq codes are uint8: n_clusters <= 256")
+    S = np.int64(1) << scale_bits
+    ref = ray.put(codebooks)
+
+    def enc(t: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        mat = _to_matrix(t.column(vec_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
+        xq = np.round(mat.astype(np.float64) * S).astype(np.int64)
+        n = xq.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            d2 = _subspace_dists(xq[:, j * sub:(j + 1) * sub], books[j])
+            codes[:, j] = np.argmin(d2, axis=1)   # tie -> lowest code
+        return pa.table({
+            id_col: pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+            "code": pa.array([codes[i].tobytes() for i in range(n)],
+                             pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(ds, query_ids: List[int], k: int = 10, m: int = 4,
+            n_clusters: int = 16, n_iter: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            num_parts: Optional[int] = None, scale_bits: int = 20,
+            codebooks: Optional[np.ndarray] = None, encoded=None):
+    """Per-query approximate top-k by PQ asymmetric distance: returns
+    (query_id, neighbor_id, rank) — the ``cosine_topk_ivf`` contract
+    (queries are table rows; a query is allowed to retrieve itself).
+    Ordering: ascending integer ADC distance, tie -> lowest neighbor id
+    — fully deterministic. Pass precomputed ``codebooks`` /
+    ``encoded`` (the pq_encode output) to search without retraining —
+    at corpus scale both are trained/materialized once."""
+    import ray
+
+    from .relational import grouped_topk
+
+    if codebooks is None:
+        codebooks = pq_train(ds, m=m, n_clusters=n_clusters,
+                             n_iter=n_iter, vec_col=vec_col,
+                             id_col=id_col, num_parts=num_parts,
+                             scale_bits=scale_bits)
+    m, kcb, sub = codebooks.shape
+    if encoded is None:
+        encoded = pq_encode(ds, codebooks, vec_col=vec_col,
+                            id_col=id_col, scale_bits=scale_bits)
+
+    S = np.int64(1) << scale_bits
+    q_ids, q_vecs = _fetch_vectors(ds, query_ids, vec_col, id_col)
+    Q = np.round(np.asarray(q_vecs, dtype=np.float64) * S) \
+        .astype(np.int64)
+    nq = len(q_ids)
+    lut = np.empty((nq, m, kcb), dtype=np.int64)
+    for j in range(m):
+        for c in range(kcb):
+            diff = Q[:, j * sub:(j + 1) * sub] - codebooks[j][c]
+            lut[:, j, c] = np.einsum("ij,ij->i", diff, diff)
+    ref = ray.put({"lut": lut, "q_ids": np.asarray(q_ids, np.int64)})
+
+    def scan(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        lut_, qids_ = st["lut"], st["q_ids"]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.int64())})
+        codes = np.frombuffer(
+            b"".join(t.column("code").to_pylist()),
+            dtype=np.uint8).reshape(n, lut_.shape[1])
+        dist = np.zeros((n, len(qids_)), dtype=np.int64)
+        for j in range(lut_.shape[1]):
+            dist += lut_[:, j, :][:, codes[:, j]].T
+        kk = min(k, n)
+        out_q, out_n, out_d = [], [], []
+        ids64 = ids.astype(np.int64)
+        for qi in range(len(qids_)):
+            # local top-k under EXACTLY the global (adist, id) order, so
+            # the combiner never drops a row the global head would keep
+            sel = np.lexsort((ids64, dist[:, qi]))[:kk]
+            out_q.append(np.full(len(sel), qids_[qi], np.int64))
+            out_n.append(ids64[sel])
+            out_d.append(dist[sel, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "adist": pa.array(np.concatenate(out_d), pa.int64())})
+
+    partial = encoded.map_batches(scan, batch_format="pyarrow")
+    top = grouped_topk(partial, "query_id", "adist", "neighbor_id",
+                       k=k, ascending=True, num_parts=num_parts)
+    return top.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id", "rank"]),
+        batch_format="pyarrow")

@@ -100,6 +100,8 @@ GOLDEN_QUERIES = [
     "kmeans_clusters",
     "embedding_quantize",
     "web_pipeline_shards",
+    "pq_codes",
+    "pq_topk",
 ]
 
 
