@@ -1978,6 +1978,21 @@ def _q_pq_topk(sf_dir: str):
                    n_iter=3)
 
 
+def _q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN search (pq.ivfpq_build/ivfpq_topk): coarse k-means
+    cells + residual product-quantization codes, probed search — the
+    FAISS-style billion-scale index shape, integer-deterministic end to
+    end (coarse assign, residual codes, ADC, tie rules)."""
+    import ray.data as rd
+
+    from sift_ray.functions.pq import ivfpq_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return ivfpq_topk(ds, list(range(8)), k=10, n_clusters=16,
+                      n_probe=4, m=4, pq_clusters=16, n_iter=3)
+
+
 def _q_web_pipeline(sf_dir: str):
     """THE end-to-end composition: raw pages -> byte-level triage ->
     readability extract (byte-identical per url) -> unicode normalize ->
@@ -3943,6 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_pipeline_shards": _q_web_pipeline,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "embedding_quantize": _q_embedding_quantize,
         "pmi_topk": _q_pmi_topk,
         "bpe_merges": _q_bpe_merges,

@@ -285,7 +285,7 @@ def run_bench() -> dict:
         "explode_embeddings", "sitemap_entries", "robots_meta_flags",
         "crawl_frontier", "extract_pdf_layout", "seeded_shuffle",
         "cdc_dedup_docs", "price_quantiles_gk",
-        "price_quantiles_gk_by_priority", "pq_codes", "pq_topk")
+        "price_quantiles_gk_by_priority", "pq_codes", "pq_topk", "ivfpq_topk")
     import gc
     if table_ops:
         # untimed warm-up: spawn the full worker-process pool once so the

@@ -197,3 +197,172 @@ def pq_topk(ds, query_ids: List[int], k: int = 10, m: int = 4,
     return top.map_batches(
         lambda t: t.select(["query_id", "neighbor_id", "rank"]),
         batch_format="pyarrow")
+
+
+def ivfpq_build(ds, n_clusters: int = 16, m: int = 4,
+                pq_clusters: int = 16, n_iter: int = 4,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                num_parts: Optional[int] = None, scale_bits: int = 20):
+    """Build the IVF-PQ index state (the FAISS-style billion-scale ANN
+    shape): a coarse k-means quantizer plus PQ codebooks trained on the
+    RESIDUALS (vector minus its coarse centroid — the residual trick
+    that gives PQ most of its accuracy at scale, Jégou et al. 2011 §IV).
+
+    Returns (coarse int64 micros (n_clusters, d), residual codebooks
+    int64 micros (m, pq_clusters, d/m), encoded Dataset of
+    (id, cluster:int64, code:binary)). Everything integer-deterministic:
+    coarse assignment ties -> lowest cluster, residuals are exact micro
+    differences, code assignment ties -> lowest code — the whole index
+    is bit-identical under any partitioning (tested)."""
+    import ray
+
+    S = np.int64(1) << scale_bits
+    coarse, _ = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
+                           vec_col=vec_col, id_col=id_col,
+                           num_parts=num_parts, scale_bits=scale_bits)
+    cref = ray.put(coarse)
+
+    def residuals(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        mat = _to_matrix(t.column(vec_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
+        xq = np.round(mat.astype(np.float64) * S).astype(np.int64)
+        assign = np.argmin(_subspace_dists(xq, C), axis=1)
+        res = (xq - C[assign]).astype(np.float64) / float(S)
+        flat = pa.array(res.ravel(), pa.float64())
+        return pa.table({
+            id_col: t.column(id_col),
+            vec_col: pa.FixedSizeListArray.from_arrays(flat,
+                                                       res.shape[1])})
+
+    res_ds = ds.map_batches(residuals, batch_format="pyarrow")
+    books = pq_train(res_ds, m=m, n_clusters=pq_clusters, n_iter=n_iter,
+                     vec_col=vec_col, id_col=id_col,
+                     num_parts=num_parts, scale_bits=scale_bits)
+    bref = ray.put(books)
+    mm, kcb, sub = books.shape
+
+    def enc(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        bk = ray.get(bref)
+        mat = _to_matrix(t.column(vec_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
+        xq = np.round(mat.astype(np.float64) * S).astype(np.int64)
+        assign = np.argmin(_subspace_dists(xq, C), axis=1)
+        res = xq - C[assign]
+        n = res.shape[0]
+        codes = np.empty((n, mm), dtype=np.uint8)
+        for j in range(mm):
+            d2 = _subspace_dists(res[:, j * sub:(j + 1) * sub], bk[j])
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pa.table({
+            id_col: pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64), pa.int64()),
+            "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+            "code": pa.array([codes[i].tobytes() for i in range(n)],
+                             pa.binary())})
+
+    encoded = ds.map_batches(enc, batch_format="pyarrow")
+    return coarse, books, encoded
+
+
+def ivfpq_topk(ds, query_ids: List[int], k: int = 10,
+               n_clusters: int = 16, n_probe: int = 4, m: int = 4,
+               pq_clusters: int = 16, n_iter: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               num_parts: Optional[int] = None, scale_bits: int = 20,
+               index=None):
+    """IVF-PQ search: probe the ``n_probe`` nearest coarse cells per
+    query, then rank their members by residual-PQ asymmetric distance
+    (per-(query, probed-cluster) LUTs of the query RESIDUAL against the
+    residual codebooks). Returns (query_id, neighbor_id, rank) ascending
+    integer distance, tie -> lowest id — deterministic. With
+    ``n_probe == n_clusters`` every vector is scanned (the recall knob
+    degenerates to plain PQ accuracy). Pass ``index`` (the
+    ``ivfpq_build`` output triple) to search an existing index."""
+    import ray
+
+    from .relational import grouped_topk
+
+    if index is None:
+        index = ivfpq_build(ds, n_clusters=n_clusters, m=m,
+                            pq_clusters=pq_clusters, n_iter=n_iter,
+                            vec_col=vec_col, id_col=id_col,
+                            num_parts=num_parts, scale_bits=scale_bits)
+    coarse, books, encoded = index
+    mm, kcb, sub = books.shape
+    S = np.int64(1) << scale_bits
+
+    q_ids, q_vecs = _fetch_vectors(ds, query_ids, vec_col, id_col)
+    Q = np.round(np.asarray(q_vecs, dtype=np.float64) * S) \
+        .astype(np.int64)
+    nq = len(q_ids)
+    np_ = min(n_probe, coarse.shape[0])
+    cd = _subspace_dists(Q, coarse)               # (nq, kc)
+    # deterministic probe order: distance asc, cluster id tiebreak
+    probe = np.lexsort((np.broadcast_to(np.arange(coarse.shape[0]),
+                                        cd.shape), cd), axis=1)[:, :np_]
+    # LUTs of each query's residual per PROBED cluster: (nq, np, m, kcb)
+    lut = np.empty((nq, np_, mm, kcb), dtype=np.int64)
+    for qi in range(nq):
+        for pi in range(np_):
+            r = Q[qi] - coarse[probe[qi, pi]]
+            for j in range(mm):
+                diff = r[j * sub:(j + 1) * sub] - books[j]
+                lut[qi, pi, j] = np.einsum("ij,ij->i", diff, diff)
+    ref = ray.put({"lut": lut, "probe": probe,
+                   "q_ids": np.asarray(q_ids, np.int64)})
+
+    def scan(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        lut_, probe_, qids_ = st["lut"], st["probe"], st["q_ids"]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.int64())})
+        clus = t.column("cluster").to_numpy(zero_copy_only=False)
+        codes = np.frombuffer(
+            b"".join(t.column("code").to_pylist()),
+            dtype=np.uint8).reshape(n, lut_.shape[2])
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids_)):
+            # members of this query's probed cells only
+            sel_rows = np.flatnonzero(np.isin(clus, probe_[qi]))
+            if len(sel_rows) == 0:
+                continue
+            # map each row's cluster to its probe slot for LUT lookup
+            slot = np.searchsorted(np.sort(probe_[qi]), clus[sel_rows])
+            order_p = np.argsort(probe_[qi], kind="stable")
+            slot = order_p[slot]
+            dist = np.zeros(len(sel_rows), dtype=np.int64)
+            for j in range(lut_.shape[2]):
+                dist += lut_[qi, slot, j, codes[sel_rows, j]]
+            kk = min(k, len(sel_rows))
+            loc = np.lexsort((ids[sel_rows], dist))[:kk]
+            out_q.append(np.full(kk, qids_[qi], np.int64))
+            out_n.append(ids[sel_rows][loc])
+            out_d.append(dist[loc])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.int64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "adist": pa.array(np.concatenate(out_d), pa.int64())})
+
+    partial = encoded.map_batches(scan, batch_format="pyarrow")
+    top = grouped_topk(partial, "query_id", "adist", "neighbor_id",
+                       k=k, ascending=True, num_parts=num_parts)
+    return top.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id", "rank"]),
+        batch_format="pyarrow")

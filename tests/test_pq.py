@@ -96,3 +96,49 @@ def test_pq_validation(ray_session):
     mat, _ = _clustered(d=15)
     with pytest.raises(ValueError):
         pq_train(_ds_of(mat), m=4)          # 15 % 4 != 0
+
+
+def test_ivfpq_partition_invariance_and_recall(ray_session):
+    """IVF-PQ (coarse cells + residual codes): bit-identical at any
+    blocking; with enough probes the in-cluster recall matches plain PQ
+    on separable data; a prebuilt index reuses without retraining."""
+    from sift_ray.functions.pq import ivfpq_build, ivfpq_topk
+
+    mat, labels = _clustered(n_per=30, n_clusters=4, d=16, seed=7)
+    qids = [3, 50, 99]
+    a = ivfpq_topk(_ds_of(mat, 1), qids, k=6, n_clusters=8, n_probe=4,
+                   m=4, pq_clusters=8) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ivfpq_topk(_ds_of(mat, 5), qids, k=6, n_clusters=8, n_probe=4,
+                   m=4, pq_clusters=8) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    idx = ivfpq_build(_ds_of(mat, 3), n_clusters=8, m=4, pq_clusters=8)
+    c = ivfpq_topk(_ds_of(mat), qids, k=6, index=idx) \
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(c)
+    lab = dict(zip(range(len(mat)), labels))
+    for q in qids:
+        nbrs = a[a["query_id"] == q]["neighbor_id"]
+        assert len(nbrs) == 6
+        same = sum(lab[int(n)] == lab[q] for n in nbrs)
+        assert same >= 5, (q, same)
+
+
+def test_ivfpq_probe_restricts_cells(ray_session):
+    """n_probe=1 scans only the query's own coarse cell: every neighbor
+    shares the query's coarse assignment (read from the index)."""
+    import numpy as np
+
+    from sift_ray.functions.pq import ivfpq_build, ivfpq_topk
+
+    mat, _ = _clustered(n_per=25, n_clusters=4, d=16, seed=13)
+    idx = ivfpq_build(_ds_of(mat), n_clusters=4, m=4, pq_clusters=8)
+    _, _, encoded = idx
+    cell = dict(zip(*[encoded.to_pandas()[c]
+                      for c in ("vec_id", "cluster")]))
+    out = ivfpq_topk(_ds_of(mat), [5, 42], k=5, n_probe=1,
+                     index=idx).to_pandas()
+    for q in (5, 42):
+        nbrs = out[out["query_id"] == q]["neighbor_id"]
+        assert {cell[int(n)] for n in nbrs} <= {cell[q]}, q

@@ -102,6 +102,7 @@ GOLDEN_QUERIES = [
     "web_pipeline_shards",
     "pq_codes",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
