@@ -57,7 +57,15 @@ def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
              scale_bits: int = 20) -> np.ndarray:
     """Train the m per-subspace codebooks on the full table. Returns an
     (m, n_clusters, d/m) int64 array of codeword micros. d must divide
-    evenly by m."""
+    evenly by m.
+
+    The input is MATERIALIZED once: training consumes it ~(2 + n_iter)
+    times per subspace, and re-executing a parquet read that many times
+    dominates wall time. At 10^12-row scale pass a bounded deterministic
+    sample (e.g. an id-hash filter) as the training input — the standard
+    PQ practice; only ``pq_encode``'s single streaming pass needs the
+    full table."""
+    ds = ds.materialize()
     first = ds.limit(1).take_all()
     if not first:
         raise ValueError("pq_train: empty dataset")
@@ -217,6 +225,10 @@ def ivfpq_build(ds, n_clusters: int = 16, m: int = 4,
     import ray
 
     S = np.int64(1) << scale_bits
+    # materialize once: coarse training + residual training + encode
+    # together consume the input ~2*(2 + n_iter) times (see pq_train's
+    # note — subsample upstream at corpus scale)
+    ds = ds.materialize()
     coarse, _ = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
                            vec_col=vec_col, id_col=id_col,
                            num_parts=num_parts, scale_bits=scale_bits)
