@@ -51,6 +51,69 @@ def _subspace_dists(Xq: np.ndarray, book: np.ndarray) -> np.ndarray:
     return d2
 
 
+def _pq_kmeans_books(ds, m: int, sub: int, n_clusters: int, n_iter: int,
+                     vec_col: str, id_col: str,
+                     scale_bits: int) -> np.ndarray:
+    """All m subspace codebooks in ONE set of corpus passes — the
+    subspaces are independent, so a single per-batch kernel assigns and
+    partial-sums every subspace at once, and the per-batch partial is a
+    dense m*k*(sub+1)-int blob the driver np-sums (kmeans_fit's dense
+    idiom, never corpus rows). Arithmetic replicates kmeans_fit exactly
+    — k-smallest-id init, integer distances with tie -> lowest cluster,
+    ``sums // counts`` update, empty cluster keeps its centroid — so the
+    result is BIT-IDENTICAL to m independent kmeans_fit runs on the
+    projected tables (pinned by test) at 1/m the pass count."""
+    import ray
+
+    S = np.int64(1) << scale_bits
+    k = n_clusters
+
+    def local_min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(np.sort(ids)[:k], pa.int64())})
+
+    cand = (ds.map_batches(local_min_ids, batch_format="pyarrow")
+            .to_pandas()[id_col].nsmallest(k).tolist())
+    _, seed_vecs = _fetch_vectors(ds, cand, vec_col, id_col)
+    seed = np.round(np.asarray(seed_vecs, dtype=np.float64) * S) \
+        .astype(np.int64)
+    C = np.stack([seed[:, j * sub:(j + 1) * sub] for j in range(m)])
+
+    blob_len = m * k * sub + m * k
+    for _ in range(n_iter):
+        ref = ray.put(C.copy())
+
+        def partials(t: pa.Table, ref=ref) -> pa.Table:
+            books = ray.get(ref)
+            mat = _to_matrix(t.column(vec_col))
+            if mat.size == 0:
+                return pa.table({"pv": pa.array([], pa.binary())})
+            xq = np.round(mat.astype(np.float64) * S).astype(np.int64)
+            sums = np.zeros((m, k, sub), dtype=np.int64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for j in range(m):
+                X = xq[:, j * sub:(j + 1) * sub]
+                a = np.argmin(_subspace_dists(X, books[j]), axis=1)
+                np.add.at(sums[j], a, X)
+                counts[j] += np.bincount(a, minlength=k)
+            blob = np.concatenate([sums.ravel(), counts.ravel()]) \
+                .astype(np.int64).tobytes()
+            return pa.table({"pv": pa.array([blob], pa.binary())})
+
+        acc = np.zeros(blob_len, dtype=np.int64)
+        for batch in ds.map_batches(partials, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            for blob in batch.column("pv").to_pylist():
+                acc += np.frombuffer(blob, dtype=np.int64)
+        sums = acc[:m * k * sub].reshape(m, k, sub)
+        counts = acc[m * k * sub:].reshape(m, k)
+        newC = C.copy()
+        nz = counts > 0                  # empty cluster keeps centroid
+        newC[nz] = sums[nz] // counts[nz][:, None]
+        C = newC
+    return C
+
+
 def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
              num_parts: Optional[int] = None,
@@ -59,9 +122,10 @@ def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
     (m, n_clusters, d/m) int64 array of codeword micros. d must divide
     evenly by m.
 
-    The input is MATERIALIZED once: training consumes it ~(2 + n_iter)
-    times per subspace, and re-executing a parquet read that many times
-    dominates wall time. At 10^12-row scale pass a bounded deterministic
+    All m subspaces train in ONE set of ~(2 + n_iter) corpus passes
+    (``_pq_kmeans_books`` — bit-identical to m independent kmeans_fit
+    runs), and the input is MATERIALIZED once so those passes read
+    memory, not parquet. At 10^12-row scale pass a bounded deterministic
     sample (e.g. an id-hash filter) as the training input — the standard
     PQ practice; only ``pq_encode``'s single streaming pass needs the
     full table."""
@@ -72,28 +136,8 @@ def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
     d = len(first[0][vec_col])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-
-    books = []
-    for j in range(m):
-        lo = j * sub
-
-        def proj(t: pa.Table, lo=lo) -> pa.Table:
-            mat = _to_matrix(t.column(vec_col))
-            block = (mat[:, lo:lo + sub] if mat.size
-                     else np.empty((0, sub)))
-            flat = pa.array(block.astype(np.float64).ravel(),
-                            pa.float64())
-            return pa.table({
-                id_col: t.column(id_col),
-                vec_col: pa.FixedSizeListArray.from_arrays(flat, sub)})
-
-        C, _ = kmeans_fit(ds.map_batches(proj, batch_format="pyarrow"),
-                          n_clusters=n_clusters, n_iter=n_iter,
-                          vec_col=vec_col, id_col=id_col,
-                          num_parts=num_parts, scale_bits=scale_bits)
-        books.append(C)
-    return np.stack(books)
+    return _pq_kmeans_books(ds, m, d // m, n_clusters, n_iter,
+                            vec_col, id_col, scale_bits)
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",

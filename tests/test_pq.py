@@ -142,3 +142,35 @@ def test_ivfpq_probe_restricts_cells(ray_session):
     for q in (5, 42):
         nbrs = out[out["query_id"] == q]["neighbor_id"]
         assert {cell[int(n)] for n in nbrs} <= {cell[q]}, q
+
+
+def test_batched_training_equals_per_subspace_kmeans(ray_session):
+    """The one-pass-all-subspaces trainer must be BIT-IDENTICAL to m
+    independent kmeans_fit runs on the projected sub-tables — the
+    equality that lets the batched path inherit kmeans_fit's
+    determinism guarantees."""
+    import pyarrow as pa
+
+    from sift_ray.functions.pq import pq_train
+    from sift_ray.functions.similarity import _to_matrix, kmeans_fit
+
+    mat, _ = _clustered(n_per=25, n_clusters=3, d=16, seed=19)
+    ds = _ds_of(mat, 4)
+    batched = pq_train(ds, m=4, n_clusters=8, n_iter=3)
+    sub = 4
+    for j in range(4):
+        lo = j * sub
+
+        def proj(t, lo=lo):
+            m_ = _to_matrix(t.column("embedding"))
+            block = m_[:, lo:lo + sub] if m_.size else np.empty((0, sub))
+            flat = pa.array(block.astype(np.float64).ravel(),
+                            pa.float64())
+            return pa.table({
+                "vec_id": t.column("vec_id"),
+                "embedding": pa.FixedSizeListArray.from_arrays(flat,
+                                                               sub)})
+
+        C, _ = kmeans_fit(ds.map_batches(proj, batch_format="pyarrow"),
+                          n_clusters=8, n_iter=3)
+        assert (batched[j] == C).all(), j
