@@ -201,6 +201,27 @@ def _build_parser() -> argparse.ArgumentParser:
     cdc.add_argument("--avg-size", type=int, default=8192)
     cdc.add_argument("--max-size", type=int, default=65536)
 
+    ann = sub.add_parser("ann",
+                         help="product-quantization ANN: encode a vector "
+                              "table to PQ codes or search top-k by "
+                              "asymmetric distance (plain PQ or IVF-PQ)")
+    ann.add_argument("action", choices=["encode", "topk", "ivfpq-topk"])
+    ann.add_argument("--input", required=True,
+                     help="parquet table with id + vector columns")
+    ann.add_argument("--output", required=True,
+                     help="output parquet directory")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--m", type=int, default=4,
+                     help="subspace count (bytes per code)")
+    ann.add_argument("--clusters", type=int, default=16,
+                     help="codewords per subspace (and coarse cells "
+                          "for ivfpq-topk)")
+    ann.add_argument("--k", type=int, default=10, help="neighbors")
+    ann.add_argument("--n-probe", type=int, default=4)
+    ann.add_argument("--queries", default="",
+                     help="comma-separated query ids (topk modes)")
+
     gen = sub.add_parser("gen-corpus", help="write a deterministic synthetic "
                                             "pages corpus")
     gen.add_argument("--output", required=True)
@@ -419,6 +440,33 @@ def main(argv=None) -> int:
             fn = {"chunks": cdc_chunks, "stats": cdc_dedup_stats,
                   "dedup": cdc_dedup_docs}[args.action]
             out = fn(docs, **kw)
+            out.write_parquet(args.output)
+            print(json.dumps({"action": args.action, "rows": out.count(),
+                              "output": args.output}))
+        elif args.cmd == "ann":
+            import ray.data as rd
+
+            from .functions.pq import (ivfpq_topk, pq_encode, pq_topk,
+                                       pq_train)
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.id_col, args.vec_col])
+            kw = dict(vec_col=args.vec_col, id_col=args.id_col)
+            if args.action == "encode":
+                books = pq_train(ds, m=args.m, n_clusters=args.clusters,
+                                 **kw)
+                out = pq_encode(ds, books, **kw)
+            else:
+                qids = [int(x) for x in args.queries.split(",") if x]
+                if not qids:
+                    raise SystemExit("--queries required for topk modes")
+                if args.action == "topk":
+                    out = pq_topk(ds, qids, k=args.k, m=args.m,
+                                  n_clusters=args.clusters, **kw)
+                else:
+                    out = ivfpq_topk(ds, qids, k=args.k, m=args.m,
+                                     n_clusters=args.clusters,
+                                     pq_clusters=args.clusters,
+                                     n_probe=args.n_probe, **kw)
             out.write_parquet(args.output)
             print(json.dumps({"action": args.action, "rows": out.count(),
                               "output": args.output}))

@@ -174,3 +174,32 @@ def test_batched_training_equals_per_subspace_kmeans(ray_session):
         C, _ = kmeans_fit(ds.map_batches(proj, batch_format="pyarrow"),
                           n_clusters=8, n_iter=3)
         assert (batched[j] == C).all(), j
+
+
+def test_cli_ann(ray_session, tmp_path):
+    """CLI surface: encode writes m-byte codes; topk/ivfpq-topk write
+    (query_id, neighbor_id, rank) for the requested queries."""
+    import pyarrow.parquet as pq_
+
+    from sift_ray.cli import main
+
+    mat, _ = _clustered(n_per=20, n_clusters=3, d=16, seed=23)
+    src = tmp_path / "vecs.parquet"
+    pq_.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat])}),
+        str(src))
+    assert main(["ann", "encode", "--input", str(src),
+                 "--output", str(tmp_path / "codes"),
+                 "--clusters", "8"]) == 0
+    codes = pq_.ParquetDataset(str(tmp_path / "codes")).read().to_pandas()
+    assert len(codes) == len(mat) and all(len(c) == 4
+                                          for c in codes["code"])
+    for action in ("topk", "ivfpq-topk"):
+        out = tmp_path / action
+        assert main(["ann", action, "--input", str(src),
+                     "--output", str(out), "--clusters", "8",
+                     "--queries", "0,5", "--k", "4"]) == 0
+        res = pq_.ParquetDataset(str(out)).read().to_pandas()
+        assert set(res["query_id"]) == {0, 5}
+        assert res.groupby("query_id")["rank"].max().eq(4).all()
