@@ -15,19 +15,21 @@ are all layout-invariant and golden-pinnable.
 
 Operators:
 
-* ``pq_train``     — (m, k, d/m) int64-micro codebooks; m distributed
-                     k-means trainings (one partial-sum exchange per
-                     iteration each).
+* ``pq_train``     — (m, k, d/m) int64-micro codebooks; all m
+                     subspaces train in ONE set of corpus passes
+                     (dense per-batch partial blobs, kmeans_fit's
+                     arithmetic bit-for-bit).
 * ``pq_encode``    — zero-shuffle map: (id, code binary: m uint8 bytes).
 * ``pq_topk``      — per-query ADC top-k over the encoded table:
                      broadcast LUTs, per-batch local top-k combiner, ONE
                      query-keyed exchange (grouped_topk) — driver holds
                      codebooks + q x k rows only.
 
-Scale shape: training cost is m x kmeans_fit (subsample upstream for
-10^12-row corpora — any deterministic id-hash filter keeps the pipeline
-reproducible); encode and scan are single passes; the scan's exchange
-volume is (queries x k) rows per batch, never corpus-proportional.
+Scale shape: training is ~(2 + n_iter) corpus passes over a ONCE-
+materialized input (subsample upstream for 10^12-row corpora — any
+deterministic id-hash filter keeps the pipeline reproducible); encode
+and scan are single streaming passes; the scan's exchange volume is
+(queries x k) rows per batch, never corpus-proportional.
 """
 
 from __future__ import annotations
@@ -117,7 +119,8 @@ def _pq_kmeans_books(ds, m: int, sub: int, n_clusters: int, n_iter: int,
 def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
              num_parts: Optional[int] = None,
-             scale_bits: int = 20) -> np.ndarray:
+             scale_bits: int = 20,
+             materialize_input: bool = True) -> np.ndarray:
     """Train the m per-subspace codebooks on the full table. Returns an
     (m, n_clusters, d/m) int64 array of codeword micros. d must divide
     evenly by m.
@@ -128,8 +131,12 @@ def pq_train(ds, m: int = 4, n_clusters: int = 16, n_iter: int = 4,
     memory, not parquet. At 10^12-row scale pass a bounded deterministic
     sample (e.g. an id-hash filter) as the training input — the standard
     PQ practice; only ``pq_encode``'s single streaming pass needs the
-    full table."""
-    ds = ds.materialize()
+    full table. ``materialize_input=False`` skips the materialize for
+    callers whose input is already materialized or a cheap map over a
+    materialized base (ivfpq_build's residual view — materializing it
+    too would hold a second corpus copy in the object store)."""
+    if materialize_input:
+        ds = ds.materialize()
     first = ds.limit(1).take_all()
     if not first:
         raise ValueError("pq_train: empty dataset")
@@ -294,9 +301,13 @@ def ivfpq_build(ds, n_clusters: int = 16, m: int = 4,
                                                        res.shape[1])})
 
     res_ds = ds.map_batches(residuals, batch_format="pyarrow")
+    # residual view stays lazy: it is a cheap matrix map over the
+    # ALREADY-materialized base — materializing it too would hold a
+    # second corpus copy in the object store
     books = pq_train(res_ds, m=m, n_clusters=pq_clusters, n_iter=n_iter,
                      vec_col=vec_col, id_col=id_col,
-                     num_parts=num_parts, scale_bits=scale_bits)
+                     num_parts=num_parts, scale_bits=scale_bits,
+                     materialize_input=False)
     bref = ray.put(books)
     mm, kcb, sub = books.shape
 
