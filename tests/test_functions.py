@@ -2797,3 +2797,43 @@ def test_ddsketch_quantiles_by_matches_ungrouped(ray_session):
         gsub = grouped[grouped["k"] == k].reset_index(drop=True)
         assert gsub["q_pct"].tolist() == single["q_pct"].tolist()
         assert gsub["bucket"].tolist() == single["bucket"].tolist(), k
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(max_examples=8, deadline=None,
+           suppress_health_check=[_HC.function_scoped_fixture])
+@_given(vals=_st.lists(_st.floats(min_value=1e-3, max_value=1e9,
+                                  allow_nan=False, allow_infinity=False),
+                       min_size=5, max_size=300),
+        qp=_st.sampled_from([1, 25, 50, 75, 99]))
+def test_property_ddsketch_relative_error_bound(ray_session, vals, qp):
+    """DDSketch's construction guarantee on ARBITRARY positive inputs:
+    the reported bucket's midpoint is within alpha (+ the 1e-9 boundary
+    epsilon) relative error of the exact quantile under the same rank
+    rule — and the sketch is deterministic across blockings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sift_ray.functions.sketch import (dd_bucket_value,
+                                           ddsketch_quantiles)
+
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    outs = []
+    for nb in (1, 4):
+        ds = rd.from_arrow(t).repartition(nb) if nb > 1 else rd.from_arrow(t)
+        df = (ddsketch_quantiles(ds, "v", qs=(qp,)).to_pandas()
+              .sort_values("q_pct").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    xs = np.sort(np.asarray(vals, np.float64))
+    n = len(xs)
+    rank = (qp / 100.0) * (n - 1)
+    exact = xs[int(np.searchsorted(np.arange(1, n + 1), rank,
+                                   side="right"))]
+    est = dd_bucket_value(int(outs[0]["bucket"].iloc[0]))
+    assert abs(est - exact) <= 0.0101 * abs(exact) + 1e-12, (est, exact)
