@@ -275,25 +275,41 @@ def _q_fuzzy_part_match(sf_dir: str):
     from sift_ray.functions.fuzzy import _h64, fuzzy_join
     from sift_ray.functions.shuffle import partitioned_group_agg
 
+    import pyarrow as pa
+
     ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_name", "p_size"])
+
+    # both sides' per-name distinct (min partkey as id) in ONE
+    # (name, side) group exchange instead of one exchange per side;
+    # the sides split map-side from the materialized aggregate
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_name": t.column("p_name"),
+            "p_partkey": t.column("p_partkey"),
+            "side": pc.cast(pc.greater(t.column("p_size"), 25),
+                            pa.int64())})
 
     def name_keys(batch):
         import numpy as np
         return [np.fromiter((_h64(s) for s in
                              batch.column("p_name").to_pylist()),
-                            dtype=np.int64, count=batch.num_rows)]
+                            dtype=np.int64, count=batch.num_rows),
+                batch.column("side").to_numpy(zero_copy_only=False)]
 
-    def side(pred):
-        sub = ds.map_batches(
-            lambda t, p=pred: t.filter(p(t)), batch_format="pyarrow")
-        return partitioned_group_agg(sub, ["p_name"],
-                                     [("p_partkey", "min", "id")],
-                                     key_arrays_fn=name_keys)
+    both = partitioned_group_agg(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["p_name", "side"], [("p_partkey", "min", "id")],
+        key_arrays_fn=name_keys).materialize()
 
-    left = side(lambda t: pc.less_equal(t.column("p_size"), 25))
-    right = side(lambda t: pc.greater(t.column("p_size"), 25))
-    return fuzzy_join(left, right, id_col="id", text_col="p_name", k=2)
+    def pick(side_val):
+        return both.map_batches(
+            lambda t, sv=side_val: t.filter(
+                pc.equal(t.column("side"), sv)).select(["p_name", "id"]),
+            batch_format="pyarrow")
+
+    return fuzzy_join(pick(0), pick(1), id_col="id",
+                      text_col="p_name", k=2)
 
 
 def _q_extract_pdf(sf_dir: str):
